@@ -1,0 +1,76 @@
+"""Run configuration — the politeness budget and crawl constants.
+
+Defaults reproduce the reference's operating-point constants
+(BASELINE.md): 1 URL/s admission (``url_sender.py:45``), batch size
+10 000 (``:47``), retry limit 1 (``:242-252``), max in-flight 128
+(``scripts/crawl.py:42``).  Tests/bench scale the time constants down —
+all scheduling here is *virtual time*, a pure function of the input
+(SURVEY.md §4.3), so scaling them changes the schedule deterministically
+rather than the wall clock.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    # Politeness budget (reference constants, virtualized).
+    admission_delay_s: float = 1.0      # global pacing: url_sender.py:45
+    batch_size: int = 10_000            # url_sender.py:47
+    max_inflight: int = 128             # scripts/crawl.py:42
+    retry_limit: int = 1                # url_sender.py:242-252
+    hard_timeout_s: float = 1200.0      # endpoints/tasks.py:105
+
+    # Frontier shape.
+    max_depth: int = 2                  # BFS waves beyond the seeds
+    max_waves: int = 8                  # termination backstop (deferrals extend waves)
+    branching: int = 3                  # outlinks per page (synthetic web)
+    max_per_host_per_wave: int = 100    # hot-host politeness window (skew split)
+
+    # Synthetic web model.
+    n_src_hosts: int = 20               # src0..src19 (.example)
+    hot_host: str = "hot.example"
+    page_space: int = 100_000           # page-id universe for outlink targets
+    default_crawl_delay_ms: int = 100
+
+    # Dedup / sharding.
+    n_seen_shards: int = 8              # URL-seen actor shards
+    bloom_bits: int = 1 << 20           # per-shard bloom front (fast path only)
+
+    def crawl_delay_ms(self, host: str) -> int:
+        """Per-host politeness delay; pure function of the host name."""
+        if host == self.hot_host:
+            return 50
+        # src hosts: 100..500ms spread by host index
+        idx = _host_index(host)
+        return self.default_crawl_delay_ms * (1 + idx % 5)
+
+    def robots_disallow(self, host: str) -> tuple[str, ...]:
+        """Robots rules; reference crawls ignore robots (SURVEY.md T7) —
+        compliance is a new, north-rule-mandated stage.  Prefix semantics."""
+        idx = _host_index(host)
+        if host != self.hot_host and idx >= 0 and idx % 4 == 0:
+            return ("/page/1",)
+        return ()
+
+
+def _host_index(host: str) -> int:
+    """'src7.example' -> 7; anything else -> -1."""
+    if host.startswith("src") and host.endswith(".example"):
+        mid = host[3 : -len(".example")]
+        if mid.isdigit():
+            return int(mid)
+    return -1
+
+
+DEFAULT_CONFIG = CrawlConfig()
+
+# Fast test/bench config: same semantics, smaller virtual-time constants.
+TEST_CONFIG = CrawlConfig(
+    admission_delay_s=0.001,
+    max_depth=2,
+    max_waves=8,
+    max_per_host_per_wave=50,
+)

@@ -1,0 +1,71 @@
+"""Distributed global sequence assignment (zip-with-index).
+
+Ray Data has no `zipWithIndex`; the portable pattern (same as Spark's
+RDD.zipWithIndex) is: sort -> per-block (first_key, row_count) summary
+-> cumulative offsets on the driver (tiny: one row per block) ->
+broadcast the offset map back into a per-block `map_batches` that emits
+`offset + arange(n)`.
+
+Requires the sort key to be UNIQUE per row (the caller passes a
+tiebreaker column such as the URL) so the first-row key identifies a
+block unambiguously even when the sort splits equal keys across blocks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+
+def _key_of(batch: pa.Table, cols: list[str]) -> tuple:
+    return tuple(batch.column(c)[0].as_py() for c in cols)
+
+
+def assign_global_seq(
+    ds: rd.Dataset,
+    sort_cols: list[str],
+    seq_col: str = "seq",
+    start: int = 0,
+) -> rd.Dataset:
+    """Return `ds` sorted by `sort_cols` with a dense global index column.
+
+    One extra pass over the sorted blocks to collect (first_key, count);
+    the offset map that ships back is O(num_blocks), not O(rows).
+    """
+    mat = ds.sort(sort_cols).materialize()
+
+    def block_summary(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"bkey": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        return pa.table(
+            {
+                "bkey": [repr(_key_of(batch, sort_cols))],
+                "n": pa.array([batch.num_rows], type=pa.int64()),
+            }
+        )
+
+    summaries = mat.map_batches(
+        block_summary, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    # Blocks are range-partitioned after the sort: ordering the summaries
+    # by their (unique) first-row key orders the blocks.
+    order = sorted(summaries, key=lambda r: eval(r["bkey"]))  # noqa: S307 - keys are our own reprs
+    offsets: dict[str, int] = {}
+    acc = start
+    for row in order:
+        offsets[row["bkey"]] = acc
+        acc += int(row["n"])
+    offsets_ref = ray.put(offsets)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(seq_col, pa.array([], type=pa.int64()))
+        off = ray.get(offsets_ref)[repr(_key_of(batch, sort_cols))]
+        seq = pa.array(off + np.arange(batch.num_rows, dtype=np.int64))
+        return batch.append_column(seq_col, seq)
+
+    return mat.map_batches(assign, batch_format="pyarrow", batch_size=None)

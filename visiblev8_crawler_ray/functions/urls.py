@@ -1,0 +1,158 @@
+"""Vectorized URL kernels: canonicalize, validate, key, host-extract.
+
+Reference semantics:
+- canonicalizer: add ``https://`` when the scheme is missing, derive the
+  scan domain from the netloc (``url_sender.py:93-101``);
+- validator: scheme in {http, https}, non-empty netloc, non-zero length
+  (``backend/app/api/api_v1/endpoints/tasks.py:27-52``);
+- URL parser/stemmer columns (scheme/host/port/path, sha key) as in the
+  ``urls`` dimension table (``2_mega_vv8_postgres_schema.sql:15-26``).
+
+Everything here operates on whole Arrow arrays with ``pyarrow.compute``
+(zero-copy from the object store) — no per-row Python in the hot path.
+The exact same canonicalization contract is emitted as a DuckDB SQL
+expression by :func:`canonical_sql_expr` so the driver's oracle and the
+Ray pipeline can never drift apart.
+
+Canonicalization contract (applied in order):
+1. trim surrounding whitespace
+2. prepend ``https://`` when no ``<scheme>://`` prefix is present
+3. lowercase scheme and host
+4. strip the ``#fragment``
+5. drop default ports (``http:80``, ``https:443``)
+6. empty path becomes ``/`` (query string kept verbatim)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://"
+
+
+def _join(*parts):
+    """Element-wise concat of string arrays/scalars."""
+    return pc.binary_join_element_wise(*parts, "")
+
+
+def canonicalize(urls: pa.Array | pa.ChunkedArray) -> dict[str, pa.Array]:
+    """Return dict of arrays: canonical_url, scheme, host, port, path, valid."""
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    t = pc.utf8_trim_whitespace(pc.cast(urls, pa.string()))
+    has_scheme = pc.match_substring_regex(t, _SCHEME_RE)
+    t = pc.if_else(has_scheme, t, _join(pa.scalar("https://"), t))
+
+    parts = pc.extract_regex(t, r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://(?P<rest>.*)$")
+    scheme = pc.utf8_lower(pc.struct_field(parts, "scheme"))
+    rest = pc.struct_field(parts, "rest")
+    # strip fragment
+    rest = pc.replace_substring_regex(rest, r"#.*$", "")
+    hp = pc.extract_regex(rest, r"^(?P<hostport>[^/]*)(?P<path>.*)$")
+    hostport = pc.struct_field(hp, "hostport")
+    path = pc.struct_field(hp, "path")
+    host = pc.utf8_lower(pc.replace_substring_regex(hostport, r":.*$", ""))
+    port = pc.replace_substring_regex(hostport, r"^[^:]*", "")  # ':NN' or ''
+    is_default = pc.or_(
+        pc.and_(pc.equal(scheme, "http"), pc.equal(port, ":80")),
+        pc.and_(pc.equal(scheme, "https"), pc.equal(port, ":443")),
+    )
+    port = pc.if_else(is_default, pa.scalar(""), port)
+    path = pc.if_else(pc.equal(path, ""), pa.scalar("/"), path)
+    canonical = _join(scheme, pa.scalar("://"), host, port, path)
+
+    valid = pc.and_(
+        pc.is_in(scheme, value_set=pa.array(["http", "https"])),
+        pc.not_equal(host, ""),
+    )
+    return {
+        "canonical_url": canonical,
+        "scheme": scheme,
+        "host": host,
+        "port": port,
+        "path": path,
+        "valid": valid,
+    }
+
+
+def canonical_sql_expr(col: str) -> str:
+    """DuckDB SQL expression computing the identical canonical URL.
+
+    Mirrors :func:`canonicalize` step-for-step; kept next to it so the
+    two implementations cannot drift.
+    """
+    t = f"(CASE WHEN regexp_matches(trim({col}), '^[A-Za-z][A-Za-z0-9+.\\-]*://') THEN trim({col}) ELSE 'https://' || trim({col}) END)"
+    scheme = f"lower(regexp_extract({t}, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1))"
+    rest = f"regexp_replace(regexp_extract({t}, '://(.*)$', 1), '#.*$', '')"
+    hostport = f"regexp_extract({rest}, '^([^/]*)', 1)"
+    path0 = f"regexp_replace({rest}, '^[^/]*', '')"
+    path = f"(CASE WHEN {path0} = '' THEN '/' ELSE {path0} END)"
+    host = f"lower(regexp_replace({hostport}, ':.*$', ''))"
+    port0 = f"regexp_replace({hostport}, '^[^:]*', '')"
+    port = (
+        f"(CASE WHEN {port0} = '' OR ({scheme} = 'http' AND {port0} = ':80') "
+        f"OR ({scheme} = 'https' AND {port0} = ':443') THEN '' ELSE {port0} END)"
+    )
+    return f"({scheme} || '://' || {host} || {port} || {path})"
+
+
+def valid_sql_expr(col: str) -> str:
+    """DuckDB SQL for the validity flag matching canonicalize()['valid']."""
+    t = f"(CASE WHEN regexp_matches(trim({col}), '^[A-Za-z][A-Za-z0-9+.\\-]*://') THEN trim({col}) ELSE 'https://' || trim({col}) END)"
+    scheme = f"lower(regexp_extract({t}, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1))"
+    rest = f"regexp_replace(regexp_extract({t}, '://(.*)$', 1), '#.*$', '')"
+    hostport = f"regexp_extract({rest}, '^([^/]*)', 1)"
+    host = f"lower(regexp_replace({hostport}, ':.*$', ''))"
+    return f"({scheme} IN ('http','https') AND {host} <> '')"
+
+
+def md5_hex(strings: pa.Array | pa.ChunkedArray | list[str]) -> pa.Array:
+    """md5 hex digest per element — the URL-seen key (DuckDB: md5(col)).
+
+    The reference keys URL dedup on the exact submitted URL string
+    (``endpoints/tasks.py:148-156``) and scripts/urls on sha256
+    (``2_mega_vv8_postgres_schema.sql:15-26``); md5 here only because it
+    is the hash DuckDB ships for oracle comparison.  No vectorized Arrow
+    digest kernel exists, so this is a tight Python loop over the
+    (already-deduplicated, small) key column — not a hot path.
+    """
+    if isinstance(strings, pa.ChunkedArray):
+        strings = strings.combine_chunks()
+    if isinstance(strings, (pa.Array,)):
+        strings = strings.to_pylist()
+    return pa.array(
+        [hashlib.md5(s.encode()).hexdigest() if s is not None else None for s in strings],
+        type=pa.string(),
+    )
+
+
+def key_hash64(keys_hex: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """64-bit shard-routing hash derived from the md5-hex key column.
+
+    The first 16 hex chars of the (already computed) dedup key are the
+    hash — no second digest pass.  Used to route rows to URL-seen
+    shards; uniform by construction.
+    """
+    if isinstance(keys_hex, pa.ChunkedArray):
+        keys_hex = keys_hex.combine_chunks()
+    prefixes = pc.utf8_slice_codeunits(keys_hex, 0, 16)
+    return np.array(
+        [int(p, 16) for p in prefixes.to_pylist()], dtype=np.uint64
+    )
+
+
+def extract_host(urls: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Host from a canonical URL — SQL: regexp_extract(u,'^https?://([^/:]+)',1).
+
+    Analog of the reference's REGEXP_REPLACE host extraction
+    (``production_classifier.py:446-447``).
+    """
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    return pc.struct_field(
+        pc.extract_regex(urls, r"^https?://(?P<host>[^/:]+)"), "host"
+    )

