@@ -1,0 +1,107 @@
+"""E2E: the Ray crawl pipeline equals the sequential oracle.
+
+Checks the driver-mandated invariants (BASELINE.md "Correctness gate"):
+- final URL-seen set equality,
+- crawl-order equality (ordered URL list + dense seq),
+- per-row span-sequence equality (kind, text, media_ref, offset),
+- per-wave metrics equality,
+- determinism across executor parallelism (different batch sizes /
+  actor-pool widths must not change any output).
+"""
+
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from visiblev8_crawler_ray import synth
+from visiblev8_crawler_ray.config import CrawlConfig
+from visiblev8_crawler_ray.oracle import crawl_oracle
+from visiblev8_crawler_ray.pipelines.crawl import run_crawl
+
+CFG = CrawlConfig(max_depth=1, max_waves=4, max_per_host_per_wave=15)
+
+
+@pytest.fixture(scope="module")
+def oracle_result():
+    seeds = synth.seeds_table(np.arange(80), CFG)
+    return seeds, crawl_oracle(
+        list(zip(seeds["seed_id"].to_pylist(), seeds["url"].to_pylist())), CFG
+    )
+
+
+def _run(seeds, tmpdir, **kw):
+    shutil.rmtree(tmpdir, ignore_errors=True)
+    return run_crawl(seeds, CFG, tmpdir, **kw)
+
+
+def _span_tuples(spans):
+    return [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
+
+
+def test_crawl_matches_oracle(oracle_result, tmp_path):
+    seeds, orc = oracle_result
+    run = _run(seeds, str(tmp_path / "store"), fetch_concurrency=2,
+               fetch_batch_size=64)
+
+    seen = run.urlseen().to_pandas().sort_values("first_seq")
+    o_seen = pd.DataFrame(orc.urlseen).sort_values("first_seq")
+    assert set(seen.url_key) == set(o_seen.url_key)
+    assert list(seen.url) == list(o_seen.url)
+    assert list(seen.first_seq) == list(o_seen.first_seq)
+    assert list(seen.first_wave) == list(o_seen.first_wave)
+
+    metrics = sorted(run.metrics().to_pylist(), key=lambda r: r["wave"])
+    assert metrics == orc.metrics
+
+    docs = run.docs().to_pandas()
+    odocs = {d["doc_id"]: d["spans"] for d in orc.docs}
+    assert set(docs.doc_id) == set(odocs)
+    for did, spans in zip(docs.doc_id, docs.spans):
+        assert _span_tuples(spans) == _span_tuples(odocs[did]), did
+
+    log = run.crawl_log().to_pandas()
+    olog = pd.DataFrame(orc.crawl_log)
+    fetched = log[log.seq >= 0].sort_values("seq")
+    ofetched = olog[olog.seq >= 0].sort_values("seq")
+    cols = ["seq", "wave", "host", "url", "url_key", "doc_id", "depth",
+            "fetch_vtime", "status", "n_spans", "n_links"]
+    assert fetched[cols].values.tolist() == ofetched[cols].values.tolist()
+    blocked = sorted(log[log.seq < 0].url)
+    oblocked = sorted(olog[olog.seq < 0].url)
+    assert blocked == oblocked
+
+
+def test_determinism_across_parallelism(oracle_result, tmp_path):
+    """Same output under different actor-pool widths and batch sizes —
+    the scheduling-independence requirement of SURVEY.md §4.3."""
+    seeds, orc = oracle_result
+    o_order = [r["url"] for r in sorted(orc.urlseen, key=lambda r: r["first_seq"])]
+    for i, kw in enumerate(
+        [dict(fetch_concurrency=1, fetch_batch_size=17),
+         dict(fetch_concurrency=3, fetch_batch_size=200)]
+    ):
+        run = _run(seeds, str(tmp_path / f"s{i}"), **kw)
+        seen = run.urlseen().to_pandas().sort_values("first_seq")
+        assert list(seen.url) == o_order
+
+
+def test_resume_no_refetch_no_double_count(oracle_result, tmp_path):
+    seeds, orc = oracle_result
+    full = _run(seeds, str(tmp_path / "full"))
+    interrupted = str(tmp_path / "interrupted")
+    shutil.rmtree(interrupted, ignore_errors=True)
+    run_crawl(seeds, CFG, interrupted, stop_after_wave=0)
+    resumed = run_crawl(seeds, CFG, interrupted)
+
+    f_docs = sorted(full.docs().to_pandas().doc_id)
+    r_docs = sorted(resumed.docs().to_pandas().doc_id)
+    assert f_docs == r_docs
+    assert len(r_docs) == len(set(r_docs))  # no duplicate fetches
+    assert sorted(full.metrics().to_pylist(), key=lambda r: r["wave"]) == \
+        sorted(resumed.metrics().to_pylist(), key=lambda r: r["wave"])
+    f_seen = full.urlseen().to_pandas().sort_values("first_seq")
+    r_seen = resumed.urlseen().to_pandas().sort_values("first_seq")
+    assert f_seen[["url_key", "first_wave", "first_seq"]].values.tolist() == \
+        r_seen[["url_key", "first_wave", "first_seq"]].values.tolist()

@@ -79,8 +79,8 @@ def canonicalize(urls: pa.Array | pa.ChunkedArray) -> dict[str, pa.Array]:
     }
 
 
-def canonical_sql_expr(col: str) -> str:
-    """DuckDB SQL expression computing the identical canonical URL.
+def sql_url_parts(col: str) -> dict[str, str]:
+    """DuckDB SQL expressions for every canonicalization output column.
 
     Mirrors :func:`canonicalize` step-for-step; kept next to it so the
     two implementations cannot drift.
@@ -97,17 +97,22 @@ def canonical_sql_expr(col: str) -> str:
         f"(CASE WHEN {port0} = '' OR ({scheme} = 'http' AND {port0} = ':80') "
         f"OR ({scheme} = 'https' AND {port0} = ':443') THEN '' ELSE {port0} END)"
     )
-    return f"({scheme} || '://' || {host} || {port} || {path})"
+    return {
+        "scheme": scheme,
+        "host": host,
+        "port": port,
+        "path": path,
+        "canonical_url": f"({scheme} || '://' || {host} || {port} || {path})",
+        "valid": f"({scheme} IN ('http','https') AND {host} <> '')",
+    }
+
+
+def canonical_sql_expr(col: str) -> str:
+    return sql_url_parts(col)["canonical_url"]
 
 
 def valid_sql_expr(col: str) -> str:
-    """DuckDB SQL for the validity flag matching canonicalize()['valid']."""
-    t = f"(CASE WHEN regexp_matches(trim({col}), '^[A-Za-z][A-Za-z0-9+.\\-]*://') THEN trim({col}) ELSE 'https://' || trim({col}) END)"
-    scheme = f"lower(regexp_extract({t}, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1))"
-    rest = f"regexp_replace(regexp_extract({t}, '://(.*)$', 1), '#.*$', '')"
-    hostport = f"regexp_extract({rest}, '^([^/]*)', 1)"
-    host = f"lower(regexp_replace({hostport}, ':.*$', ''))"
-    return f"({scheme} IN ('http','https') AND {host} <> '')"
+    return sql_url_parts(col)["valid"]
 
 
 def md5_hex(strings: pa.Array | pa.ChunkedArray | list[str]) -> pa.Array:

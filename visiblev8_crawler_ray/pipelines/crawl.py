@@ -84,50 +84,57 @@ def _firstwins(g: pd.DataFrame) -> pd.DataFrame:
     return g.sort_values(["admission_key", "url"]).head(1)
 
 
-class SeenFilter:
-    """map_batches stage querying the sharded URL-seen actors (read phase)."""
+def _route_keys(keys: list[str], n_shards: int):
+    hashes = np.array([int(k[:16], 16) for k in keys], dtype=np.uint64)
+    return hashes, (hashes % np.uint64(n_shards)).astype(np.int64)
 
-    def __init__(self, shards):
-        self.shards = shards
-        self.n = len(shards)
 
-    def _route(self, keys):
-        hashes = np.array([int(k[:16], 16) for k in keys], dtype=np.uint64)
-        return hashes, (hashes % np.uint64(self.n)).astype(np.int64)
+def _seen_filter_fn(shards):
+    """Stage querying the sharded URL-seen actors (read phase).
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    A plain function (stateless task), not an actor pool: the only state
+    is the shard handle list, which serializes into the closure — this
+    avoids per-wave actor-pool spin-up."""
+    n = len(shards)
+
+    def fn(batch: pa.Table) -> pa.Table:
         keys = batch.column("url_key").to_pylist()
         if not keys:
             return batch
-        hashes, sid = self._route(keys)
+        hashes, sid = _route_keys(keys, n)
         masks = np.zeros(len(keys), dtype=bool)
         futs, idxs = [], []
-        for s in range(self.n):
+        for s in range(n):
             ix = np.flatnonzero(sid == s)
             if len(ix):
-                futs.append(self.shards[s].contains.remote(
+                futs.append(shards[s].contains.remote(
                     [keys[i] for i in ix], hashes[ix]))
                 idxs.append(ix)
         for ix, m in zip(idxs, ray.get(futs)):
             masks[ix] = m
         return batch.filter(pa.array(~masks))
 
+    return fn
 
-class SeenAdd(SeenFilter):
-    """map_batches stage committing admitted/blocked keys (write phase)."""
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+def _seen_add_fn(shards):
+    """Stage committing admitted/blocked keys (write phase, idempotent)."""
+    n = len(shards)
+
+    def fn(batch: pa.Table) -> pa.Table:
         keys = batch.column("url_key").to_pylist()
         if keys:
-            hashes, sid = self._route(keys)
+            hashes, sid = _route_keys(keys, n)
             futs = []
-            for s in range(self.n):
+            for s in range(n):
                 ix = np.flatnonzero(sid == s)
                 if len(ix):
-                    futs.append(self.shards[s].add.remote(
+                    futs.append(shards[s].add.remote(
                         [keys[i] for i in ix], hashes[ix]))
             ray.get(futs)
         return batch
+
+    return fn
 
 
 def _robots_flag(cfg: CrawlConfig):
@@ -307,21 +314,16 @@ def run_crawl(
     wave = start_wave
     while frontier is not None and wave < cfg.max_waves:
         n_cand = frontier.count()
-        # 1. within-wave first-wins dedup (shuffle #1: by url_key)
-        unique = frontier.groupby("url_key").map_groups(
-            _firstwins, batch_format="pandas"
-        ).materialize()
-        n_unique = unique.count()
-        # 2. cross-wave seen filter (sharded actor read phase)
-        fresh = unique.map_batches(
-            SeenFilter, fn_constructor_args=(seen.shards,),
-            batch_format="pyarrow", concurrency=2, num_cpus=0.5,
-        ).materialize()
-        n_fresh = fresh.count()
-        # 3. robots compliance
-        flagged = fresh.map_batches(
-            _robots_flag(cfg), batch_format="pyarrow"
-        ).materialize()
+        # 1-3. one streaming execution: within-wave first-wins dedup
+        # (shuffle #1 by url_key) -> cross-wave seen filter (sharded
+        # actors, read phase) -> robots flag
+        flagged = (
+            frontier.groupby("url_key")
+            .map_groups(_firstwins, batch_format="pandas")
+            .map_batches(_seen_filter_fn(seen.shards), batch_format="pyarrow")
+            .map_batches(_robots_flag(cfg), batch_format="pyarrow")
+            .materialize()
+        )
         blocked = flagged.map_batches(
             lambda t: t.filter(t["blocked"]), batch_format="pyarrow")
         fetchable = flagged.map_batches(
@@ -329,8 +331,7 @@ def run_crawl(
             batch_format="pyarrow")
         # commit blocked rows: log partition + seen
         blocked_log = blocked.map_batches(
-            SeenAdd, fn_constructor_args=(seen.shards,),
-            batch_format="pyarrow", concurrency=1, num_cpus=0.5,
+            _seen_add_fn(seen.shards), batch_format="pyarrow",
         ).map_batches(_blocked_log_batch(wave), batch_format="pyarrow").materialize()
         n_blocked = blocked_log.count()
         store.write_dataset(blocked_log, "blocked", wave)
@@ -363,9 +364,7 @@ def run_crawl(
         )
         # 7. commit admission to the seen index, then fetch (actor pool)
         committed = ordered.map_batches(
-            SeenAdd, fn_constructor_args=(seen.shards,),
-            batch_format="pyarrow", concurrency=2, num_cpus=0.5,
-        )
+            _seen_add_fn(seen.shards), batch_format="pyarrow")
         fetched = committed.map_batches(
             _add_wave(wave), batch_format="pyarrow"
         ).map_batches(
@@ -408,7 +407,11 @@ def run_crawl(
                 "wave": pa.array([wave], type=pa.int32()),
                 "admitted": pa.array([n_admitted], type=pa.int64()),
                 "fetched": pa.array([n_admitted - n_failed], type=pa.int64()),
-                "deduped": pa.array([n_cand - n_fresh], type=pa.int64()),
+                # fresh = blocked + deferred + admitted, so the dedup
+                # drop count falls out without a separate pass:
+                "deduped": pa.array(
+                    [n_cand - n_blocked - n_deferred - n_admitted],
+                    type=pa.int64()),
                 "robots_blocked": pa.array([n_blocked], type=pa.int64()),
                 "deferred": pa.array([n_deferred], type=pa.int64()),
                 "failed": pa.array([n_failed], type=pa.int64()),

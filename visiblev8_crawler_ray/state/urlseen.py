@@ -28,7 +28,7 @@ import pyarrow as pa
 import ray
 
 
-@ray.remote(num_cpus=0.25)
+@ray.remote(num_cpus=0)
 class SeenShard:
     def __init__(self, bloom_bits: int):
         self.bloom_bits = bloom_bits
