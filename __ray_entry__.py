@@ -1,44 +1,324 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship crawl on sf0.001-derived seeds;
+``queries()`` exposes every implemented operator from SURVEY.md §2 (plus
+the training-data extensions); ``oracle_sql()`` gives the DuckDB
+equivalent for each SQL-expressible query (same column names, floats
+rounded identically on both sides).  Crawl-derived queries are
+non-SQL-expressible (iterative frontier) — their correctness gate is the
+oracle-simulator equality suite under ``tests/``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+import pyarrow.parquet as pq
+
+from visiblev8_crawler_ray import synth
+from visiblev8_crawler_ray.config import CrawlConfig
+from visiblev8_crawler_ray.functions import urls as U
+from visiblev8_crawler_ray.pipelines import analytics as A
+from visiblev8_crawler_ray.pipelines import embeddings as E
+from visiblev8_crawler_ray.pipelines import textops as T
+from visiblev8_crawler_ray.pipelines import multimodal as MM
+from visiblev8_crawler_ray.pipelines.crawl import CrawlRun, run_crawl
+from visiblev8_crawler_ray.stages import parse as P
+
+# Crawl configuration used for all sf_dir-derived crawl queries.
+QCFG = CrawlConfig(max_depth=1, max_waves=6, max_per_host_per_wave=50)
+
+_CRAWL_CACHE: dict[str, CrawlRun] = {}
+
+
+def _crawl(sf_dir: str) -> CrawlRun:
+    """Cached deterministic crawl over seeds derived from documents.doc_id.
+
+    The store root is keyed by (sf_dir, config); a completed store
+    resumes as a no-op, so several queries share one crawl."""
+    key = os.path.abspath(sf_dir)
+    if key not in _CRAWL_CACHE:
+        ids = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )["doc_id"].to_numpy()
+        seeds = synth.seeds_table(ids, QCFG)
+        salt = hashlib.md5(f"{key}|{QCFG}".encode()).hexdigest()[:12]
+        root = f"/tmp/vv8ray_store/{os.path.basename(key)}-{salt}"
+        _CRAWL_CACHE[key] = run_crawl(seeds, QCFG, root)
+    return _CRAWL_CACHE[key]
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: crawl sf0.001-derived seeds end-to-end and
+    return the interleaved-document table (doc_id, spans)."""
+    return _crawl("/root/testdata/sf0.001").docs()
+
+
+# ---------------------------------------------------------------------------
+# queries
+
+def _crawl_docs_summary(sf_dir: str):
+    log = _crawl(sf_dir).crawl_log()
+    import pyarrow.compute as pc
+
+    return log.map_batches(
+        lambda t: t.filter(pc.equal(t["status"], "ok")).select(
+            ["doc_id", "wave", "n_spans", "n_links"]),
+        batch_format="pyarrow",
+    )
+
+
+def _scripts_from_docs(sf_dir: str):
+    return _crawl(sf_dir).docs().map_batches(
+        P.parse_scripts_batch, batch_format="pyarrow")
+
+
+def _usage_rollup_crawl(sf_dir: str):
+    return P.usage_rollup(_crawl(sf_dir).docs())
+
+
+def _spans_exploded(sf_dir: str):
+    return _crawl(sf_dir).docs().map_batches(
+        P.explode_spans_batch, batch_format="pyarrow")
+
+
+def _media_features(sf_dir: str):
+    return MM.media_features(_crawl(sf_dir).docs())
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    q: dict[str, Callable[[str], Any]] = {
+        # aggregations (A1, A4-A6, A9)
+        "usage_rollup": A.usage_rollup,
+        "event_type_stats": A.event_type_stats,
+        "confidence_histogram": A.confidence_histogram,
+        "candidate_stats": A.candidate_stats,
+        "multi_origin_rollup": A.multi_origin_rollup,
+        # joins (J1-J3, J5)
+        "anti_join_retry": A.anti_join_retry,
+        "orders_with_customer": A.orders_with_customer,
+        "customer_value_label": A.customer_value_label,
+        "supplier_nation_region": A.supplier_nation_region,
+        # sort/limit/top-k (O1-O5)
+        "top10_customers": A.top10_customers,
+        "keyset_page": A.keyset_page,
+        "sample_head": A.sample_head,
+        # URL stages (M1-M3, D1, D6, §2.8)
+        "seed_canonicalize": A.seed_canonicalize,
+        "urlseen_dedup": A.urlseen_dedup,
+        "host_counts": A.host_counts,
+        "seed_union": A.seed_union,
+        # stream-shaped (§2.9)
+        "events_tumbling_window": A.events_tumbling_window,
+        "sessionize": A.sessionize,
+        # training-data text ops
+        "dedup_exact": T.dedup_exact,
+        "dedup_minhash": T.dedup_minhash,
+        "simhash_docs": T.simhash_docs,
+        "ngram_jaccard_pairs": T.ngram_jaccard_pairs,
+        "language_id": T.language_id,
+        "quality_score": T.quality_score,
+        "token_counts": T.token_counts,
+        "token_totals": T.token_totals,
+        "fingerprint_docs": T.fingerprint_docs,
+        "winnow_fingerprint": T.winnow_fingerprint,
+        # similarity search
+        "knn_brute": E.knn_brute,
+        "ann_lsh": E.ann_lsh,
+        "embedding_near_dup": E.embedding_near_dup,
+        # crawl pipeline (iterative — oracle-simulator-gated, rows-only here)
+        "crawl_urlseen": lambda sf: _crawl(sf).urlseen(),
+        "crawl_log": lambda sf: _crawl(sf).crawl_log(),
+        "crawl_metrics": lambda sf: _crawl(sf).metrics(),
+        "crawl_docs_summary": _crawl_docs_summary,
+        "scripts_from_docs": _scripts_from_docs,
+        "usage_rollup_crawl": _usage_rollup_crawl,
+        "spans_exploded": _spans_exploded,
+        "media_features": _media_features,
+    }
+    return q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+
+def _seed_cte() -> str:
+    return f"WITH seeds AS ({synth.seeds_sql()})"
+
+
+def _lang_score_sql() -> dict[str, str]:
+    scores = {}
+    for lang, words in T.LANG_MARKERS:
+        scores[lang] = " + ".join(
+            f"len(regexp_extract_all(text, '\\b{w}\\b'))" for w in words
+        )
+    return scores
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    parts = U.sql_url_parts("url")
+    canon, valid = parts["canonical_url"], parts["valid"]
+    s = _lang_score_sql()
+    lang_case = (
+        f"CASE WHEN greatest({s['en']},{s['es']},{s['de']},{s['fr']},{s['zh']}) = 0 THEN 'und' "
+        f"WHEN ({s['en']}) >= ({s['es']}) AND ({s['en']}) >= ({s['de']}) AND ({s['en']}) >= ({s['fr']}) AND ({s['en']}) >= ({s['zh']}) THEN 'en' "
+        f"WHEN ({s['es']}) >= ({s['de']}) AND ({s['es']}) >= ({s['fr']}) AND ({s['es']}) >= ({s['zh']}) THEN 'es' "
+        f"WHEN ({s['de']}) >= ({s['fr']}) AND ({s['de']}) >= ({s['zh']}) THEN 'de' "
+        f"WHEN ({s['fr']}) >= ({s['zh']}) THEN 'fr' ELSE 'zh' END"
+    )
+    stop_sum = " + ".join(
+        f"len(regexp_extract_all(text, '\\b{w}\\b'))" for w in T.STOPWORDS
+    )
+    return {
+        "usage_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "event_type_stats": """
+            SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+            FROM events GROUP BY event_type""",
+        "confidence_histogram": """
+            SELECT o_orderpriority, count(*) AS n,
+                   round(avg(o_totalprice), 2) AS avg_price,
+                   round(count(*) * 100.0 / (SELECT count(*) FROM orders), 4) AS pct
+            FROM orders GROUP BY o_orderpriority""",
+        "candidate_stats": """
+            SELECT source, count(*) AS n, round(avg(n_chars), 4) AS avg_chars
+            FROM documents GROUP BY source""",
+        "multi_origin_rollup": """
+            SELECT l_orderkey,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+                   count(*) AS n_lines,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey""",
+        "anti_join_retry": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN
+                (SELECT o_custkey FROM orders WHERE o_totalprice > 250000)""",
+        "orders_with_customer": """
+            SELECT o_orderkey, c_name, round(o_totalprice, 2) AS o_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey""",
+        "customer_value_label": """
+            WITH s AS (SELECT o_custkey, sum(o_totalprice) AS sp
+                       FROM orders GROUP BY o_custkey)
+            SELECT c_custkey, round(coalesce(sp, 0), 2) AS spend,
+                   CASE WHEN coalesce(sp, 0) = 0 THEN 'none'
+                        WHEN sp > 300000 THEN 'high'
+                        WHEN sp > 100000 THEN 'mid'
+                        ELSE 'low' END AS tier
+            FROM customer LEFT JOIN s ON c_custkey = o_custkey""",
+        "supplier_nation_region": """
+            SELECT s_suppkey, s_name, n_name, r_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey""",
+        "top10_customers": """
+            SELECT o_custkey, count(*) AS n FROM orders
+            GROUP BY o_custkey ORDER BY n DESC, o_custkey LIMIT 10""",
+        "keyset_page": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+            FROM orders WHERE o_orderkey > 500
+            ORDER BY o_orderkey LIMIT 100""",
+        "sample_head": """
+            SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            ORDER BY l_orderkey, l_linenumber LIMIT 50""",
+        "seed_canonicalize": f"""
+            {_seed_cte()}
+            SELECT seed_id, {canon} AS canonical_url,
+                   {parts['scheme']} AS scheme, {parts['host']} AS host,
+                   {parts['path']} AS path, {valid} AS valid
+            FROM seeds""",
+        "urlseen_dedup": f"""
+            {_seed_cte()}, c AS (
+                SELECT seed_id, {canon} AS cu FROM seeds WHERE {valid})
+            SELECT cu AS canonical_url, min(seed_id) AS first_seed,
+                   md5(cu) AS url_key
+            FROM c GROUP BY cu""",
+        "host_counts": f"""
+            {_seed_cte()}
+            SELECT {parts['host']} AS host, count(*) AS n
+            FROM seeds WHERE {valid} GROUP BY 1""",
+        "seed_union": f"""
+            {_seed_cte()}
+            SELECT DISTINCT {canon} AS canonical_url
+            FROM seeds WHERE {valid} AND (seed_id % 2 = 0 OR seed_id % 3 = 0)""",
+        "events_tumbling_window": """
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2""",
+        "sessionize": """
+            WITH d AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+                FROM events),
+            srun AS (
+                SELECT user_id,
+                       sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sess
+                FROM d),
+            z AS (SELECT user_id, sess, count(*) AS sz FROM srun GROUP BY 1, 2)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(max(sz) AS BIGINT) AS max_session_events
+            FROM z GROUP BY user_id""",
+        "dedup_exact": """
+            SELECT md5(text) AS content_key, min(doc_id) AS keep_doc_id
+            FROM documents GROUP BY 1""",
+        "ngram_jaccard_pairs": """
+            WITH t AS (SELECT doc_id, lang,
+                              list_distinct(regexp_extract_all(text, '\\S+')) AS toks
+                       FROM documents),
+            p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                               / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+                  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.6""",
+        "language_id": f"""
+            SELECT doc_id, ({lang_case}) AS pred_lang FROM documents""",
+        "quality_score": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\\S+')) AS n_words,
+                   round(len(regexp_extract_all(text, '{T.PUNCT_RE}')) * 1.0
+                         / greatest(length(text), 1), 4) AS punct_ratio,
+                   round(({stop_sum}) * 1.0
+                         / greatest(len(regexp_extract_all(text, '\\S+')), 1), 4)
+                       AS stopword_ratio
+            FROM documents""",
+        "token_counts": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens,
+                   len(regexp_extract_all(text, '{T.BPE_RE}')) AS n_bpe_tokens
+            FROM documents""",
+        "token_totals": f"""
+            SELECT CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+                       AS total_ws_tokens,
+                   CAST(sum(len(regexp_extract_all(text, '{T.BPE_RE}'))) AS BIGINT)
+                       AS total_bpe_tokens
+            FROM documents""",
+        "fingerprint_docs": """
+            SELECT doc_id, md5(text) AS fingerprint FROM documents""",
+        "knn_brute": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                       FROM embeddings WHERE vec_id < 10),
+            s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                         round(CAST(list_cosine_similarity(q.qe, e.embedding) AS DOUBLE), 4) AS cosine
+                  FROM q, embeddings e WHERE e.vec_id <> q.qid)
+            SELECT query_id, neighbor_id, cosine FROM s
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) <= 5""",
+        "embedding_near_dup": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cosine
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) >= 0.45""",
+    }

@@ -1,0 +1,60 @@
+"""Driver-contract rehearsal: every SQL-checkable query() must match its
+oracle_sql() on row count, schema (column names) and exact values —
+the same compare the driver runs at sf=0.01 (here at sf0.001 for speed;
+the documents/embeddings tables are identical at both scales)."""
+
+import sys
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+sys.path.insert(0, "/root/repo")
+import __ray_entry__ as R  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return c
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+SQL_CHECKED = sorted(set(R.oracle_sql()))
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_query_matches_oracle(name, con):
+    res = R.queries()[name](SF)
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    odf = con.sql(R.oracle_sql()[name]).df()
+    a, b = _norm(pd.DataFrame(df)), _norm(odf)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
+def test_rows_only_queries_run():
+    q = R.queries()
+    for name in ["dedup_minhash", "simhash_docs", "winnow_fingerprint",
+                 "ann_lsh"]:
+        res = q[name](SF)
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        assert len(pd.DataFrame(df)) >= 0
+
+
+def test_every_query_has_callable():
+    q = R.queries()
+    for name in R.oracle_sql():
+        assert name in q, f"oracle_sql key {name} missing from queries()"

@@ -1,0 +1,384 @@
+"""Relational operator suite over the driver's parquet tables.
+
+Each function re-expresses one reference operator family (SURVEY.md §2
+ids cited per function) as a Ray Data pipeline over
+``/root/testdata/sf*/``.  Column names and float rounding are pinned so
+the DuckDB oracles in ``__ray_entry__.oracle_sql`` hash-match exactly.
+
+Conventions:
+- reads prune columns at the source (``read_parquet(columns=...)``);
+- small dimension sides are broadcast (``ray.put`` once, dict/numpy
+  lookup inside ``map_batches``) — no shuffle join for dims;
+- aggregates pre-combine per batch before the final small groupby when
+  the key cardinality is low (A1 pattern);
+- every float output is rounded (4 decimals unless noted) so Ray's and
+  DuckDB's summation orders cannot produce hash mismatches.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..functions import urls as U
+from ..functions.util import round_half_away
+from .. import synth
+from ..config import DEFAULT_CONFIG
+
+
+def _read(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+def _round(df: pd.DataFrame, cols: dict[str, int]) -> pd.DataFrame:
+    for c, nd in cols.items():
+        df[c] = round_half_away(df[c].astype(float), nd)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1, A4, A5, A6, A9)
+
+def usage_rollup(sf_dir: str) -> pa.Table:
+    """A1: grouped usage-count rollup (mega_usages semantics,
+    2_mega_vv8_postgres_schema.sql:90-98) on lineitem keys."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        t = t.append_column("disc_price", rev)
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("disc_price", "sum"), ("l_quantity", "count")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "p_qty", "p_price", "p_disc", "p_n"]
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("p_qty", alias_name="sum_qty"),
+            Sum("p_price", alias_name="sum_base_price"),
+            Sum("p_disc", alias_name="sum_disc_price"),
+            Sum("p_n", alias_name="count_order"),
+        )
+        .to_pandas()  # tiny result (|flags| x |status|)
+    )
+    return _round(out, {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2})
+
+
+def event_type_stats(sf_dir: str) -> pa.Table:
+    """A6 analog: per-key counts + mean over the events stream table."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    out = ds.groupby("event_type").aggregate(
+        Count(alias_name="n"), Mean("value", alias_name="avg_value")
+    ).to_pandas()
+    return _round(out, {"avg_value": 4})
+
+
+def confidence_histogram(sf_dir: str) -> pa.Table:
+    """A5: histogram with share-of-total (production_classifier.py:428-435)."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    agg = ds.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n"), Mean("o_totalprice", alias_name="avg_price")
+    ).to_pandas()
+    total = float(agg["n"].sum())
+    agg["pct"] = round_half_away((agg["n"] * 100.0) / total, 4)
+    return _round(agg, {"avg_price": 2})
+
+
+def candidate_stats(sf_dir: str) -> pa.Table:
+    """A4: per-source document stats (count_login_candidates.py:22-78)."""
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+    out = ds.groupby("source").aggregate(
+        Count(alias_name="n"), Mean("n_chars", alias_name="avg_chars")
+    ).to_pandas()
+    return _round(out, {"avg_chars": 4})
+
+
+def multi_origin_rollup(sf_dir: str) -> pa.Table:
+    """A9: per-object origin-set rollup (1_postgres_schema.sql:84-97):
+    per order, distinct suppliers + line count + total qty."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_quantity"])
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": [g["l_orderkey"].iloc[0]],
+                "n_supp": [int(g["l_suppkey"].nunique())],
+                "n_lines": [len(g)],
+                "sum_qty": [float(round_half_away(g["l_quantity"].sum(), 2))],
+            }
+        )
+
+    return ds.groupby("l_orderkey").map_groups(
+        per_group, batch_format="pandas"
+    ).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1, J2, J3, J5)
+
+def anti_join_retry(sf_dir: str) -> pa.Table:
+    """J1: anti-join retry feed (resend_script_ids.py:62-79): customers
+    with no high-value order yet — the "not processed" predicate of the
+    reference's NOT EXISTS + status filter.  Broadcast the (distinct)
+    key set, filter in map_batches."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 250000.0)).select(
+            ["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    keys = set()
+    for b in orders.iter_batches(batch_format="pyarrow", batch_size=65536):
+        keys.update(b["o_custkey"].to_pylist())
+    keys_ref = ray.put(np.fromiter(keys, dtype=np.int64))
+
+    def anti(t: pa.Table) -> pa.Table:
+        have = ray.get(keys_ref)
+        mask = ~np.isin(t["c_custkey"].to_numpy(), have)
+        return t.filter(pa.array(mask))
+
+    return (
+        _read(sf_dir, "customer", ["c_custkey", "c_name"])
+        .map_batches(anti, batch_format="pyarrow")
+        .to_pandas()
+    )
+
+
+def orders_with_customer(sf_dir: str) -> pa.Table:
+    """J2: submissions ⋈ script_flow analog — orders joined to the
+    customer dimension (broadcast small side)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    cust_ref = ray.put(dict(zip(cust.c_custkey, cust.c_name)))
+
+    def join(t: pa.Table) -> pa.Table:
+        lookup = ray.get(cust_ref)
+        names = [lookup.get(k) for k in t["o_custkey"].to_pylist()]
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "c_name": pa.array(names, type=pa.string()),
+                "o_totalprice": pc.round(pc.cast(t["o_totalprice"], pa.float64()), ndigits=2),
+            }
+        )
+
+    return (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(join, batch_format="pyarrow")
+        .to_pandas()
+    )
+
+
+def customer_value_label(sf_dir: str) -> pa.Table:
+    """J3: left join + CASE label projection (classify.py:435-467):
+    per-customer total spend with a tier label; customers without orders
+    keep spend 0 and tier 'none'."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    spend = orders.groupby("o_custkey").aggregate(
+        Sum("o_totalprice", alias_name="spend")
+    ).to_pandas()
+    spend_ref = ray.put(dict(zip(spend.o_custkey, spend.spend)))
+
+    def label(t: pa.Table) -> pa.Table:
+        lookup = ray.get(spend_ref)
+        sp = np.array([lookup.get(k, 0.0) for k in t["c_custkey"].to_pylist()])
+        tier = np.where(sp == 0, "none",
+               np.where(sp > 300000, "high",
+               np.where(sp > 100000, "mid", "low")))
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "spend": pa.array(round_half_away(sp, 2)),
+                "tier": pa.array(tier.astype(object), type=pa.string()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "customer", ["c_custkey"])
+        .map_batches(label, batch_format="pyarrow")
+        .to_pandas()
+    )
+
+
+def supplier_nation_region(sf_dir: str) -> pa.Table:
+    """J5: two-hop dimension lookup (mega_instances -> urls):
+    supplier -> nation -> region, both dims broadcast."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nmap = dict(zip(nation.n_nationkey, zip(nation.n_name, nation.n_regionkey)))
+    rmap = dict(zip(region.r_regionkey, region.r_name))
+    dims_ref = ray.put((nmap, rmap))
+
+    def lookup(t: pa.Table) -> pa.Table:
+        nmap, rmap = ray.get(dims_ref)
+        pairs = [nmap[k] for k in t["s_nationkey"].to_pylist()]
+        return pa.table(
+            {
+                "s_suppkey": t["s_suppkey"],
+                "s_name": t["s_name"],
+                "n_name": pa.array([p[0] for p in pairs], type=pa.string()),
+                "r_name": pa.array([rmap[p[1]] for p in pairs], type=pa.string()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
+        .map_batches(lookup, batch_format="pyarrow")
+        .to_pandas()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / top-k / limits (O1-O5)
+
+def top10_customers(sf_dir: str) -> pa.Table:
+    """O3: ORDER BY count DESC LIMIT 10 (count_login_candidates.py:73-76)."""
+    ds = _read(sf_dir, "orders", ["o_custkey"])
+    agg = ds.groupby("o_custkey").aggregate(Count(alias_name="n"))
+    return agg.sort(["n", "o_custkey"], descending=[True, False]).limit(10).to_pandas()
+
+
+def keyset_page(sf_dir: str) -> pa.Table:
+    """O1/O2: keyset pagination ORDER BY id LIMIT batch
+    (resend_script_ids.py:59-79): first 100 orders past key 500."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    page = (
+        ds.map_batches(
+            lambda t: t.filter(pc.greater(t["o_orderkey"], 500)),
+            batch_format="pyarrow",
+        )
+        .sort("o_orderkey")
+        .limit(100)
+        .to_pandas()
+    )
+    return _round(page, {"o_totalprice": 2})
+
+
+def sample_head(sf_dir: str) -> pa.Table:
+    """O5: deterministic testing sample LIMIT n (classify.py:311-317)."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+    return ds.sort(["l_orderkey", "l_linenumber"]).limit(50).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# URL stages as SQL-checkable queries (M1-M3, D1, D6)
+
+def seed_canonicalize(sf_dir: str) -> pa.Table:
+    """M1+M2+M3: canonicalize + validate + parse the derived seed list."""
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        urls = synth.derive_seed_urls(ids, DEFAULT_CONFIG)
+        c = U.canonicalize(pa.array(urls, type=pa.string()))
+        return pa.table(
+            {
+                "seed_id": t["doc_id"],
+                "canonical_url": c["canonical_url"],
+                "scheme": c["scheme"],
+                "host": c["host"],
+                "path": c["path"],
+                "valid": c["valid"],
+            }
+        )
+
+    return docs.map_batches(derive, batch_format="pyarrow").to_pandas()
+
+
+def urlseen_dedup(sf_dir: str) -> pa.Table:
+    """D1: first-wins URL-seen dedup (endpoints/tasks.py:148-156) over
+    the valid derived seeds — min seed_id per canonical URL."""
+    import hashlib
+    canon = seed_canonicalize(sf_dir)
+    ds = rd.from_pandas(canon[canon["valid"]][["seed_id", "canonical_url"]])
+    out = ds.groupby("canonical_url").aggregate(
+        Min("seed_id", alias_name="first_seed")
+    ).to_pandas()
+    out["url_key"] = [hashlib.md5(u.encode()).hexdigest()
+                      for u in out["canonical_url"]]
+    return out
+
+
+def host_counts(sf_dir: str) -> pa.Table:
+    """§2.8 host extraction + A6 groupby (production_classifier.py:439-447)."""
+    canon = seed_canonicalize(sf_dir)
+    ds = rd.from_pandas(canon[canon["valid"]][["host"]])
+    return ds.groupby("host").aggregate(Count(alias_name="n")).to_pandas()
+
+
+def seed_union(sf_dir: str) -> pa.Table:
+    """D6: union of seed sources then distinct canonical URLs
+    (scripts/crawl.py:336-352)."""
+    canon = seed_canonicalize(sf_dir)
+    valid = canon[canon["valid"]]
+    a = rd.from_pandas(valid[valid.seed_id % 2 == 0][["canonical_url"]])
+    b = rd.from_pandas(valid[valid.seed_id % 3 == 0][["canonical_url"]])
+    uniq = a.union(b).groupby("canonical_url").aggregate(Count(alias_name="n"))
+    return uniq.select_columns(["canonical_url"]).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# Stream-shaped (2.9): windows over the events table
+
+def events_tumbling_window(sf_dir: str) -> pa.Table:
+    """Tumbling 1-hour window per event_type: count + sum(value).
+
+    Ray Data has no watermarks (SURVEY.md §2.9 — neither does the
+    reference); event time is bucketed with a vectorized truncation and
+    aggregated with the standard partial+final pattern."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "window_start": hour,
+                "value": t["value"],
+            }
+        )
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    return _round(out, {"sum_value": 4})
+
+
+def sessionize(sf_dir: str) -> pa.Table:
+    """Session windows per user (30-min inactivity gap): session count +
+    max session length per user.  groupby(user).map_groups over
+    ts-sorted events — the engine's ordering assumption is per-group
+    sort, not global order."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    GAP = pd.Timedelta(minutes=30)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values()
+        new_sess = (ts.diff() > GAP).cumsum()
+        sizes = new_sess.groupby(new_sess).size()
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_sessions": [int(sizes.shape[0])],
+                "max_session_events": [int(sizes.max())],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()

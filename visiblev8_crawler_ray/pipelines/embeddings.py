@@ -1,0 +1,197 @@
+"""Similarity search over the ``embeddings`` table (list<float> column).
+
+Extensions beyond the reference (which has no vector ops): brute-force
+cosine top-k as the exact baseline — numpy matmul per batch against a
+broadcast query matrix — and a random-hyperplane LSH-bucketed variant as
+the scale path (candidates only meet within buckets; the groupby(bucket)
+is the one shuffle).
+
+Numeric contract: vectors are cast to float64 before any dot product so
+results match DuckDB's ``list_cosine_similarity`` (double) to ~1e-15,
+and similarity is rounded to 4 decimals before ranking/thresholding
+(DuckDB's list_cosine_similarity accumulates in float32 — ~1e-7 error —
+so 6-decimal rounding would flip boundary digits).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from ..functions.util import round_half_away
+
+
+def _read_emb(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                           columns=["vec_id", "embedding"])
+
+
+def _to_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    emb = t["embedding"]
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    dim = len(emb[0])
+    mat = flat.reshape(-1, dim)
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    return ids, mat
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
+def _query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    ds = _read_emb(sf_dir).map_batches(
+        lambda t: t.filter(pa.compute.less(t["vec_id"], n_queries)),
+        batch_format="pyarrow",
+    )
+    tbl = pa.concat_tables(
+        ds.iter_batches(batch_format="pyarrow", batch_size=8192))
+    ids, mat = _to_matrix(tbl)
+    order = np.argsort(ids)
+    return ids[order], mat[order]
+
+
+def knn_brute(sf_dir: str, n_queries: int = 10, k: int = 5) -> pa.Table:
+    """Exact cosine top-k per query vector (self excluded).
+
+    Per-batch: one matmul against the broadcast query matrix + partial
+    top-k; final: tiny groupby(query_id) merge.  Ties broken by vec_id.
+    """
+    qids, qmat = _query_matrix(sf_dir, n_queries)
+    qn = _normalize(qmat)
+    q_ref = ray.put((qids, qn))
+
+    def partial(t: pa.Table) -> pa.Table:
+        qids, qn = ray.get(q_ref)
+        ids, mat = _to_matrix(t)
+        sims = qn @ _normalize(mat).T  # (n_queries, batch)
+        sims = round_half_away(sims, 4)
+        out_q, out_n, out_s = [], [], []
+        kk = min(k + 1, sims.shape[1])
+        for qi in range(len(qids)):
+            row = sims[qi]
+            # candidate top within batch (k+1 covers the self hit)
+            idx = np.lexsort((ids, -row))[:kk]
+            out_q.extend([qids[qi]] * len(idx))
+            out_n.extend(ids[idx])
+            out_s.extend(row[idx])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "cosine": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    parts = _read_emb(sf_dir).map_batches(partial, batch_format="pyarrow")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["query_id"] != g["neighbor_id"]]
+        g = g.sort_values(["cosine", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        return g
+
+    return (
+        parts.groupby("query_id")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+class LshBucketer:
+    """Random-hyperplane LSH: bucket id = sign-bit string of H projections."""
+
+    def __init__(self, dim: int = 64, n_planes: int = 8, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_planes))
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, mat = _to_matrix(t)
+        bits = (_normalize(mat) @ self.planes) > 0
+        bucket = bits @ (1 << np.arange(bits.shape[1]))
+        emb = t["embedding"]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "bucket": pa.array(bucket.astype(np.int64)),
+                "embedding": emb,
+            }
+        )
+
+
+def ann_lsh(sf_dir: str, n_queries: int = 10, k: int = 5) -> pa.Table:
+    """Approximate top-k: queries only compare against vectors in their
+    own LSH bucket (the IVF/LSH scale path; recall < 1 by design)."""
+    ds = _read_emb(sf_dir).map_batches(LshBucketer, batch_format="pyarrow",
+                                       concurrency=2)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy()
+        mat = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
+        qsel = ids < n_queries
+        if not qsel.any():
+            return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                 "neighbor_id": pd.Series([], dtype="int64"),
+                                 "cosine": pd.Series([], dtype="float64")})
+        sims = round_half_away(mat[qsel] @ mat.T, 4)
+        rows = []
+        for qi, qid in enumerate(ids[qsel]):
+            row = sims[qi]
+            idx = np.lexsort((ids, -row))
+            cnt = 0
+            for j in idx:
+                if ids[j] == qid:
+                    continue
+                rows.append((qid, ids[j], row[j]))
+                cnt += 1
+                if cnt == k:
+                    break
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"]).astype(
+            {"query_id": "int64", "neighbor_id": "int64", "cosine": "float64"})
+
+    return ds.groupby("bucket").map_groups(per_bucket, batch_format="pandas").to_pandas()
+
+
+def embedding_near_dup(sf_dir: str, threshold: float = 0.45) -> pa.Table:
+    """Embedding-cosine near-dup pairs (vec_a < vec_b, cos >= threshold).
+
+    Brute force across batch pairs via broadcast of the (normalized)
+    full matrix — valid while one side fits a worker; the LSH-bucketed
+    variant is the scale path."""
+    full = pa.concat_tables(
+        _read_emb(sf_dir).iter_batches(batch_format="pyarrow", batch_size=8192))
+    all_ids, all_mat = _to_matrix(full)
+    order = np.argsort(all_ids)
+    all_ids, all_mat = all_ids[order], _normalize(all_mat[order])
+    ref = ray.put((all_ids, all_mat))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        all_ids, all_mat = ray.get(ref)
+        ids, mat = _to_matrix(t)
+        sims = round_half_away(_normalize(mat) @ all_mat.T, 4)
+        ai, bj = np.nonzero(sims >= threshold)
+        a = ids[ai]
+        b = all_ids[bj]
+        keep = a < b
+        return pa.table(
+            {
+                "vec_a": pa.array(a[keep], type=pa.int64()),
+                "vec_b": pa.array(b[keep], type=pa.int64()),
+                "cosine": pa.array(sims[ai, bj][keep], type=pa.float64()),
+            }
+        )
+
+    out = _read_emb(sf_dir).map_batches(pairs, batch_format="pyarrow").to_pandas()
+    if len(out) == 0:  # keep the schema on empty results
+        out = pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                            "vec_b": pd.Series([], dtype="int64"),
+                            "cosine": pd.Series([], dtype="float64")})
+    return out

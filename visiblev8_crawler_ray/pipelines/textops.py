@@ -1,0 +1,364 @@
+"""Training-data text operators over the ``documents`` table.
+
+The reference has exact-dedup operators (D1-D5, staging-table upserts
+keyed by content hashes, ``2_mega_vv8_postgres_schema.sql:29-43``) and
+string-feature extraction (M9, ``classify.py:126-305``) but no near-dup
+or language tooling; these are the large-scale-pipeline extensions the
+engine adds as first-class operators: exact + MinHash-LSH + SimHash +
+n-gram-Jaccard dedup, language-ID, quality scoring, token counting and
+fingerprinting.
+
+All hot paths are vectorized: ``pyarrow.compute`` regex-count kernels
+(RE2 — semantics identical to DuckDB's, which keeps the SQL oracles
+exact) and numpy for the hashing/minhash math.  Stages that need
+compiled state (token regex, minhash permutations) are actor-pool
+classes with the state built once in ``__init__``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count, Min, Sum
+
+from ..functions.util import round_half_away
+
+# Shared with the SQL oracles — see matching expressions in __ray_entry__.
+STOPWORDS = ("the", "a", "of", "to", "and")
+PUNCT_RE = r"[.,!?;:]"
+WORD_RE = r"\S+"
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# language marker words (synthetic corpus — markers are deterministic,
+# not linguistically meaningful; ties resolve in tuple order)
+LANG_MARKERS = (
+    ("en", ("the", "a")),
+    ("es", ("value", "data")),
+    ("de", ("key", "row")),
+    ("fr", ("table", "scan")),
+    ("zh", ("spark", "batch")),
+)
+
+
+def _read_docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def _count_word(text: pa.ChunkedArray | pa.Array, word: str) -> np.ndarray:
+    # whole-word count via RE2 \b anchors (same in DuckDB regexp_extract_all)
+    return pc.count_substring_regex(text, rf"\b{word}\b").to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+
+def dedup_exact(sf_dir: str) -> pa.Table:
+    """Exact dedup: hash-partition by content md5, keep min doc_id
+    (the staging-table 'terminate duplication' semantics, D3/J6)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def key(t: pa.Table) -> pa.Table:
+        h = [hashlib.md5(s.encode()).hexdigest()
+             for s in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"],
+                         "content_key": pa.array(h, type=pa.string())})
+
+    keyed = ds.map_batches(key, batch_format="pyarrow")
+    return keyed.groupby("content_key").aggregate(
+        Min("doc_id", alias_name="keep_doc_id")
+    ).to_pandas()
+
+
+class MinHasher:
+    """MinHash signatures over word 3-shingles (state built per actor)."""
+
+    N_HASHES = 64
+    N_BANDS = 16  # 16 bands x 4 rows
+
+    def __init__(self):
+        rng = np.random.default_rng(42)
+        self.a = rng.integers(1, (1 << 61) - 1, size=self.N_HASHES, dtype=np.int64)
+        self.b = rng.integers(0, (1 << 61) - 1, size=self.N_HASHES, dtype=np.int64)
+        self.p = np.int64((1 << 61) - 1)
+
+    def shingles(self, text: str) -> np.ndarray:
+        toks = text.split()
+        if len(toks) < 3:
+            toks = toks + [""] * (3 - len(toks))
+        sh = {" ".join(toks[i : i + 3]) for i in range(max(1, len(toks) - 2))}
+        return np.fromiter(
+            (int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") >> 3
+             for s in sh),
+            dtype=np.int64, count=len(sh),
+        )
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = self.shingles(text)
+        # (n_hashes, n_shingles) permuted hashes -> row-wise min
+        v = (self.a[:, None] * sh[None, :] + self.b[:, None]) % self.p
+        return v.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        """docs -> (doc_id, band, band_hash) rows for LSH bucketing."""
+        doc_ids, bands, band_hashes = [], [], []
+        rows = self.N_HASHES // self.N_BANDS
+        for did, text in zip(batch["doc_id"].to_pylist(),
+                             batch["text"].to_pylist()):
+            sig = self.signature(text)
+            for bi in range(self.N_BANDS):
+                h = hashlib.md5(sig[bi * rows : (bi + 1) * rows].tobytes()).hexdigest()[:16]
+                doc_ids.append(did)
+                bands.append(bi)
+                band_hashes.append(h)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "band": pa.array(bands, type=pa.int32()),
+                "band_hash": pa.array(band_hashes, type=pa.string()),
+            }
+        )
+
+
+def dedup_minhash(sf_dir: str, threshold: float = 0.5) -> pa.Table:
+    """MinHash+LSH near-dup: shingle -> minhash -> band -> bucket groupby
+    -> candidate pairs -> exact Jaccard verify.  Returns verified pairs
+    (doc_a < doc_b) with rounded Jaccard."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    bands = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=2)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].unique())
+        out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+        return pd.DataFrame({"doc_a": [p[0] for p in out],
+                             "doc_b": [p[1] for p in out]})
+
+    cand = bands.groupby(["band", "band_hash"]).map_groups(
+        pairs, batch_format="pandas")
+    # dedupe candidate pairs discovered in multiple bands
+    uniq = cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+    cand_tbl = uniq.to_pandas()
+    if len(cand_tbl) == 0:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    # verify with exact shingle Jaccard (broadcast the needed texts)
+    import ray
+    need = set(cand_tbl["doc_a"]) | set(cand_tbl["doc_b"])
+    texts = {}
+    for b in _read_docs(sf_dir, ["doc_id", "text"]).iter_batches(
+            batch_format="pyarrow", batch_size=8192):
+        for did, tx in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            if did in need:
+                texts[did] = tx
+    texts_ref = ray.put(texts)
+
+    def verify(t: pa.Table) -> pa.Table:
+        tx = ray.get(texts_ref)
+        mh = MinHasher()
+        ja = []
+        for a_, b_ in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()):
+            sa, sb = set(mh.shingles(tx[a_])), set(mh.shingles(tx[b_]))
+            ja.append(len(sa & sb) / max(1, len(sa | sb)))
+        out = t.append_column("jaccard", pa.array(round_half_away(ja, 4)))
+        return out.filter(pc.greater_equal(out["jaccard"], threshold)).select(
+            ["doc_a", "doc_b", "jaccard"])
+
+    return rd.from_pandas(cand_tbl).map_batches(
+        verify, batch_format="pyarrow").to_pandas()
+
+
+class SimHasher:
+    """64-bit SimHash per doc; near-dups share most bits."""
+
+    _SHIFTS = np.arange(64, dtype=np.uint64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        one = np.uint64(1)
+        for text in batch["text"].to_pylist():
+            acc = np.zeros(64, dtype=np.int64)
+            for tok in set(text.split()):
+                h = np.uint64(int.from_bytes(
+                    hashlib.md5(tok.encode()).digest()[:8], "big"))
+                bits = ((h >> self._SHIFTS) & one).astype(np.int64)
+                acc += 2 * bits - 1
+            val = 0
+            for i in np.flatnonzero(acc > 0):
+                val |= 1 << int(i)
+            out.append(val if val < (1 << 63) else val - (1 << 64))  # signed int64
+        return pa.table({"doc_id": batch["doc_id"],
+                         "simhash": pa.array(out, type=pa.int64())})
+
+
+def simhash_docs(sf_dir: str) -> pa.Table:
+    """SimHash fingerprint per document (near-dup key)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(SimHasher, batch_format="pyarrow",
+                          concurrency=2).to_pandas()
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6) -> pa.Table:
+    """Brute-force token-set Jaccard pairs within each language group —
+    the exact baseline the LSH path approximates.  O(n²) within groups;
+    the scale path is dedup_minhash."""
+    ds = _read_docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def per_lang(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        sets = [set(t.split()) for t in g["text"]]
+        ids = g["doc_id"].to_numpy()
+        rows = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                inter = len(sets[i] & sets[j])
+                union = len(sets[i] | sets[j])
+                jac = inter / union if union else 0.0
+                jr = float(round_half_away(jac, 4))
+                if jr >= threshold:
+                    rows.append((ids[i], ids[j], jr))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"]).astype(
+            {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"})
+
+    return ds.groupby("lang").map_groups(per_lang, batch_format="pandas").to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+def language_id(sf_dir: str) -> pa.Table:
+    """Marker-word language ID: argmax of per-language marker counts,
+    ties broken in LANG_MARKERS order, all-zero -> 'und'."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        scores = np.stack(
+            [sum(_count_word(text, w) for w in words)
+             for _, words in LANG_MARKERS], axis=1,
+        )
+        best = scores.argmax(axis=1)  # first max wins = tuple order
+        langs = np.array([l for l, _ in LANG_MARKERS], dtype=object)[best]
+        langs[scores.max(axis=1) == 0] = "und"
+        return pa.table({"doc_id": t["doc_id"],
+                         "pred_lang": pa.array(langs, type=pa.string())})
+
+    return ds.map_batches(fn, batch_format="pyarrow").to_pandas()
+
+
+def quality_score(sf_dir: str) -> pa.Table:
+    """Quality metrics per doc: word count, punct ratio, stopword ratio,
+    mean word length (M9-style feature extraction, vectorized)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text", "n_chars"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        n_words = pc.count_substring_regex(text, WORD_RE).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_punct = pc.count_substring_regex(text, PUNCT_RE).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_stop = sum(_count_word(text, w) for w in STOPWORDS)
+        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+        nw = np.maximum(n_words, 1)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_words": pa.array(n_words),
+                "punct_ratio": pa.array(
+                    round_half_away(n_punct / np.maximum(n_chars, 1), 4)),
+                "stopword_ratio": pa.array(round_half_away(n_stop / nw, 4)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow").to_pandas()
+
+
+def token_counts(sf_dir: str) -> pa.Table:
+    """Token counting: whitespace tokens + BPE-ish regex tokens per doc,
+    plus corpus totals as a second query (see token_totals)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ws = pc.count_substring_regex(t["text"], WORD_RE)
+        bpe = pc.count_substring_regex(t["text"], BPE_RE)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_ws_tokens": pc.cast(ws, pa.int64()),
+                "n_bpe_tokens": pc.cast(bpe, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow").to_pandas()
+
+
+def token_totals(sf_dir: str) -> pa.Table:
+    """Corpus-level token totals via partial-per-batch + tiny final sum."""
+    ds = _read_docs(sf_dir, ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ws = pc.sum(pc.count_substring_regex(t["text"], WORD_RE)).as_py() or 0
+        bpe = pc.sum(pc.count_substring_regex(t["text"], BPE_RE)).as_py() or 0
+        return pa.table({"ws": pa.array([ws], type=pa.int64()),
+                         "bpe": pa.array([bpe], type=pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    out = parts.aggregate(Sum("ws", alias_name="total_ws_tokens"),
+                          Sum("bpe", alias_name="total_bpe_tokens"))
+    return pa.table({k: pa.array([v], type=pa.int64()) for k, v in out.items()})
+
+
+def fingerprint_docs(sf_dir: str) -> pa.Table:
+    """Content fingerprint per doc: md5 hex (DuckDB-checkable)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        md5s = [hashlib.md5(s.encode()).hexdigest()
+                for s in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"],
+                         "fingerprint": pa.array(md5s, type=pa.string())})
+
+    return ds.map_batches(fn, batch_format="pyarrow").to_pandas()
+
+
+def winnow_fingerprint(sf_dir: str) -> pa.Table:
+    """Rolling polynomial min-hash fingerprint (winnowing-style) per doc
+    — the near-dup document fingerprint; non-SQL-expressible."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        wins = []
+        B, M, W = 257, (1 << 31) - 1, 16
+        for s in texts:
+            bs = s.encode()
+            if len(bs) < W:
+                wins.append(int.from_bytes(hashlib.md5(bs).digest()[:4], "big"))
+                continue
+            arr = np.frombuffer(bs, dtype=np.uint8).astype(np.int64)
+            # rolling hash over W-byte windows (vectorized via cumulative pow)
+            pows = np.array([pow(B, W - 1 - i, M) for i in range(W)], dtype=np.int64)
+            n = len(arr) - W + 1
+            h = np.empty(n, dtype=np.int64)
+            cur = int((arr[:W] * pows).sum() % M)
+            h[0] = cur
+            topp = pows[0]
+            for i in range(1, n):
+                cur = ((cur - arr[i - 1] * topp) * B + arr[i + W - 1]) % M
+                h[i] = cur
+            wins.append(int(h.min()))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "min_rolling_hash": pa.array(wins, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow").to_pandas()
