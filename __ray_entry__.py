@@ -28,6 +28,7 @@ from visiblev8_crawler_ray.pipelines import analytics as A
 from visiblev8_crawler_ray.pipelines import embeddings as E
 from visiblev8_crawler_ray.pipelines import textops as T
 from visiblev8_crawler_ray.pipelines import multimodal as MM
+from visiblev8_crawler_ray.pipelines import classify as CL
 from visiblev8_crawler_ray.pipelines.crawl import CrawlRun, run_crawl
 from visiblev8_crawler_ray.stages import parse as P
 
@@ -132,6 +133,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_brute": E.knn_brute,
         "ann_lsh": E.ann_lsh,
         "embedding_near_dup": E.embedding_near_dup,
+        # classification pipeline (M9/T3/A5/A7/S12/T4)
+        "classify_documents": CL.classify_documents,
+        "classification_summary": CL.classification_summary,
+        "results_upsert": CL.results_upsert,
+        "adblock_filter": CL.adblock_filter,
+        "candidate_preference": A.candidate_preference,
         # crawl pipeline (iterative — oracle-simulator-gated, rows-only here)
         "crawl_urlseen": lambda sf: _crawl(sf).urlseen(),
         "crawl_log": lambda sf: _crawl(sf).crawl_log(),
@@ -141,8 +148,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "usage_rollup_crawl": _usage_rollup_crawl,
         "spans_exploded": _spans_exploded,
         "media_features": _media_features,
+        "parse_chain_counts": _parse_chain_counts,
     }
     return q
+
+
+def _parse_chain_counts(sf_dir: str):
+    """§2.10: '+'-joined parser chain over the crawl docs; row counts
+    per registered parser."""
+    import pandas as _pd
+
+    from visiblev8_crawler_ray.stages.registry import parse_chain
+
+    outs = parse_chain(_crawl(sf_dir).docs(), "flow+mfeatures+spans")
+    return _pd.DataFrame(
+        {"parser": list(outs), "n": [d.count() for d in outs.values()]}
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -175,6 +196,8 @@ def oracle_sql() -> dict[str, str]:
     stop_sum = " + ".join(
         f"len(regexp_extract_all(text, '\\b{w}\\b'))" for w in T.STOPWORDS
     )
+    sc = CL.score_sql_exprs()
+    ad_hosts = ", ".join(f"'{h}'" for h in sorted(CL.AdblockIndex.BLOCKED_HOSTS))
     return {
         "usage_rollup": """
             SELECT l_returnflag, l_linestatus,
@@ -306,6 +329,46 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "fingerprint_docs": """
             SELECT doc_id, md5(text) AS fingerprint FROM documents""",
+        "classify_documents": f"""
+            SELECT doc_id, round({sc['score']}, 4) AS score,
+                   {sc['label']} AS label, {sc['confidence']} AS confidence
+            FROM documents""",
+        "classification_summary": f"""
+            WITH s AS (SELECT round({sc['score']}, 4) AS score,
+                              {sc['label']} AS label FROM documents)
+            SELECT label, count(*) AS n, round(avg(score), 4) AS avg_score
+            FROM s GROUP BY label""",
+        "results_upsert": """
+            WITH m AS (SELECT user_id, max(ts) AS last_ts
+                       FROM events GROUP BY user_id)
+            SELECT m.user_id, m.last_ts,
+                   round(max(e.value), 4) AS last_value
+            FROM m JOIN events e
+              ON e.user_id = m.user_id AND e.ts = m.last_ts
+            GROUP BY m.user_id, m.last_ts""",
+        "adblock_filter": f"""
+            {{seed_cte}}
+            SELECT seed_id, {{canon}} AS canonical_url,
+                   ({{host}} IN ({ad_hosts})
+                    OR starts_with({{path}}, '{CL.AdblockIndex.BLOCKED_PATH_PREFIX}'))
+                       AS ad_blocked
+            FROM seeds WHERE {{valid}}""".format(
+                seed_cte=_seed_cte(), canon=canon, host=parts["host"],
+                path=parts["path"], valid=valid),
+        "candidate_preference": f"""
+            {_seed_cte()}, c AS (
+                SELECT seed_id, {canon} AS url,
+                       (CASE seed_id % 3 WHEN 0 THEN 'CRAWLING'
+                            WHEN 1 THEN 'LOGIN_DETECTED'
+                            ELSE 'HEURISTIC' END) AS strategy
+                FROM seeds WHERE {valid}),
+            r AS (SELECT url, seed_id, strategy,
+                         row_number() OVER (
+                             PARTITION BY url
+                             ORDER BY (CASE WHEN strategy = 'CRAWLING'
+                                            THEN 0 ELSE 1 END), seed_id) AS rn
+                  FROM c)
+            SELECT url, seed_id, strategy FROM r WHERE rn = 1""",
         "knn_brute": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe
                        FROM embeddings WHERE vec_id < 10),

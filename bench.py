@@ -1,0 +1,149 @@
+"""Benchmark harness — headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "crawl": {"urls": n, "urls_per_sec": r, "frontier_ops_per_sec": r2}}
+
+`--scaling` runs the same bench in two fresh processes (RAY_GRAFT_CPUS=8
+then 32) on the same input and reports both times plus the scaling
+efficiency — the sandbox evidence for the N->4N cluster criterion
+(BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    import pyarrow.parquet as pq
+
+    from visiblev8_crawler_ray import synth
+    from visiblev8_crawler_ray.config import CrawlConfig
+    from visiblev8_crawler_ray.pipelines import analytics as A
+    from visiblev8_crawler_ray.pipelines import embeddings as E
+    from visiblev8_crawler_ray.pipelines import textops as T
+    from visiblev8_crawler_ray.pipelines.crawl import run_crawl
+
+    # warm the OS page cache so we measure compute+shuffle, not first read
+    for name in ("lineitem", "orders", "events", "documents", "embeddings"):
+        pq.read_table(os.path.join(sf_dir, f"{name}.parquet"))
+
+    timings: dict[str, float] = {}
+    extra: dict = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # ---- crawl: the flagship frontier/fetch/dedup/schedule pipeline.
+    # Politeness window opened up so throughput, not the synthetic web's
+    # 21-host politeness budget, is what's measured.
+    bench_cfg = CrawlConfig(max_depth=2, max_waves=5,
+                            max_per_host_per_wave=5000)
+    ids = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id"])["doc_id"].to_numpy()
+    seeds = synth.seeds_table(ids, bench_cfg)
+    root = f"/tmp/vv8ray_bench/{os.path.basename(sf_dir)}-{ncpu}"
+    shutil.rmtree(root, ignore_errors=True)
+
+    run = timed("crawl", lambda: run_crawl(
+        seeds, bench_cfg, root,
+        fetch_concurrency=max(2, ncpu // 2), fetch_batch_size=512))
+    m = run.metrics().to_pandas()
+    urls = int(m["admitted"].sum())
+    frontier_ops = int(m[["admitted", "deduped", "robots_blocked",
+                          "deferred"]].sum().sum())
+    extra["crawl"] = {
+        "urls": urls,
+        "urls_per_sec": round(urls / timings["crawl"], 1),
+        "frontier_ops_per_sec": round(frontier_ops / timings["crawl"], 1),
+        "waves": int(len(m)),
+    }
+
+    # ---- relational / analytic operators
+    timed("usage_rollup", lambda: A.usage_rollup(sf_dir))
+    timed("multi_origin_rollup", lambda: A.multi_origin_rollup(sf_dir))
+    timed("events_tumbling_window", lambda: A.events_tumbling_window(sf_dir))
+    timed("sessionize", lambda: A.sessionize(sf_dir))
+    timed("urlseen_dedup", lambda: A.urlseen_dedup(sf_dir))
+
+    # ---- training-data operators
+    timed("dedup_minhash", lambda: T.dedup_minhash(sf_dir))
+    timed("token_totals", lambda: T.token_totals(sf_dir))
+    timed("quality_score", lambda: T.quality_score(sf_dir))
+    timed("knn_brute", lambda: E.knn_brute(sf_dir))
+    timed("embedding_near_dup", lambda: E.embedding_near_dup(sf_dir))
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "e2e_headline_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": ncpu,
+        **extra,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> None:
+    """Same job, same input, two fresh ray.init sessions (8 vs 32 CPUs)."""
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = one(lo), one(hi)
+    # throughput scaling on the crawl (URLs/s) and on total wall time
+    eff_time = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    eff_crawl = (r_hi["crawl"]["urls_per_sec"] /
+                 r_lo["crawl"]["urls_per_sec"]) / (hi / lo)
+    print(json.dumps({
+        "metric": "scaling_efficiency",
+        "cpus": [lo, hi],
+        "sec": [r_lo["value"], r_hi["value"]],
+        "crawl_urls_per_sec": [r_lo["crawl"]["urls_per_sec"],
+                               r_hi["crawl"]["urls_per_sec"]],
+        "time_scaling_efficiency": round(eff_time, 3),
+        "crawl_scaling_efficiency": round(eff_crawl, 3),
+        "queries_lo": r_lo["queries"],
+        "queries_hi": r_hi["queries"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

@@ -105,3 +105,21 @@ def test_resume_no_refetch_no_double_count(oracle_result, tmp_path):
     r_seen = resumed.urlseen().to_pandas().sort_values("first_seq")
     assert f_seen[["url_key", "first_wave", "first_seq"]].values.tolist() == \
         r_seen[["url_key", "first_wave", "first_seq"]].values.tolist()
+
+
+def test_scale_path_matches_oracle(oracle_result, tmp_path):
+    """Force the distributed shuffle path (small_wave_threshold=0) and
+    require identical output — the adaptive small/scale split must be
+    behaviorally invisible."""
+    from dataclasses import replace
+
+    seeds, orc = oracle_result
+    cfg = replace(CFG, small_wave_threshold=0)
+    import shutil as _sh
+    root = str(tmp_path / "scale")
+    _sh.rmtree(root, ignore_errors=True)
+    run = run_crawl(seeds, cfg, root, fetch_concurrency=2, fetch_batch_size=64)
+    seen = run.urlseen().to_pandas().sort_values("first_seq")
+    o_seen = pd.DataFrame(orc.urlseen).sort_values("first_seq")
+    assert list(seen.url) == list(o_seen.url)
+    assert sorted(run.metrics().to_pylist(), key=lambda r: r["wave"]) == orc.metrics

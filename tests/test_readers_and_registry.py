@@ -1,0 +1,104 @@
+"""Seed-source readers (S1-S3), candidate preference (M4/D2), the
+parser plugin registry (§2.10), media plumbing, and the fetcher/scorer
+actor classes smoked directly (actor __init__ errors surface late in
+pipelines — the unit smoke the reference lacked)."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from visiblev8_crawler_ray.config import TEST_CONFIG
+from visiblev8_crawler_ray.sources import readers
+from visiblev8_crawler_ray.stages import registry
+from visiblev8_crawler_ray.stages.fetcher import Fetcher
+from visiblev8_crawler_ray.pipelines.classify import AdblockIndex, Scorer
+from visiblev8_crawler_ray.pipelines.multimodal import MediaDecoder
+from visiblev8_crawler_ray import synth
+
+
+def test_read_url_file(tmp_path):
+    p = tmp_path / "urls.txt"
+    p.write_text("http://a.example/x\n\n  b.example/y  \nhttp://c.example\n")
+    out = readers.read_url_file(str(p)).to_pandas().sort_values("seed_id")
+    assert list(out.url) == ["http://a.example/x", "b.example/y",
+                             "http://c.example"]
+    assert list(out.seed_id) == [0, 1, 2]
+
+
+def test_read_tranco_csv(tmp_path):
+    p = tmp_path / "top.csv"
+    p.write_text("rank,domain\n1,a.example\n2,b.example\n")
+    out = readers.read_tranco_csv(str(p)).to_pandas().sort_values("seed_id")
+    assert list(out.url) == ["http://a.example", "http://b.example"]
+
+
+def test_read_candidates_jsonl(tmp_path):
+    p = tmp_path / "cands.jsonl"
+    rows = [
+        {"id": 1, "url": "http://a.example/l", "login_page_strategy": "CRAWLING"},
+        {"id": 2, "url": "http://a.example/l", "login_page_strategy": "HEURISTIC"},
+        {"id": 3, "url": "http://b.example/l", "login_page_strategy": "HEURISTIC"},
+    ]
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    ds = readers.read_candidates_jsonl(str(p))
+    pref = readers.prefer_candidates(ds).to_pandas().sort_values("url")
+    # a: CRAWLING wins even with higher id competitor; b: only row
+    assert list(pref.seed_id) == [1, 3]
+    assert list(pref.strategy) == ["CRAWLING", "HEURISTIC"]
+
+
+def test_union_seed_sources(tmp_path):
+    p1 = tmp_path / "u.txt"
+    p1.write_text("http://a.example/1\n")
+    p2 = tmp_path / "t.csv"
+    p2.write_text("rank,domain\n9,b.example\n")
+    u = readers.union_seed_sources(
+        readers.read_url_file(str(p1)), readers.read_tranco_csv(str(p2)))
+    assert sorted(u.to_pandas().url) == ["http://a.example/1",
+                                         "http://b.example"]
+
+
+def test_parse_chain_registry():
+    # one fetched doc through the '+'-joined chain
+    spans = synth.make_spans("https://src1.example/page/3", "src1.example",
+                             "/page/3", 0, TEST_CONFIG)
+    docs = pa.table({"doc_id": ["d1"],
+                     "spans": pa.array([spans])})
+    import ray.data as rd
+
+    outs = registry.parse_chain(rd.from_arrow(docs), "flow+mfeatures+spans")
+    assert set(outs) == {"flow", "mfeatures", "spans"}
+    n_spans = outs["spans"].count()
+    assert n_spans == len(spans)
+    assert outs["flow"].count() >= 1
+    with pytest.raises(KeyError):
+        registry.parse_chain(rd.from_arrow(docs), "nosuch")
+
+
+def test_actor_classes_smoke():
+    # direct construction + one batch each (catches __init__ errors early)
+    spans_batch = pa.table(
+        {
+            "url": ["https://src1.example/page/3"],
+            "host": ["src1.example"],
+            "path": ["/page/3"],
+            "wave": pa.array([0], type=pa.int32()),
+        }
+    )
+    out = Fetcher(TEST_CONFIG)(spans_batch)
+    assert out["status"][0].as_py() == "ok"
+    assert out["n_spans"][0].as_py() > 0
+
+    scored = Scorer()(pa.table({"doc_id": [1], "text": ["the a of words"]}))
+    assert set(scored.column_names) == {"doc_id", "score", "label", "confidence"}
+
+    ab = AdblockIndex()(pa.table({"host": ["src3.example", "src1.example"],
+                                  "path": ["/page/1", "/page/21"]}))
+    assert ab["ad_blocked"].to_pylist() == [True, True]
+
+    md = MediaDecoder()(pa.table({"doc_id": ["d"], "media_ref": ["blob://d/s.png"],
+                                  "kind": ["media/screenshot"]}))
+    assert md["width"][0].as_py() > 0

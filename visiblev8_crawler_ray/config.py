@@ -39,6 +39,13 @@ class CrawlConfig:
     n_seen_shards: int = 8              # URL-seen actor shards
     bloom_bits: int = 1 << 20           # per-shard bloom front (fast path only)
 
+    # Adaptive execution: waves whose candidate set is below this row
+    # count run their dedup/schedule/order steps on a single coalesced
+    # block (pure map ops, ~0 fixed cost) instead of a distributed
+    # shuffle — the same broadcast-threshold idea Spark applies to
+    # joins.  Above it, the hash-partitioned groupby/sort paths run.
+    small_wave_threshold: int = 200_000
+
     def crawl_delay_ms(self, host: str) -> int:
         """Per-host politeness delay; pure function of the host name."""
         if host == self.hot_host:

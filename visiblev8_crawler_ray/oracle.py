@@ -16,8 +16,8 @@ The deterministic contract (shared with pipelines/crawl.py):
 
 1. admission_key: seeds -> seed_id; discovered links ->
    parent_admission_key * 64 + link_index + 1; deferred rows keep theirs.
-2. Within a wave, dedup keeps the row with min (admission_key, url);
-   URLs seen in earlier waves are dropped.
+2. Within a wave, dedup keeps the row with min (admission_key, depth,
+   url); URLs seen in earlier waves are dropped.
 3. robots-blocked URLs are recorded (status='robots_blocked') and marked
    seen, but never fetched.
 4. host_rank = rank within (wave, host) ordered by (admission_key, url);
@@ -85,11 +85,12 @@ def crawl_oracle(seed_urls: list[tuple[int, str]], cfg: CrawlConfig) -> OracleRe
     while cand and wave < cfg.max_waves:
         m = {"wave": wave, "admitted": 0, "fetched": 0, "deduped": 0,
              "robots_blocked": 0, "deferred": 0, "failed": 0}
-        # within-wave dedup: min (admission_key, url) per canonical url
+        # within-wave dedup: min (admission_key, depth, url) per canonical
+        # url (depth in the tiebreak mirrors the pipeline's packed-min)
         best: dict[str, tuple[int, str, int]] = {}
         for key, url, depth in cand:
             cur = best.get(url)
-            if cur is None or (key, url) < (cur[0], cur[1]):
+            if cur is None or (key, depth, url) < (cur[0], cur[2], cur[1]):
                 best[url] = (key, url, depth)
         m["deduped"] += len(cand) - len(best)
         # cross-wave seen drop

@@ -110,22 +110,60 @@ def candidate_stats(sf_dir: str) -> pa.Table:
 
 def multi_origin_rollup(sf_dir: str) -> pa.Table:
     """A9: per-object origin-set rollup (1_postgres_schema.sql:84-97):
-    per order, distinct suppliers + line count + total qty."""
+    per order, distinct suppliers + line count + total qty.
+
+    Scalable shape: COUNT DISTINCT = block-level pair-distinct combiner
+    -> global pair groupby -> per-key partial counts -> sum; the plain
+    counts/sums use partial-per-batch + final sum; the two aggregate
+    streams meet in a hash-partitioned ``Dataset.join`` (no driver
+    merge)."""
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_quantity"])
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    # n_supp: distinct (order, supp) then count per order
+    pair_distinct_block = lambda t: t.group_by(  # noqa: E731
+        ["l_orderkey", "l_suppkey"]).aggregate([])
+    pairs = ds.map_batches(pair_distinct_block, batch_format="pyarrow")
+    distinct_pairs = pairs.groupby(["l_orderkey", "l_suppkey"], num_partitions=32).aggregate(
+        Count(alias_name="_c"))
+    n_supp = (
+        distinct_pairs.map_batches(
+            lambda t: t.group_by(["l_orderkey"]).aggregate(
+                [("l_suppkey", "count")]
+            ).rename_columns(["l_orderkey", "p_supp"]),
+            batch_format="pyarrow",
+        )
+        .groupby("l_orderkey", num_partitions=16)
+        .aggregate(Sum("p_supp", alias_name="n_supp"))
+    )
+
+    # n_lines + sum_qty: partial per batch, final sum
+    def lines_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_orderkey"]).aggregate(
+            [("l_quantity", "count"), ("l_quantity", "sum")])
+        return g.rename_columns(["l_orderkey", "p_n", "p_qty"])
+
+    lines = (
+        ds.map_batches(lines_partial, batch_format="pyarrow")
+        .groupby("l_orderkey", num_partitions=16)
+        .aggregate(Sum("p_n", alias_name="n_lines"),
+                   Sum("p_qty", alias_name="qty"))
+    )
+
+    joined = n_supp.join(lines, join_type="inner", on=("l_orderkey",),
+                         num_partitions=8)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "l_orderkey": [g["l_orderkey"].iloc[0]],
-                "n_supp": [int(g["l_suppkey"].nunique())],
-                "n_lines": [len(g)],
-                "sum_qty": [float(round_half_away(g["l_quantity"].sum(), 2))],
+                "l_orderkey": t["l_orderkey"],
+                "n_supp": pc.cast(t["n_supp"], pa.int64()),
+                "n_lines": pc.cast(t["n_lines"], pa.int64()),
+                "sum_qty": pa.array(round_half_away(
+                    t["qty"].to_numpy(zero_copy_only=False), 2)),
             }
         )
 
-    return ds.groupby("l_orderkey").map_groups(
-        per_group, batch_format="pandas"
-    ).to_pandas()
+    return joined.map_batches(finish, batch_format="pyarrow").to_pandas()
 
 
 # ---------------------------------------------------------------------------
@@ -382,3 +420,19 @@ def sessionize(sf_dir: str) -> pa.Table:
         )
 
     return ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+
+
+def candidate_preference(sf_dir: str) -> pd.DataFrame:
+    """M4/D2: group candidates by URL, prefer strategy 'CRAWLING', then
+    min seed_id (eval_banks.py:20-70, 36-56).  Strategies derived
+    deterministically from seed_id (%3 -> CRAWLING/LOGIN_DETECTED/
+    HEURISTIC)."""
+    from ..sources.readers import prefer_candidates
+
+    canon = seed_canonicalize(sf_dir)
+    valid = canon[canon["valid"]][["seed_id", "canonical_url"]].rename(
+        columns={"canonical_url": "url"})
+    strat = np.array(["CRAWLING", "LOGIN_DETECTED", "HEURISTIC"], dtype=object)
+    valid["strategy"] = strat[valid["seed_id"].to_numpy() % 3]
+    out = prefer_candidates(rd.from_pandas(valid)).to_pandas()
+    return out[["url", "seed_id", "strategy"]]

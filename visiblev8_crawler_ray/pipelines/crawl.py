@@ -6,7 +6,7 @@ BFS *wave* is one streaming Dataset pipeline; the frontier between waves
 is the only materialized control set:
 
     frontier(w) ──map_batches(canonicalize)──▶ candidates
-      ─groupby(url_key).map_groups(first-wins)─▶ unique      (within-wave dedup, D1)
+      ─pack-min combiner + groupby(url_key)───▶ unique       (within-wave dedup, D1)
       ─map_batches(SeenFilter: sharded actors)─▶ new URLs    (cross-wave dedup, T5)
       ─map_batches(robots)────────────────────▶ blocked / fetchable (T7)
       ─map_batches(per-block host-cap prune)──▶ combiner for the skew shuffle
@@ -47,15 +47,20 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
+from ray.data.aggregate import Count
 
 from ..config import CrawlConfig
 from ..functions import urls as U
 from ..functions.seq import assign_global_seq
 from ..stages.fetcher import Fetcher
-from ..state.urlseen import SeenIndex
+from ..state.urlseen import get_seen_index
 from ..store import TableStore
 
 FRONTIER_COLS = ["admission_key", "url", "url_key", "host", "path", "depth"]
+# Control sets are re-blocked to this count each wave: the frontier is
+# metadata (not payload), and letting map stages fragment it into hundreds
+# of tiny blocks makes every downstream shuffle pay per-block overhead.
+FRONTIER_BLOCKS = 32
 LOG_COLS = ["seq", "wave", "host", "url", "url_key", "doc_id", "depth",
             "fetch_vtime", "status", "n_spans", "n_links"]
 
@@ -79,9 +84,86 @@ def _canonicalize_batch(batch: pa.Table) -> pa.Table:
     return t.filter(keep)
 
 
-def _firstwins(g: pd.DataFrame) -> pd.DataFrame:
-    # first-wins dedup: min (admission_key, url) per url_key (D1)
-    return g.sort_values(["admission_key", "url"]).head(1)
+def _pack_firstwins(batch: pa.Table) -> pa.Table:
+    """Block-level combiner for first-wins dedup (D1): encode each row
+    as a fixed-width sortable string and take the per-key arrow min.
+
+    Packed layout ``%016x(admission_key)|%02x(depth)|url`` makes string
+    order == (admission_key, depth, url) order, so a vectorized MIN
+    aggregate picks the first-wins row with zero per-group Python.
+    Caps: admission_key < 2^63, depth < 256 (asserted by config).
+    """
+    ak = batch["admission_key"].to_numpy(zero_copy_only=False)
+    dp = batch["depth"].to_numpy(zero_copy_only=False)
+    urls = batch["url"].to_numpy(zero_copy_only=False)
+    packed = pa.array(
+        [f"{k:016x}|{d:02x}|{u}" for k, d, u in zip(ak, dp, urls)],
+        type=pa.string(),
+    )
+    t = pa.table({"url_key": batch["url_key"], "packed": packed})
+    g = t.group_by(["url_key"]).aggregate([("packed", "min")])
+    return g.rename_columns(["url_key", "packed"])
+
+
+def _unpack_firstwins(batch: pa.Table) -> pa.Table:
+    """Inverse of _pack_firstwins: recover the frontier columns."""
+    packed = batch["packed"]
+    pk = packed.to_numpy(zero_copy_only=False)
+    admission_key = np.fromiter((int(s[:16], 16) for s in pk),
+                                dtype=np.int64, count=len(pk))
+    depth = np.fromiter((int(s[17:19], 16) for s in pk),
+                        dtype=np.int32, count=len(pk))
+    url = pa.array([s[20:] for s in pk], type=pa.string())
+    parts = pc.extract_regex(
+        url, r"^[a-z][a-z0-9+.\-]*://(?P<hostport>[^/]*)(?P<path>.*)$")
+    host = pc.replace_substring_regex(
+        pc.struct_field(parts, "hostport"), r":.*$", "")
+    return pa.table(
+        {
+            "admission_key": pa.array(admission_key),
+            "url": url,
+            "url_key": batch["url_key"],
+            "host": host,
+            "path": pc.struct_field(parts, "path"),
+            "depth": pa.array(depth),
+        }
+    )
+
+
+def _combine_pack_min(batch: pa.Table) -> pa.Table:
+    """Final (or intermediate) combiner over packed rows — idempotent."""
+    g = batch.group_by(["url_key"]).aggregate([("packed", "min")])
+    return g.rename_columns(["url_key", "packed"])
+
+
+def _schedule_block(cfg: CrawlConfig):
+    """Single-block scheduler (small-wave path): exact global host ranks,
+    window deferral and virtual fetch times in one vectorized pass."""
+    cap = cfg.max_per_host_per_wave
+
+    def fn(batch: pa.Table) -> pa.Table:
+        g = batch.to_pandas()
+        g = g.sort_values(["admission_key", "url"]).reset_index(drop=True)
+        rank = g.groupby("host", sort=False).cumcount().to_numpy()
+        g["host_rank"] = rank
+        g["deferred"] = rank >= cap
+        delays = g["host"].map(cfg.crawl_delay_ms).to_numpy()
+        g["fetch_vtime"] = (rank * delays).astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return fn
+
+
+def _seq_block(sort_cols: list[str], start: int):
+    """Single-block crawl-order assignment (small-wave path)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            batch, sort_keys=[(c, "ascending") for c in sort_cols])
+        t = batch.take(idx)
+        seq = pa.array(start + np.arange(t.num_rows, dtype=np.int64))
+        return t.append_column("seq", seq)
+
+    return fn
 
 
 def _route_keys(keys: list[str], n_shards: int):
@@ -288,7 +370,7 @@ def run_crawl(
         man = store.read_manifest("metrics", last)
         next_seq = int(man["next_seq"])
         start_wave = last + 1
-        seen = SeenIndex(cfg.n_seen_shards, cfg.bloom_bits)
+        seen = get_seen_index(cfg.n_seen_shards, cfg.bloom_bits)
         seen_keys = store.read_table("urlseen", columns=["url_key"])
         blocked_keys = store.read_table("blocked", columns=["url_key"])
         keys = []
@@ -302,24 +384,34 @@ def run_crawl(
     else:
         next_seq = 0
         start_wave = 0
-        seen = SeenIndex(cfg.n_seen_shards, cfg.bloom_bits)
+        seen = get_seen_index(cfg.n_seen_shards, cfg.bloom_bits)
         if isinstance(seeds, pa.Table):
             seeds = rd.from_arrow(seeds)
         frontier = seeds.map_batches(
             _canonicalize_batch, batch_format="pyarrow"
-        ).materialize()
+        ).repartition(FRONTIER_BLOCKS).materialize()
         if frontier.count() == 0:
             frontier = None
 
     wave = start_wave
     while frontier is not None and wave < cfg.max_waves:
         n_cand = frontier.count()
+        small = n_cand <= cfg.small_wave_threshold
         # 1-3. one streaming execution: within-wave first-wins dedup
-        # (shuffle #1 by url_key) -> cross-wave seen filter (sharded
-        # actors, read phase) -> robots flag
+        # (shuffle #1 by url_key; coalesced-block combiner when small) ->
+        # cross-wave seen filter (sharded actors, read phase) -> robots
+        packed = frontier.map_batches(_pack_firstwins, batch_format="pyarrow")
+        if small:
+            uniq = packed.repartition(1).map_batches(
+                _combine_pack_min, batch_format="pyarrow")
+        else:
+            from ray.data.aggregate import Min as _Min
+
+            uniq = packed.groupby(
+                "url_key", num_partitions=FRONTIER_BLOCKS
+            ).aggregate(_Min("packed", alias_name="packed"))
         flagged = (
-            frontier.groupby("url_key")
-            .map_groups(_firstwins, batch_format="pandas")
+            uniq.map_batches(_unpack_firstwins, batch_format="pyarrow")
             .map_batches(_seen_filter_fn(seen.shards), batch_format="pyarrow")
             .map_batches(_robots_flag(cfg), batch_format="pyarrow")
             .materialize()
@@ -345,9 +437,13 @@ def run_crawl(
             lambda t: t.filter(pc.invert(t["pre_deferred"]))
                        .drop_columns(["pre_deferred"]),
             batch_format="pyarrow")
-        sched = contend.groupby("host").map_groups(
-            _schedule_group(cfg), batch_format="pandas",
-        ).materialize()
+        if small:
+            sched = contend.repartition(1).map_batches(
+                _schedule_block(cfg), batch_format="pyarrow").materialize()
+        else:
+            sched = contend.groupby("host").map_groups(
+                _schedule_group(cfg), batch_format="pandas",
+            ).materialize()
         admitted = sched.map_batches(
             lambda t: t.filter(pc.invert(t["deferred"]))
                        .drop_columns(["deferred", "host_rank"]),
@@ -357,11 +453,20 @@ def run_crawl(
             batch_format="pyarrow")
         deferred = deferred.union(pre_deferred).materialize()
         n_deferred = deferred.count()
-        # 6. global crawl order (scheduling sort, shuffle #3)
-        ordered = assign_global_seq(
-            admitted, ["fetch_vtime", "admission_key", "url"],
-            seq_col="seq", start=next_seq,
-        )
+        # 6. global crawl order (scheduling sort, shuffle #3; in-block
+        # sort+arange when the wave is small)
+        order_cols = ["fetch_vtime", "admission_key", "url"]
+        if small:
+            # materialize BEFORE the fetcher actor pool: an unfinished
+            # AllToAll (repartition) upstream of a full-width actor pool
+            # deadlocks on CPU starvation — the pool's idle actors hold
+            # every CPU while the repartition task waits for one.
+            ordered = admitted.repartition(1).map_batches(
+                _seq_block(order_cols, next_seq),
+                batch_format="pyarrow").materialize()
+        else:
+            ordered = assign_global_seq(
+                admitted, order_cols, seq_col="seq", start=next_seq)
         # 7. commit admission to the seen index, then fetch (actor pool)
         committed = ordered.map_batches(
             _seen_add_fn(seen.shards), batch_format="pyarrow")
@@ -378,10 +483,17 @@ def run_crawl(
         fview = store.read_dataset("fetch", waves=[wave],
                                    columns=["url_key", "url", "seq", "status",
                                             "admission_key", "depth", "links"])
-        n_admitted = fview.count()
-        n_failed = fview.map_batches(
-            lambda t: t.filter(pc.equal(t["status"], "failed")),
-            batch_format="pyarrow").count()
+        status_parts = (
+            store.read_dataset("fetch", waves=[wave], columns=["status"])
+            .map_batches(
+                lambda t: t.group_by(["status"]).aggregate(
+                    [("status", "count")]).rename_columns(["status", "n"]),
+                batch_format="pyarrow",
+            ).to_pandas()  # partial per-block counts; <= blocks x 3 rows
+        )
+        status_counts = status_parts.groupby("status")["n"].sum()
+        n_admitted = int(status_counts.sum())
+        n_failed = int(status_counts.get("failed", 0))
         urlseen_part = store.read_dataset(
             "fetch", waves=[wave], columns=["url_key", "url", "seq"]
         ).map_batches(_urlseen_batch(wave), batch_format="pyarrow")
@@ -395,7 +507,7 @@ def run_crawl(
                 ).select(["admission_key", "depth", "links"]),
                 batch_format="pyarrow",
             ).map_batches(_explode_links(cfg.max_depth), batch_format="pyarrow")
-            nxt = links.union(deferred).materialize()
+            nxt = links.union(deferred).repartition(FRONTIER_BLOCKS).materialize()
         else:
             nxt = deferred
         n_next = nxt.count()

@@ -62,6 +62,11 @@ class SeenShard:
         self.exact.update(keys)
         return len(self.exact)
 
+    def reset(self) -> bool:
+        self.bloom[:] = 0
+        self.exact.clear()
+        return True
+
     def snapshot(self) -> list[str]:
         return sorted(self.exact)
 
@@ -129,5 +134,33 @@ class SeenIndex:
     def restore(self, keys: list[str]) -> None:
         self.add(keys)
 
+    def reset(self) -> None:
+        ray.get([s.reset.remote() for s in self.shards])
+
+    def alive(self) -> bool:
+        try:
+            ray.get([s.size.remote() for s in self.shards], timeout=10)
+            return True
+        except Exception:
+            return False
+
     def size(self) -> int:
         return sum(ray.get([s.size.remote() for s in self.shards]))
+
+
+# One shard pool per (n_shards, bloom_bits) per driver session — crawls
+# run sequentially, so reusing the actors (with a reset between runs)
+# avoids per-run actor churn.  Not safe for concurrent crawls in one
+# session.
+_POOL: dict[tuple[int, int], SeenIndex] = {}
+
+
+def get_seen_index(n_shards: int, bloom_bits: int) -> SeenIndex:
+    key = (n_shards, bloom_bits)
+    idx = _POOL.get(key)
+    if idx is None or not idx.alive():
+        idx = SeenIndex(n_shards, bloom_bits)
+        _POOL[key] = idx
+    else:
+        idx.reset()
+    return idx
