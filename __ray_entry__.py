@@ -139,18 +139,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "results_upsert": CL.results_upsert,
         "adblock_filter": CL.adblock_filter,
         "candidate_preference": A.candidate_preference,
+        "events_props_parse": A.events_props_parse,
         # crawl pipeline (iterative — oracle-simulator-gated, rows-only here)
         "crawl_urlseen": lambda sf: _crawl(sf).urlseen(),
         "crawl_log": lambda sf: _crawl(sf).crawl_log(),
         "crawl_metrics": lambda sf: _crawl(sf).metrics(),
         "crawl_docs_summary": _crawl_docs_summary,
         "scripts_from_docs": _scripts_from_docs,
+        "doc_feature_summary": _doc_feature_summary,
         "usage_rollup_crawl": _usage_rollup_crawl,
         "spans_exploded": _spans_exploded,
         "media_features": _media_features,
         "parse_chain_counts": _parse_chain_counts,
     }
     return q
+
+
+def _doc_feature_summary(sf_dir: str):
+    """A3: per-log feature summary (js_api_features_summary.all_features,
+    1_postgres_schema.sql:50-53): per doc, distinct features + usage count."""
+    import pandas as _pd
+
+    usage = _crawl(sf_dir).docs().map_batches(
+        P.explode_usage_batch, batch_format="pyarrow")
+
+    def per_doc(t):
+        import pyarrow as _pa
+        g = t.group_by(["doc_id", "feature"]).aggregate([("offset", "count")])
+        g = g.rename_columns(["doc_id", "feature", "c"])
+        out = g.group_by(["doc_id"]).aggregate(
+            [("feature", "count"), ("c", "sum")])
+        return out.rename_columns(["doc_id", "n_features", "n_usages"])
+
+    # docs are whole rows per block -> block-local per-doc aggregation is
+    # exact (a doc's spans never split across blocks)
+    return usage.map_batches(per_doc, batch_format="pyarrow")
 
 
 def _parse_chain_counts(sf_dir: str):
@@ -355,6 +378,11 @@ def oracle_sql() -> dict[str, str]:
             FROM seeds WHERE {{valid}}""".format(
                 seed_cte=_seed_cte(), canon=canon, host=parts["host"],
                 path=parts["path"], valid=valid),
+        "events_props_parse": """
+            SELECT event_type, count(*) AS n,
+                   round(avg(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)), 4) AS avg_k,
+                   CAST(max(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS max_k
+            FROM events GROUP BY event_type""",
         "candidate_preference": f"""
             {_seed_cte()}, c AS (
                 SELECT seed_id, {canon} AS url,

@@ -64,16 +64,20 @@ def run_bench() -> dict:
     # Politeness window opened up so throughput, not the synthetic web's
     # 21-host politeness budget, is what's measured.
     bench_cfg = CrawlConfig(max_depth=2, max_waves=5,
-                            max_per_host_per_wave=5000)
-    ids = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                        columns=["doc_id"])["doc_id"].to_numpy()
-    seeds = synth.seeds_table(ids, bench_cfg)
+                            max_per_host_per_wave=50_000)
+    n_docs = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    # 32x the documents count (sf0.1 -> 160k seeds -> ~1M URLs over 3
+    # waves): big enough that fetch/parse/shuffle work, not per-wave
+    # fixed cost, dominates; seed ids are the only input.
+    import numpy as np
+    seeds = synth.seeds_table(np.arange(32 * n_docs), bench_cfg)
     root = f"/tmp/vv8ray_bench/{os.path.basename(sf_dir)}-{ncpu}"
     shutil.rmtree(root, ignore_errors=True)
 
     run = timed("crawl", lambda: run_crawl(
         seeds, bench_cfg, root,
-        fetch_concurrency=max(2, ncpu // 2), fetch_batch_size=512))
+        fetch_concurrency=max(2, ncpu - 2), fetch_batch_size=512))
     m = run.metrics().to_pandas()
     urls = int(m["admitted"].sum())
     frontier_ops = int(m[["admitted", "deduped", "robots_blocked",
@@ -83,6 +87,38 @@ def run_bench() -> dict:
         "urls_per_sec": round(urls / timings["crawl"], 1),
         "frontier_ops_per_sec": round(frontier_ops / timings["crawl"], 1),
         "waves": int(len(m)),
+    }
+
+    # ---- sustained fetch-stage throughput (the north metric isolated
+    # from the per-wave BFS coordination barriers): one big pre-built
+    # frontier through the fetcher actor pool + span write.
+    import pyarrow as pa
+
+    from visiblev8_crawler_ray.stages.fetcher import Fetcher
+    import ray.data as rd
+
+    n_fetch = 400_000
+    idx = np.arange(n_fetch)
+    ftbl = pa.table(
+        {
+            "url": [f"https://src{i % 20}.example/page/{i}" for i in idx],
+            "host": [f"src{i % 20}.example" for i in idx],
+            "path": [f"/page/{i}" for i in idx],
+            "wave": pa.array(np.zeros(n_fetch, dtype=np.int32)),
+        }
+    )
+    fds = rd.from_arrow(ftbl).repartition(64).materialize()
+    out_dir = f"/tmp/vv8ray_bench/fetch-{ncpu}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    fds.map_batches(
+        Fetcher(bench_cfg), batch_format="pyarrow", batch_size=2048,
+    ).write_parquet(out_dir)
+    dt = time.time() - t0
+    timings["fetch_stage"] = round(dt, 3)
+    extra["fetch_stage"] = {
+        "urls": n_fetch,
+        "urls_per_sec": round(n_fetch / dt, 1),
     }
 
     # ---- relational / analytic operators
@@ -129,14 +165,19 @@ def run_scaling() -> None:
     eff_time = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     eff_crawl = (r_hi["crawl"]["urls_per_sec"] /
                  r_lo["crawl"]["urls_per_sec"]) / (hi / lo)
+    eff_fetch = (r_hi["fetch_stage"]["urls_per_sec"] /
+                 r_lo["fetch_stage"]["urls_per_sec"]) / (hi / lo)
     print(json.dumps({
         "metric": "scaling_efficiency",
         "cpus": [lo, hi],
         "sec": [r_lo["value"], r_hi["value"]],
         "crawl_urls_per_sec": [r_lo["crawl"]["urls_per_sec"],
                                r_hi["crawl"]["urls_per_sec"]],
+        "fetch_stage_urls_per_sec": [r_lo["fetch_stage"]["urls_per_sec"],
+                                     r_hi["fetch_stage"]["urls_per_sec"]],
         "time_scaling_efficiency": round(eff_time, 3),
         "crawl_scaling_efficiency": round(eff_crawl, 3),
+        "fetch_stage_scaling_efficiency": round(eff_fetch, 3),
         "queries_lo": r_lo["queries"],
         "queries_hi": r_hi["queries"],
     }))

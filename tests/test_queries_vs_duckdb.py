@@ -58,3 +58,14 @@ def test_every_query_has_callable():
     q = R.queries()
     for name in R.oracle_sql():
         assert name in q, f"oracle_sql key {name} missing from queries()"
+
+
+def test_multi_origin_scale_path(con):
+    """The distributed-shuffle path of multi_origin_rollup must match
+    the oracle too (the adaptive split is behaviorally invisible)."""
+    from visiblev8_crawler_ray.pipelines.analytics import multi_origin_rollup
+
+    df = multi_origin_rollup(SF, force_scale=True)
+    odf = con.sql(R.oracle_sql()["multi_origin_rollup"]).df()
+    a, b = _norm(pd.DataFrame(df)), _norm(odf)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)

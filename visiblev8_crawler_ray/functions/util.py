@@ -1,8 +1,11 @@
-"""Small numeric helpers shared across pipelines."""
+"""Small numeric / aggregation helpers shared across pipelines."""
 
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
+
+_FINAL_OP = {"min": "min", "max": "max", "sum": "sum", "count": "sum"}
 
 
 def round_half_away(x, nd: int):
@@ -14,3 +17,35 @@ def round_half_away(x, nd: int):
     m = 10.0 ** nd
     arr = np.asarray(x, dtype=np.float64)
     return np.sign(arr) * np.floor(np.abs(arr) * m + 0.5) / m
+
+
+def two_phase_agg(ds, key_cols: list[str], aggs: list[tuple[str, str]],
+                  out_cols: list[str], final_blocks: int = 1):
+    """Combiner-style aggregate: per-block arrow group_by (partial) ->
+    coalesce to ``final_blocks`` blocks -> arrow group_by again (final).
+
+    Pure map ops — none of Ray's per-shuffle fixed cost (~1.5 s per
+    groupby at 32 CPUs).  Exact whenever the agg is decomposable
+    (min/max/sum; count decomposes to count-then-sum, handled here) and
+    the post-combine key set fits the coalesced blocks; for larger key
+    spaces use ``ds.groupby(key, num_partitions=...)`` — the crawl's
+    adaptive wave paths switch on exactly this threshold.
+
+    ``out_cols`` names key columns first, then one name per agg.
+    """
+    n_keys = len(key_cols)
+    final_aggs = [
+        (name, _FINAL_OP[op]) for (_, op), name in zip(aggs, out_cols[n_keys:])
+    ]
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by(key_cols).aggregate(aggs).rename_columns(out_cols)
+
+    def final(t: pa.Table) -> pa.Table:
+        return t.group_by(key_cols).aggregate(final_aggs).rename_columns(out_cols)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(final_blocks)
+        .map_batches(final, batch_format="pyarrow")
+    )

@@ -45,10 +45,7 @@ from .functions import urls as U
 from .synth import (
     _u64,
     doc_id_for,
-    fetch_rows,
     make_spans,
-    outlinks,
-    page_of,
     robots_blocked,
 )
 

@@ -29,7 +29,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from ..functions import urls as U
-from ..functions.util import round_half_away
+from ..functions.util import round_half_away, two_phase_agg
 from .. import synth
 from ..config import DEFAULT_CONFIG
 
@@ -108,7 +108,7 @@ def candidate_stats(sf_dir: str) -> pa.Table:
     return _round(out, {"avg_chars": 4})
 
 
-def multi_origin_rollup(sf_dir: str) -> pa.Table:
+def multi_origin_rollup(sf_dir: str, force_scale: bool = False) -> pa.Table:
     """A9: per-object origin-set rollup (1_postgres_schema.sql:84-97):
     per order, distinct suppliers + line count + total qty.
 
@@ -119,6 +119,31 @@ def multi_origin_rollup(sf_dir: str) -> pa.Table:
     merge)."""
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_quantity"])
 
+    if not force_scale and ds.count() <= 2_000_000:
+        # adaptive small path: combiner-style two-phase aggregates (pure
+        # map ops), final merge over the already-aggregated results.
+        pairs = two_phase_agg(
+            ds.map_batches(
+                lambda t: t.group_by(["l_orderkey", "l_suppkey"]).aggregate(
+                    [("l_quantity", "count")]
+                ).rename_columns(["l_orderkey", "l_suppkey", "c"]),
+                batch_format="pyarrow"),
+            ["l_orderkey", "l_suppkey"], [("c", "sum")],
+            ["l_orderkey", "l_suppkey", "c"],
+        ).to_pandas()
+        n_supp = pairs.groupby("l_orderkey").size().rename("n_supp")
+        lines = two_phase_agg(
+            ds, ["l_orderkey"],
+            [("l_quantity", "count"), ("l_quantity", "sum")],
+            ["l_orderkey", "n_lines", "qty"],
+        ).to_pandas().set_index("l_orderkey")
+        out = lines.join(n_supp).reset_index()
+        out["sum_qty"] = round_half_away(out["qty"], 2)
+        out["n_supp"] = out["n_supp"].astype("int64")
+        out["n_lines"] = out["n_lines"].astype("int64")
+        return out[["l_orderkey", "n_supp", "n_lines", "sum_qty"]]
+
+    # scale path: hash-partitioned shuffles + distributed join
     # n_supp: distinct (order, supp) then count per order
     pair_distinct_block = lambda t: t.group_by(  # noqa: E731
         ["l_orderkey", "l_suppkey"]).aggregate([])
@@ -342,9 +367,8 @@ def urlseen_dedup(sf_dir: str) -> pa.Table:
     import hashlib
     canon = seed_canonicalize(sf_dir)
     ds = rd.from_pandas(canon[canon["valid"]][["seed_id", "canonical_url"]])
-    out = ds.groupby("canonical_url").aggregate(
-        Min("seed_id", alias_name="first_seed")
-    ).to_pandas()
+    out = two_phase_agg(ds, ["canonical_url"], [("seed_id", "min")],
+                        ["canonical_url", "first_seed"]).to_pandas()
     out["url_key"] = [hashlib.md5(u.encode()).hexdigest()
                       for u in out["canonical_url"]]
     return out
@@ -353,18 +377,21 @@ def urlseen_dedup(sf_dir: str) -> pa.Table:
 def host_counts(sf_dir: str) -> pa.Table:
     """§2.8 host extraction + A6 groupby (production_classifier.py:439-447)."""
     canon = seed_canonicalize(sf_dir)
-    ds = rd.from_pandas(canon[canon["valid"]][["host"]])
-    return ds.groupby("host").aggregate(Count(alias_name="n")).to_pandas()
+    df = canon[canon["valid"]][["host"]].assign(one=1)
+    ds = rd.from_pandas(df)
+    return two_phase_agg(ds, ["host"], [("one", "sum")],
+                         ["host", "n"]).to_pandas()
 
 
 def seed_union(sf_dir: str) -> pa.Table:
     """D6: union of seed sources then distinct canonical URLs
     (scripts/crawl.py:336-352)."""
     canon = seed_canonicalize(sf_dir)
-    valid = canon[canon["valid"]]
-    a = rd.from_pandas(valid[valid.seed_id % 2 == 0][["canonical_url"]])
-    b = rd.from_pandas(valid[valid.seed_id % 3 == 0][["canonical_url"]])
-    uniq = a.union(b).groupby("canonical_url").aggregate(Count(alias_name="n"))
+    valid = canon[canon["valid"]].assign(one=1)
+    a = rd.from_pandas(valid[valid.seed_id % 2 == 0][["canonical_url", "one"]])
+    b = rd.from_pandas(valid[valid.seed_id % 3 == 0][["canonical_url", "one"]])
+    uniq = two_phase_agg(a.union(b), ["canonical_url"], [("one", "sum")],
+                         ["canonical_url", "n"])
     return uniq.select_columns(["canonical_url"]).to_pandas()
 
 
@@ -436,3 +463,27 @@ def candidate_preference(sf_dir: str) -> pd.DataFrame:
     valid["strategy"] = strat[valid["seed_id"].to_numpy() % 3]
     out = prefer_candidates(rd.from_pandas(valid)).to_pandas()
     return out[["url", "seed_id", "strategy"]]
+
+
+def events_props_parse(sf_dir: str) -> pd.DataFrame:
+    """M10: JSON field normalizer (production_classifier.py:100-120):
+    parse the JSON-string ``props`` column to a typed value and
+    aggregate.  Extraction is a vectorized RE2 regex (same engine as the
+    DuckDB oracle) rather than a JSON parser, so both sides agree on
+    malformed input byte-for-byte."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def parse(t: pa.Table) -> pa.Table:
+        k = pc.struct_field(
+            pc.extract_regex(t["props"], r'"k": (?P<v>\d+)'), "v")
+        return pa.table({
+            "event_type": t["event_type"],
+            "k": pc.cast(k, pa.int64()),
+        })
+
+    out = ds.map_batches(parse, batch_format="pyarrow").groupby(
+        "event_type").aggregate(
+        Count(alias_name="n"), Mean("k", alias_name="avg_k"),
+        Max("k", alias_name="max_k"),
+    ).to_pandas()
+    return _round(out, {"avg_k": 4})

@@ -166,6 +166,80 @@ def _seq_block(sort_cols: list[str], start: int):
     return fn
 
 
+def _wave_kernel(cfg: CrawlConfig, shards, next_seq: int, wave: int):
+    """Small-wave fused control kernel — the whole per-wave control plane
+    (dedup -> seen filter -> robots -> politeness schedule -> deferral ->
+    crawl order) in ONE map over the single coalesced control block.
+
+    Valid only when the wave's candidates fit one block (the adaptive
+    threshold); block-local == global then, so every step is exact.
+    Emits the frontier columns plus host_rank / fetch_vtime / seq and a
+    ``role`` column: 'blocked' | 'deferred' | 'admitted'.
+    """
+    n_shards = len(shards)
+    cap = cfg.max_per_host_per_wave
+
+    def fn(batch: pa.Table) -> pa.Table:
+        # 1. first-wins dedup (single block => exact)
+        uniq = _unpack_firstwins(_combine_pack_min(_pack_firstwins(batch)))
+        # 2. cross-wave seen filter (sharded actor read phase)
+        keys = uniq["url_key"].to_pylist()
+        if keys:
+            hashes, sid = _route_keys(keys, n_shards)
+            seen_mask = np.zeros(len(keys), dtype=bool)
+            futs, idxs = [], []
+            for s in range(n_shards):
+                ix = np.flatnonzero(sid == s)
+                if len(ix):
+                    futs.append(shards[s].contains.remote(
+                        [keys[i] for i in ix], hashes[ix]))
+                    idxs.append(ix)
+            for ix, m in zip(idxs, ray.get(futs)):
+                seen_mask[ix] = m
+            uniq = uniq.filter(pa.array(~seen_mask))
+        # 3. robots
+        flagged = _robots_flag(cfg)(uniq)
+        g = flagged.to_pandas()
+        blocked = g[g["blocked"]].drop(columns=["blocked"])
+        fetchable = g[~g["blocked"]].drop(columns=["blocked"])
+        # 4. politeness schedule + window deferral
+        fetchable = fetchable.sort_values(
+            ["admission_key", "url"]).reset_index(drop=True)
+        rank = fetchable.groupby("host", sort=False).cumcount().to_numpy()
+        delays = fetchable["host"].map(cfg.crawl_delay_ms).to_numpy() \
+            if len(fetchable) else np.array([], dtype=np.int64)
+        fetchable["host_rank"] = rank
+        fetchable["fetch_vtime"] = (rank * delays).astype(np.int64)
+        deferred = fetchable[rank >= cap]
+        admitted = fetchable[rank < cap]
+        # 5. crawl order
+        admitted = admitted.sort_values(
+            ["fetch_vtime", "admission_key", "url"]).reset_index(drop=True)
+        admitted["seq"] = next_seq + np.arange(len(admitted), dtype=np.int64)
+
+        def tag(df: pd.DataFrame, role: str, seq=None) -> pd.DataFrame:
+            df = df.copy()
+            for col, default in (("host_rank", -1), ("fetch_vtime", 0)):
+                if col not in df.columns:
+                    df[col] = default
+            if "seq" not in df.columns:
+                df["seq"] = -1
+            df["role"] = role
+            return df[FRONTIER_COLS + ["host_rank", "fetch_vtime", "seq", "role"]]
+
+        out = pd.concat(
+            [tag(blocked, "blocked"), tag(deferred, "deferred"),
+             tag(admitted, "admitted")],
+            ignore_index=True,
+        )
+        out["host_rank"] = out["host_rank"].astype(np.int64)
+        out["fetch_vtime"] = out["fetch_vtime"].astype(np.int64)
+        out["seq"] = out["seq"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return fn
+
+
 def _route_keys(keys: list[str], n_shards: int):
     hashes = np.array([int(k[:16], 16) for k in keys], dtype=np.uint64)
     return hashes, (hashes % np.uint64(n_shards)).astype(np.int64)
@@ -352,13 +426,32 @@ def run_crawl(
     *,
     fetch_concurrency: int | tuple[int, int] = 4,
     fetch_batch_size: int = 256,
+    fetcher_mode: str = "task",
     stop_after_wave: int | None = None,
 ) -> CrawlRun:
+    import os as _os
+    import time as _time
+    _prof = bool(_os.environ.get("VV8RAY_PROFILE"))
+    _t = [_time.time()]
+
+    def _mark(label: str) -> None:
+        if _prof:
+            now = _time.time()
+            print(f"[prof] {label:24s} {now - _t[0]:6.2f}s", flush=True)
+            _t[0] = now
     """Run (or resume) the crawl; each wave is one committed partition.
 
     ``stop_after_wave`` simulates a crash for the resume tests: the run
     stops after committing that wave; a later call with the same
     ``store_root`` resumes from the checkpoint.
+
+    ``fetcher_mode``: 'task' (default) ships a serialized-once Fetcher
+    instance into stateless tasks — right when the fetcher state is a
+    broadcastable config (this synthetic web; measured 2.7x faster and
+    0.71 CPU-scaling vs 0.34, because actor pools pay per-execution
+    creation).  'actor' runs the same class as a map_batches actor pool
+    — required when the per-worker state is expensive to build or
+    unserializable (a real browser session, T1 in SURVEY.md).
     """
     store = TableStore(store_root)
     seen = None  # built below
@@ -396,108 +489,144 @@ def run_crawl(
     wave = start_wave
     while frontier is not None and wave < cfg.max_waves:
         n_cand = frontier.count()
+        _mark(f'w{wave} count ({n_cand})')
         small = n_cand <= cfg.small_wave_threshold
-        # 1-3. one streaming execution: within-wave first-wins dedup
-        # (shuffle #1 by url_key; coalesced-block combiner when small) ->
-        # cross-wave seen filter (sharded actors, read phase) -> robots
-        packed = frontier.map_batches(_pack_firstwins, batch_format="pyarrow")
         if small:
-            uniq = packed.repartition(1).map_batches(
-                _combine_pack_min, batch_format="pyarrow")
+            # ---- small-wave path: the whole control plane is one fused
+            # kernel over a single coalesced block (see _wave_kernel).
+            control = frontier.repartition(1).map_batches(
+                _wave_kernel(cfg, seen.shards, next_seq, wave),
+                batch_format="pyarrow",
+            ).materialize()
+            _mark(f'w{wave} kernel')
+            roles = control.map_batches(
+                lambda t: t.group_by(["role"]).aggregate(
+                    [("role", "count")]).rename_columns(["role", "n"]),
+                batch_format="pyarrow").to_pandas()
+            rc = roles.groupby("role")["n"].sum()
+            n_blocked = int(rc.get("blocked", 0))
+            n_deferred = int(rc.get("deferred", 0))
+            blocked_log = control.map_batches(
+                lambda t: t.filter(pc.equal(t["role"], "blocked")),
+                batch_format="pyarrow",
+            ).map_batches(_seen_add_fn(seen.shards), batch_format="pyarrow"
+            ).map_batches(_blocked_log_batch(wave), batch_format="pyarrow"
+            ).materialize()
+            store.write_dataset(blocked_log, "blocked", wave)
+            _mark(f'w{wave} blocked')
+            deferred = control.map_batches(
+                lambda t: t.filter(pc.equal(t["role"], "deferred"))
+                           .select(FRONTIER_COLS),
+                batch_format="pyarrow")
+            # spread the admitted rows so the fetch pool parallelizes;
+            # materialize BEFORE the actor pool — an unfinished AllToAll
+            # upstream of a full-width pool deadlocks on CPU starvation
+            # (idle actors hold every CPU the repartition task needs).
+            ordered = control.map_batches(
+                lambda t: t.filter(pc.equal(t["role"], "admitted"))
+                           .drop_columns(["role", "host_rank"]),
+                batch_format="pyarrow",
+            ).repartition(FRONTIER_BLOCKS).materialize()
+            _mark(f'w{wave} spread')
         else:
+            # ---- scale path: distributed shuffles (hash-partitioned
+            # groupbys + range sort), identical semantics.
             from ray.data.aggregate import Min as _Min
 
-            uniq = packed.groupby(
-                "url_key", num_partitions=FRONTIER_BLOCKS
-            ).aggregate(_Min("packed", alias_name="packed"))
-        flagged = (
-            uniq.map_batches(_unpack_firstwins, batch_format="pyarrow")
-            .map_batches(_seen_filter_fn(seen.shards), batch_format="pyarrow")
-            .map_batches(_robots_flag(cfg), batch_format="pyarrow")
-            .materialize()
-        )
-        blocked = flagged.map_batches(
-            lambda t: t.filter(t["blocked"]), batch_format="pyarrow")
-        fetchable = flagged.map_batches(
-            lambda t: t.filter(pc.invert(t["blocked"])).drop_columns(["blocked"]),
-            batch_format="pyarrow")
-        # commit blocked rows: log partition + seen
-        blocked_log = blocked.map_batches(
-            _seen_add_fn(seen.shards), batch_format="pyarrow",
-        ).map_batches(_blocked_log_batch(wave), batch_format="pyarrow").materialize()
-        n_blocked = blocked_log.count()
-        store.write_dataset(blocked_log, "blocked", wave)
-        # 4+5. politeness schedule: per-block combiner + host shuffle (#2)
-        pruned = fetchable.map_batches(
-            _host_cap_prune(cfg.max_per_host_per_wave), batch_format="pyarrow")
-        pre_deferred = pruned.map_batches(
-            lambda t: t.filter(t["pre_deferred"]).select(FRONTIER_COLS),
-            batch_format="pyarrow")
-        contend = pruned.map_batches(
-            lambda t: t.filter(pc.invert(t["pre_deferred"]))
-                       .drop_columns(["pre_deferred"]),
-            batch_format="pyarrow")
-        if small:
-            sched = contend.repartition(1).map_batches(
-                _schedule_block(cfg), batch_format="pyarrow").materialize()
-        else:
+            flagged = (
+                frontier.map_batches(_pack_firstwins, batch_format="pyarrow")
+                .groupby("url_key", num_partitions=FRONTIER_BLOCKS)
+                .aggregate(_Min("packed", alias_name="packed"))
+                .map_batches(_unpack_firstwins, batch_format="pyarrow")
+                .map_batches(_seen_filter_fn(seen.shards), batch_format="pyarrow")
+                .map_batches(_robots_flag(cfg), batch_format="pyarrow")
+                .materialize()
+            )
+            _mark(f'w{wave} flagged(scale)')
+            blocked = flagged.map_batches(
+                lambda t: t.filter(t["blocked"]), batch_format="pyarrow")
+            fetchable = flagged.map_batches(
+                lambda t: t.filter(pc.invert(t["blocked"])).drop_columns(["blocked"]),
+                batch_format="pyarrow")
+            blocked_log = blocked.map_batches(
+                _seen_add_fn(seen.shards), batch_format="pyarrow",
+            ).map_batches(_blocked_log_batch(wave), batch_format="pyarrow").materialize()
+            n_blocked = blocked_log.count()
+            store.write_dataset(blocked_log, "blocked", wave)
+            # politeness schedule: per-block host-cap combiner + host shuffle
+            pruned = fetchable.map_batches(
+                _host_cap_prune(cfg.max_per_host_per_wave), batch_format="pyarrow")
+            pre_deferred = pruned.map_batches(
+                lambda t: t.filter(t["pre_deferred"]).select(FRONTIER_COLS),
+                batch_format="pyarrow")
+            contend = pruned.map_batches(
+                lambda t: t.filter(pc.invert(t["pre_deferred"]))
+                           .drop_columns(["pre_deferred"]),
+                batch_format="pyarrow")
             sched = contend.groupby("host").map_groups(
                 _schedule_group(cfg), batch_format="pandas",
             ).materialize()
-        admitted = sched.map_batches(
-            lambda t: t.filter(pc.invert(t["deferred"]))
-                       .drop_columns(["deferred", "host_rank"]),
-            batch_format="pyarrow")
-        deferred = sched.map_batches(
-            lambda t: t.filter(t["deferred"]).select(FRONTIER_COLS),
-            batch_format="pyarrow")
-        deferred = deferred.union(pre_deferred).materialize()
-        n_deferred = deferred.count()
-        # 6. global crawl order (scheduling sort, shuffle #3; in-block
-        # sort+arange when the wave is small)
-        order_cols = ["fetch_vtime", "admission_key", "url"]
-        if small:
-            # materialize BEFORE the fetcher actor pool: an unfinished
-            # AllToAll (repartition) upstream of a full-width actor pool
-            # deadlocks on CPU starvation — the pool's idle actors hold
-            # every CPU while the repartition task waits for one.
-            ordered = admitted.repartition(1).map_batches(
-                _seq_block(order_cols, next_seq),
-                batch_format="pyarrow").materialize()
-        else:
+            _mark(f'w{wave} sched(scale)')
+            admitted = sched.map_batches(
+                lambda t: t.filter(pc.invert(t["deferred"]))
+                           .drop_columns(["deferred", "host_rank"]),
+                batch_format="pyarrow")
+            deferred = sched.map_batches(
+                lambda t: t.filter(t["deferred"]).select(FRONTIER_COLS),
+                batch_format="pyarrow")
+            deferred = deferred.union(pre_deferred).materialize()
+            n_deferred = deferred.count()
+            _mark(f'w{wave} deferred(scale)')
+            # global crawl order (range sort + zip-with-index), then
+            # re-block: the sort range-packs the control rows into very
+            # few blocks (~128MB target), which would starve the fetch
+            # actor pool — spread to FRONTIER_BLOCKS and materialize
+            # (AllToAll before a full-width pool must not be lazy).
             ordered = assign_global_seq(
-                admitted, order_cols, seq_col="seq", start=next_seq)
+                admitted, ["fetch_vtime", "admission_key", "url"],
+                seq_col="seq", start=next_seq,
+            ).repartition(FRONTIER_BLOCKS).materialize()
+            _mark(f'w{wave} ordered(scale)')
         # 7. commit admission to the seen index, then fetch (actor pool)
         committed = ordered.map_batches(
             _seen_add_fn(seen.shards), batch_format="pyarrow")
-        fetched = committed.map_batches(
-            _add_wave(wave), batch_format="pyarrow"
-        ).map_batches(
-            Fetcher, fn_constructor_args=(cfg,),
-            batch_format="pyarrow", batch_size=fetch_batch_size,
-            concurrency=fetch_concurrency,
-        )
+        staged = committed.map_batches(_add_wave(wave), batch_format="pyarrow")
+        if fetcher_mode == "actor":
+            fetched = staged.map_batches(
+                Fetcher, fn_constructor_args=(cfg,),
+                batch_format="pyarrow", batch_size=fetch_batch_size,
+                concurrency=fetch_concurrency,
+            )
+        else:
+            fetched = staged.map_batches(
+                Fetcher(cfg), batch_format="pyarrow",
+                batch_size=fetch_batch_size,
+            )
         # 8. single full-data pass: write the wave partition
         store.write_dataset(fetched, "fetch", wave)
-        # 9. derived views (column-pruned reads of what we just wrote)
-        fview = store.read_dataset("fetch", waves=[wave],
-                                   columns=["url_key", "url", "seq", "status",
-                                            "admission_key", "depth", "links"])
-        status_parts = (
-            store.read_dataset("fetch", waves=[wave], columns=["status"])
-            .map_batches(
-                lambda t: t.group_by(["status"]).aggregate(
-                    [("status", "count")]).rename_columns(["status", "n"]),
-                batch_format="pyarrow",
-            ).to_pandas()  # partial per-block counts; <= blocks x 3 rows
-        )
+        _mark(f'w{wave} fetch+write')
+        # 9. ONE column-pruned read-back of the wave partition feeds all
+        # derived outputs (status accounting, urlseen, link expansion) —
+        # span payloads stay on disk.
+        fview = store.read_dataset(
+            "fetch", waves=[wave],
+            columns=["url_key", "url", "seq", "status",
+                     "admission_key", "depth", "links"],
+        ).materialize()
+        status_parts = fview.map_batches(
+            lambda t: t.group_by(["status"]).aggregate(
+                [("status", "count")]).rename_columns(["status", "n"]),
+            batch_format="pyarrow",
+        ).to_pandas()  # partial per-block counts; <= blocks x 3 rows
         status_counts = status_parts.groupby("status")["n"].sum()
         n_admitted = int(status_counts.sum())
         n_failed = int(status_counts.get("failed", 0))
-        urlseen_part = store.read_dataset(
-            "fetch", waves=[wave], columns=["url_key", "url", "seq"]
-        ).map_batches(_urlseen_batch(wave), batch_format="pyarrow")
+        _mark(f'w{wave} status')
+        urlseen_part = fview.map_batches(
+            lambda t: _urlseen_batch(wave)(t.select(["url_key", "url", "seq"])),
+            batch_format="pyarrow")
         store.write_dataset(urlseen_part, "urlseen", wave)
+        _mark(f'w{wave} urlseen')
         # 10. frontier expansion from outlinks
         if wave + 1 < cfg.max_waves:
             links = fview.map_batches(
@@ -511,7 +640,9 @@ def run_crawl(
         else:
             nxt = deferred
         n_next = nxt.count()
+        _mark(f'w{wave} links+next')
         store.write_table(_collect_control(nxt), "frontier_next", wave)
+        _mark(f'w{wave} checkpoint')
         # 11. wave metrics + commit marker
         next_seq += n_admitted
         metrics = pa.table(

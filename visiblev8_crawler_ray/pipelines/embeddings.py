@@ -130,8 +130,7 @@ class LshBucketer:
 def ann_lsh(sf_dir: str, n_queries: int = 10, k: int = 5) -> pa.Table:
     """Approximate top-k: queries only compare against vectors in their
     own LSH bucket (the IVF/LSH scale path; recall < 1 by design)."""
-    ds = _read_emb(sf_dir).map_batches(LshBucketer, batch_format="pyarrow",
-                                       concurrency=2)
+    ds = _read_emb(sf_dir).map_batches(LshBucketer(), batch_format="pyarrow")
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         ids = g["vec_id"].to_numpy()

@@ -72,9 +72,9 @@ def dedup_exact(sf_dir: str) -> pa.Table:
                          "content_key": pa.array(h, type=pa.string())})
 
     keyed = ds.map_batches(key, batch_format="pyarrow")
-    return keyed.groupby("content_key").aggregate(
-        Min("doc_id", alias_name="keep_doc_id")
-    ).to_pandas()
+    from ..functions.util import two_phase_agg
+    return two_phase_agg(keyed, ["content_key"], [("doc_id", "min")],
+                         ["content_key", "keep_doc_id"]).to_pandas()
 
 
 class MinHasher:
@@ -83,22 +83,41 @@ class MinHasher:
     N_HASHES = 64
     N_BANDS = 16  # 16 bands x 4 rows
 
+    _SH_A = np.int64(0x27D4EB2F165667C5 >> 3)
+    _SH_B = np.int64(0x9E3779B97F4A7C15 >> 3)
+
     def __init__(self):
         rng = np.random.default_rng(42)
         self.a = rng.integers(1, (1 << 61) - 1, size=self.N_HASHES, dtype=np.int64)
         self.b = rng.integers(0, (1 << 61) - 1, size=self.N_HASHES, dtype=np.int64)
         self.p = np.int64((1 << 61) - 1)
+        # token -> 61-bit hash, memoized per actor (vocab is tiny
+        # relative to the corpus, so the md5 cost is paid once per token)
+        self._tok: dict[str, int] = {}
+
+    def _token_ids(self, toks: list[str]) -> np.ndarray:
+        cache = self._tok
+        out = np.empty(len(toks), dtype=np.int64)
+        for i, t in enumerate(toks):
+            v = cache.get(t)
+            if v is None:
+                v = int.from_bytes(
+                    hashlib.md5(t.encode()).digest()[:8], "big") >> 3
+                cache[t] = v
+            out[i] = v
+        return out
 
     def shingles(self, text: str) -> np.ndarray:
+        """Hashes of word 3-shingles — a numpy combine of memoized token
+        hashes (deterministic; int64 wraparound is part of the scheme)."""
         toks = text.split()
         if len(toks) < 3:
             toks = toks + [""] * (3 - len(toks))
-        sh = {" ".join(toks[i : i + 3]) for i in range(max(1, len(toks) - 2))}
-        return np.fromiter(
-            (int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") >> 3
-             for s in sh),
-            dtype=np.int64, count=len(sh),
-        )
+        ids = self._token_ids(toks)
+        n = max(1, len(toks) - 2)
+        with np.errstate(over="ignore"):
+            sh = ids[:n] * self._SH_A + ids[1:n + 1] * self._SH_B + ids[2:n + 2]
+        return np.unique(sh)
 
     def signature(self, text: str) -> np.ndarray:
         sh = self.shingles(text)
@@ -132,7 +151,7 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.5) -> pa.Table:
     -> candidate pairs -> exact Jaccard verify.  Returns verified pairs
     (doc_a < doc_b) with rounded Jaccard."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
-    bands = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=2)
+    bands = ds.map_batches(MinHasher(), batch_format="pyarrow")
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(g["doc_id"].unique())
@@ -201,8 +220,7 @@ class SimHasher:
 def simhash_docs(sf_dir: str) -> pa.Table:
     """SimHash fingerprint per document (near-dup key)."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
-    return ds.map_batches(SimHasher, batch_format="pyarrow",
-                          concurrency=2).to_pandas()
+    return ds.map_batches(SimHasher(), batch_format="pyarrow").to_pandas()
 
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6) -> pa.Table:

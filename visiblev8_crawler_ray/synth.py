@@ -158,6 +158,7 @@ FEATURE_VOCAB = (
     "Window.requestAnimationFrame",
 )
 _MODES = ("g", "s", "c", "n")
+_MODE_KINDS = ("get", "set", "call", "new")
 
 
 def _u64(s: str) -> int:
@@ -193,9 +194,52 @@ def doc_id_for(canonical_url: str, wave: int) -> str:
     return hashlib.md5(canonical_url.encode()).hexdigest()[:16] + f"-w{wave}"
 
 
+def make_spans_flat(canonical_url: str, host: str, path: str, wave: int,
+                    cfg: CrawlConfig,
+                    kinds: list, texts: list, medias: list) -> tuple[int, list[str]]:
+    """Append one URL's ordered span columns to the shared flat lists.
+
+    Columnar emission (kind/text/media_ref appended to caller-owned
+    lists) so the fetcher can build the Arrow struct column directly —
+    no per-span Python dicts in the hot path.  Returns (span_count,
+    outlinks).  Offsets are implicit 0..n-1 per URL.
+    """
+    h = _u64(canonical_url)
+    did = doc_id_for(canonical_url, wave)
+    page = page_of(path)
+    scheme = canonical_url.split("://", 1)[0]
+    start = len(kinds)
+
+    kinds.append("isolate"); texts.append(f"0x{h & 0xFFFF:04x}"); medias.append("")
+    kinds.append("origin"); texts.append(f"{scheme}://{host}"); medias.append("")
+    # Page richness mirrors real VV8 traces: a page emits thousands of
+    # g/s/c/n records across several scripts (logfile.size/lines,
+    # 1_postgres_schema.sql:2-10) — ~100-300 usage spans per page here.
+    n_scripts = 2 + h % 4
+    nv = len(FEATURE_VOCAB)
+    for s in range(n_scripts):
+        kinds.append("script")
+        texts.append(f"function f_{page}_{s}() {{ /* {h % 997} */ }}")
+        medias.append("")
+        n_api = 25 + (h >> (4 * s + 4)) % 50
+        for i in range(n_api):
+            kinds.append(_MODE_KINDS[(h >> ((2 * i + s) & 31)) % 4])
+            texts.append(FEATURE_VOCAB[(h * 7 + s * 13 + i * 31) % nv])
+            medias.append("")
+    links = outlinks(host, page, cfg)
+    for link in links:
+        kinds.append("link"); texts.append(link); medias.append("")
+    kinds.append("media/screenshot"); texts.append("")
+    medias.append(f"blob://{did}/shot.png")
+    kinds.append("media/har"); texts.append("")
+    medias.append(f"blob://{did}/har.json")
+    return len(kinds) - start, links
+
+
 def make_spans(canonical_url: str, host: str, path: str, wave: int,
                cfg: CrawlConfig) -> list[dict]:
-    """Ordered interleaved span list for one URL — the per-URL trace.
+    """Ordered interleaved span list for one URL — the per-URL trace
+    (dict form; the oracle/tests view of make_spans_flat).
 
     Shape mirrors the reference's per-submission bundle: VV8 log records
     (isolate/origin/script + g/s/c/n usage lines,
@@ -203,34 +247,14 @@ def make_spans(canonical_url: str, host: str, path: str, wave: int,
     artifacts (``vv8_worker/tasks.py:184-264``) plus 'link' spans that
     drive frontier expansion.
     """
-    h = _u64(canonical_url)
-    did = doc_id_for(canonical_url, wave)
-    page = page_of(path)
-    scheme = canonical_url.split("://", 1)[0]
-    spans: list[dict] = []
-    off = 0
-
-    def emit(kind: str, text: str = "", media_ref: str = ""):
-        nonlocal off
-        spans.append({"kind": kind, "text": text, "media_ref": media_ref,
-                      "offset": off})
-        off += 1
-
-    emit("isolate", f"0x{h & 0xFFFF:04x}")
-    emit("origin", f"{scheme}://{host}")
-    n_scripts = 1 + h % 3
-    for s in range(n_scripts):
-        emit("script", f"function f_{page}_{s}() {{ /* {h % 997} */ }}")
-        n_api = 2 + (h >> (4 * s + 4)) % 4
-        for i in range(n_api):
-            mode = _MODES[(h >> (2 * i + s)) % 4]
-            feat = FEATURE_VOCAB[(h * 7 + s * 13 + i * 31) % len(FEATURE_VOCAB)]
-            emit(mode_kind(mode), feat)
-    for link in outlinks(host, page, cfg):
-        emit("link", link)
-    emit("media/screenshot", media_ref=f"blob://{did}/shot.png")
-    emit("media/har", media_ref=f"blob://{did}/har.json")
-    return spans
+    kinds: list = []
+    texts: list = []
+    medias: list = []
+    make_spans_flat(canonical_url, host, path, wave, cfg, kinds, texts, medias)
+    return [
+        {"kind": k, "text": t, "media_ref": m, "offset": i}
+        for i, (k, t, m) in enumerate(zip(kinds, texts, medias))
+    ]
 
 
 def mode_kind(mode: str) -> str:
@@ -243,14 +267,23 @@ def robots_blocked(host: str, path: str, cfg: CrawlConfig) -> bool:
     return any(path.startswith(pfx) for pfx in cfg.robots_disallow(host))
 
 
-def fetch_rows(urls: list[str], hosts: list[str], paths: list[str],
-               waves: list[int], cfg: CrawlConfig
-               ) -> tuple[list[list[dict]], list[str], list[list[str]]]:
-    """Batch fetch: per-row span lists (py dicts), doc_ids, outlinks."""
-    span_lists, doc_ids, link_lists = [], [], []
+def fetch_rows_flat(urls: list[str], hosts: list[str], paths: list[str],
+                    waves: list[int], cfg: CrawlConfig):
+    """Batch fetch, columnar: flat span columns + per-row counts.
+
+    Returns (kinds, texts, medias, span_counts, doc_ids, link_lists) —
+    the fetcher turns these into an Arrow list<struct> column directly.
+    """
+    kinds: list = []
+    texts: list = []
+    medias: list = []
+    counts: list[int] = []
+    doc_ids: list[str] = []
+    link_lists: list[list[str]] = []
     for u, hst, pth, w in zip(urls, hosts, paths, waves):
-        spans = make_spans(u, hst, pth, int(w), cfg)
-        span_lists.append(spans)
+        n, links = make_spans_flat(u, hst, pth, int(w), cfg,
+                                   kinds, texts, medias)
+        counts.append(n)
         doc_ids.append(doc_id_for(u, int(w)))
-        link_lists.append([s["text"] for s in spans if s["kind"] == "link"])
-    return span_lists, doc_ids, link_lists
+        link_lists.append(links)
+    return kinds, texts, medias, counts, doc_ids, link_lists
