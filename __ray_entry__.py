@@ -49,7 +49,12 @@ def _crawl(sf_dir: str) -> CrawlRun:
             os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
         )["doc_id"].to_numpy()
         seeds = synth.seeds_table(ids, QCFG)
-        salt = hashlib.md5(f"{key}|{QCFG}".encode()).hexdigest()[:12]
+        # salt includes the package version: a semantic change invalidates
+        # any store cached by a previous round instead of resuming it
+        import visiblev8_crawler_ray as _pkg
+
+        salt = hashlib.md5(
+            f"{key}|{QCFG}|{_pkg.__version__}".encode()).hexdigest()[:12]
         root = f"/tmp/vv8ray_store/{os.path.basename(key)}-{salt}"
         _CRAWL_CACHE[key] = run_crawl(seeds, QCFG, root)
     return _CRAWL_CACHE[key]
