@@ -26,7 +26,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
+from ray.data.aggregate import Count, Max, Mean, Sum
 
 from ..functions import urls as U
 from ..functions.util import round_half_away, two_phase_agg

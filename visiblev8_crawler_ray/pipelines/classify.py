@@ -26,7 +26,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Mean
 
 from ..functions.util import round_half_away
-from .textops import STOPWORDS, WORD_RE, PUNCT_RE, _count_word, _read_docs
+from .textops import STOPWORDS, WORD_RE, _count_word, _read_docs
 
 # logistic weights (deterministic stand-in for the pickled sklearn model)
 W_BIAS = -2.0

@@ -37,7 +37,6 @@ Scale notes (10^10 design point):
 
 from __future__ import annotations
 
-import hashlib
 from dataclasses import dataclass
 
 import numpy as np
@@ -47,7 +46,6 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count
 
 from ..config import CrawlConfig
 from ..functions import urls as U

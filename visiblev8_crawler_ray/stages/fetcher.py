@@ -27,7 +27,7 @@ import pyarrow as pa
 
 from ..config import CrawlConfig
 from ..oracle import fetch_fails
-from ..synth import doc_id_for, fetch_rows_flat
+from ..synth import fetch_rows_flat
 from ..schemas import SPAN_STRUCT
 
 
