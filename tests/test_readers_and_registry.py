@@ -102,3 +102,15 @@ def test_actor_classes_smoke():
     md = MediaDecoder()(pa.table({"doc_id": ["d"], "media_ref": ["blob://d/s.png"],
                                   "kind": ["media/screenshot"]}))
     assert md["width"][0].as_py() > 0
+
+
+def test_minhash_scale_path_parity():
+    """The Dataset.join candidate path must find the same verified pairs
+    as the single-block merge path."""
+    from visiblev8_crawler_ray.pipelines.textops import dedup_minhash
+
+    sf = "/root/testdata/sf0.001"
+    a = dedup_minhash(sf)
+    b = dedup_minhash(sf, force_scale=True)
+    key = lambda df: sorted(map(tuple, df[["doc_a", "doc_b", "jaccard"]].values.tolist()))  # noqa: E731
+    assert key(a) == key(b)

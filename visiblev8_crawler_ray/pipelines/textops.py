@@ -10,9 +10,10 @@ fingerprinting.
 
 All hot paths are vectorized: ``pyarrow.compute`` regex-count kernels
 (RE2 — semantics identical to DuckDB's, which keeps the SQL oracles
-exact) and numpy for the hashing/minhash math.  Stages that need
-compiled state (token regex, minhash permutations) are actor-pool
-classes with the state built once in ``__init__``.
+exact) and numpy for the hashing/minhash math.  The hashers are
+callable classes whose state (permutation tables, token-hash memo) is
+built in ``__init__`` and shipped serialized-once into stateless tasks
+(cheap state -> task mode; see stages/fetcher.py on the trade-off).
 """
 
 from __future__ import annotations
@@ -146,24 +147,59 @@ class MinHasher:
         )
 
 
-def dedup_minhash(sf_dir: str, threshold: float = 0.5) -> pa.Table:
+def dedup_minhash(sf_dir: str, threshold: float = 0.5,
+                  force_scale: bool = False) -> pa.Table:
     """MinHash+LSH near-dup: shingle -> minhash -> band -> bucket groupby
     -> candidate pairs -> exact Jaccard verify.  Returns verified pairs
     (doc_a < doc_b) with rounded Jaccard."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     bands = ds.map_batches(MinHasher(), batch_format="pyarrow")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].unique())
-        out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
-        return pd.DataFrame({"doc_a": [p[0] for p in out],
-                             "doc_b": [p[1] for p in out]})
+    # candidate pairs = self-join of the band table on (band, band_hash).
+    # Adaptive: a single-block pandas merge while the band table is
+    # small; an explicit bucketed hash self-join at scale (pairs only
+    # meet within buckets either way).
+    bands_mat = bands.materialize()
+    if not force_scale and bands_mat.count() <= 2_000_000:
+        def self_join(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            m = df.merge(df, on=["band", "band_hash"], suffixes=("_a", "_b"))
+            m = m[m["doc_id_a"] < m["doc_id_b"]]
+            out = m[["doc_id_a", "doc_id_b"]].drop_duplicates()
+            return pa.table({"doc_a": out["doc_id_a"].to_numpy(),
+                             "doc_b": out["doc_id_b"].to_numpy()})
 
-    cand = bands.groupby(["band", "band_hash"]).map_groups(
-        pairs, batch_format="pandas")
-    # dedupe candidate pairs discovered in multiple bands
-    uniq = cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
-    cand_tbl = uniq.to_pandas()
+        cand = bands_mat.repartition(1).map_batches(
+            self_join, batch_format="pyarrow")
+        cand_tbl = cand.to_pandas().drop_duplicates()
+    else:
+        import ray
+
+        # Explicit partitioned hash self-join (the portable pattern:
+        # bucket by hash(band_hash), co-locate buckets via groupby,
+        # pandas-merge within each bucket).  Dataset.join hung under
+        # CPU-constrained sessions in testing, so the explicit form is
+        # the scale path.  Bucket count bounded by cluster CPUs.
+        nparts = max(2, min(32, int(ray.cluster_resources().get("CPU", 8)) - 2))
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            hs = t["band_hash"].to_numpy(zero_copy_only=False)
+            b = np.fromiter((int(h[:8], 16) % nparts for h in hs),
+                            dtype=np.int64, count=len(hs))
+            return t.append_column("bucket", pa.array(b))
+
+        def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            m = g.merge(g, on=["band", "band_hash"], suffixes=("_a", "_b"))
+            m = m[m["doc_id_a"] < m["doc_id_b"]]
+            out = m[["doc_id_a", "doc_id_b"]].drop_duplicates()
+            return out.rename(columns={"doc_id_a": "doc_a",
+                                       "doc_id_b": "doc_b"})
+
+        cand = bands_mat.map_batches(
+            add_bucket, batch_format="pyarrow"
+        ).groupby("bucket").map_groups(merge_bucket, batch_format="pandas")
+        # the same pair can surface from buckets of different bands
+        cand_tbl = cand.to_pandas().drop_duplicates()
     if len(cand_tbl) == 0:
         return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                              "doc_b": pd.Series([], dtype="int64"),
