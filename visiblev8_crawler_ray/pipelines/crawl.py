@@ -134,34 +134,6 @@ def _combine_pack_min(batch: pa.Table) -> pa.Table:
     return g.rename_columns(["url_key", "packed"])
 
 
-def _schedule_block(cfg: CrawlConfig):
-    """Single-block scheduler (small-wave path): exact global host ranks,
-    window deferral and virtual fetch times in one vectorized pass."""
-    cap = cfg.max_per_host_per_wave
-
-    def fn(batch: pa.Table) -> pa.Table:
-        g = batch.to_pandas()
-        g = g.sort_values(["admission_key", "url"]).reset_index(drop=True)
-        rank = g.groupby("host", sort=False).cumcount().to_numpy()
-        g["host_rank"] = rank
-        g["deferred"] = rank >= cap
-        delays = g["host"].map(cfg.crawl_delay_ms).to_numpy()
-        g["fetch_vtime"] = (rank * delays).astype(np.int64)
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    return fn
-
-
-def _seq_block(sort_cols: list[str], start: int):
-    """Single-block crawl-order assignment (small-wave path)."""
-    def fn(batch: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(
-            batch, sort_keys=[(c, "ascending") for c in sort_cols])
-        t = batch.take(idx)
-        seq = pa.array(start + np.arange(t.num_rows, dtype=np.int64))
-        return t.append_column("seq", seq)
-
-    return fn
 
 
 def _wave_kernel(cfg: CrawlConfig, shards, next_seq: int, wave: int):
