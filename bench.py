@@ -161,6 +161,32 @@ def run_scaling() -> None:
 
     lo, hi = 8, 32
     r_lo, r_hi = one(lo), one(hi)
+
+    # north-rule evidence: the crawls at both parallelism levels ran the
+    # same seeds + politeness budget — their crawl order and URL-seen
+    # set must be IDENTICAL (determinism across cluster sizes).
+    import glob
+
+    import pyarrow.parquet as pq
+
+    def order_digest(ncpu: int) -> str:
+        import hashlib
+
+        sf = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        files = sorted(glob.glob(
+            f"/tmp/vv8ray_bench/{os.path.basename(sf)}-{ncpu}/urlseen/*/*.parquet"))
+        import pyarrow as pa
+
+        t = pa.concat_tables(pq.read_table(f, columns=["first_seq", "url"])
+                             for f in files)
+        idx = pa.compute.sort_indices(t, sort_keys=[("first_seq", "ascending")])
+        urls = t.take(idx)["url"]
+        h = hashlib.md5()
+        for u in urls.to_pylist():
+            h.update(u.encode())
+        return h.hexdigest()
+
+    identical = order_digest(lo) == order_digest(hi)
     # throughput scaling on the crawl (URLs/s) and on total wall time
     eff_time = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     eff_crawl = (r_hi["crawl"]["urls_per_sec"] /
@@ -178,6 +204,7 @@ def run_scaling() -> None:
         "time_scaling_efficiency": round(eff_time, 3),
         "crawl_scaling_efficiency": round(eff_crawl, 3),
         "fetch_stage_scaling_efficiency": round(eff_fetch, 3),
+        "crawl_order_identical_across_levels": identical,
         "queries_lo": r_lo["queries"],
         "queries_hi": r_hi["queries"],
     }))
