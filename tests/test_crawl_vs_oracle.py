@@ -107,6 +107,35 @@ def test_resume_no_refetch_no_double_count(oracle_result, tmp_path):
         r_seen[["url_key", "first_wave", "first_seq"]].values.tolist()
 
 
+def test_resume_after_midwave_crash(oracle_result, tmp_path):
+    """Crash BETWEEN a wave's sub-table commits and its metrics commit:
+    blocked/fetch/urlseen for wave k are on disk but metrics is not, so
+    the resume must re-run wave k WITHOUT treating its URLs as seen
+    (the restore reads only waves <= the last metrics-committed wave)."""
+    import os
+
+    seeds, orc = oracle_result
+    full = _run(seeds, str(tmp_path / "mfull"))
+    crashed = str(tmp_path / "midwave")
+    shutil.rmtree(crashed, ignore_errors=True)
+    run_crawl(seeds, CFG, crashed, stop_after_wave=1)
+    # simulate a crash just before wave 1's metrics commit: wave-1 data
+    # partitions exist, the wave-1 metrics manifest does not
+    os.remove(os.path.join(crashed, "metrics", "wave=1", "_MANIFEST.json"))
+    resumed = run_crawl(seeds, CFG, crashed)
+
+    f_docs = sorted(full.docs().to_pandas().doc_id)
+    r_docs = sorted(resumed.docs().to_pandas().doc_id)
+    assert f_docs == r_docs
+    assert len(r_docs) == len(set(r_docs))
+    assert sorted(full.metrics().to_pylist(), key=lambda r: r["wave"]) == \
+        sorted(resumed.metrics().to_pylist(), key=lambda r: r["wave"])
+    f_seen = full.urlseen().to_pandas().sort_values("first_seq")
+    r_seen = resumed.urlseen().to_pandas().sort_values("first_seq")
+    assert f_seen[["url_key", "first_wave", "first_seq"]].values.tolist() == \
+        r_seen[["url_key", "first_wave", "first_seq"]].values.tolist()
+
+
 def test_scale_path_matches_oracle(oracle_result, tmp_path):
     """Force the distributed shuffle path (small_wave_threshold=0) and
     require identical output — the adaptive small/scale split must be

@@ -46,6 +46,16 @@ class CrawlConfig:
     # joins.  Above it, the hash-partitioned groupby/sort paths run.
     small_wave_threshold: int = 200_000
 
+    def __post_init__(self) -> None:
+        # Enforce the packing invariants _pack_firstwins/_explode_links
+        # rely on: child admission keys are pkey*64 + pos + 1, so pages
+        # may emit at most 63 outlinks, depth packs into one byte, and
+        # seed_id * 64^depth must stay under 2^63 (the seed table is
+        # synthesized from int seed ids; 2^63 / 64^max_depth bounds them).
+        assert 0 < self.branching < 64, "branching must be in [1, 63]"
+        assert 0 <= self.max_depth < 256, "depth must pack into one byte"
+        assert self.max_waves >= 1
+
     def crawl_delay_ms(self, host: str) -> int:
         """Per-host politeness delay; pure function of the host name."""
         if host == self.hot_host:

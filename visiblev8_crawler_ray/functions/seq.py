@@ -39,32 +39,30 @@ def assign_global_seq(
 
     def block_summary(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table({"bkey": pa.array([], type=pa.string()),
-                             "n": pa.array([], type=pa.int64())})
-        return pa.table(
-            {
-                "bkey": [repr(_key_of(batch, sort_cols))],
-                "n": pa.array([batch.num_rows], type=pa.int64()),
-            }
-        )
+            return pa.table({c: batch[c].slice(0, 0) for c in sort_cols} |
+                            {"__n": pa.array([], type=pa.int64())})
+        head = batch.slice(0, 1)
+        return pa.table({c: head[c] for c in sort_cols} |
+                        {"__n": pa.array([batch.num_rows], type=pa.int64())})
 
     summaries = mat.map_batches(
         block_summary, batch_format="pyarrow", batch_size=None
     ).take_all()
     # Blocks are range-partitioned after the sort: ordering the summaries
-    # by their (unique) first-row key orders the blocks.
-    order = sorted(summaries, key=lambda r: eval(r["bkey"]))  # noqa: S307 - keys are our own reprs
-    offsets: dict[str, int] = {}
+    # by their (unique) first-row key orders the blocks.  Keys stay native
+    # tuples end to end — no string round-tripping of data-derived values.
+    order = sorted(summaries, key=lambda r: tuple(r[c] for c in sort_cols))
+    offsets: dict[tuple, int] = {}
     acc = start
     for row in order:
-        offsets[row["bkey"]] = acc
-        acc += int(row["n"])
+        offsets[tuple(row[c] for c in sort_cols)] = acc
+        acc += int(row["__n"])
     offsets_ref = ray.put(offsets)
 
     def assign(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch.append_column(seq_col, pa.array([], type=pa.int64()))
-        off = ray.get(offsets_ref)[repr(_key_of(batch, sort_cols))]
+        off = ray.get(offsets_ref)[_key_of(batch, sort_cols)]
         seq = pa.array(off + np.arange(batch.num_rows, dtype=np.int64))
         return batch.append_column(seq_col, seq)
 

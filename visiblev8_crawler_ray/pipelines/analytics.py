@@ -234,7 +234,8 @@ def orders_with_customer(sf_dir: str) -> pa.Table:
             {
                 "o_orderkey": t["o_orderkey"],
                 "c_name": pa.array(names, type=pa.string()),
-                "o_totalprice": pc.round(pc.cast(t["o_totalprice"], pa.float64()), ndigits=2),
+                "o_totalprice": pa.array(round_half_away(
+                    t["o_totalprice"].to_numpy(zero_copy_only=False), 2)),
             }
         )
 

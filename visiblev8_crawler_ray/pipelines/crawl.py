@@ -434,8 +434,17 @@ def run_crawl(
         next_seq = int(man["next_seq"])
         start_wave = last + 1
         seen = get_seen_index(cfg.n_seen_shards, cfg.bloom_bits)
-        seen_keys = store.read_table("urlseen", columns=["url_key"])
-        blocked_keys = store.read_table("blocked", columns=["url_key"])
+        # Restore ONLY waves <= the last *metrics*-committed wave: within a
+        # wave, blocked/fetch/urlseen commit before metrics, so a crash in
+        # between leaves sub-table partitions for a wave that will be re-run
+        # — restoring them would mark that wave's URLs seen and silently
+        # drop them on the re-run.
+        seen_keys = store.read_table(
+            "urlseen", columns=["url_key"],
+            waves=[w for w in store.committed_waves("urlseen") if w <= last])
+        blocked_keys = store.read_table(
+            "blocked", columns=["url_key"],
+            waves=[w for w in store.committed_waves("blocked") if w <= last])
         keys = []
         if seen_keys is not None:
             keys += seen_keys.column("url_key").to_pylist()
@@ -638,7 +647,12 @@ def run_crawl(
             break
         wave += 1
 
-    return CrawlRun(store=store, waves=wave + 1, next_seq=next_seq)
+    # Completed-wave count comes from the commit log, which is correct on
+    # every exit path (natural termination, stop_after_wave, resume).
+    done_waves = store.committed_waves("metrics")
+    return CrawlRun(store=store,
+                    waves=(done_waves[-1] + 1) if done_waves else 0,
+                    next_seq=next_seq)
 
 
 def _collect_control(ds: rd.Dataset) -> pa.Table:
