@@ -27,8 +27,9 @@ The deterministic contract (shared with pipelines/crawl.py):
    float associativity hazards across implementations).
 6. Crawl order = ascending (wave, fetch_vtime, admission_key, url);
    `seq` is the dense global index in that order.
-7. Fetch fails permanently iff md5_u64(url) % 211 == 0 (after the
-   retry budget); failed URLs emit no document and no outlinks.
+7. Fetch fails permanently iff seeded_hash64(url) % 211 == 0 (after
+   the retry budget; functions/urls.py:fail_mask); failed URLs emit no
+   document and no outlinks.
 8. Outlinks expand until depth == max_depth; the loop stops at
    max_waves or an empty frontier.
 """
@@ -42,7 +43,6 @@ import pyarrow as pa
 from .config import CrawlConfig
 from .functions import urls as U
 from .synth import (
-    _u64,
     doc_id_for,
     make_spans,
     robots_blocked,
@@ -50,7 +50,14 @@ from .synth import (
 
 
 def fetch_fails(canonical_url: str) -> bool:
-    return _u64("fail:" + canonical_url) % 211 == 0
+    """Per-row view of the vectorized predicate the fetcher applies."""
+    return bool(U.fail_mask([canonical_url])[0])
+
+
+def url_key_of(canonical_url: str) -> str:
+    """Per-row view of the crawl's vectorized 128-bit url_key."""
+    h1, h2 = U.hash128_parts([canonical_url])
+    return f"{h1[0]:016x}{h2[0]:016x}"
 
 
 @dataclass
@@ -92,7 +99,7 @@ def crawl_oracle(seed_urls: list[tuple[int, str]], cfg: CrawlConfig) -> OracleRe
         # cross-wave seen drop
         rows = []
         for url, (key, _, depth) in best.items():
-            uk = __import__("hashlib").md5(url.encode()).hexdigest()
+            uk = url_key_of(url)
             if uk in seen:
                 m["deduped"] += 1
                 continue

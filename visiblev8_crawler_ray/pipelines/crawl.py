@@ -69,11 +69,12 @@ LOG_COLS = ["seq", "wave", "host", "url", "url_key", "doc_id", "depth",
 def _canonicalize_batch(batch: pa.Table) -> pa.Table:
     c = U.canonicalize(batch.column("url"))
     keep = c["valid"]
+    uk, _ = U.url_key128(c["canonical_url"])
     t = pa.table(
         {
             "admission_key": batch.column("seed_id").cast(pa.int64()),
             "url": c["canonical_url"],
-            "url_key": U.md5_hex(c["canonical_url"]),
+            "url_key": uk,
             "host": c["host"],
             "path": c["path"],
             "depth": pa.array(np.zeros(batch.num_rows, dtype=np.int32)),
@@ -83,55 +84,52 @@ def _canonicalize_batch(batch: pa.Table) -> pa.Table:
 
 
 def _pack_firstwins(batch: pa.Table) -> pa.Table:
-    """Block-level combiner for first-wins dedup (D1): encode each row
-    as a fixed-width sortable string and take the per-key arrow min.
+    """Block-level combiner for first-wins dedup (D1): pack the
+    first-wins order into ONE int64 and take the per-key arrow min.
 
-    Packed layout ``%016x(admission_key)|%02x(depth)|url`` makes string
-    order == (admission_key, depth, url) order, so a vectorized MIN
-    aggregate picks the first-wins row with zero per-group Python.
-    Caps: admission_key < 2^63, depth < 256 (asserted by config).
+    ``sortkey = admission_key * 256 + depth`` makes integer order ==
+    (admission_key, depth) order (CrawlConfig asserts depth < 256); the
+    url needs no tiebreak — equal 128-bit url_key means equal url — but
+    is carried (arbitrary-but-deterministic ``min``) to recover the row.
+    All vectorized: no per-row Python (replaced an f-string pack loop).
     """
-    ak = batch["admission_key"].to_numpy(zero_copy_only=False)
-    dp = batch["depth"].to_numpy(zero_copy_only=False)
-    urls = batch["url"].to_numpy(zero_copy_only=False)
-    packed = pa.array(
-        [f"{k:016x}|{d:02x}|{u}" for k, d, u in zip(ak, dp, urls)],
-        type=pa.string(),
-    )
-    t = pa.table({"url_key": batch["url_key"], "packed": packed})
-    g = t.group_by(["url_key"]).aggregate([("packed", "min")])
-    return g.rename_columns(["url_key", "packed"])
+    ak = batch["admission_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dp = batch["depth"].to_numpy(zero_copy_only=False).astype(np.int64)
+    t = pa.table({
+        "url_key": batch["url_key"],
+        "sortkey": pa.array(ak * 256 + dp),
+        "url": batch["url"],
+    })
+    return _combine_pack_min(t)
 
 
 def _unpack_firstwins(batch: pa.Table) -> pa.Table:
     """Inverse of _pack_firstwins: recover the frontier columns."""
-    packed = batch["packed"]
-    pk = packed.to_numpy(zero_copy_only=False)
-    admission_key = np.fromiter((int(s[:16], 16) for s in pk),
-                                dtype=np.int64, count=len(pk))
-    depth = np.fromiter((int(s[17:19], 16) for s in pk),
-                        dtype=np.int32, count=len(pk))
-    url = pa.array([s[20:] for s in pk], type=pa.string())
+    sk = batch["sortkey"].to_numpy(zero_copy_only=False)
+    url = batch["url"]
+    if isinstance(url, pa.ChunkedArray):
+        url = url.combine_chunks()
     parts = pc.extract_regex(
         url, r"^[a-z][a-z0-9+.\-]*://(?P<hostport>[^/]*)(?P<path>.*)$")
     host = pc.replace_substring_regex(
         pc.struct_field(parts, "hostport"), r":.*$", "")
     return pa.table(
         {
-            "admission_key": pa.array(admission_key),
+            "admission_key": pa.array(sk >> 8),
             "url": url,
             "url_key": batch["url_key"],
             "host": host,
             "path": pc.struct_field(parts, "path"),
-            "depth": pa.array(depth),
+            "depth": pa.array((sk & 255).astype(np.int32)),
         }
     )
 
 
 def _combine_pack_min(batch: pa.Table) -> pa.Table:
     """Final (or intermediate) combiner over packed rows — idempotent."""
-    g = batch.group_by(["url_key"]).aggregate([("packed", "min")])
-    return g.rename_columns(["url_key", "packed"])
+    g = batch.group_by(["url_key"]).aggregate(
+        [("sortkey", "min"), ("url", "min")])
+    return g.rename_columns(["url_key", "sortkey", "url"])
 
 
 
@@ -151,18 +149,16 @@ def _wave_kernel(cfg: CrawlConfig, shards, next_seq: int, wave: int):
 
     def fn(batch: pa.Table) -> pa.Table:
         # 1. first-wins dedup (single block => exact)
-        uniq = _unpack_firstwins(_combine_pack_min(_pack_firstwins(batch)))
+        uniq = _unpack_firstwins(_pack_firstwins(batch))
         # 2. cross-wave seen filter (sharded actor read phase)
-        keys = uniq["url_key"].to_pylist()
-        if keys:
-            hashes, sid = _route_keys(keys, n_shards)
-            seen_mask = np.zeros(len(keys), dtype=bool)
+        if uniq.num_rows:
+            arr, hashes, sid = _route_keys(uniq["url_key"], n_shards)
+            seen_mask = np.zeros(len(arr), dtype=bool)
             futs, idxs = [], []
             for s in range(n_shards):
                 ix = np.flatnonzero(sid == s)
                 if len(ix):
-                    futs.append(shards[s].contains.remote(
-                        [keys[i] for i in ix], hashes[ix]))
+                    futs.append(shards[s].contains.remote(arr[ix], hashes[ix]))
                     idxs.append(ix)
             for ix, m in zip(idxs, ray.get(futs)):
                 seen_mask[ix] = m
@@ -210,9 +206,13 @@ def _wave_kernel(cfg: CrawlConfig, shards, next_seq: int, wave: int):
     return fn
 
 
-def _route_keys(keys: list[str], n_shards: int):
-    hashes = np.array([int(k[:16], 16) for k in keys], dtype=np.uint64)
-    return hashes, (hashes % np.uint64(n_shards)).astype(np.int64)
+def _route_keys(keys, n_shards: int):
+    """(arrow string array | ndarray) -> (S32 array, uint64 hashes, shard ids)."""
+    from ..state.urlseen import as_key_array, routing_hash
+
+    arr = as_key_array(keys)
+    hashes = routing_hash(arr)
+    return arr, hashes, (hashes % np.uint64(n_shards)).astype(np.int64)
 
 
 def _seen_filter_fn(shards):
@@ -224,17 +224,15 @@ def _seen_filter_fn(shards):
     n = len(shards)
 
     def fn(batch: pa.Table) -> pa.Table:
-        keys = batch.column("url_key").to_pylist()
-        if not keys:
+        if not batch.num_rows:
             return batch
-        hashes, sid = _route_keys(keys, n)
-        masks = np.zeros(len(keys), dtype=bool)
+        arr, hashes, sid = _route_keys(batch.column("url_key"), n)
+        masks = np.zeros(len(arr), dtype=bool)
         futs, idxs = [], []
         for s in range(n):
             ix = np.flatnonzero(sid == s)
             if len(ix):
-                futs.append(shards[s].contains.remote(
-                    [keys[i] for i in ix], hashes[ix]))
+                futs.append(shards[s].contains.remote(arr[ix], hashes[ix]))
                 idxs.append(ix)
         for ix, m in zip(idxs, ray.get(futs)):
             masks[ix] = m
@@ -248,15 +246,13 @@ def _seen_add_fn(shards):
     n = len(shards)
 
     def fn(batch: pa.Table) -> pa.Table:
-        keys = batch.column("url_key").to_pylist()
-        if keys:
-            hashes, sid = _route_keys(keys, n)
+        if batch.num_rows:
+            arr, hashes, sid = _route_keys(batch.column("url_key"), n)
             futs = []
             for s in range(n):
                 ix = np.flatnonzero(sid == s)
                 if len(ix):
-                    futs.append(shards[s].add.remote(
-                        [keys[i] for i in ix], hashes[ix]))
+                    futs.append(shards[s].add.remote(arr[ix], hashes[ix]))
             ray.get(futs)
         return batch
 
@@ -336,11 +332,12 @@ def _explode_links(max_depth: int):
         rest = pc.struct_field(
             pc.extract_regex(flat, r"^https?://[^/]*(?P<p>/.*)$"), "p"
         )
+        uk, _ = U.url_key128(flat)
         return pa.table(
             {
                 "admission_key": pa.array(child_key, type=pa.int64()),
                 "url": flat,
-                "url_key": U.md5_hex(flat),
+                "url_key": uk,
                 "host": host,
                 "path": rest,
                 "depth": pa.array((pdepth + 1).astype(np.int32)),
@@ -438,19 +435,18 @@ def run_crawl(
         # wave, blocked/fetch/urlseen commit before metrics, so a crash in
         # between leaves sub-table partitions for a wave that will be re-run
         # — restoring them would mark that wave's URLs seen and silently
-        # drop them on the re-run.
-        seen_keys = store.read_table(
-            "urlseen", columns=["url_key"],
-            waves=[w for w in store.committed_waves("urlseen") if w <= last])
-        blocked_keys = store.read_table(
-            "blocked", columns=["url_key"],
-            waves=[w for w in store.committed_waves("blocked") if w <= last])
-        keys = []
-        if seen_keys is not None:
-            keys += seen_keys.column("url_key").to_pylist()
-        if blocked_keys is not None:
-            keys += blocked_keys.column("url_key").to_pylist()
-        seen.restore(keys)
+        # drop them on the re-run.  Each shard reads the committed key
+        # partitions itself and keeps only its own hash range, so the full
+        # key set never materializes in any one process (10^10 design
+        # point: O(total / n_shards) per shard).
+        key_files = (
+            store._data_files(
+                "urlseen",
+                [w for w in store.committed_waves("urlseen") if w <= last])
+            + store._data_files(
+                "blocked",
+                [w for w in store.committed_waves("blocked") if w <= last]))
+        seen.restore_from_parquet(key_files)
         fr = store.read_table("frontier_next", waves=[last])
         frontier = rd.from_arrow(fr) if fr is not None and fr.num_rows else None
     else:
@@ -515,7 +511,8 @@ def run_crawl(
             flagged = (
                 frontier.map_batches(_pack_firstwins, batch_format="pyarrow")
                 .groupby("url_key", num_partitions=FRONTIER_BLOCKS)
-                .aggregate(_Min("packed", alias_name="packed"))
+                .aggregate(_Min("sortkey", alias_name="sortkey"),
+                           _Min("url", alias_name="url"))
                 .map_batches(_unpack_firstwins, batch_format="pyarrow")
                 .map_batches(_seen_filter_fn(seen.shards), batch_format="pyarrow")
                 .map_batches(_robots_flag(cfg), batch_format="pyarrow")

@@ -24,9 +24,10 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..config import CrawlConfig
-from ..oracle import fetch_fails
+from ..functions import urls as U
 from ..synth import fetch_rows_flat
 from ..schemas import SPAN_STRUCT
 
@@ -37,19 +38,29 @@ class Fetcher:
         self.cfg = cfg
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        url_col = batch.column("url")
+        # vectorized over the batch: failure predicate + doc ids
+        ok = ~U.fail_mask(url_col)
+        h1, _ = U.hash128_parts(url_col)
+        did_all = pc.binary_join_element_wise(
+            U.hex_of_u64(h1), pa.scalar("-w"),
+            pc.cast(batch.column("wave"), pa.string()), "")
+
         urls = batch.column("url").to_pylist()
         hosts = batch.column("host").to_pylist()
         paths = batch.column("path").to_pylist()
         waves = batch.column("wave").to_pylist()
         n = len(urls)
 
-        ok = np.array([not fetch_fails(u) for u in urls], dtype=bool)
+        ok_ix = np.flatnonzero(ok)
+        did_np = did_all.to_numpy(zero_copy_only=False)
         kinds, texts, medias, counts_ok, doc_ids_ok, links_ok = fetch_rows_flat(
-            [u for u, o in zip(urls, ok) if o],
-            [h for h, o in zip(hosts, ok) if o],
-            [p for p, o in zip(paths, ok) if o],
-            [w for w, o in zip(waves, ok) if o],
+            [urls[i] for i in ok_ix],
+            [hosts[i] for i in ok_ix],
+            [paths[i] for i in ok_ix],
+            [waves[i] for i in ok_ix],
             self.cfg,
+            doc_ids=[did_np[i] for i in ok_ix],
         )
         counts = np.zeros(n, dtype=np.int64)
         counts[ok] = counts_ok

@@ -1,4 +1,4 @@
-"""Sharded URL-seen membership index (bloom front + exact set).
+"""Sharded URL-seen membership index (bloom front + vectorized exact tier).
 
 The reference implements URL-seen as a unique-key lookup on the Postgres
 ``submissions`` table before every enqueue (``endpoints/tasks.py:148-156``).
@@ -10,14 +10,23 @@ hash routes to it.
 Each shard keeps
 - a bloom bitmap front (numpy, ``bloom_bits`` per shard) — O(1) negative
   checks with zero per-key Python cost on the miss path at scale, and
-- an exact set of md5-hex keys — bloom false positives never drop a URL
-  (SURVEY.md §7.3: "never drop a URL on bloom alone").
+- an exact tier: a SORTED numpy ``S32`` array of 32-hex-char keys —
+  bloom false positives never drop a URL (SURVEY.md §7.3: "never drop a
+  URL on bloom alone").  Membership is ``searchsorted`` + equality —
+  fully vectorized C, ~50ns/key, 32 B/key flat (vs ~100 B + per-key
+  Python of the set[str] tier this replaced).  At the 10^10 design point
+  each of, say, 1024 shards holds ~10^7 keys = 320 MB; beyond that the
+  sorted-runs layout spills naturally to per-shard parquet runs probed
+  bloom-first (same merge logic, mmap'd) — the in-memory form below is
+  the first tier of that design.
 
 Determinism: ``contains`` (read) and ``add`` (write) are SEPARATE phases
 invoked by the wave loop — all membership checks of wave k see exactly
 the state committed through wave k-1, so actor-call interleaving cannot
 change results.  Shards snapshot/restore their key sets to the store for
-kill-and-resume.
+kill-and-resume (each shard restores only its own hash range —
+``routing_hash % n_shards == shard_id`` — so no process ever
+materializes the full key set).
 """
 
 from __future__ import annotations
@@ -27,13 +36,24 @@ import pyarrow as pa
 
 import ray
 
+KEY_DTYPE = "S32"
+
+
+def as_key_array(keys) -> np.ndarray:
+    """Arrow string array / list[str] -> numpy S32 key array."""
+    if isinstance(keys, np.ndarray) and keys.dtype == np.dtype(KEY_DTYPE):
+        return keys
+    if isinstance(keys, (pa.Array, pa.ChunkedArray)):
+        keys = keys.to_numpy(zero_copy_only=False)
+    return np.asarray(keys, dtype=KEY_DTYPE)
+
 
 @ray.remote(num_cpus=0)
 class SeenShard:
     def __init__(self, bloom_bits: int):
         self.bloom_bits = bloom_bits
         self.bloom = np.zeros(bloom_bits // 8 + 1, dtype=np.uint8)
-        self.exact: set[str] = set()
+        self.keys = np.empty(0, dtype=KEY_DTYPE)  # sorted
 
     def _positions(self, hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         # two bloom probes derived from the 64-bit key hash
@@ -41,40 +61,74 @@ class SeenShard:
         h2 = (hashes >> np.uint64(17)) % np.uint64(self.bloom_bits)
         return h1, h2
 
-    def contains(self, keys: list[str], hashes: np.ndarray) -> np.ndarray:
-        """Membership mask for a batch of md5-hex keys."""
+    def contains(self, keys: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+        """Membership mask for a batch of S32 keys — all vectorized."""
         h1, h2 = self._positions(hashes)
         maybe = (
             (self.bloom[h1 >> np.uint64(3)] >> (h1 & np.uint64(7)) & 1).astype(bool)
             & (self.bloom[h2 >> np.uint64(3)] >> (h2 & np.uint64(7)) & 1).astype(bool)
         )
         out = np.zeros(len(keys), dtype=bool)
-        for i in np.flatnonzero(maybe):
-            out[i] = keys[i] in self.exact
+        ix = np.flatnonzero(maybe)
+        if len(ix) and len(self.keys):
+            cand = keys[ix]
+            pos = np.searchsorted(self.keys, cand)
+            pos = np.minimum(pos, len(self.keys) - 1)
+            out[ix] = self.keys[pos] == cand
         return out
 
-    def add(self, keys: list[str], hashes: np.ndarray) -> int:
+    def add(self, keys: np.ndarray, hashes: np.ndarray) -> int:
         h1, h2 = self._positions(hashes)
         np.bitwise_or.at(self.bloom, h1 >> np.uint64(3),
                          np.left_shift(np.uint8(1), (h1 & np.uint64(7)).astype(np.uint8)))
         np.bitwise_or.at(self.bloom, h2 >> np.uint64(3),
                          np.left_shift(np.uint8(1), (h2 & np.uint64(7)).astype(np.uint8)))
-        self.exact.update(keys)
-        return len(self.exact)
+        if len(keys):
+            # merge-in: one sort over (existing + new) per wave per shard
+            merged = np.concatenate([self.keys, np.asarray(keys, dtype=KEY_DTYPE)])
+            merged.sort(kind="stable")
+            self.keys = np.unique(merged)
+        return len(self.keys)
 
     def reset(self) -> bool:
         self.bloom[:] = 0
-        self.exact.clear()
+        self.keys = np.empty(0, dtype=KEY_DTYPE)
         return True
 
-    def snapshot(self) -> list[str]:
-        return sorted(self.exact)
+    def snapshot(self) -> np.ndarray:
+        return self.keys
 
-    def restore(self, keys: list[str], hashes: np.ndarray) -> int:
-        return self.add(keys, hashes)
+    def restore_from_parquet(self, files: list[str], shard_id: int,
+                             n_shards: int) -> int:
+        """Shard-side resume: read the committed urlseen/blocked key
+        columns and keep ONLY this shard's hash range — the full key set
+        never materializes in any single process (crawl.py resume path).
+        """
+        import pyarrow.parquet as pq
+
+        for f in files:
+            col = pq.read_table(f, columns=["url_key"]).column("url_key")
+            keys = as_key_array(col)
+            hashes = routing_hash(keys)
+            mine = hashes % np.uint64(n_shards) == np.uint64(shard_id)
+            if mine.any():
+                self.add(keys[mine], hashes[mine])
+        return len(self.keys)
 
     def size(self) -> int:
-        return len(self.exact)
+        return len(self.keys)
+
+
+def routing_hash(keys: np.ndarray) -> np.ndarray:
+    """uint64 routing/bloom hash = first 16 hex chars of the key,
+    decoded vectorized (the key IS hex of the 128-bit hash, so its
+    first half is the original h1 — no re-hash)."""
+    raw = keys.view(np.uint8).reshape(len(keys), 32)[:, :16]
+    nib = np.where(raw >= ord("a"), raw - ord("a") + 10, raw - ord("0"))
+    out = np.zeros(len(keys), dtype=np.uint64)
+    for i in range(16):
+        out = (out << np.uint64(4)) | nib[:, i].astype(np.uint64)
+    return out
 
 
 class SeenIndex:
@@ -86,53 +140,53 @@ class SeenIndex:
             SeenShard.remote(bloom_bits) for _ in range(n_shards)
         ]
 
-    def _route(self, keys: list[str]) -> tuple[list[list[str]], list[np.ndarray], np.ndarray]:
-        hashes = np.array([int(k[:16], 16) for k in keys], dtype=np.uint64)
+    def _route(self, keys) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        arr = as_key_array(keys)
+        hashes = routing_hash(arr)
         sid = (hashes % np.uint64(self.n_shards)).astype(np.int64)
-        per_keys = [[] for _ in range(self.n_shards)]
-        per_idx = [[] for _ in range(self.n_shards)]
-        for i, (k, s) in enumerate(zip(keys, sid)):
-            per_keys[s].append(k)
-            per_idx[s].append(i)
-        per_h = [hashes[np.array(ix, dtype=np.int64)] if ix else np.array([], dtype=np.uint64)
-                 for ix in per_idx]
-        return per_keys, per_h, per_idx
+        return arr, hashes, sid
 
-    def contains(self, keys: list[str]) -> np.ndarray:
-        if not keys:
+    def contains(self, keys) -> np.ndarray:
+        arr, hashes, sid = self._route(keys)
+        if not len(arr):
             return np.zeros(0, dtype=bool)
-        per_keys, per_h, per_idx = self._route(keys)
-        futs = [
-            self.shards[s].contains.remote(per_keys[s], per_h[s])
-            for s in range(self.n_shards)
-            if per_keys[s]
-        ]
-        live = [s for s in range(self.n_shards) if per_keys[s]]
-        out = np.zeros(len(keys), dtype=bool)
-        for s, mask in zip(live, ray.get(futs)):
-            out[np.array(per_idx[s], dtype=np.int64)] = mask
+        out = np.zeros(len(arr), dtype=bool)
+        futs, idxs = [], []
+        for s in range(self.n_shards):
+            ix = np.flatnonzero(sid == s)
+            if len(ix):
+                futs.append(self.shards[s].contains.remote(arr[ix], hashes[ix]))
+                idxs.append(ix)
+        for ix, mask in zip(idxs, ray.get(futs)):
+            out[ix] = mask
         return out
 
-    def add(self, keys: list[str]) -> None:
-        if not keys:
+    def add(self, keys) -> None:
+        arr, hashes, sid = self._route(keys)
+        if not len(arr):
             return
-        per_keys, per_h, _ = self._route(keys)
-        ray.get(
-            [
-                self.shards[s].add.remote(per_keys[s], per_h[s])
-                for s in range(self.n_shards)
-                if per_keys[s]
-            ]
-        )
+        futs = []
+        for s in range(self.n_shards):
+            ix = np.flatnonzero(sid == s)
+            if len(ix):
+                futs.append(self.shards[s].add.remote(arr[ix], hashes[ix]))
+        ray.get(futs)
+
+    def restore_from_parquet(self, files: list[str]) -> None:
+        """Each shard reads the committed key partitions and keeps only
+        its own hash range — O(total/n_shards) memory per process."""
+        if not files:
+            return
+        ray.get([
+            self.shards[s].restore_from_parquet.remote(files, s, self.n_shards)
+            for s in range(self.n_shards)
+        ])
 
     def snapshot(self) -> pa.Table:
-        all_keys: list[str] = []
-        for part in ray.get([s.snapshot.remote() for s in self.shards]):
-            all_keys.extend(part)
-        return pa.table({"url_key": pa.array(sorted(all_keys), type=pa.string())})
-
-    def restore(self, keys: list[str]) -> None:
-        self.add(keys)
+        parts = ray.get([s.snapshot.remote() for s in self.shards])
+        allk = np.concatenate([p for p in parts]) if parts else np.empty(0, KEY_DTYPE)
+        allk.sort()
+        return pa.table({"url_key": pa.array(allk.astype("U32"), type=pa.string())})
 
     def reset(self) -> None:
         ray.get([s.reset.remote() for s in self.shards])

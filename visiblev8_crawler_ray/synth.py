@@ -190,22 +190,33 @@ def outlinks(host: str, page: int, cfg: CrawlConfig) -> list[str]:
 
 def doc_id_for(canonical_url: str, wave: int) -> str:
     """Idempotent document id — pure function of (url, wave), mirroring the
-    reference's rerun/cache semantics (endpoints/tasks.py:150-156)."""
-    return hashlib.md5(canonical_url.encode()).hexdigest()[:16] + f"-w{wave}"
+    reference's rerun/cache semantics (endpoints/tasks.py:150-156).
+
+    Equals the first 16 hex chars of the crawl's 128-bit url_key plus the
+    wave suffix, so the fetcher derives doc ids vectorized from the key
+    column it already carries (functions/urls.py:url_key128)."""
+    from .functions.urls import hash128_parts
+
+    h1, _ = hash128_parts([canonical_url])
+    return f"{h1[0]:016x}-w{wave}"
 
 
 def make_spans_flat(canonical_url: str, host: str, path: str, wave: int,
                     cfg: CrawlConfig,
-                    kinds: list, texts: list, medias: list) -> tuple[int, list[str]]:
+                    kinds: list, texts: list, medias: list,
+                    did: str | None = None) -> tuple[int, list[str]]:
     """Append one URL's ordered span columns to the shared flat lists.
 
     Columnar emission (kind/text/media_ref appended to caller-owned
     lists) so the fetcher can build the Arrow struct column directly —
     no per-span Python dicts in the hot path.  Returns (span_count,
-    outlinks).  Offsets are implicit 0..n-1 per URL.
+    outlinks).  Offsets are implicit 0..n-1 per URL.  ``did`` lets the
+    fetcher pass the vectorized-computed doc id; defaults to
+    :func:`doc_id_for`.
     """
     h = _u64(canonical_url)
-    did = doc_id_for(canonical_url, wave)
+    if did is None:
+        did = doc_id_for(canonical_url, wave)
     page = page_of(path)
     scheme = canonical_url.split("://", 1)[0]
     start = len(kinds)
@@ -268,22 +279,24 @@ def robots_blocked(host: str, path: str, cfg: CrawlConfig) -> bool:
 
 
 def fetch_rows_flat(urls: list[str], hosts: list[str], paths: list[str],
-                    waves: list[int], cfg: CrawlConfig):
+                    waves: list[int], cfg: CrawlConfig,
+                    doc_ids: list[str] | None = None):
     """Batch fetch, columnar: flat span columns + per-row counts.
 
     Returns (kinds, texts, medias, span_counts, doc_ids, link_lists) —
     the fetcher turns these into an Arrow list<struct> column directly.
+    ``doc_ids`` lets the fetcher pass vectorized-computed ids.
     """
     kinds: list = []
     texts: list = []
     medias: list = []
     counts: list[int] = []
-    doc_ids: list[str] = []
     link_lists: list[list[str]] = []
-    for u, hst, pth, w in zip(urls, hosts, paths, waves):
+    if doc_ids is None:
+        doc_ids = [doc_id_for(u, int(w)) for u, w in zip(urls, waves)]
+    for u, hst, pth, w, did in zip(urls, hosts, paths, waves, doc_ids):
         n, links = make_spans_flat(u, hst, pth, int(w), cfg,
-                                   kinds, texts, medias)
+                                   kinds, texts, medias, did=did)
         counts.append(n)
-        doc_ids.append(doc_id_for(u, int(w)))
         link_lists.append(links)
     return kinds, texts, medias, counts, doc_ids, link_lists
