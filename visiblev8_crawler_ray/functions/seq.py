@@ -29,11 +29,14 @@ def assign_global_seq(
     sort_cols: list[str],
     seq_col: str = "seq",
     start: int = 0,
-) -> rd.Dataset:
+    return_count: bool = False,
+) -> rd.Dataset | tuple[rd.Dataset, int]:
     """Return `ds` sorted by `sort_cols` with a dense global index column.
 
     One extra pass over the sorted blocks to collect (first_key, count);
     the offset map that ships back is O(num_blocks), not O(rows).
+    ``return_count=True`` also returns the total row count (free — it is
+    the sum of the block summaries), sparing callers a count() pass.
     """
     mat = ds.sort(sort_cols).materialize()
 
@@ -66,4 +69,7 @@ def assign_global_seq(
         seq = pa.array(off + np.arange(batch.num_rows, dtype=np.int64))
         return batch.append_column(seq_col, seq)
 
-    return mat.map_batches(assign, batch_format="pyarrow", batch_size=None)
+    out = mat.map_batches(assign, batch_format="pyarrow", batch_size=None)
+    if return_count:
+        return out, acc - start
+    return out

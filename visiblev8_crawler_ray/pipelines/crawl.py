@@ -5,18 +5,23 @@ Celery queues -> per-URL browser -> artifact bundle -> parse.  Here each
 BFS *wave* is one streaming Dataset pipeline; the frontier between waves
 is the only materialized control set:
 
-    frontier(w) ──map_batches(canonicalize)──▶ candidates
-      ─pack-min combiner + groupby(url_key)───▶ unique       (within-wave dedup, D1)
-      ─map_batches(SeenFilter: sharded actors)─▶ new URLs    (cross-wave dedup, T5)
-      ─map_batches(robots)────────────────────▶ blocked / fetchable (T7)
-      ─map_batches(per-block host-cap prune)──▶ combiner for the skew shuffle
-      ─groupby(host).map_groups(rank+defer)───▶ scheduled / deferred (T6 politeness,
-                                                 hot-host window split, §4.2-2)
-      ─sort+zip-with-index───────────────────▶ global crawl order (O4, §4.3)
-      ─map_batches(SeenAdd)───────────────────▶ admission committed
-      ─map_batches(Fetcher actor pool)────────▶ interleaved span docs (M5)
-      ─write store partition wave=w───────────▶ resumable output (§4.4)
-      links read-back (column-pruned) ────────▶ frontier(w+1) ∪ deferred
+    frontier(w) ──canonicalize──────────────────▶ candidates
+      ─pack-min combiner + groupby(url_key)─────▶ unique    (within-wave dedup, D1)
+      ─SeenFilter (sharded actors)──────────────▶ new URLs  (cross-wave dedup, T5)
+      ─robots split (blocked side-written)──────▶ fetchable (T7)
+      ─groupby(host).map_groups(rank+defer)─────▶ scheduled / deferred (T6
+                                                  politeness window, skew split)
+      ─sort+zip-with-index──────────────────────▶ global crawl order (O4, §4.3)
+      ─SeenAdd -> FetchWriter───────────────────▶ spans side-written to the wave
+                                                  partition; CONTROL columns flow on
+      ─urlseen side-write -> explode links──────▶ frontier(w+1) ∪ deferred
+
+Adaptive execution: a wave whose candidate set fits under
+``cfg.small_wave_threshold`` runs its whole control plane as one
+vectorized kernel ON THE DRIVER (zero Ray executions — the only
+execution is the fetch chain); larger waves run the identical semantics
+as distributed shuffles.  Both paths produce byte-identical output
+(tests force each).
 
 Determinism contract: see :mod:`..oracle` — the oracle and this pipeline
 implement the same pure function of (seeds, politeness budget); pytest
@@ -27,12 +32,17 @@ Scale notes (10^10 design point):
 - the only all-to-all exchanges per wave are groupby(url_key),
   groupby(host) and the scheduling sort — all over the *admitted
   frontier* (bounded by the politeness budget), never over span payloads;
-- the per-block host-cap prune is the combiner that caps what a hot host
-  can ship into the groupby (block-local top-cap ⊇ global top-cap);
-- span payloads take exactly one pass driver-free: fetch -> write; links
-  and log columns are re-read column-pruned from the written partition;
+- span payloads take exactly ONE hop, task -> storage
+  (stages/fetcher.py:FetchWriter): they never enter the object store,
+  and there is no read-back — derived outputs (urlseen, links, status
+  counts) ride the control columns or the parquet footers;
+- per-wave control-plane cost is 1 Ray execution (small waves) or ~5
+  (scale waves: dedup+seen+robots, host schedule, sort, summaries,
+  fetch chain) — down from ~12 in round 1, which is what the N->4N
+  scaling criterion keys on;
 - every wave commits atomically (manifest) → kill-and-resume never
-  refetches or double-counts.
+  refetches or double-counts; side-written files use deterministic
+  names so task retries overwrite rather than duplicate.
 """
 
 from __future__ import annotations
@@ -50,7 +60,7 @@ import ray.data as rd
 from ..config import CrawlConfig
 from ..functions import urls as U
 from ..functions.seq import assign_global_seq
-from ..stages.fetcher import Fetcher
+from ..stages.fetcher import FetchWriter
 from ..state.urlseen import get_seen_index
 from ..store import TableStore
 
@@ -165,43 +175,60 @@ def _wave_kernel(cfg: CrawlConfig, shards, next_seq: int, wave: int):
             uniq = uniq.filter(pa.array(~seen_mask))
         # 3. robots
         flagged = _robots_flag(cfg)(uniq)
-        g = flagged.to_pandas()
-        blocked = g[g["blocked"]].drop(columns=["blocked"])
-        fetchable = g[~g["blocked"]].drop(columns=["blocked"])
-        # 4. politeness schedule + window deferral
-        fetchable = fetchable.sort_values(
-            ["admission_key", "url"]).reset_index(drop=True)
-        rank = fetchable.groupby("host", sort=False).cumcount().to_numpy()
-        delays = fetchable["host"].map(cfg.crawl_delay_ms).to_numpy() \
-            if len(fetchable) else np.array([], dtype=np.int64)
-        fetchable["host_rank"] = rank
-        fetchable["fetch_vtime"] = (rank * delays).astype(np.int64)
-        deferred = fetchable[rank >= cap]
-        admitted = fetchable[rank < cap]
+        bmask = flagged["blocked"]
+        blocked = flagged.filter(bmask).drop_columns(["blocked"])
+        fetchable = flagged.filter(pc.invert(bmask)).drop_columns(["blocked"])
+        # 4. politeness schedule + window deferral (arrow sort + numpy
+        # segment-rank — no pandas; the two sorts are the kernel's cost)
+        fetchable = fetchable.take(pc.sort_indices(
+            fetchable, sort_keys=[("admission_key", "ascending"),
+                                  ("url", "ascending")]))
+        hosts = fetchable["host"].to_numpy(zero_copy_only=False)
+        uniq_hosts, codes = np.unique(hosts, return_inverse=True)
+        # per-host cumcount in admission order: stable-sort the codes,
+        # rank within each segment, scatter back
+        perm = np.argsort(codes, kind="stable")
+        counts = np.bincount(codes, minlength=len(uniq_hosts))
+        starts = np.cumsum(counts) - counts
+        within = np.arange(len(codes), dtype=np.int64) - np.repeat(starts, counts)
+        rank = np.empty(len(codes), dtype=np.int64)
+        rank[perm] = within
+        delays = np.array([cfg.crawl_delay_ms(str(h)) for h in uniq_hosts],
+                          dtype=np.int64)[codes] if len(codes) else \
+            np.array([], dtype=np.int64)
+        vtime = rank * delays
+        fetchable = fetchable.append_column(
+            "host_rank", pa.array(rank)).append_column(
+            "fetch_vtime", pa.array(vtime))
+        admitted = fetchable.filter(pa.array(rank < cap))
+        deferred = fetchable.filter(pa.array(rank >= cap))
         # 5. crawl order
-        admitted = admitted.sort_values(
-            ["fetch_vtime", "admission_key", "url"]).reset_index(drop=True)
-        admitted["seq"] = next_seq + np.arange(len(admitted), dtype=np.int64)
+        admitted = admitted.take(pc.sort_indices(
+            admitted, sort_keys=[("fetch_vtime", "ascending"),
+                                 ("admission_key", "ascending"),
+                                 ("url", "ascending")]))
+        admitted = admitted.append_column(
+            "seq", pa.array(next_seq + np.arange(admitted.num_rows,
+                                                 dtype=np.int64)))
 
-        def tag(df: pd.DataFrame, role: str, seq=None) -> pd.DataFrame:
-            df = df.copy()
-            for col, default in (("host_rank", -1), ("fetch_vtime", 0)):
-                if col not in df.columns:
-                    df[col] = default
-            if "seq" not in df.columns:
-                df["seq"] = -1
-            df["role"] = role
-            return df[FRONTIER_COLS + ["host_rank", "fetch_vtime", "seq", "role"]]
+        def tag(t: pa.Table, role: str) -> pa.Table:
+            n = t.num_rows
+            if "host_rank" not in t.column_names:
+                t = t.append_column("host_rank",
+                                    pa.array(np.full(n, -1, dtype=np.int64)))
+            if "seq" not in t.column_names:
+                t = t.append_column("seq",
+                                    pa.array(np.full(n, -1, dtype=np.int64)))
+            if "fetch_vtime" not in t.column_names:
+                t = t.append_column("fetch_vtime",
+                                    pa.array(np.zeros(n, dtype=np.int64)))
+            t = t.append_column("role", pa.array([role] * n, type=pa.string()))
+            return t.select(FRONTIER_COLS +
+                            ["host_rank", "fetch_vtime", "seq", "role"])
 
-        out = pd.concat(
+        return pa.concat_tables(
             [tag(blocked, "blocked"), tag(deferred, "deferred"),
-             tag(admitted, "admitted")],
-            ignore_index=True,
-        )
-        out["host_rank"] = out["host_rank"].astype(np.int64)
-        out["fetch_vtime"] = out["fetch_vtime"].astype(np.int64)
-        out["seq"] = out["seq"].astype(np.int64)
-        return pa.Table.from_pandas(out, preserve_index=False)
+             tag(admitted, "admitted")])
 
     return fn
 
@@ -281,17 +308,161 @@ def _robots_flag(cfg: CrawlConfig):
     return fn
 
 
-def _host_cap_prune(cap: int):
-    """Per-block combiner for the host shuffle: only the `cap` smallest
-    (admission_key, url) rows per host in each block can be globally
-    admitted this wave; the rest are deferred without shuffling."""
+def _sidewrite(out_dir: str, tbl: pa.Table, name: str) -> None:
+    """Idempotent in-partition write: tmp + atomic rename to a
+    deterministic filename, so Ray task retries overwrite, never
+    duplicate (TableStore.prepare_partition contract)."""
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    tmp = os.path.join(out_dir, f".tmp-{uuid.uuid4().hex[:8]}")
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, os.path.join(out_dir, name))
+
+
+def _robots_split(cfg: CrawlConfig, blocked_dir: str, wave: int):
+    """Fused scale-path stage: flag robots, side-write the blocked rows,
+    and pass only fetchable rows on — the blocked log never takes a
+    separate execution.  Blocked keys enter the seen index in bulk from
+    the committed partition afterwards (no per-batch RPCs on the hot
+    path).  Deterministic filename from the batch's first url_key
+    (batches partition the deduped key space)."""
+    flag = _robots_flag(cfg)
+    log = _blocked_log_batch(wave)
+
     def fn(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df = df.sort_values(["admission_key", "url"])
-        r = df.groupby("host", sort=False).cumcount()
-        df["pre_deferred"] = (r >= cap).to_numpy()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        t = flag(batch)
+        blocked = t.filter(t["blocked"])
+        if blocked.num_rows:
+            blocked = blocked.drop_columns(["blocked"])
+            ltbl = log(blocked)
+            _sidewrite(blocked_dir, ltbl,
+                       f"part-k{ltbl['url_key'][0].as_py()[:16]}.parquet")
+        return t.filter(pc.invert(t["blocked"])).drop_columns(["blocked"])
+
     return fn
+
+
+def _urlseen_sidewrite(urlseen_dir: str, wave: int):
+    """Scale-path pass-through stage writing each batch's urlseen rows
+    into the (uncommitted) wave partition."""
+    mk = _urlseen_batch(wave)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows:
+            u = mk(batch.select(["url_key", "url", "seq"]))
+            smin = pc.min(batch["seq"]).as_py()
+            _sidewrite(urlseen_dir, u, f"part-s{smin:015d}.parquet")
+        return batch
+
+    return fn
+
+
+def _partition_rows(part_dir: str) -> int:
+    """Driver-side row count of a partition from parquet footers only."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in os.listdir(part_dir):
+        if f.endswith(".parquet"):
+            total += pq.read_metadata(os.path.join(part_dir, f)).num_rows
+    return total
+
+
+def _failed_rows(part_dir: str) -> int:
+    """Driver-side count of status='failed' rows — one pruned column read
+    straight off the side-written files (thread pool; IO-bound), no Ray
+    execution."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow.parquet as pq
+
+    files = [os.path.join(part_dir, f) for f in os.listdir(part_dir)
+             if f.endswith(".parquet")]
+
+    def one(f: str) -> int:
+        col = pq.read_table(f, columns=["status"]).column("status")
+        return pc.sum(pc.equal(col, "failed").cast(pa.int64())).as_py() or 0
+
+    if not files:
+        return 0
+    with ThreadPoolExecutor(max_workers=min(16, len(files))) as ex:
+        return sum(ex.map(one, files))
+
+
+def _split_table(t: pa.Table, chunk_rows: int) -> list[pa.Table]:
+    chunk_rows = max(1, chunk_rows)
+    return [t.slice(i, chunk_rows) for i in range(0, t.num_rows, chunk_rows)]
+
+
+def _dedup_fresh_via_shards(frontier_ds: rd.Dataset, shards, wave: int):
+    """Scale-path first-wins dedup + cross-wave seen filter in ONE
+    exchange through the URL-seen shard actors.
+
+    Every duplicate of a key routes to the same shard (hash routing), so
+    each shard holds the complete duplicate set of its key range: a map
+    execution stages block-local pack-min combiner output on the shards,
+    then each shard computes the global per-key min, drops already-seen
+    keys, and returns its fresh rows as one Arrow block
+    (state/urlseen.py:flush_fresh).  Replaces groupby().aggregate(),
+    whose per-row-Python reduce measured 8.2 s where this path takes
+    ~1 s at 680k candidates — and the exchange doubles as the seen
+    filter, so the filter costs nothing extra.
+
+    Returns (fresh packed Dataset — one block per shard, sorted within
+    blocks — and the fresh row count).  Memory: a shard stages
+    O(wave candidates / n_shards) packed rows, bounded by the frontier
+    admission budget per wave; size n_seen_shards to the cluster.
+    """
+    n = len(shards)
+
+    def push(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        packed = _pack_firstwins(batch)
+        arr, hashes, sid = _route_keys(packed["url_key"], n)
+        sk = packed["sortkey"].to_numpy(zero_copy_only=False)
+        futs = []
+        for s in range(n):
+            ix = np.flatnonzero(sid == s)
+            if len(ix):
+                sub = packed.take(pa.array(ix))
+                # Idempotency key = content hash of the sub-batch.  A
+                # retry re-stages the same content under the same key;
+                # two DIFFERENT batches can share a min url_key (the
+                # same duplicated URL), but never the same (url_key,
+                # sortkey) content — admission keys are per-row unique.
+                tk = hashlib.blake2b(
+                    arr[ix].tobytes() + sk[ix].tobytes(),
+                    digest_size=16).digest()
+                futs.append(shards[s].stage.remote(wave, tk, sub))
+        if futs:
+            ray.get(futs)
+        return pa.table({"n": pa.array([batch.num_rows], type=pa.int64())})
+
+    frontier_ds.map_batches(push, batch_format="pyarrow").count()  # barrier
+    refs = [s.flush_fresh.remote(wave) for s in shards]
+    fresh = rd.from_arrow_refs(refs)
+    n_fresh = sum(ray.get([s.last_flush_count.remote() for s in shards]))
+    # One block per shard would cap every downstream stage (host
+    # shuffle, sort, fetch chain) at n_shards-way parallelism; re-split
+    # to the frontier block count (cheap block split, no all-to-all).
+    fresh = fresh.repartition(_frontier_blocks())
+    return fresh.map_batches(_unpack_firstwins, batch_format="pyarrow"), n_fresh
+
+
+def _frontier_blocks() -> int:
+    """Frontier block count — 2 blocks per cluster CPU (floor 16) so
+    control shuffles and the fetch chain keep every core busy with
+    headroom for stragglers, while the frontier (metadata, not payload)
+    never fragments into hundreds of per-shuffle-taxed tiny blocks."""
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(16, 2 * ncpu)
 
 
 def _schedule_group(cfg: CrawlConfig):
@@ -448,178 +619,199 @@ def run_crawl(
                 [w for w in store.committed_waves("blocked") if w <= last]))
         seen.restore_from_parquet(key_files)
         fr = store.read_table("frontier_next", waves=[last])
-        frontier = rd.from_arrow(fr) if fr is not None and fr.num_rows else None
+        frontier = fr if fr is not None and fr.num_rows else None
     else:
         next_seq = 0
         start_wave = 0
         seen = get_seen_index(cfg.n_seen_shards, cfg.bloom_bits)
+        # The frontier is CONTROL data (urls + keys, no payload): small
+        # seed tables canonicalize right on the driver in one vectorized
+        # call; Dataset seeds (cluster-scale seed lists) stay distributed.
         if isinstance(seeds, pa.Table):
-            seeds = rd.from_arrow(seeds)
-        frontier = seeds.map_batches(
-            _canonicalize_batch, batch_format="pyarrow"
-        ).repartition(FRONTIER_BLOCKS).materialize()
-        if frontier.count() == 0:
-            frontier = None
+            frontier = _canonicalize_batch(seeds)
+            if frontier.num_rows == 0:
+                frontier = None
+        else:
+            frontier = seeds.map_batches(
+                _canonicalize_batch, batch_format="pyarrow"
+            ).materialize()
+            if frontier.count() == 0:
+                frontier = None
 
     wave = start_wave
     while frontier is not None and wave < cfg.max_waves:
-        n_cand = frontier.count()
+        n_cand = (frontier.num_rows if isinstance(frontier, pa.Table)
+                  else frontier.count())
         _mark(f'w{wave} count ({n_cand})')
         small = n_cand <= cfg.small_wave_threshold
+        fetch_dir = store.prepare_partition("fetch", wave)
         if small:
-            # ---- small-wave path: the whole control plane is one fused
-            # kernel over a single coalesced block (see _wave_kernel).
-            control = frontier.repartition(1).map_batches(
-                _wave_kernel(cfg, seen.shards, next_seq, wave),
-                batch_format="pyarrow",
-            ).materialize()
+            # ---- small-wave path: the control plane (dedup -> seen ->
+            # robots -> schedule -> order) runs ON THE DRIVER as one
+            # vectorized kernel over the control table — zero Ray
+            # executions; the single execution per wave is the fetch.
+            ftbl = (frontier if isinstance(frontier, pa.Table)
+                    else _collect_control(frontier))
+            control = _wave_kernel(cfg, seen.shards, next_seq, wave)(ftbl)
+            blocked = control.filter(pc.equal(control["role"], "blocked"))
+            deferred_tbl = control.filter(
+                pc.equal(control["role"], "deferred")).select(FRONTIER_COLS)
+            admitted = control.filter(
+                pc.equal(control["role"], "admitted")
+            ).drop_columns(["role", "host_rank"])
+            n_blocked = blocked.num_rows
+            n_deferred = deferred_tbl.num_rows
+            n_admitted = admitted.num_rows
+            if n_blocked:
+                seen.add(blocked["url_key"])
+            store.write_table(_blocked_log_batch(wave)(blocked),
+                              "blocked", wave)
             _mark(f'w{wave} kernel')
-            roles = control.map_batches(
-                lambda t: t.group_by(["role"]).aggregate(
-                    [("role", "count")]).rename_columns(["role", "n"]),
-                batch_format="pyarrow").to_pandas()
-            rc = roles.groupby("role")["n"].sum()
-            n_blocked = int(rc.get("blocked", 0))
-            n_deferred = int(rc.get("deferred", 0))
-            blocked_log = control.map_batches(
-                lambda t: t.filter(pc.equal(t["role"], "blocked")),
-                batch_format="pyarrow",
-            ).map_batches(_seen_add_fn(seen.shards), batch_format="pyarrow"
-            ).map_batches(_blocked_log_batch(wave), batch_format="pyarrow"
-            ).materialize()
-            store.write_dataset(blocked_log, "blocked", wave)
-            _mark(f'w{wave} blocked')
-            deferred = control.map_batches(
-                lambda t: t.filter(pc.equal(t["role"], "deferred"))
-                           .select(FRONTIER_COLS),
-                batch_format="pyarrow")
-            # spread the admitted rows so the fetch pool parallelizes;
-            # materialize BEFORE the actor pool — an unfinished AllToAll
-            # upstream of a full-width pool deadlocks on CPU starvation
-            # (idle actors hold every CPU the repartition task needs).
-            ordered = control.map_batches(
-                lambda t: t.filter(pc.equal(t["role"], "admitted"))
-                           .drop_columns(["role", "host_rank"]),
-                batch_format="pyarrow",
-            ).repartition(FRONTIER_BLOCKS).materialize()
-            _mark(f'w{wave} spread')
+            # ONE Ray execution: fetch + span side-write; span payloads
+            # go task -> storage, never through the object store.  The
+            # control columns stream back to the driver.
+            if n_admitted:
+                seen.add(admitted["url_key"])
+                staged = _add_wave(wave)(admitted)
+                ncpu = int(ray.cluster_resources().get("CPU", 8))
+                chunk = max(min(fetch_batch_size, 512),
+                            -(-n_admitted // (4 * ncpu)))
+                chain = rd.from_arrow(_split_table(staged, chunk))
+                if fetcher_mode == "actor":
+                    fetched = chain.map_batches(
+                        FetchWriter, fn_constructor_args=(cfg, fetch_dir),
+                        batch_format="pyarrow", batch_size=fetch_batch_size,
+                        concurrency=fetch_concurrency)
+                else:
+                    fetched = chain.map_batches(
+                        FetchWriter(cfg, fetch_dir), batch_format="pyarrow",
+                        batch_size=None)
+                ctrl = _collect_control(fetched)
+            else:
+                ctrl = _add_wave(wave)(admitted).append_column(
+                    "doc_id", pa.array([], type=pa.string())).append_column(
+                    "status", pa.array([], type=pa.string())).append_column(
+                    "links", pa.array([], type=pa.list_(pa.string()))
+                ).append_column(
+                    "n_spans", pa.array([], type=pa.int32())).append_column(
+                    "n_links", pa.array([], type=pa.int32()))
+            store.commit_partition("fetch", wave)
+            _mark(f'w{wave} fetch+write')
+            n_failed = int(pc.sum(
+                pc.equal(ctrl["status"], "failed").cast(pa.int64())
+            ).as_py() or 0)
+            store.write_table(
+                _urlseen_batch(wave)(ctrl.select(["url_key", "url", "seq"])),
+                "urlseen", wave)
+            # frontier expansion, all driver-side vectorized
+            if wave + 1 < cfg.max_waves and ctrl.num_rows:
+                okrows = ctrl.filter(pc.and_(
+                    pc.equal(ctrl["status"], "ok"),
+                    pc.less(ctrl["depth"], cfg.max_depth),
+                )).select(["admission_key", "depth", "links"])
+                children = _explode_links(cfg.max_depth)(okrows)
+                nxt_tbl = pa.concat_tables([children, deferred_tbl],
+                                           promote_options="default")
+            else:
+                nxt_tbl = deferred_tbl
+            n_next = nxt_tbl.num_rows
+            store.write_table(nxt_tbl.select(FRONTIER_COLS),
+                              "frontier_next", wave)
+            nxt = nxt_tbl
+            _mark(f'w{wave} links+checkpoint')
         else:
-            # ---- scale path: distributed shuffles (hash-partitioned
-            # groupbys + range sort), identical semantics.
-            from ray.data.aggregate import Min as _Min
-
-            flagged = (
-                frontier.map_batches(_pack_firstwins, batch_format="pyarrow")
-                .groupby("url_key", num_partitions=FRONTIER_BLOCKS)
-                .aggregate(_Min("sortkey", alias_name="sortkey"),
-                           _Min("url", alias_name="url"))
-                .map_batches(_unpack_firstwins, batch_format="pyarrow")
-                .map_batches(_seen_filter_fn(seen.shards), batch_format="pyarrow")
-                .map_batches(_robots_flag(cfg), batch_format="pyarrow")
-                .materialize()
-            )
-            _mark(f'w{wave} flagged(scale)')
-            blocked = flagged.map_batches(
-                lambda t: t.filter(t["blocked"]), batch_format="pyarrow")
-            fetchable = flagged.map_batches(
-                lambda t: t.filter(pc.invert(t["blocked"])).drop_columns(["blocked"]),
-                batch_format="pyarrow")
-            blocked_log = blocked.map_batches(
-                _seen_add_fn(seen.shards), batch_format="pyarrow",
-            ).map_batches(_blocked_log_batch(wave), batch_format="pyarrow").materialize()
-            n_blocked = blocked_log.count()
-            store.write_dataset(blocked_log, "blocked", wave)
-            # politeness schedule: per-block host-cap combiner + host shuffle
-            pruned = fetchable.map_batches(
-                _host_cap_prune(cfg.max_per_host_per_wave), batch_format="pyarrow")
-            pre_deferred = pruned.map_batches(
-                lambda t: t.filter(t["pre_deferred"]).select(FRONTIER_COLS),
-                batch_format="pyarrow")
-            contend = pruned.map_batches(
-                lambda t: t.filter(pc.invert(t["pre_deferred"]))
-                           .drop_columns(["pre_deferred"]),
-                batch_format="pyarrow")
-            sched = contend.groupby("host").map_groups(
+            # ---- scale path: distributed exchanges, identical
+            # semantics.  Per wave: dedup+seen (1 execution + shard
+            # exchange), politeness groupby with robots fused in front
+            # (1; blocked side-written inside it), order sort (2), and
+            # the fetch chain (1) — which side-writes spans + urlseen
+            # and emits the next frontier's candidates directly.
+            frontier_ds = (rd.from_arrow(_split_table(
+                frontier, -(-frontier.num_rows // _frontier_blocks())))
+                if isinstance(frontier, pa.Table) else frontier)
+            blocked_dir = store.prepare_partition("blocked", wave)
+            fresh, n_fresh = _dedup_fresh_via_shards(
+                frontier_ds, seen.shards, wave)
+            _mark(f'w{wave} dedup(scale)')
+            # politeness schedule: host shuffle ranks + defers in-group;
+            # a hot host's window is cfg.max_per_host_per_wave, so the
+            # per-group admitted set is bounded (skew split: the rest
+            # re-enters next wave's frontier as deferred rows).  The
+            # robots split rides the same execution as the shuffle's map
+            # phase.
+            sched = fresh.map_batches(
+                _robots_split(cfg, blocked_dir, wave),
+                batch_format="pyarrow",
+            ).groupby("host").map_groups(
                 _schedule_group(cfg), batch_format="pandas",
             ).materialize()
+            store.commit_partition("blocked", wave)
+            n_blocked = _partition_rows(blocked_dir)
+            # bulk seen-add of the blocked keys from the partition just
+            # committed: each shard reads its own hash range — no
+            # per-batch actor RPCs inside the shuffle execution.
+            seen.restore_from_parquet(store._data_files("blocked", [wave]))
+            n_fetchable = n_fresh - n_blocked
             _mark(f'w{wave} sched(scale)')
-            admitted = sched.map_batches(
+            admitted_ds = sched.map_batches(
                 lambda t: t.filter(pc.invert(t["deferred"]))
                            .drop_columns(["deferred", "host_rank"]),
                 batch_format="pyarrow")
-            deferred = sched.map_batches(
+            deferred_ds = sched.map_batches(
                 lambda t: t.filter(t["deferred"]).select(FRONTIER_COLS),
                 batch_format="pyarrow")
-            deferred = deferred.union(pre_deferred).materialize()
-            n_deferred = deferred.count()
-            _mark(f'w{wave} deferred(scale)')
-            # global crawl order (range sort + zip-with-index), then
-            # re-block: the sort range-packs the control rows into very
-            # few blocks (~128MB target), which would starve the fetch
-            # actor pool — spread to FRONTIER_BLOCKS and materialize
-            # (AllToAll before a full-width pool must not be lazy).
-            ordered = assign_global_seq(
-                admitted, ["fetch_vtime", "admission_key", "url"],
-                seq_col="seq", start=next_seq,
-            ).repartition(FRONTIER_BLOCKS).materialize()
+            ordered, n_admitted = assign_global_seq(
+                admitted_ds, ["fetch_vtime", "admission_key", "url"],
+                seq_col="seq", start=next_seq, return_count=True)
+            n_deferred = n_fetchable - n_admitted
+            if _prof:
+                print(f"[prof] w{wave} blocks sched={sched.num_blocks()}",
+                      flush=True)
             _mark(f'w{wave} ordered(scale)')
-        # 7. commit admission to the seen index, then fetch (actor pool)
-        committed = ordered.map_batches(
-            _seen_add_fn(seen.shards), batch_format="pyarrow")
-        staged = committed.map_batches(_add_wave(wave), batch_format="pyarrow")
-        if fetcher_mode == "actor":
-            fetched = staged.map_batches(
-                Fetcher, fn_constructor_args=(cfg,),
-                batch_format="pyarrow", batch_size=fetch_batch_size,
-                concurrency=fetch_concurrency,
-            )
-        else:
-            fetched = staged.map_batches(
-                Fetcher(cfg), batch_format="pyarrow",
-                batch_size=fetch_batch_size,
-            )
-        # 8. single full-data pass: write the wave partition
-        store.write_dataset(fetched, "fetch", wave)
-        _mark(f'w{wave} fetch+write')
-        # 9. ONE column-pruned read-back of the wave partition feeds all
-        # derived outputs (status accounting, urlseen, link expansion) —
-        # span payloads stay on disk.
-        fview = store.read_dataset(
-            "fetch", waves=[wave],
-            columns=["url_key", "url", "seq", "status",
-                     "admission_key", "depth", "links"],
-        ).materialize()
-        status_parts = fview.map_batches(
-            lambda t: t.group_by(["status"]).aggregate(
-                [("status", "count")]).rename_columns(["status", "n"]),
-            batch_format="pyarrow",
-        ).to_pandas()  # partial per-block counts; <= blocks x 3 rows
-        status_counts = status_parts.groupby("status")["n"].sum()
-        n_admitted = int(status_counts.sum())
-        n_failed = int(status_counts.get("failed", 0))
-        _mark(f'w{wave} status')
-        urlseen_part = fview.map_batches(
-            lambda t: _urlseen_batch(wave)(t.select(["url_key", "url", "seq"])),
-            batch_format="pyarrow")
-        store.write_dataset(urlseen_part, "urlseen", wave)
-        _mark(f'w{wave} urlseen')
-        # 10. frontier expansion from outlinks
-        if wave + 1 < cfg.max_waves:
-            links = fview.map_batches(
-                lambda t: t.filter(
-                    pc.and_(pc.equal(t["status"], "ok"),
-                            pc.less(t["depth"], cfg.max_depth))
-                ).select(["admission_key", "depth", "links"]),
-                batch_format="pyarrow",
-            ).map_batches(_explode_links(cfg.max_depth), batch_format="pyarrow")
-            nxt = links.union(deferred).repartition(FRONTIER_BLOCKS).materialize()
-        else:
-            nxt = deferred
-        n_next = nxt.count()
-        _mark(f'w{wave} links+next')
-        store.write_table(_collect_control(nxt), "frontier_next", wave)
-        _mark(f'w{wave} checkpoint')
-        # 11. wave metrics + commit marker
+            # the fetch chain: admission commit -> fetch (side-writes
+            # spans) -> urlseen side-write -> link explosion; its output
+            # IS the next frontier's link candidates.
+            urlseen_dir = store.prepare_partition("urlseen", wave)
+            staged = ordered.map_batches(_add_wave(wave), batch_format="pyarrow")
+            if fetcher_mode == "actor":
+                fetched = staged.map_batches(
+                    FetchWriter, fn_constructor_args=(cfg, fetch_dir),
+                    batch_format="pyarrow", batch_size=fetch_batch_size,
+                    concurrency=fetch_concurrency)
+            else:
+                fetched = staged.map_batches(
+                    FetchWriter(cfg, fetch_dir), batch_format="pyarrow",
+                    batch_size=fetch_batch_size)
+            tail = fetched.map_batches(_urlseen_sidewrite(urlseen_dir, wave),
+                                       batch_format="pyarrow")
+            if wave + 1 < cfg.max_waves:
+                children = tail.map_batches(
+                    lambda t: t.filter(pc.and_(
+                        pc.equal(t["status"], "ok"),
+                        pc.less(t["depth"], cfg.max_depth),
+                    )).select(["admission_key", "depth", "links"]),
+                    batch_format="pyarrow",
+                ).map_batches(_explode_links(cfg.max_depth),
+                              batch_format="pyarrow")
+            else:
+                children = tail.map_batches(
+                    lambda t: t.select(FRONTIER_COLS).slice(0, 0),
+                    batch_format="pyarrow")
+            nxt = children.union(deferred_ds).materialize()
+            store.commit_partition("fetch", wave)
+            store.commit_partition("urlseen", wave)
+            _mark(f'w{wave} fetch+write')
+            # admission enters the seen index in bulk from the committed
+            # urlseen partition (same shard-side hash-range load as
+            # resume) — reads of wave k+1 see every add of wave k, and
+            # the fetch chain carries zero seen-index RPCs.
+            seen.restore_from_parquet(store._data_files("urlseen", [wave]))
+            _mark(f'w{wave} seen-load')
+            n_failed = _failed_rows(fetch_dir)
+            n_next = nxt.count()
+            store.write_dataset(nxt, "frontier_next", wave)
+            _mark(f'w{wave} links+checkpoint')
+        # wave metrics + commit marker
         next_seq += n_admitted
         metrics = pa.table(
             {
@@ -639,6 +831,7 @@ def run_crawl(
         store.write_table(metrics, "metrics", wave,
                           lineage={"next_seq": next_seq, "n_candidates": n_cand,
                                    "n_next": n_next})
+        _mark(f'w{wave} metrics')
         frontier = nxt if n_next else None
         if stop_after_wave is not None and wave >= stop_after_wave:
             break

@@ -102,3 +102,36 @@ class Fetcher:
                            pa.array([len(x) for x in link_lists],
                                     type=pa.int32()))
         )
+
+
+class FetchWriter(Fetcher):
+    """Fetcher that writes its full span rows straight to the wave's
+    fetch partition and returns only the CONTROL columns.
+
+    The span payload — the dominant data volume — takes exactly one hop:
+    built in the fetch task, written to storage there, never shipped
+    through the object store.  Filenames are deterministic
+    (``part-s<min seq>.parquet``; seq values are globally unique and
+    batches partition them), so Ray task retries overwrite rather than
+    duplicate, and the partition commits atomically afterwards via the
+    store's manifest (TableStore.prepare_partition/commit_partition).
+    """
+
+    def __init__(self, cfg: CrawlConfig, out_dir: str):
+        super().__init__(cfg)
+        self.out_dir = out_dir
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import os
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        full = super().__call__(batch)
+        if full.num_rows:
+            smin = pc.min(full["seq"]).as_py()
+            tmp = os.path.join(self.out_dir, f".tmp-{uuid.uuid4().hex[:8]}")
+            pq.write_table(full, tmp)
+            os.replace(tmp, os.path.join(self.out_dir,
+                                         f"part-s{smin:015d}.parquet"))
+        return full.drop_columns(["spans"])

@@ -54,6 +54,9 @@ class SeenShard:
         self.bloom_bits = bloom_bits
         self.bloom = np.zeros(bloom_bits // 8 + 1, dtype=np.uint8)
         self.keys = np.empty(0, dtype=KEY_DTYPE)  # sorted
+        self._staged: dict[bytes, pa.Table] = {}
+        self._stage_wave = -1
+        self._flush_count = 0
 
     def _positions(self, hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         # two bloom probes derived from the 64-bit key hash
@@ -61,8 +64,7 @@ class SeenShard:
         h2 = (hashes >> np.uint64(17)) % np.uint64(self.bloom_bits)
         return h1, h2
 
-    def contains(self, keys: np.ndarray, hashes: np.ndarray) -> np.ndarray:
-        """Membership mask for a batch of S32 keys — all vectorized."""
+    def _contains_local(self, keys: np.ndarray, hashes: np.ndarray) -> np.ndarray:
         h1, h2 = self._positions(hashes)
         maybe = (
             (self.bloom[h1 >> np.uint64(3)] >> (h1 & np.uint64(7)) & 1).astype(bool)
@@ -76,6 +78,53 @@ class SeenShard:
             pos = np.minimum(pos, len(self.keys) - 1)
             out[ix] = self.keys[pos] == cand
         return out
+
+    def contains(self, keys: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+        """Membership mask for a batch of S32 keys — all vectorized."""
+        return self._contains_local(keys, hashes)
+
+    # -- dedup exchange (scale path) ---------------------------------------
+    # The shards double as the first-wins dedup exchange: map tasks
+    # stage each batch's packed candidate rows here (routed by key
+    # hash, so every duplicate of a key lands on ONE shard), then a
+    # flush pass computes the per-key min and drops already-seen keys —
+    # one actor-side arrow group_by instead of a Ray groupby().aggregate
+    # whose per-row-Python reduce measured 8-12x slower than the rest of
+    # the wave combined.  ``task_key`` (the sub-batch's min key) makes
+    # staging idempotent under Ray task retries: a retry overwrites its
+    # own previous staging instead of duplicating it.
+
+    def stage(self, wave: int, task_key: bytes, tbl: pa.Table) -> bool:
+        if wave != self._stage_wave:
+            self._staged = {}
+            self._stage_wave = wave
+        self._staged[task_key] = tbl
+        return True
+
+    def flush_fresh(self, wave: int) -> pa.Table:
+        """Combine staged packed rows -> first-wins min per key -> drop
+        seen keys; returns the shard's fresh rows sorted by url_key
+        (deterministic block content & order)."""
+        empty = pa.table({"url_key": pa.array([], type=pa.string()),
+                          "sortkey": pa.array([], type=pa.int64()),
+                          "url": pa.array([], type=pa.string())})
+        if wave != self._stage_wave or not self._staged:
+            self._flush_count = 0
+            return empty
+        t = pa.concat_tables(self._staged.values(), promote_options="default")
+        self._staged = {}
+        g = t.group_by(["url_key"]).aggregate(
+            [("sortkey", "min"), ("url", "min")])
+        g = g.rename_columns(["url_key", "sortkey", "url"])
+        keys = as_key_array(g["url_key"])
+        fresh_mask = ~self._contains_local(keys, routing_hash(keys))
+        g = g.filter(pa.array(fresh_mask))
+        g = g.take(pa.compute.sort_indices(g, sort_keys=[("url_key", "ascending")]))
+        self._flush_count = g.num_rows
+        return g
+
+    def last_flush_count(self) -> int:
+        return self._flush_count
 
     def add(self, keys: np.ndarray, hashes: np.ndarray) -> int:
         h1, h2 = self._positions(hashes)
@@ -93,6 +142,9 @@ class SeenShard:
     def reset(self) -> bool:
         self.bloom[:] = 0
         self.keys = np.empty(0, dtype=KEY_DTYPE)
+        self._staged = {}
+        self._stage_wave = -1
+        self._flush_count = 0
         return True
 
     def snapshot(self) -> np.ndarray:

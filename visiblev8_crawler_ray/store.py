@@ -68,6 +68,25 @@ class TableStore:
         return sorted(waves)
 
     # -- writes -------------------------------------------------------------
+    def prepare_partition(self, table: str, wave: int) -> str:
+        """Open a partition for in-place side-writes from map tasks.
+
+        The manifest is the commit marker, so tasks may write directly
+        into the final directory: a crash before :meth:`commit_partition`
+        leaves an uncommitted dir that the next run clears here.  Task
+        retries overwrite the same deterministic filenames via
+        tmp+rename, so at-least-once execution stays idempotent.
+        """
+        d = self.part_dir(table, wave)
+        if os.path.exists(d):
+            shutil.rmtree(d)
+        os.makedirs(d)
+        return d
+
+    def commit_partition(self, table: str, wave: int,
+                         lineage: dict | None = None) -> None:
+        self._commit(table, wave, lineage)
+
     def write_dataset(self, ds: rd.Dataset, table: str, wave: int,
                       lineage: dict | None = None) -> None:
         """Write a Dataset as one committed partition (atomic via rename)."""
