@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_head": A.sample_head,
         # URL stages (M1-M3, D1, D6, §2.8)
         "seed_canonicalize": A.seed_canonicalize,
+        "action_spans": A.action_spans,
         "urlseen_dedup": A.urlseen_dedup,
         "host_counts": A.host_counts,
         "seed_union": A.seed_union,
@@ -282,6 +283,12 @@ def oracle_sql() -> dict[str, str]:
         "sample_head": """
             SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
             ORDER BY l_orderkey, l_linenumber LIMIT 50""",
+        "action_spans": """
+            SELECT doc_id AS seed_id, j AS action_idx,
+                   (doc_id * 7 + j * 31) % 1280 AS x,
+                   (doc_id * 13 + j * 17) % 720 AS y
+            FROM documents, (VALUES (0), (1), (2)) AS t(j)
+            WHERE doc_id % 5 = 1 AND j < 1 + doc_id % 3""",
         "seed_canonicalize": f"""
             {_seed_cte()}
             SELECT seed_id, {canon} AS canonical_url,

@@ -27,7 +27,8 @@ CFG = CrawlConfig(max_depth=1, max_waves=4, max_per_host_per_wave=15)
 def oracle_result():
     seeds = synth.seeds_table(np.arange(80), CFG)
     return seeds, crawl_oracle(
-        list(zip(seeds["seed_id"].to_pylist(), seeds["url"].to_pylist())), CFG
+        list(zip(seeds["seed_id"].to_pylist(), seeds["url"].to_pylist())), CFG,
+        seed_actions=seeds["actions"].to_pylist(),
     )
 
 
@@ -105,6 +106,33 @@ def test_resume_no_refetch_no_double_count(oracle_result, tmp_path):
     r_seen = resumed.urlseen().to_pandas().sort_values("first_seq")
     assert f_seen[["url_key", "first_wave", "first_seq"]].values.tolist() == \
         r_seen[["url_key", "first_wave", "first_seq"]].values.tolist()
+
+
+def test_action_replay_and_fallback(oracle_result, tmp_path):
+    """M6: actioned seeds emit action/click + action/nav spans; replay
+    failures fall back to a direct crawl (span-identical to a no-actions
+    fetch); fetch_mode matches the oracle per URL."""
+    import pandas as pd
+
+    seeds, orc = oracle_result
+    run = _run(seeds, str(tmp_path / "acts"), fetch_concurrency=2,
+               fetch_batch_size=64)
+    fetch = run.store.read_dataset(
+        "fetch", columns=["url", "status", "fetch_mode", "spans"]).to_pandas()
+    olog = pd.DataFrame([r for r in orc.crawl_log if r["status"] == "ok"])
+    got = fetch[fetch.status == "ok"].set_index("url")
+    modes = got["fetch_mode"].to_dict()
+    omodes = dict(zip(olog.url, olog.fetch_mode))
+    assert modes == omodes
+    # the synthetic seed set must actually exercise all three modes
+    assert {"direct", "actions"} <= set(modes.values())
+    # actioned docs carry action spans; fallback/direct docs none
+    for url, spans in got["spans"].items():
+        kinds = {s["kind"] for s in spans}
+        if modes[url] == "actions":
+            assert "action/click" in kinds and "action/nav" in kinds, url
+        else:
+            assert "action/click" not in kinds, url
 
 
 def test_resume_after_midwave_crash(oracle_result, tmp_path):

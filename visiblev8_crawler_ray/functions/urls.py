@@ -192,6 +192,22 @@ def fail_mask(strings) -> np.ndarray:
     return (h % np.uint64(211)) == 0
 
 
+_ACTION_FAIL_SEED = 0x71EE5EED0C0FFEE5
+
+
+def action_fail_mask(strings) -> np.ndarray:
+    """Deterministic action-replay failure predicate (vectorized).
+
+    Mirrors the reference's actions-crawl timeout/failure that triggers
+    the direct-URL fallback retry (``vv8_worker/tasks.py:148-178``):
+    ~1/17 of actioned URLs fail replay and are re-crawled without
+    actions.
+    """
+    arr = _as_arrow_strings(strings)
+    h = pl.from_arrow(arr).hash(seed=_ACTION_FAIL_SEED).to_numpy().astype(np.uint64)
+    return (h % np.uint64(17)) == 0
+
+
 def md5_hex(strings: pa.Array | pa.ChunkedArray | list[str]) -> pa.Array:
     """md5 hex digest per element — the URL-seen key (DuckDB: md5(col)).
 

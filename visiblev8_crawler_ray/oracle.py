@@ -45,6 +45,7 @@ from .functions import urls as U
 from .synth import (
     doc_id_for,
     make_spans,
+    parse_actions,
     robots_blocked,
 )
 
@@ -68,8 +69,10 @@ class OracleResult:
     metrics: list[dict] = field(default_factory=list)    # METRICS_SCHEMA rows
 
 
-def crawl_oracle(seed_urls: list[tuple[int, str]], cfg: CrawlConfig) -> OracleResult:
-    """seed_urls: (seed_id, raw_url) in file order."""
+def crawl_oracle(seed_urls: list[tuple[int, str]], cfg: CrawlConfig,
+                 seed_actions: list[str] | None = None) -> OracleResult:
+    """seed_urls: (seed_id, raw_url) in file order; ``seed_actions``
+    the aligned per-seed actions JSON strings ('' = none, M6)."""
     res = OracleResult()
     seen: set[str] = set()          # url_key of fetched + blocked + failed
     seq = 0
@@ -78,6 +81,19 @@ def crawl_oracle(seed_urls: list[tuple[int, str]], cfg: CrawlConfig) -> OracleRe
     raw = pa.array([u for _, u in seed_urls], type=pa.string())
     c = U.canonicalize(raw)
     cand: list[tuple[int, str, int]] = []  # (admission_key, canonical_url, depth)
+    # first-wins actions map: the FIRST submission of a canonical URL
+    # decides its actions (duplicates are served from cache —
+    # endpoints/tasks.py:150-156); rows without actions still claim the
+    # first-wins slot.
+    amap: dict[str, str] = {}
+    acts_in = seed_actions or [""] * len(seed_urls)
+    for (sid, _), cu, ok, aj in sorted(
+        zip(seed_urls, c["canonical_url"].to_pylist(),
+            c["valid"].to_pylist(), acts_in),
+        key=lambda r: r[0][0],
+    ):
+        if ok and cu not in amap:
+            amap[cu] = aj
     for (sid, _), cu, ok in zip(
         seed_urls, c["canonical_url"].to_pylist(), c["valid"].to_pylist()
     ):
@@ -148,14 +164,24 @@ def crawl_oracle(seed_urls: list[tuple[int, str]], cfg: CrawlConfig) -> OracleRe
                 )
                 seq += 1
                 continue
-            spans = make_spans(url, host, path, wave, cfg)
+            aj = amap.get(url, "")
+            acts = parse_actions(aj) if aj else None
+            if acts and U.action_fail_mask([url])[0]:
+                acts = None          # replay failed -> direct-URL fallback
+                fetch_mode = "actions_fallback"
+            elif acts:
+                fetch_mode = "actions"
+            else:
+                fetch_mode = "direct"
+            spans = make_spans(url, host, path, wave, cfg, actions=acts)
             did = doc_id_for(url, wave)
             links = [s["text"] for s in spans if s["kind"] == "link"]
             res.docs.append(dict(doc_id=did, spans=spans))
             res.crawl_log.append(
                 dict(seq=seq, wave=wave, host=host, url=url, url_key=uk,
                      doc_id=did, depth=depth, fetch_vtime=vt, status="ok",
-                     n_spans=len(spans), n_links=len(links))
+                     n_spans=len(spans), n_links=len(links),
+                     fetch_mode=fetch_mode)
             )
             m["fetched"] += 1
             if depth < cfg.max_depth:

@@ -362,6 +362,44 @@ def seed_canonicalize(sf_dir: str) -> pa.Table:
     return docs.map_batches(derive, batch_format="pyarrow").to_pandas()
 
 
+def action_spans(sf_dir: str) -> pa.Table:
+    """M6 action replay surface: per-seed action scripts exploded to one
+    row per click (seed_id, action_idx, x, y, will_fallback).
+
+    Exercises the real submission path — the JSON actions column parsed
+    by ``synth.parse_actions`` (the same function the fetcher replays
+    through).  The fallback predicate is polars-hash-based (not
+    SQL-expressible); its behavior is gated by the oracle-simulator
+    suite (tests/test_crawl_vs_oracle.py:test_action_replay_and_fallback).
+    """
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        urls = synth.derive_seed_urls(ids, DEFAULT_CONFIG)
+        actions = synth.actions_for(ids)
+        c = U.canonicalize(pa.array(urls, type=pa.string()))
+        valid = c["valid"].to_numpy(zero_copy_only=False)
+        out_sid, out_idx, out_x, out_y = [], [], [], []
+        sel = np.flatnonzero(valid & (actions != ""))
+        for i in sel:
+            for j, (x, y) in enumerate(synth.parse_actions(actions[i])):
+                out_sid.append(int(ids[i]))
+                out_idx.append(j)
+                out_x.append(x)
+                out_y.append(y)
+        return pa.table(
+            {
+                "seed_id": pa.array(out_sid, type=pa.int64()),
+                "action_idx": pa.array(out_idx, type=pa.int64()),
+                "x": pa.array(out_x, type=pa.int64()),
+                "y": pa.array(out_y, type=pa.int64()),
+            }
+        )
+
+    return docs.map_batches(derive, batch_format="pyarrow").to_pandas()
+
+
 def urlseen_dedup(sf_dir: str) -> pa.Table:
     """D1: first-wins URL-seen dedup (endpoints/tasks.py:148-156) over
     the valid derived seeds — min seed_id per canonical URL."""

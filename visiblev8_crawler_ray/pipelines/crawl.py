@@ -395,6 +395,46 @@ def _failed_rows(part_dir: str) -> int:
         return sum(ex.map(one, files))
 
 
+def _build_actions_map(seeds) -> dict[str, str]:
+    """First-wins {url_key: actions JSON} map for actioned seeds (M6).
+
+    The reference accepts per-URL action scripts at submission
+    (``endpoints/tasks.py:96-99``); a duplicate submission is served
+    from cache, so the FIRST submission of a URL decides its actions —
+    mirrored here by keeping the min-seed_id row per canonical URL
+    (including rows with no actions) before dropping the empty ones.
+    Mission lists are curated seed sets, far smaller than the frontier,
+    so the map broadcasts via ray.put; at larger mission sizes the same
+    lookup becomes a hash-partitioned join on url_key.
+    """
+    if isinstance(seeds, rd.Dataset):
+        if "actions" not in seeds.schema().names:
+            return {}
+        tbl = _collect_control(seeds.map_batches(
+            lambda t: t.select(["seed_id", "url", "actions"]),
+            batch_format="pyarrow"))
+    else:
+        if "actions" not in seeds.column_names:
+            return {}
+        tbl = seeds.select(["seed_id", "url", "actions"])
+    if tbl.num_rows == 0:
+        return {}
+    c = U.canonicalize(tbl["url"])
+    tbl = pa.table({
+        "seed_id": tbl["seed_id"],
+        "url_key": U.url_key128(c["canonical_url"])[0],
+        "actions": tbl["actions"],
+    }).filter(c["valid"])
+    tbl = tbl.take(pc.sort_indices(
+        tbl, sort_keys=[("url_key", "ascending"), ("seed_id", "ascending")]))
+    keys = tbl["url_key"].to_numpy(zero_copy_only=False)
+    first = np.ones(len(keys), dtype=bool)
+    first[1:] = keys[1:] != keys[:-1]
+    tbl = tbl.filter(pa.array(first))
+    tbl = tbl.filter(pc.not_equal(tbl["actions"], ""))
+    return dict(zip(tbl["url_key"].to_pylist(), tbl["actions"].to_pylist()))
+
+
 def _split_table(t: pa.Table, chunk_rows: int) -> list[pa.Table]:
     chunk_rows = max(1, chunk_rows)
     return [t.slice(i, chunk_rows) for i in range(0, t.num_rows, chunk_rows)]
@@ -593,6 +633,8 @@ def run_crawl(
     """
     store = TableStore(store_root)
     seen = None  # built below
+    amap = _build_actions_map(seeds)
+    actions_ref = ray.put(amap) if amap else None
 
     done = store.committed_waves("metrics")
     if done:
@@ -679,13 +721,14 @@ def run_crawl(
                 chain = rd.from_arrow(_split_table(staged, chunk))
                 if fetcher_mode == "actor":
                     fetched = chain.map_batches(
-                        FetchWriter, fn_constructor_args=(cfg, fetch_dir),
+                        FetchWriter,
+                        fn_constructor_args=(cfg, fetch_dir, actions_ref),
                         batch_format="pyarrow", batch_size=fetch_batch_size,
                         concurrency=fetch_concurrency)
                 else:
                     fetched = chain.map_batches(
-                        FetchWriter(cfg, fetch_dir), batch_format="pyarrow",
-                        batch_size=None)
+                        FetchWriter(cfg, fetch_dir, actions_ref),
+                        batch_format="pyarrow", batch_size=None)
                 ctrl = _collect_control(fetched)
             else:
                 ctrl = _add_wave(wave)(admitted).append_column(
@@ -775,13 +818,14 @@ def run_crawl(
             staged = ordered.map_batches(_add_wave(wave), batch_format="pyarrow")
             if fetcher_mode == "actor":
                 fetched = staged.map_batches(
-                    FetchWriter, fn_constructor_args=(cfg, fetch_dir),
+                    FetchWriter,
+                    fn_constructor_args=(cfg, fetch_dir, actions_ref),
                     batch_format="pyarrow", batch_size=fetch_batch_size,
                     concurrency=fetch_concurrency)
             else:
                 fetched = staged.map_batches(
-                    FetchWriter(cfg, fetch_dir), batch_format="pyarrow",
-                    batch_size=fetch_batch_size)
+                    FetchWriter(cfg, fetch_dir, actions_ref),
+                    batch_format="pyarrow", batch_size=fetch_batch_size)
             tail = fetched.map_batches(_urlseen_sidewrite(urlseen_dir, wave),
                                        batch_format="pyarrow")
             if wave + 1 < cfg.max_waves:

@@ -28,6 +28,8 @@ SPAN_KINDS = (
     "set",
     "call",
     "new",
+    "action/click",
+    "action/nav",
     "link",
     "media/screenshot",
     "media/har",

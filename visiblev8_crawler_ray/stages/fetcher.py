@@ -28,18 +28,29 @@ import pyarrow.compute as pc
 
 from ..config import CrawlConfig
 from ..functions import urls as U
-from ..synth import fetch_rows_flat
+from ..synth import fetch_rows_flat, parse_actions
 from ..schemas import SPAN_STRUCT
 
 
 class Fetcher:
-    def __init__(self, cfg: CrawlConfig):
-        # Once-per-actor setup (browser launch analog).
+    def __init__(self, cfg: CrawlConfig, actions_ref=None):
+        # Once-per-actor setup (browser launch analog).  ``actions_ref``
+        # is a ray.put handle to the first-wins {url_key: actions JSON}
+        # map for actioned seed URLs (M6) — broadcast once, read per
+        # actor, never re-shipped per batch.  Action missions are
+        # curated seed lists (LoginGPT), orders of magnitude smaller
+        # than the frontier; at huge mission sizes the same lookup
+        # becomes a hash-partitioned join on url_key instead.
         self.cfg = cfg
+        self._actions: dict[str, str] | None = None
+        if actions_ref is not None:
+            import ray
+
+            self._actions = ray.get(actions_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         url_col = batch.column("url")
-        # vectorized over the batch: failure predicate + doc ids
+        # vectorized over the batch: failure predicates + doc ids
         ok = ~U.fail_mask(url_col)
         h1, _ = U.hash128_parts(url_col)
         did_all = pc.binary_join_element_wise(
@@ -52,6 +63,22 @@ class Fetcher:
         waves = batch.column("wave").to_pylist()
         n = len(urls)
 
+        # action replay (M6): look up the batch's actioned URLs; replay
+        # failures fall back to a direct crawl (vv8_worker/tasks.py:148-178)
+        fetch_mode = ["direct"] * n
+        row_actions: list[list | None] = [None] * n
+        if self._actions:
+            keys = batch.column("url_key").to_pylist()                 if "url_key" in batch.column_names else None
+            afail = U.action_fail_mask(url_col)
+            for i in range(n):
+                aj = self._actions.get(keys[i]) if keys else None
+                if aj:
+                    if afail[i]:
+                        fetch_mode[i] = "actions_fallback"  # direct retry
+                    else:
+                        fetch_mode[i] = "actions"
+                        row_actions[i] = parse_actions(aj)
+
         ok_ix = np.flatnonzero(ok)
         did_np = did_all.to_numpy(zero_copy_only=False)
         kinds, texts, medias, counts_ok, doc_ids_ok, links_ok = fetch_rows_flat(
@@ -61,6 +88,7 @@ class Fetcher:
             [waves[i] for i in ok_ix],
             self.cfg,
             doc_ids=[did_np[i] for i in ok_ix],
+            actions=[row_actions[i] for i in ok_ix],
         )
         counts = np.zeros(n, dtype=np.int64)
         counts[ok] = counts_ok
@@ -101,6 +129,8 @@ class Fetcher:
             .append_column("n_links",
                            pa.array([len(x) for x in link_lists],
                                     type=pa.int32()))
+            .append_column("fetch_mode",
+                           pa.array(fetch_mode, type=pa.string()))
         )
 
 
@@ -117,8 +147,8 @@ class FetchWriter(Fetcher):
     store's manifest (TableStore.prepare_partition/commit_partition).
     """
 
-    def __init__(self, cfg: CrawlConfig, out_dir: str):
-        super().__init__(cfg)
+    def __init__(self, cfg: CrawlConfig, out_dir: str, actions_ref=None):
+        super().__init__(cfg, actions_ref=actions_ref)
         self.out_dir = out_dir
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -66,10 +66,47 @@ def derive_seed_urls(doc_ids: np.ndarray, cfg: CrawlConfig) -> np.ndarray:
     return out
 
 
+def actions_for(doc_ids: np.ndarray) -> np.ndarray:
+    """Deterministic per-seed action scripts (M6 action replay).
+
+    Mirrors the reference's LoginGPT missions: ~1/5 of submissions carry
+    a JSON list of click actions (``endpoints/tasks.py:96-99`` accepts
+    ``actions``; ``crawler.js:636-680`` replays clickPositions).  Here:
+    seeds with ``doc_id % 5 == 1`` get ``1 + doc_id % 3`` clicks at
+    deterministic coordinates; everything else gets ''.  The exact JSON
+    string is reproducible in SQL (:func:`actions_sql_expr`) so the
+    driver's DuckDB oracle can regenerate it.
+    """
+    d = np.asarray(doc_ids, dtype=np.int64)
+    out = np.full(len(d), "", dtype=object)
+    for i in np.flatnonzero(d % 5 == 1):
+        di = int(d[i])
+        n_act = 1 + di % 3
+        parts = [
+            f'{{"x":{(di * 7 + j * 31) % 1280},"y":{(di * 13 + j * 17) % 720}}}'
+            for j in range(n_act)
+        ]
+        out[i] = "[" + ",".join(parts) + "]"
+    return out
+
+
+def actions_sql_expr(d: str) -> str:
+    """DuckDB SQL producing the identical actions JSON string for a
+    doc_id column expression ``d`` (mirrors :func:`actions_for`)."""
+    def elem(j: int) -> str:
+        return (f"'{{\"x\":' || CAST((({d})*7+{j}*31) % 1280 AS VARCHAR) ||"
+                f" ',\"y\":' || CAST((({d})*13+{j}*17) % 720 AS VARCHAR) || '}}'")
+
+    return f"""(CASE WHEN ({d}) % 5 <> 1 THEN ''
+        ELSE '[' || {elem(0)} ||
+             (CASE WHEN ({d}) % 3 >= 1 THEN ',' || {elem(1)} ELSE '' END) ||
+             (CASE WHEN ({d}) % 3 >= 2 THEN ',' || {elem(2)} ELSE '' END) ||
+        ']' END)"""
+
+
 def seeds_table(doc_ids: np.ndarray, cfg: CrawlConfig) -> pa.Table:
     """Seed table shaped like SEEDS_SCHEMA from a doc_id vector."""
     urls = derive_seed_urls(doc_ids, cfg)
-    n = len(doc_ids)
     return pa.table(
         {
             "seed_id": pa.array(np.asarray(doc_ids, dtype=np.int64)),
@@ -79,7 +116,7 @@ def seeds_table(doc_ids: np.ndarray, cfg: CrawlConfig) -> pa.Table:
                 type=pa.string(),
             ),
             "task_id": pa.array([f"task-{i}" for i in doc_ids], type=pa.string()),
-            "actions": pa.array([""] * n, type=pa.string()),
+            "actions": pa.array(actions_for(doc_ids), type=pa.string()),
         }
     )
 
@@ -201,10 +238,15 @@ def doc_id_for(canonical_url: str, wave: int) -> str:
     return f"{h1[0]:016x}-w{wave}"
 
 
+_NAV_OUTCOMES = ("none", "same-page", "new-tab")
+
+
 def make_spans_flat(canonical_url: str, host: str, path: str, wave: int,
                     cfg: CrawlConfig,
                     kinds: list, texts: list, medias: list,
-                    did: str | None = None) -> tuple[int, list[str]]:
+                    did: str | None = None,
+                    actions: list[tuple[int, int]] | None = None,
+                    ) -> tuple[int, list[str]]:
     """Append one URL's ordered span columns to the shared flat lists.
 
     Columnar emission (kind/text/media_ref appended to caller-owned
@@ -237,6 +279,17 @@ def make_spans_flat(canonical_url: str, host: str, path: str, wave: int,
             kinds.append(_MODE_KINDS[(h >> ((2 * i + s) & 31)) % 4])
             texts.append(FEATURE_VOCAB[(h * 7 + s * 13 + i * 31) % nv])
             medias.append("")
+    # Action replay (M6): after page load, before leaving the page —
+    # mirrors crawler.js:636-680 (mouse.move/click + navigation detect).
+    # Navigation outcomes are recorded in the trace but do not alter the
+    # outlink graph (link following stays the frontier's job).
+    if actions:
+        for j, (ax, ay) in enumerate(actions):
+            kinds.append("action/click"); texts.append(f"{ax},{ay}")
+            medias.append("")
+            kinds.append("action/nav")
+            texts.append(_NAV_OUTCOMES[(h >> (2 * j)) % 3])
+            medias.append("")
     links = outlinks(host, page, cfg)
     for link in links:
         kinds.append("link"); texts.append(link); medias.append("")
@@ -248,24 +301,36 @@ def make_spans_flat(canonical_url: str, host: str, path: str, wave: int,
 
 
 def make_spans(canonical_url: str, host: str, path: str, wave: int,
-               cfg: CrawlConfig) -> list[dict]:
+               cfg: CrawlConfig,
+               actions: list[tuple[int, int]] | None = None) -> list[dict]:
     """Ordered interleaved span list for one URL — the per-URL trace
     (dict form; the oracle/tests view of make_spans_flat).
 
     Shape mirrors the reference's per-submission bundle: VV8 log records
     (isolate/origin/script + g/s/c/n usage lines,
-    ``1_postgres_schema.sql:55-82``) interleaved with screenshot and HAR
-    artifacts (``vv8_worker/tasks.py:184-264``) plus 'link' spans that
-    drive frontier expansion.
+    ``1_postgres_schema.sql:55-82``) interleaved with action-replay
+    spans (M6), screenshot and HAR artifacts
+    (``vv8_worker/tasks.py:184-264``) plus 'link' spans that drive
+    frontier expansion.
     """
     kinds: list = []
     texts: list = []
     medias: list = []
-    make_spans_flat(canonical_url, host, path, wave, cfg, kinds, texts, medias)
+    make_spans_flat(canonical_url, host, path, wave, cfg, kinds, texts,
+                    medias, actions=actions)
     return [
         {"kind": k, "text": t, "media_ref": m, "offset": i}
         for i, (k, t, m) in enumerate(zip(kinds, texts, medias))
     ]
+
+
+def parse_actions(actions_json: str) -> list[tuple[int, int]]:
+    """'' -> []; JSON click list -> [(x, y), ...]."""
+    if not actions_json:
+        return []
+    import json
+
+    return [(int(a["x"]), int(a["y"])) for a in json.loads(actions_json)]
 
 
 def mode_kind(mode: str) -> str:
@@ -280,12 +345,14 @@ def robots_blocked(host: str, path: str, cfg: CrawlConfig) -> bool:
 
 def fetch_rows_flat(urls: list[str], hosts: list[str], paths: list[str],
                     waves: list[int], cfg: CrawlConfig,
-                    doc_ids: list[str] | None = None):
+                    doc_ids: list[str] | None = None,
+                    actions: list[list[tuple[int, int]]] | None = None):
     """Batch fetch, columnar: flat span columns + per-row counts.
 
     Returns (kinds, texts, medias, span_counts, doc_ids, link_lists) —
     the fetcher turns these into an Arrow list<struct> column directly.
-    ``doc_ids`` lets the fetcher pass vectorized-computed ids.
+    ``doc_ids`` lets the fetcher pass vectorized-computed ids;
+    ``actions`` the per-row replay scripts (M6).
     """
     kinds: list = []
     texts: list = []
@@ -294,9 +361,13 @@ def fetch_rows_flat(urls: list[str], hosts: list[str], paths: list[str],
     link_lists: list[list[str]] = []
     if doc_ids is None:
         doc_ids = [doc_id_for(u, int(w)) for u, w in zip(urls, waves)]
-    for u, hst, pth, w, did in zip(urls, hosts, paths, waves, doc_ids):
+    if actions is None:
+        actions = [None] * len(urls)
+    for u, hst, pth, w, did, acts in zip(urls, hosts, paths, waves,
+                                         doc_ids, actions):
         n, links = make_spans_flat(u, hst, pth, int(w), cfg,
-                                   kinds, texts, medias, did=did)
+                                   kinds, texts, medias, did=did,
+                                   actions=acts)
         counts.append(n)
         link_lists.append(links)
     return kinds, texts, medias, counts, doc_ids, link_lists
