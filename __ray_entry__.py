@@ -152,6 +152,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_metrics": lambda sf: _crawl(sf).metrics(),
         "crawl_docs_summary": _crawl_docs_summary,
         "scripts_from_docs": _scripts_from_docs,
+        "scripts_provenance": lambda sf: P.scripts_provenance(_crawl(sf).docs()),
+        "create_elements": lambda sf: P.create_elements(_crawl(sf).docs()),
         "doc_feature_summary": _doc_feature_summary,
         "usage_rollup_crawl": _usage_rollup_crawl,
         "spans_exploded": _spans_exploded,

