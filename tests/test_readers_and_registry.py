@@ -114,3 +114,17 @@ def test_minhash_scale_path_parity():
     b = dedup_minhash(sf, force_scale=True)
     key = lambda df: sorted(map(tuple, df[["doc_a", "doc_b", "jaccard"]].values.tolist()))  # noqa: E731
     assert key(a) == key(b)
+
+
+def test_embedding_near_dup_chunk_parity():
+    """The chunk-pair self-join must be chunking-invariant: tiny chunks
+    (many chunk-pair tasks) produce the identical pair set."""
+    import pandas as pd
+
+    from visiblev8_crawler_ray.pipelines.embeddings import embedding_near_dup
+
+    sf = "/root/testdata/sf0.001"
+    a = embedding_near_dup(sf)
+    b = embedding_near_dup(sf, chunk_rows=64)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))

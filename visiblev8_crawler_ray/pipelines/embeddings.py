@@ -159,38 +159,57 @@ def ann_lsh(sf_dir: str, n_queries: int = 10, k: int = 5) -> pa.Table:
     return ds.groupby("bucket").map_groups(per_bucket, batch_format="pandas").to_pandas()
 
 
-def embedding_near_dup(sf_dir: str, threshold: float = 0.45) -> pa.Table:
+def embedding_near_dup(sf_dir: str, threshold: float = 0.45,
+                       chunk_rows: int = 4096) -> pa.Table:
     """Embedding-cosine near-dup pairs (vec_a < vec_b, cos >= threshold).
 
-    Brute force across batch pairs via broadcast of the (normalized)
-    full matrix — valid while one side fits a worker; the LSH-bucketed
-    variant is the scale path."""
-    full = pa.concat_tables(
-        _read_emb(sf_dir).iter_batches(batch_format="pyarrow", batch_size=8192))
-    all_ids, all_mat = _to_matrix(full)
-    order = np.argsort(all_ids)
-    all_ids, all_mat = all_ids[order], _normalize(all_mat[order])
-    ref = ray.put((all_ids, all_mat))
+    Exact, scale-shaped (VERDICT r1 fix #2): the all-pairs compare runs
+    as a CHUNK-PAIR self-join — vectors are re-blocked into bounded
+    chunks held as object-store refs (``to_arrow_refs``: no driver
+    materialization), and one task per chunk pair (i <= j) loads exactly
+    two chunks, computes the (chunk_i x chunk_j) cosine block, and emits
+    the thresholded pairs.  Worker memory is O(2 x chunk_rows x dim)
+    regardless of corpus size; total compute stays the inherent O(n^2)
+    of an exact threshold join — the approximate sub-quadratic variant
+    is :func:`ann_lsh`'s bucketing, which trades recall and is therefore
+    not hash-comparable to the exact SQL oracle.
+    """
+    ds = _read_emb(sf_dir)
+    n = ds.count()
+    if n == 0:
+        return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                             "vec_b": pd.Series([], dtype="int64"),
+                             "cosine": pd.Series([], dtype="float64")})
+    n_chunks = max(1, -(-n // chunk_rows))
+    refs = ds.repartition(n_chunks).materialize().to_arrow_refs()
 
-    def pairs(t: pa.Table) -> pa.Table:
-        all_ids, all_mat = ray.get(ref)
-        ids, mat = _to_matrix(t)
-        sims = round_half_away(_normalize(mat) @ all_mat.T, 4)
-        ai, bj = np.nonzero(sims >= threshold)
-        a = ids[ai]
-        b = all_ids[bj]
-        keep = a < b
-        return pa.table(
-            {
-                "vec_a": pa.array(a[keep], type=pa.int64()),
-                "vec_b": pa.array(b[keep], type=pa.int64()),
-                "cosine": pa.array(sims[ai, bj][keep], type=pa.float64()),
-            }
-        )
+    tasks = [{"i": i, "j": j}
+             for i in range(len(refs)) for j in range(i, len(refs))]
 
-    out = _read_emb(sf_dir).map_batches(pairs, batch_format="pyarrow").to_pandas()
+    def compare(batch: pa.Table) -> pa.Table:
+        outs = []
+        for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
+            ti, tj = ray.get(refs[i]), ray.get(refs[j])
+            ids_a, mat_a = _to_matrix(ti)
+            ids_b, mat_b = _to_matrix(tj)
+            sims = round_half_away(
+                _normalize(mat_a) @ _normalize(mat_b).T, 4)
+            ai, bj = np.nonzero(sims >= threshold)
+            a, b = ids_a[ai], ids_b[bj]
+            keep = a < b           # orders pairs AND drops the diagonal
+            outs.append(pa.table(
+                {
+                    "vec_a": pa.array(a[keep], type=pa.int64()),
+                    "vec_b": pa.array(b[keep], type=pa.int64()),
+                    "cosine": pa.array(sims[ai, bj][keep], type=pa.float64()),
+                }
+            ))
+        return pa.concat_tables(outs)
+
+    out = rd.from_items(tasks, override_num_blocks=len(tasks)).map_batches(
+        compare, batch_format="pyarrow").to_pandas()
     if len(out) == 0:  # keep the schema on empty results
-        out = pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
-                            "vec_b": pd.Series([], dtype="int64"),
-                            "cosine": pd.Series([], dtype="float64")})
-    return out
+        return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                             "vec_b": pd.Series([], dtype="int64"),
+                             "cosine": pd.Series([], dtype="float64")})
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
