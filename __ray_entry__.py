@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seed_canonicalize": A.seed_canonicalize,
         "action_spans": A.action_spans,
         "urlseen_dedup": A.urlseen_dedup,
+        "url_dimension": A.url_dimension,
         "host_counts": A.host_counts,
         "seed_union": A.seed_union,
         # stream-shaped (§2.9)
@@ -297,6 +298,23 @@ def oracle_sql() -> dict[str, str]:
                    {parts['scheme']} AS scheme, {parts['host']} AS host,
                    {parts['path']} AS path, {valid} AS valid
             FROM seeds""",
+        "url_dimension": f"""
+            {_seed_cte()}, c AS (
+                SELECT seed_id, {canon} AS url_full,
+                       {parts['scheme']} AS url_scheme,
+                       {parts['host']} AS url_hostname,
+                       {parts['port']} AS url_port,
+                       {parts['path_only']} AS url_path,
+                       {parts['query']} AS url_query
+                FROM seeds WHERE {valid})
+            SELECT sha256(url_full) AS sha256, url_full, url_scheme,
+                   url_hostname, url_port, url_path, url_query,
+                   {U.etld1_sql_expr('url_hostname')} AS url_etld1,
+                   (url_scheme || '://' || url_hostname || url_port ||
+                    url_path) AS url_stemmed,
+                   min(seed_id) AS first_seed
+            FROM c
+            GROUP BY ALL""",
         "urlseen_dedup": f"""
             {_seed_cte()}, c AS (
                 SELECT seed_id, {canon} AS cu FROM seeds WHERE {valid})

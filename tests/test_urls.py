@@ -23,7 +23,7 @@ CASES = [
     ("https://a.example:443/x", "https://a.example/x", True),
     ("https://a.example:8443/x", "https://a.example:8443/x", True),  # kept
     ("https://a.example/x#frag", "https://a.example/x", True),
-    ("https://a.example/x?b=2&a=1", "https://a.example/x?b=2&a=1", True),
+    ("https://a.example/x?b=2&a=1", "https://a.example/x?a=1&b=2", True),  # M2 param sort
     ("ftp://a.example/x", "ftp://a.example/x", False),
     ("", "https:///", False),
     ("   http://a.example/x  ", "http://a.example/x", True),

@@ -20,7 +20,9 @@ Canonicalization contract (applied in order):
 3. lowercase scheme and host
 4. strip the ``#fragment``
 5. drop default ports (``http:80``, ``https:443``)
-6. empty path becomes ``/`` (query string kept verbatim)
+6. empty path becomes ``/``
+7. query params sorted bytewise (``?b=2&a=1`` == ``?a=1&b=2``, M2)
+8. trailing whitespace stripped from the path (idempotence)
 """
 
 from __future__ import annotations
@@ -62,7 +64,8 @@ def canonicalize(urls: pa.Array | pa.ChunkedArray) -> dict[str, pa.Array]:
     hp = pc.extract_regex(rest, r"^(?P<hostport>[^/]*)(?P<path>.*)$")
     hostport = pc.struct_field(hp, "hostport")
     path = pc.struct_field(hp, "path")
-    host = pc.utf8_lower(pc.replace_substring_regex(hostport, r":.*$", ""))
+    host = pc.utf8_trim_whitespace(
+        pc.utf8_lower(pc.replace_substring_regex(hostport, r":.*$", "")))
     port = pc.replace_substring_regex(hostport, r"^[^:]*", "")  # ':NN' or ''
     is_default = pc.or_(
         pc.and_(pc.equal(scheme, "http"), pc.equal(port, ":80")),
@@ -70,6 +73,23 @@ def canonicalize(urls: pa.Array | pa.ChunkedArray) -> dict[str, pa.Array]:
     )
     port = pc.if_else(is_default, pa.scalar(""), port)
     path = pc.if_else(pc.equal(path, ""), pa.scalar("/"), path)
+    # query-param sort (M2): '?b=2&a=1' == '?a=1&b=2' — split the query
+    # off the path, sort its '&'-separated params bytewise, re-attach.
+    # polars list kernels keep this fully vectorized.
+    pq_df = pl.DataFrame({"p": pl.from_arrow(path)}).with_columns(
+        base=pl.col("p").str.splitn("?", 2).struct.field("field_0"),
+        q=pl.col("p").str.splitn("?", 2).struct.field("field_1"),
+    ).with_columns(
+        qs=pl.col("q").str.split("&").list.sort().list.join("&"),
+    ).with_columns(
+        out=pl.when(pl.col("q").is_null()).then(pl.col("p")).otherwise(
+            pl.col("base") + "?" + pl.col("qs")),
+    )
+    path_only = pq_df["base"].to_arrow().cast(pa.string())
+    query = pq_df["qs"].fill_null("").to_arrow().cast(pa.string())
+    # trailing whitespace would break idempotence (the canonical output
+    # must be its own fixed point under the leading trim)
+    path = pc.utf8_rtrim_whitespace(pq_df["out"].to_arrow().cast(pa.string()))
     canonical = _join(scheme, pa.scalar("://"), host, port, path)
 
     valid = pc.and_(
@@ -82,6 +102,8 @@ def canonicalize(urls: pa.Array | pa.ChunkedArray) -> dict[str, pa.Array]:
         "host": host,
         "port": port,
         "path": path,
+        "path_only": path_only,
+        "query": query,
         "valid": valid,
     }
 
@@ -97,8 +119,20 @@ def sql_url_parts(col: str) -> dict[str, str]:
     rest = f"regexp_replace(regexp_extract({t}, '://(.*)$', 1), '#.*$', '')"
     hostport = f"regexp_extract({rest}, '^([^/]*)', 1)"
     path0 = f"regexp_replace({rest}, '^[^/]*', '')"
-    path = f"(CASE WHEN {path0} = '' THEN '/' ELSE {path0} END)"
-    host = f"lower(regexp_replace({hostport}, ':.*$', ''))"
+    pre_path = f"(CASE WHEN {path0} = '' THEN '/' ELSE {path0} END)"
+    # everything after the FIRST '?' is the query (split_part would cut
+    # at every '?'; substr+strpos matches the Python splitn semantics)
+    path_only = (f"(CASE WHEN strpos({pre_path}, '?') > 0 "
+                 f"THEN substr({pre_path}, 1, strpos({pre_path}, '?') - 1) "
+                 f"ELSE {pre_path} END)")
+    query0 = (f"(CASE WHEN strpos({pre_path}, '?') > 0 "
+              f"THEN substr({pre_path}, strpos({pre_path}, '?') + 1) "
+              f"ELSE NULL END)")
+    query_sorted = f"array_to_string(list_sort(string_split({query0}, '&')), '&')"
+    query = f"coalesce({query_sorted}, '')"
+    path = (f"rtrim(CASE WHEN {query0} IS NULL THEN {pre_path} "
+            f"ELSE {path_only} || '?' || {query_sorted} END)")
+    host = f"trim(lower(regexp_replace({hostport}, ':.*$', '')))"
     port0 = f"regexp_replace({hostport}, '^[^:]*', '')"
     port = (
         f"(CASE WHEN {port0} = '' OR ({scheme} = 'http' AND {port0} = ':80') "
@@ -109,9 +143,43 @@ def sql_url_parts(col: str) -> dict[str, str]:
         "host": host,
         "port": port,
         "path": path,
+        "path_only": path_only,
+        "query": query,
         "canonical_url": f"({scheme} || '://' || {host} || {port} || {path})",
         "valid": f"({scheme} IN ('http','https') AND {host} <> '')",
     }
+
+
+# Two-level public suffixes recognized by the simplified eTLD+1 rule
+# (a real deployment drops in the full public-suffix list; the RULE —
+# last label count depends on the suffix — is what the pipeline
+# exercises).  Mirrors urls.url_etld1, 2_mega_vv8_postgres_schema.sql:15-26.
+TWO_LEVEL_SUFFIXES = ("co.uk", "org.uk", "gov.uk", "com.au", "co.jp")
+
+
+def etld1(hosts: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Simplified eTLD+1: last 2 host labels, or 3 when the last 2 form
+    a known two-level public suffix.  Vectorized regex extracts."""
+    if isinstance(hosts, pa.ChunkedArray):
+        hosts = hosts.combine_chunks()
+    last2 = pc.struct_field(
+        pc.extract_regex(hosts, r"(?P<x>[^.]+\.[^.]+)$"), "x")
+    last3 = pc.struct_field(
+        pc.extract_regex(hosts, r"(?P<x>[^.]+\.[^.]+\.[^.]+)$"), "x")
+    is2lvl = pc.is_in(last2, value_set=pa.array(list(TWO_LEVEL_SUFFIXES)))
+    out = pc.if_else(is2lvl, last3, last2)
+    # hosts with a single label (or no match) fall back to the host
+    return pc.coalesce(out, hosts)
+
+
+def etld1_sql_expr(host: str) -> str:
+    """DuckDB SQL mirroring :func:`etld1` for a host expression."""
+    last2 = f"regexp_extract({host}, '([^.]+\\.[^.]+)$', 1)"
+    last3 = f"regexp_extract({host}, '([^.]+\\.[^.]+\\.[^.]+)$', 1)"
+    suffixes = ", ".join(f"'{sfx}'" for sfx in TWO_LEVEL_SUFFIXES)
+    return (f"(CASE WHEN {last2} = '' THEN {host} "
+            f"WHEN {last2} IN ({suffixes}) AND {last3} <> '' THEN {last3} "
+            f"ELSE {last2} END)")
 
 
 def canonical_sql_expr(col: str) -> str:

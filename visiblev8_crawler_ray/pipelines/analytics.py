@@ -400,6 +400,53 @@ def action_spans(sf_dir: str) -> pa.Table:
     return docs.map_batches(derive, batch_format="pyarrow").to_pandas()
 
 
+def url_dimension(sf_dir: str) -> pa.Table:
+    """M3: the full URL dimension row (urls table,
+    2_mega_vv8_postgres_schema.sql:15-26): sha256 key, full/scheme/host/
+    port/path/query parts, simplified eTLD+1 and the stemmed URL
+    (canonical minus query), one row per distinct valid canonical URL
+    (min seed_id wins)."""
+    import hashlib as _hl
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        urls = synth.derive_seed_urls(ids, DEFAULT_CONFIG)
+        c = U.canonicalize(pa.array(urls, type=pa.string()))
+        stemmed = pc.binary_join_element_wise(
+            c["scheme"], pa.scalar("://"), c["host"], c["port"],
+            c["path_only"], "")
+        sha = pa.array([_hl.sha256(u.encode()).hexdigest()
+                        for u in c["canonical_url"].to_pylist()],
+                       type=pa.string())
+        out = pa.table(
+            {
+                "seed_id": t["doc_id"],
+                "sha256": sha,
+                "url_full": c["canonical_url"],
+                "url_scheme": c["scheme"],
+                "url_hostname": c["host"],
+                "url_port": c["port"],
+                "url_path": c["path_only"],
+                "url_query": c["query"],
+                "url_etld1": U.etld1(c["host"]),
+                "url_stemmed": stemmed,
+            }
+        )
+        return out.filter(c["valid"])
+
+    keyed = docs.map_batches(derive, batch_format="pyarrow")
+    # distinct URL dimension rows: first-wins by seed_id per sha256
+    from ..functions.util import two_phase_agg
+
+    cols = ["sha256", "url_full", "url_scheme", "url_hostname", "url_port",
+            "url_path", "url_query", "url_etld1", "url_stemmed"]
+    return two_phase_agg(
+        keyed, cols, [("seed_id", "min")], cols + ["first_seed"]
+    ).to_pandas()
+
+
 def urlseen_dedup(sf_dir: str) -> pa.Table:
     """D1: first-wins URL-seen dedup (endpoints/tasks.py:148-156) over
     the valid derived seeds — min seed_id per canonical URL."""
