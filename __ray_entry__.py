@@ -29,6 +29,7 @@ from visiblev8_crawler_ray.pipelines import embeddings as E
 from visiblev8_crawler_ray.pipelines import textops as T
 from visiblev8_crawler_ray.pipelines import multimodal as MM
 from visiblev8_crawler_ray.pipelines import classify as CL
+from visiblev8_crawler_ray.pipelines import features as FW
 from visiblev8_crawler_ray.pipelines.crawl import CrawlRun, run_crawl
 from visiblev8_crawler_ray.stages import parse as P
 
@@ -106,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "confidence_histogram": A.confidence_histogram,
         "candidate_stats": A.candidate_stats,
         "multi_origin_rollup": A.multi_origin_rollup,
+        "origin_sets": A.origin_sets,
         # joins (J1-J3, J5)
         "anti_join_retry": A.anti_join_retry,
         "orders_with_customer": A.orders_with_customer,
@@ -150,10 +152,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawl pipeline (iterative — oracle-simulator-gated, rows-only here)
         "crawl_urlseen": lambda sf: _crawl(sf).urlseen(),
         "crawl_log": lambda sf: _crawl(sf).crawl_log(),
+        "url_status": lambda sf: _crawl(sf).url_status(),
         "crawl_metrics": lambda sf: _crawl(sf).metrics(),
         "crawl_docs_summary": _crawl_docs_summary,
         "scripts_from_docs": _scripts_from_docs,
         "scripts_provenance": lambda sf: P.scripts_provenance(_crawl(sf).docs()),
+        "doc_features_wide": lambda sf: FW.script_features_wide(_crawl(sf).docs()),
         "create_elements": lambda sf: P.create_elements(_crawl(sf).docs()),
         "doc_feature_summary": _doc_feature_summary,
         "usage_rollup_crawl": _usage_rollup_crawl,
@@ -286,6 +290,11 @@ def oracle_sql() -> dict[str, str]:
         "sample_head": """
             SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
             ORDER BY l_orderkey, l_linenumber LIMIT 50""",
+        "origin_sets": """
+            SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+                   array_to_string(list_sort(list(DISTINCT l_suppkey)), ',')
+                       AS suppliers
+            FROM lineitem GROUP BY l_orderkey""",
         "action_spans": """
             SELECT doc_id AS seed_id, j AS action_idx,
                    (doc_id * 7 + j * 31) % 1280 AS x,

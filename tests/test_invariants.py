@@ -52,3 +52,42 @@ def test_urlseen_unique(run):
     seen = run.urlseen().to_pandas()
     assert seen.url_key.is_unique
     assert seen.first_seq.is_unique
+
+
+def test_blob_artifacts_and_url_status(tmp_path):
+    """S6/S7: blob_artifacts=True materializes the bytes every media
+    span ref points to; M12: url_status projects per-URL state with
+    matching artifact refs."""
+    import os
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from visiblev8_crawler_ray import synth
+    from visiblev8_crawler_ray.pipelines.crawl import run_crawl
+
+    cfg = CrawlConfig(max_depth=0, max_waves=1)
+    seeds = synth.seeds_table(np.arange(30), cfg)
+    root = str(tmp_path / "blobstore")
+    run = run_crawl(seeds, cfg, root, blob_artifacts=True)
+
+    docs = run.docs().to_pandas()
+    n_refs = 0
+    for spans in docs.spans:
+        for s in spans:
+            if s["media_ref"]:
+                rel = s["media_ref"][len("blob://"):]
+                p = os.path.join(root, "blobs", rel)
+                assert os.path.exists(p), p
+                with open(p, "rb") as f:
+                    head = f.read(8)
+                if rel.endswith(".png"):
+                    assert head == b"\x89PNG\r\n\x1a\n"
+                n_refs += 1
+    assert n_refs > 0
+
+    status = run.url_status().to_pandas()
+    ok = status[status.status == "ok"]
+    assert (ok.screenshot_ref == "blob://" + ok.doc_id + "/shot.png").all()
+    assert (status[status.status != "ok"].screenshot_ref == "").all()
+    assert status.complete.all()

@@ -362,6 +362,44 @@ def seed_canonicalize(sf_dir: str) -> pa.Table:
     return docs.map_batches(derive, batch_format="pyarrow").to_pandas()
 
 
+def origin_sets(sf_dir: str) -> pa.Table:
+    """A9 set collection: per object, the SORTED DISTINCT member set
+    materialized as an array (origins TEXT[] / urls TEXT[],
+    1_postgres_schema.sql:84-97) — here per order, the distinct supplier
+    set (joined to a deterministic string for oracle hashing).
+
+    Scalable shape: block-level pair-distinct combiner -> global pair
+    groupby (hash-partitioned) -> per-key collect_set via map_groups
+    over the already-deduplicated pairs (each group is the bounded
+    per-object member set, not raw lineitem rows)."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+
+    pairs = ds.map_batches(
+        lambda t: t.group_by(["l_orderkey", "l_suppkey"]).aggregate([]),
+        batch_format="pyarrow")
+    distinct = two_phase_agg(
+        pairs.map_batches(
+            lambda t: t.append_column(
+                "c", pa.array(np.ones(t.num_rows, dtype=np.int64))),
+            batch_format="pyarrow"),
+        ["l_orderkey", "l_suppkey"], [("c", "sum")],
+        ["l_orderkey", "l_suppkey", "c"])
+
+    def collect(g: pd.DataFrame) -> pd.DataFrame:
+        supp = np.sort(g["l_suppkey"].to_numpy())
+        return pd.DataFrame({
+            "l_orderkey": [g["l_orderkey"].iloc[0]],
+            "n_supp": [len(supp)],
+            "suppliers": [",".join(str(x) for x in supp)],
+        })
+
+    out = distinct.groupby("l_orderkey").map_groups(
+        collect, batch_format="pandas").to_pandas()
+    out["l_orderkey"] = out["l_orderkey"].astype("int64")
+    out["n_supp"] = out["n_supp"].astype("int64")
+    return out
+
+
 def action_spans(sf_dir: str) -> pa.Table:
     """M6 action replay surface: per-seed action scripts exploded to one
     row per click (seed_id, action_idx, x, y, will_fallback).

@@ -47,6 +47,8 @@ Scale notes (10^10 design point):
 
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass
 
 import numpy as np
@@ -590,6 +592,42 @@ class CrawlRun:
             out = out.union(p)
         return out
 
+    def url_status(self) -> rd.Dataset | None:
+        """M12 status projector: the per-URL status/artifact view the
+        reference serves from /task status + artifact fetch
+        (``endpoints/tasks.py:330-386``, ``scripts/fetch.py:78-201``):
+        every submitted URL with its terminal state, crawl position and
+        artifact references (blob refs match the media spans)."""
+        log = self.crawl_log()
+        if log is None:
+            return None
+
+        def project(t: pa.Table) -> pa.Table:
+            ok = pc.equal(t["status"], "ok")
+            shot = pc.if_else(ok, pc.binary_join_element_wise(
+                pa.scalar("blob://"), t["doc_id"], pa.scalar("/shot.png"), ""),
+                pa.scalar(""))
+            har = pc.if_else(ok, pc.binary_join_element_wise(
+                pa.scalar("blob://"), t["doc_id"], pa.scalar("/har.json"), ""),
+                pa.scalar(""))
+            return pa.table(
+                {
+                    "url": t["url"],
+                    "url_key": t["url_key"],
+                    "status": t["status"],
+                    "wave": t["wave"],
+                    "seq": t["seq"],
+                    "doc_id": t["doc_id"],
+                    "n_spans": t["n_spans"],
+                    "screenshot_ref": shot,
+                    "har_ref": har,
+                    "complete": pc.cast(pc.not_equal(t["status"], ""),
+                                        pa.bool_()),
+                }
+            )
+
+        return log.map_batches(project, batch_format="pyarrow")
+
     def urlseen(self) -> rd.Dataset | None:
         return self.store.read_dataset("urlseen")
 
@@ -606,6 +644,7 @@ def run_crawl(
     fetch_batch_size: int = 256,
     fetcher_mode: str = "task",
     stop_after_wave: int | None = None,
+    blob_artifacts: bool = False,
 ) -> CrawlRun:
     import os as _os
     import time as _time
@@ -635,6 +674,10 @@ def run_crawl(
     seen = None  # built below
     amap = _build_actions_map(seeds)
     actions_ref = ray.put(amap) if amap else None
+    # S6/S7: optional artifact-byte materialization under <root>/blobs
+    # (refs in the spans resolve against this dir; off by default — the
+    # blob volume dwarfs the span tables)
+    blob_dir = os.path.join(store_root, "blobs") if blob_artifacts else None
 
     done = store.committed_waves("metrics")
     if done:
@@ -722,12 +765,13 @@ def run_crawl(
                 if fetcher_mode == "actor":
                     fetched = chain.map_batches(
                         FetchWriter,
-                        fn_constructor_args=(cfg, fetch_dir, actions_ref),
+                        fn_constructor_args=(cfg, fetch_dir, actions_ref,
+                                             blob_dir),
                         batch_format="pyarrow", batch_size=fetch_batch_size,
                         concurrency=fetch_concurrency)
                 else:
                     fetched = chain.map_batches(
-                        FetchWriter(cfg, fetch_dir, actions_ref),
+                        FetchWriter(cfg, fetch_dir, actions_ref, blob_dir),
                         batch_format="pyarrow", batch_size=None)
                 ctrl = _collect_control(fetched)
             else:
@@ -819,12 +863,13 @@ def run_crawl(
             if fetcher_mode == "actor":
                 fetched = staged.map_batches(
                     FetchWriter,
-                    fn_constructor_args=(cfg, fetch_dir, actions_ref),
+                    fn_constructor_args=(cfg, fetch_dir, actions_ref,
+                                         blob_dir),
                     batch_format="pyarrow", batch_size=fetch_batch_size,
                     concurrency=fetch_concurrency)
             else:
                 fetched = staged.map_batches(
-                    FetchWriter(cfg, fetch_dir, actions_ref),
+                    FetchWriter(cfg, fetch_dir, actions_ref, blob_dir),
                     batch_format="pyarrow", batch_size=fetch_batch_size)
             tail = fetched.map_batches(_urlseen_sidewrite(urlseen_dir, wave),
                                        batch_format="pyarrow")

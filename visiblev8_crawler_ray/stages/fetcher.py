@@ -147,9 +147,11 @@ class FetchWriter(Fetcher):
     store's manifest (TableStore.prepare_partition/commit_partition).
     """
 
-    def __init__(self, cfg: CrawlConfig, out_dir: str, actions_ref=None):
+    def __init__(self, cfg: CrawlConfig, out_dir: str, actions_ref=None,
+                 blob_dir: str | None = None):
         super().__init__(cfg, actions_ref=actions_ref)
         self.out_dir = out_dir
+        self.blob_dir = blob_dir
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import os
@@ -164,4 +166,36 @@ class FetchWriter(Fetcher):
             pq.write_table(full, tmp)
             os.replace(tmp, os.path.join(self.out_dir,
                                          f"part-s{smin:015d}.parquet"))
+            if self.blob_dir is not None:
+                self._write_blobs(full)
         return full.drop_columns(["spans"])
+
+    def _write_blobs(self, full: pa.Table) -> None:
+        """S6/S7: materialize the media artifacts the span refs point to
+        (screenshot/HAR bytes -> GridFS in the reference,
+        ``vv8_worker/tasks.py:184-264``; here a blob directory keyed by
+        the same ``blob://<doc_id>/<name>`` refs the spans carry).
+        Deterministic synthetic payloads; rewrites are idempotent."""
+        import json
+        import os
+
+        spans = full["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = spans.flatten()
+        refs = flat.field("media_ref").to_numpy(zero_copy_only=False)
+        for ref in refs[refs != ""]:
+            assert ref.startswith("blob://")
+            rel = ref[len("blob://"):]
+            path = os.path.join(self.blob_dir, rel)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            did, name = rel.split("/", 1)
+            if name.endswith(".png"):
+                # PNG signature + deterministic payload
+                payload = b"\x89PNG\r\n\x1a\n" + did.encode()
+            else:
+                payload = json.dumps({"log": {"doc": did}}).encode()
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(payload)
+            os.replace(tmp, path)
