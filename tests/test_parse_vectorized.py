@@ -103,3 +103,27 @@ def test_parse_scripts_matches_naive():
     # the eval chain resolved: d1's second script names the first
     d1 = [r for r in got if r["doc_id"] == "d1"]
     assert d1[1]["genesis"] == "eval" and d1[1]["evaled_by"] == d1[0]["script_sha"]
+
+
+def test_simhash_vectorized_properties(ray_session):
+    """Equal texts hash equal; a one-token edit stays within a few bits;
+    disjoint texts differ widely."""
+    import numpy as np
+    import ray.data as rd
+
+    from visiblev8_crawler_ray.pipelines.textops import SimHasher
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = base.replace("tok7", "tokX")
+    far = " ".join(f"other{i}" for i in range(60))
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                  "text": [base, base, near, far]})
+    out = SimHasher()(t)
+    h = np.array(out["simhash"].to_pylist(), dtype=np.int64).view(np.uint64)
+
+    def ham(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+
+    assert h[0] == h[1]
+    assert ham(h[0], h[2]) <= 12
+    assert ham(h[0], h[3]) >= 20

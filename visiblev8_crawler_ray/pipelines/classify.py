@@ -22,6 +22,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Mean
 
@@ -68,9 +69,13 @@ class Scorer:
 
 def classify_documents(sf_dir: str) -> pd.DataFrame:
     """M9+T3+A5 over the documents table: per-doc score/label/confidence."""
+    # Scorer state is four floats: ship a serialized-once instance into
+    # full-width stateless tasks instead of starving the stage with a
+    # fixed-size actor pool (an expensive real model load would instead
+    # use map_batches(Scorer, concurrency=(2, ncpu)) — see AdblockIndex)
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     return ds.map_batches(
-        Scorer, batch_format="pyarrow", batch_size=4096, concurrency=2
+        Scorer(), batch_format="pyarrow", batch_size=4096
     ).to_pandas()
 
 
@@ -78,7 +83,7 @@ def classification_summary(sf_dir: str) -> pd.DataFrame:
     """A7: per-label counts + mean score (classify.py:504-530)."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     scored = ds.map_batches(
-        Scorer, batch_format="pyarrow", batch_size=4096, concurrency=2)
+        Scorer(), batch_format="pyarrow", batch_size=4096)
     out = scored.groupby("label").aggregate(
         Count(alias_name="n"), Mean("score", alias_name="avg_score")
     ).to_pandas()
@@ -152,6 +157,8 @@ def adblock_filter(sf_dir: str) -> pd.DataFrame:
     valid = canon[canon["valid"]][["seed_id", "canonical_url", "host", "path"]]
     ds = rd.from_pandas(valid)
     out = ds.map_batches(
-        AdblockIndex, batch_format="pyarrow", batch_size=4096, concurrency=2
+        AdblockIndex, batch_format="pyarrow", batch_size=4096,
+        # autoscaling pool: index built once per actor, width follows load
+        concurrency=(2, max(2, int(ray.cluster_resources().get("CPU", 8)) // 2))
     ).to_pandas()
     return out[["seed_id", "canonical_url", "ad_blocked"]]

@@ -244,50 +244,6 @@ def _route_keys(keys, n_shards: int):
     return arr, hashes, (hashes % np.uint64(n_shards)).astype(np.int64)
 
 
-def _seen_filter_fn(shards):
-    """Stage querying the sharded URL-seen actors (read phase).
-
-    A plain function (stateless task), not an actor pool: the only state
-    is the shard handle list, which serializes into the closure — this
-    avoids per-wave actor-pool spin-up."""
-    n = len(shards)
-
-    def fn(batch: pa.Table) -> pa.Table:
-        if not batch.num_rows:
-            return batch
-        arr, hashes, sid = _route_keys(batch.column("url_key"), n)
-        masks = np.zeros(len(arr), dtype=bool)
-        futs, idxs = [], []
-        for s in range(n):
-            ix = np.flatnonzero(sid == s)
-            if len(ix):
-                futs.append(shards[s].contains.remote(arr[ix], hashes[ix]))
-                idxs.append(ix)
-        for ix, m in zip(idxs, ray.get(futs)):
-            masks[ix] = m
-        return batch.filter(pa.array(~masks))
-
-    return fn
-
-
-def _seen_add_fn(shards):
-    """Stage committing admitted/blocked keys (write phase, idempotent)."""
-    n = len(shards)
-
-    def fn(batch: pa.Table) -> pa.Table:
-        if batch.num_rows:
-            arr, hashes, sid = _route_keys(batch.column("url_key"), n)
-            futs = []
-            for s in range(n):
-                ix = np.flatnonzero(sid == s)
-                if len(ix):
-                    futs.append(shards[s].add.remote(arr[ix], hashes[ix]))
-            ray.get(futs)
-        return batch
-
-    return fn
-
-
 def _robots_flag(cfg: CrawlConfig):
     def fn(batch: pa.Table) -> pa.Table:
         hosts = batch.column("host")

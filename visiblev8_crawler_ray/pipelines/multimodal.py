@@ -19,6 +19,7 @@ import hashlib
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data as rd
 
 try:  # pragma: no cover - not present in this sandbox
@@ -72,5 +73,8 @@ def media_features(docs: rd.Dataset) -> rd.Dataset:
         batch_format="pyarrow",
     )
     return media.map_batches(
-        MediaDecoder, batch_format="pyarrow", batch_size=1024, concurrency=2
+        MediaDecoder, batch_format="pyarrow", batch_size=1024,
+        # autoscaling pool: decoder state (image/audio libs, models)
+        # loads once per actor; width follows load instead of pinning 2
+        concurrency=(2, max(2, int(ray.cluster_resources().get("CPU", 8)) // 2))
     )
