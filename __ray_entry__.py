@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scripts_provenance": lambda sf: P.scripts_provenance(_crawl(sf).docs()),
         "doc_features_wide": lambda sf: FW.script_features_wide(_crawl(sf).docs()),
         "create_elements": lambda sf: P.create_elements(_crawl(sf).docs()),
+        "trigger_stats": lambda sf: P.trigger_stats(_crawl(sf).docs()),
         "doc_feature_summary": _doc_feature_summary,
         "usage_rollup_crawl": _usage_rollup_crawl,
         "spans_exploded": _spans_exploded,

@@ -30,6 +30,16 @@ SPAN_KINDS = (
     "new",
     "action/click",
     "action/nav",
+    "trigger/click",
+    "trigger/dblclick",
+    "trigger/focusblur",
+    "trigger/mouse",
+    "trigger/key",
+    "trigger/copypaste",
+    "trigger/scroll",
+    "trigger/resize",
+    "trigger/orientation",
+    "trigger/touch",
     "link",
     "media/screenshot",
     "media/har",

@@ -275,3 +275,47 @@ def scripts_provenance(docs: rd.Dataset) -> rd.Dataset:
         lambda t: t.select(["doc_id", "script_sha", "genesis", "evaled_by"]),
         batch_format="pyarrow",
     )
+
+
+def trigger_stats(docs: rd.Dataset) -> rd.Dataset:
+    """M7 rollup: per trigger type — fired/timeout counts and the mean
+    virtual duration of successful fires (crawler.js:280-420 budgets).
+    Combiner pattern: per-batch partials, tiny final groupby."""
+    def partial(batch: pa.Table) -> pa.Table:
+        ex = explode_spans_batch(batch)
+        trig = ex.filter(pc.starts_with(ex["kind"], "trigger/"))
+        name = pc.replace_substring_regex(trig["kind"], r"^trigger/", "")
+        is_to = pc.equal(trig["text"], "timeout")
+        dur = pc.cast(pc.if_else(is_to, pa.scalar("0"), trig["text"]),
+                      pa.int64())
+        t = pa.table({
+            "trigger": name,
+            "fired": pa.array(np.ones(trig.num_rows, dtype=np.int64)),
+            "timeouts": pc.cast(is_to, pa.int64()),
+            "dur_sum": pc.if_else(is_to, pa.scalar(0, type=pa.int64()), dur),
+        })
+        g = t.group_by(["trigger"]).aggregate(
+            [("fired", "sum"), ("timeouts", "sum"), ("dur_sum", "sum")])
+        return g.rename_columns(["trigger", "fired", "timeouts", "dur_sum"])
+
+    from ray.data.aggregate import Sum
+
+    agg = docs.map_batches(partial, batch_format="pyarrow").groupby(
+        "trigger").aggregate(Sum("fired", alias_name="fired"),
+                             Sum("timeouts", alias_name="timeouts"),
+                             Sum("dur_sum", alias_name="dur_sum"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        fired = t["fired"].to_numpy(zero_copy_only=False)
+        to = t["timeouts"].to_numpy(zero_copy_only=False)
+        ds_ = t["dur_sum"].to_numpy(zero_copy_only=False)
+        okn = np.maximum(fired - to, 1)
+        return pa.table({
+            "trigger": t["trigger"],
+            "fired": t["fired"],
+            "timeouts": t["timeouts"],
+            "avg_duration_ms": pa.array(
+                np.round(ds_ / okn, 2), type=pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -204,6 +204,28 @@ _MODE_KINDS = ("get", "set", "call", "new")
 # attribute (VERDICT r1 missing-item #2).
 GENESIS_KINDS = ("static", "eval", "include", "insert",
                  "write_include", "write_insert")
+
+# Event-handler trigger repertoire (M7): the reference fires these
+# synthetic events on every page after load, each under its own timeout
+# (crawler.js:280-420 executeWithTimeout calls; budgets in ms).  A
+# trigger span records the virtual duration, or 'timeout' when the
+# deterministic duration exceeds the budget (the trigger is abandoned);
+# successful triggers of an input family fire one matching handler-API
+# usage span (the handler's observable effect in the VV8 log).
+TRIGGERS = (
+    ("click", 10_000), ("dblclick", 10_000), ("focusblur", 240_000),
+    ("mouse", 20_000), ("key", 15_000), ("copypaste", 15_000),
+    ("scroll", 30_000), ("resize", 15_000), ("orientation", 5_000),
+    ("touch", 15_000),
+)
+TRIGGER_HANDLER_API = {
+    "click": "MouseEvent.clientX",
+    "mouse": "MouseEvent.clientY",
+    "key": "KeyboardEvent.key",
+    "touch": "TouchEvent.touches",
+    "scroll": "Window.requestAnimationFrame",
+    "focusblur": "Element.addEventListener",
+}
 _PARENTED = {"eval", "insert", "write_insert"}
 CREATE_TAGS = ("div", "script", "img", "iframe", "canvas", "a")
 
@@ -302,6 +324,22 @@ def make_spans_flat(canonical_url: str, host: str, path: str, wave: int,
                 # 1_postgres_schema.sql:148-158)
                 feat = feat + ":" + CREATE_TAGS[(h + s * 7 + i) % 6]
             texts.append(feat)
+            medias.append("")
+    # Event-handler triggering (M7): the full per-page repertoire runs
+    # after the page's own scripts, before action replay.
+    for j, (name, budget) in enumerate(TRIGGERS):
+        dur = ((h >> (2 * j)) * 37) % (budget + budget // 4)
+        kinds.append(f"trigger/{name}")
+        if dur >= budget:
+            texts.append("timeout")
+            medias.append("")
+            continue
+        texts.append(str(dur))
+        medias.append("")
+        api = TRIGGER_HANDLER_API.get(name)
+        if api is not None:
+            kinds.append(_MODE_KINDS[(h >> (j & 31)) % 4])
+            texts.append(api)
             medias.append("")
     # Action replay (M6): after page load, before leaving the page —
     # mirrors crawler.js:636-680 (mouse.move/click + navigation detect).
