@@ -165,13 +165,17 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.5,
 
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     bands = ds.map_batches(MinHasher(), batch_format="pyarrow")
-    nparts = max(2, min(32, int(ray.cluster_resources().get("CPU", 8)) - 2))
 
     # candidate pairs = self-join of the band table on (band, band_hash).
     # Adaptive: a single-block pandas merge while the band table is
     # small; an explicit bucketed hash self-join at scale (pairs only
     # meet within buckets either way).
     bands_mat = bands.materialize()
+    # shuffle width follows DATA volume, not cluster width: every extra
+    # hash-shuffle partition costs aggregator-actor spin-up per
+    # execution, which dwarfs the work when the band table is small
+    # (measured 13s vs 2s at 32 CPUs with width=30 vs 4)
+    nparts = int(np.clip(bands_mat.count() // 250_000, 2, 32))
     if not force_scale and bands_mat.count() <= 2_000_000:
         def self_join(t: pa.Table) -> pa.Table:
             df = t.to_pandas()
