@@ -128,3 +128,16 @@ def test_embedding_near_dup_chunk_parity():
     b = embedding_near_dup(sf, chunk_rows=64)
     pd.testing.assert_frame_equal(a.reset_index(drop=True),
                                   b.reset_index(drop=True))
+
+
+def test_ann_lsh_slab_invariance():
+    """Streaming the bucket in tiny slabs must not change the top-k."""
+    import pandas as pd
+
+    from visiblev8_crawler_ray.pipelines.embeddings import ann_lsh
+
+    sf = "/root/testdata/sf0.001"
+    a = ann_lsh(sf).sort_values(["query_id", "neighbor_id"]).reset_index(drop=True)
+    b = ann_lsh(sf, bucket_chunk=7).sort_values(
+        ["query_id", "neighbor_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

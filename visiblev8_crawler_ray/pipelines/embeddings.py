@@ -127,9 +127,15 @@ class LshBucketer:
         )
 
 
-def ann_lsh(sf_dir: str, n_queries: int = 10, k: int = 5) -> pa.Table:
+def ann_lsh(sf_dir: str, n_queries: int = 10, k: int = 5,
+            bucket_chunk: int = 8192) -> pa.Table:
     """Approximate top-k: queries only compare against vectors in their
-    own LSH bucket (the IVF/LSH scale path; recall < 1 by design)."""
+    own LSH bucket (the IVF/LSH scale path; recall < 1 by design).
+
+    A skewed bucket cannot blow worker memory: the in-bucket compare
+    streams the bucket matrix in ``bucket_chunk``-row slabs, keeping a
+    running per-query top-k (the score matrix is
+    O(n_queries x bucket_chunk), never O(bucket^2))."""
     ds = _read_emb(sf_dir).map_batches(LshBucketer(), batch_format="pyarrow")
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -140,16 +146,27 @@ def ann_lsh(sf_dir: str, n_queries: int = 10, k: int = 5) -> pa.Table:
             return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
                                  "neighbor_id": pd.Series([], dtype="int64"),
                                  "cosine": pd.Series([], dtype="float64")})
-        sims = round_half_away(mat[qsel] @ mat.T, 4)
+        qids = ids[qsel]
+        qmat = mat[qsel]
+        # running top-k per query over bucket slabs
+        best = [[] for _ in qids]  # (cosine, neighbor) candidates
+        for lo in range(0, len(ids), bucket_chunk):
+            sl = slice(lo, lo + bucket_chunk)
+            sims = round_half_away(qmat @ mat[sl].T, 4)
+            sids = ids[sl]
+            for qi in range(len(qids)):
+                row = sims[qi]
+                take = min(k + 1, len(sids))
+                idx = np.lexsort((sids, -row))[:take]
+                best[qi].extend(zip(row[idx], sids[idx]))
         rows = []
-        for qi, qid in enumerate(ids[qsel]):
-            row = sims[qi]
-            idx = np.lexsort((ids, -row))
+        for qi, qid in enumerate(qids):
+            cands = sorted(best[qi], key=lambda cn: (-cn[0], cn[1]))
             cnt = 0
-            for j in idx:
-                if ids[j] == qid:
+            for cos, nid in cands:
+                if nid == qid:
                     continue
-                rows.append((qid, ids[j], row[j]))
+                rows.append((qid, nid, cos))
                 cnt += 1
                 if cnt == k:
                     break

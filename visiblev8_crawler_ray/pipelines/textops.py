@@ -223,18 +223,78 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.5,
             lambda g: g[["doc_a", "doc_b"]].drop_duplicates(),
             batch_format="pandas")
 
-    # exact-Jaccard verify: texts join the pairs via two hash-partitioned
-    # Dataset.joins; the shingle computation happens inside the batch fn
-    docs_a = ds.map_batches(
-        lambda t: t.rename_columns(["doc_a", "text_a"]),
-        batch_format="pyarrow")
-    docs_b = ds.map_batches(
-        lambda t: t.rename_columns(["doc_b", "text_b"]),
-        batch_format="pyarrow")
-    joined = cand.join(docs_a, join_type="inner", on=("doc_a",),
-                       num_partitions=nparts)
-    joined = joined.join(docs_b, join_type="inner", on=("doc_b",),
-                         num_partitions=nparts)
+    # exact-Jaccard verify: texts reach the pairs via two
+    # hash-partitioned joins.  Dataset.join is the fast form (aggregator
+    # actors amortize at width) but DEADLOCKS under CPU-constrained
+    # sessions (observed at 2-4 CPUs, Ray 2.49) — there the same join
+    # runs as a bucketed co-group built from the sort-shuffle groupby
+    # primitive (hash-partition both sides on the key, union,
+    # groupby(bucket), pandas-merge inside each group), which works at
+    # any width.
+    def _bucketed_text_join(pairs_ds: rd.Dataset, key: str,
+                            text_col: str) -> rd.Dataset:
+        def tag_pairs(t: pa.Table) -> pa.Table:
+            k = t[key].to_numpy(zero_copy_only=False)
+            cols = {c: t[c] for c in t.column_names}
+            cols["jbucket"] = pa.array(k % nparts)
+            cols["doc_id"] = pa.array(k)      # join key, aligned name
+            cols["text"] = pa.array([""] * t.num_rows, type=pa.string())
+            cols["side"] = pa.array(np.zeros(t.num_rows, dtype=np.int8))
+            return pa.table(cols)
+
+        def tag_docs(t: pa.Table) -> pa.Table:
+            k = t["doc_id"].to_numpy(zero_copy_only=False)
+            n = t.num_rows
+            cols = {"doc_id": t["doc_id"], "text": t["text"]}
+            for c, typ in zip(pair_cols, pair_types):
+                if c not in cols:
+                    cols[c] = pa.nulls(n, type=typ)  # fillers; merge drops them
+            cols["jbucket"] = pa.array(k % nparts)
+            cols["side"] = pa.array(np.ones(n, dtype=np.int8))
+            return pa.table(cols)
+
+        pair_schema = pairs_ds.schema()
+        pair_cols = list(pair_schema.names)
+
+        def _to_pa_type(t):
+            if isinstance(t, pa.DataType):
+                return t
+            try:
+                return pa.from_numpy_dtype(t)
+            except (pa.ArrowNotImplementedError, TypeError):
+                return pa.string()   # pandas object columns are strings here
+
+        pair_types = [_to_pa_type(t) for t in pair_schema.types]
+
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            docs_g = g[g["side"] == 1][["doc_id", "text"]]
+            pairs_g = g[g["side"] == 0][pair_cols + ["doc_id"]]
+            m = pairs_g.merge(docs_g, on="doc_id", how="inner")
+            m = m.rename(columns={"text": text_col}).drop(columns=["doc_id"])
+            return m[pair_cols + [text_col]]
+
+        tagged_pairs = pairs_ds.map_batches(tag_pairs, batch_format="pyarrow")
+        tagged_docs = ds.map_batches(tag_docs, batch_format="pyarrow")
+        cols_order = ["jbucket", "side", "doc_id", "text"] + pair_cols
+        align = lambda t: t.select(cols_order)  # noqa: E731
+        both = tagged_pairs.map_batches(align, batch_format="pyarrow").union(
+            tagged_docs.map_batches(align, batch_format="pyarrow"))
+        return both.groupby("jbucket").map_groups(merge, batch_format="pandas")
+
+    if int(ray.cluster_resources().get("CPU", 8)) >= 6:
+        docs_a = ds.map_batches(
+            lambda t: t.rename_columns(["doc_a", "text_a"]),
+            batch_format="pyarrow")
+        docs_b = ds.map_batches(
+            lambda t: t.rename_columns(["doc_b", "text_b"]),
+            batch_format="pyarrow")
+        joined = cand.join(docs_a, join_type="inner", on=("doc_a",),
+                           num_partitions=nparts)
+        joined = joined.join(docs_b, join_type="inner", on=("doc_b",),
+                             num_partitions=nparts)
+    else:
+        joined = _bucketed_text_join(cand, "doc_a", "text_a")
+        joined = _bucketed_text_join(joined, "doc_b", "text_b")
 
     mh = MinHasher()  # serialized once into the verify tasks
 
