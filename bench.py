@@ -148,7 +148,17 @@ def run_bench() -> dict:
         "urls_per_sec": round(n_fetch / dt, 1),
     }
 
-    # ---- relational / analytic operators
+    # ---- relational / analytic operators (skipped in crawl-only mode:
+    # the scaling criterion is defined on the crawl + fetch stage)
+    if os.environ.get("BENCH_ONLY") == "crawl":
+        total = round(sum(timings.values()), 3)
+        result = {
+            "metric": "e2e_headline_seconds", "value": total, "unit": "sec",
+            "queries": timings, "sf": sf_dir, "num_cpus": ncpu, **extra,
+        }
+        ray.shutdown()
+        return result
+
     timed("usage_rollup", lambda: A.usage_rollup(sf_dir))
     timed("multi_origin_rollup", lambda: A.multi_origin_rollup(sf_dir))
     timed("events_tumbling_window", lambda: A.events_tumbling_window(sf_dir))
@@ -217,6 +227,7 @@ def run_scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    os.environ.setdefault("BENCH_ONLY", "crawl")
     levels = os.environ.get("SCALE_LEVELS", "2,8")
     lo, hi = (int(x) for x in levels.split(","))
     hw_lo, hw_hi = _cpu_control(lo), _cpu_control(hi)
