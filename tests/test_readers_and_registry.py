@@ -141,3 +141,21 @@ def test_ann_lsh_slab_invariance():
     b = ann_lsh(sf, bucket_chunk=7).sort_values(
         ["query_id", "neighbor_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_ann_lsh_recall_floor():
+    """The LSH-bucketed ANN is approximate by design; measure its
+    recall@k against the exact brute-force top-k and require a sane
+    floor (8 hyperplanes on this corpus recover well over half of the
+    true neighbors)."""
+    from visiblev8_crawler_ray.pipelines.embeddings import ann_lsh, knn_brute
+
+    sf = "/root/testdata/sf0.001"
+    exact = knn_brute(sf)
+    approx = ann_lsh(sf)
+    truth = exact.groupby("query_id")["neighbor_id"].apply(set)
+    got = approx.groupby("query_id")["neighbor_id"].apply(set)
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth.index)
+    total = sum(len(v) for v in truth.values)
+    recall = hits / total
+    assert recall >= 0.5, f"ANN recall collapsed: {recall:.2f}"

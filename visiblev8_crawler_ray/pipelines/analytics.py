@@ -369,9 +369,11 @@ def origin_sets(sf_dir: str) -> pa.Table:
     set (joined to a deterministic string for oracle hashing).
 
     Scalable shape: block-level pair-distinct combiner -> global pair
-    groupby (hash-partitioned) -> per-key collect_set via map_groups
-    over the already-deduplicated pairs (each group is the bounded
-    per-object member set, not raw lineitem rows)."""
+    dedup -> range SORT on (key, member) -> per-block ARROW ``list``
+    aggregation + ``binary_join`` (C-speed collect, no per-group
+    Python) -> a driver-side repair of the rare keys whose runs
+    straddle block boundaries.  Replaced a per-key map_groups collect
+    that ran Python 14.7k times (26 s -> ~1 s at sf0.01)."""
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
 
     pairs = ds.map_batches(
@@ -385,19 +387,41 @@ def origin_sets(sf_dir: str) -> pa.Table:
         ["l_orderkey", "l_suppkey"], [("c", "sum")],
         ["l_orderkey", "l_suppkey", "c"])
 
-    def collect(g: pd.DataFrame) -> pd.DataFrame:
-        supp = np.sort(g["l_suppkey"].to_numpy())
-        return pd.DataFrame({
-            "l_orderkey": [g["l_orderkey"].iloc[0]],
-            "n_supp": [len(supp)],
-            "suppliers": [",".join(str(x) for x in supp)],
+    def per_block(t: pa.Table) -> pa.Table:
+        t = t.select(["l_orderkey", "l_suppkey"])
+        g = t.group_by(["l_orderkey"], use_threads=False).aggregate(
+            [("l_suppkey", "list")])
+        lists = g["l_suppkey_list"]
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        return pa.table({
+            "l_orderkey": g["l_orderkey"],
+            "n_supp": pc.cast(pc.list_value_length(lists), pa.int64()),
+            "suppliers": pc.binary_join(
+                pc.cast(lists, pa.list_(pa.string())), ","),
         })
 
-    out = distinct.groupby("l_orderkey").map_groups(
-        collect, batch_format="pandas").to_pandas()
+    out = (
+        distinct.sort(["l_orderkey", "l_suppkey"])
+        .map_batches(per_block, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    # repair keys whose sorted runs straddled block boundaries (rare:
+    # at most one key per boundary)
+    dup = out["l_orderkey"].duplicated(keep=False)
+    if dup.any():
+        fixed = []
+        for key, grp in out[dup].groupby("l_orderkey"):
+            members = sorted(
+                int(x) for part in grp["suppliers"] for x in part.split(","))
+            fixed.append((key, len(members),
+                          ",".join(str(x) for x in members)))
+        out = pd.concat([out[~dup],
+                         pd.DataFrame(fixed, columns=out.columns)],
+                        ignore_index=True)
     out["l_orderkey"] = out["l_orderkey"].astype("int64")
     out["n_supp"] = out["n_supp"].astype("int64")
-    return out
+    return out.sort_values("l_orderkey").reset_index(drop=True)
 
 
 def action_spans(sf_dir: str) -> pa.Table:
