@@ -66,3 +66,15 @@ def test_md5_matches_duckdb():
 def test_extract_host():
     arr = pa.array(["https://a.b.example/x/y", "http://h.example:8080/z"])
     assert U.extract_host(arr).to_pylist() == ["a.b.example", "h.example"]
+
+
+def test_actions_sql_parity():
+    """actions_for and actions_sql_expr must emit byte-identical JSON."""
+    doc_ids = np.arange(100)
+    py = synth.actions_for(doc_ids).tolist()
+    con = duckdb.connect()
+    con.register("documents", pa.table({"doc_id": doc_ids}))
+    got = con.sql(
+        f"SELECT {synth.actions_sql_expr('doc_id')} FROM documents ORDER BY doc_id"
+    ).fetchall()
+    assert [g[0] for g in got] == py

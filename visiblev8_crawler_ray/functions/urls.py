@@ -205,7 +205,11 @@ def hash128_parts(strings) -> tuple[np.ndarray, np.ndarray]:
     per-row Python (measured 400x faster than the per-row hashlib loop
     this replaced).  Deterministic across processes for fixed seeds
     (asserted by tests), which the cross-parallelism crawl-order
-    equality contract requires.
+    equality contract requires.  Deployment note: hash values are
+    stable per polars build, not across polars versions — a cluster
+    must pin one polars version everywhere (standard practice), and a
+    crawl store's url_keys are only resumable under the version that
+    wrote them.
     """
     arr = _as_arrow_strings(strings)
     s = pl.from_arrow(arr)
