@@ -67,10 +67,6 @@ from ..state.urlseen import get_seen_index
 from ..store import TableStore
 
 FRONTIER_COLS = ["admission_key", "url", "url_key", "host", "path", "depth"]
-# Control sets are re-blocked to this count each wave: the frontier is
-# metadata (not payload), and letting map stages fragment it into hundreds
-# of tiny blocks makes every downstream shuffle pay per-block overhead.
-FRONTIER_BLOCKS = 32
 LOG_COLS = ["seq", "wave", "host", "url", "url_key", "doc_id", "depth",
             "fetch_vtime", "status", "n_spans", "n_links"]
 
