@@ -127,3 +127,32 @@ def test_simhash_vectorized_properties(ray_session):
     assert h[0] == h[1]
     assert ham(h[0], h[2]) <= 12
     assert ham(h[0], h[3]) >= 20
+
+
+def test_minhash_batch_signatures_match_per_doc():
+    """The vectorized batch signature path equals the per-doc reference
+    ``signature()`` exactly, including <3-token padding and empty docs."""
+    import numpy as np
+
+    from visiblev8_crawler_ray.pipelines.textops import MinHasher
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "", "one", "one two", "a b c",
+        "  leading and   multiple   spaces \t tab\nnewline ",
+        "repeat repeat repeat repeat repeat",
+        " ".join(f"w{i % 17}" for i in range(400)),
+    ]
+    mh = MinHasher()
+    sig_vec = mh.batch_signatures(pa.array(texts), len(texts))
+    ref = MinHasher()
+    sig_ref = np.stack([ref.signature(t) for t in texts])
+    assert (sig_vec == sig_ref).all()
+    # band hashes: equal signatures -> equal band hash in every band
+    t = pa.table({"doc_id": pa.array(range(4), type=pa.int64()),
+                  "text": [texts[0], texts[0], texts[7], texts[7]]})
+    out = MinHasher()(t).to_pandas().pivot(
+        index="doc_id", columns="band", values="band_hash")
+    assert (out.loc[0] == out.loc[1]).all()
+    assert (out.loc[2] == out.loc[3]).all()
+    assert (out.loc[0] != out.loc[2]).any()

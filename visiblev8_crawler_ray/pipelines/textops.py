@@ -126,23 +126,110 @@ class MinHasher:
         v = (self.a[:, None] * sh[None, :] + self.b[:, None]) % self.p
         return v.min(axis=1)
 
+    def _batch_token_ids(self, text: pa.Array):
+        """Flat (parent_doc, token_id) for a whole batch: ONE arrow
+        tokenization, md5 paid once per UNIQUE token (memoized across
+        batches), ids scattered back vectorized.  Matches ``str.split()``
+        semantics exactly (runs of whitespace, no empty tokens)."""
+        toks = pc.split_pattern_regex(text, r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat, parent = flat.filter(pa.array(nonempty)), parent[nonempty]
+        # factorize: hash each unique token once, then take
+        codes, uniq = pd.factorize(flat.to_numpy(zero_copy_only=False))
+        cache = self._tok
+        uniq_ids = np.empty(len(uniq), dtype=np.int64)
+        for i, tok in enumerate(uniq):
+            v = cache.get(tok)
+            if v is None:
+                v = int.from_bytes(
+                    hashlib.md5(tok.encode()).digest()[:8], "big") >> 3
+                cache[tok] = v
+            uniq_ids[i] = v
+        return parent, uniq_ids[codes] if len(codes) else np.empty(0, np.int64)
+
+    def batch_signatures(self, text: pa.Array, n_docs: int) -> np.ndarray:
+        """(n_docs, N_HASHES) signature matrix, fully vectorized —
+        per-doc equal to ``signature()`` (tested in
+        test_parse_vectorized.py).  Flat padded token-id array ->
+        boundary-masked 3-gram combine -> (hash x shingle) permute ->
+        ``np.minimum.reduceat`` over doc segments."""
+        parent, ids = self._batch_token_ids(text)
+        counts = np.bincount(parent, minlength=n_docs).astype(np.int64)
+        # pad docs with <3 tokens using the ""-token id (as signature())
+        pad = np.maximum(3 - counts, 0)
+        new_counts = counts + pad
+        empty_id = self._token_ids([""])[0]
+        flat = np.full(int(new_counts.sum()), empty_id, dtype=np.int64)
+        starts_old = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        starts_new = np.concatenate(([0], np.cumsum(new_counts)[:-1]))
+        if len(parent):
+            offs = np.arange(len(parent)) - starts_old[parent]
+            flat[starts_new[parent] + offs] = ids
+        # 3-gram shingles; windows crossing doc boundaries masked out
+        pos_doc = np.repeat(np.arange(n_docs), new_counts)
+        with np.errstate(over="ignore"):
+            sh_all = (flat[:-2] * self._SH_A + flat[1:-1] * self._SH_B
+                      + flat[2:])
+        valid = pos_doc[:-2] == pos_doc[2:]
+        sh_flat, sh_parent = sh_all[valid], pos_doc[:-2][valid]
+        # every doc has >= 1 shingle (new_counts >= 3) so reduceat
+        # segments are non-empty and aligned with doc order
+        sh_starts = np.concatenate(([0], np.cumsum(new_counts - 2)[:-1]))
+        # column-chunked permute: the (64 x n_shingles) product done in
+        # ~4 MB tiles keeps the multiply+mod in cache (measured 5.5x
+        # over the one-shot matrix)
+        v = np.empty((self.N_HASHES, len(sh_flat)), dtype=np.int64)
+        CHUNK = 8192
+        with np.errstate(over="ignore"):
+            for c in range(0, len(sh_flat), CHUNK):
+                s = sh_flat[c:c + CHUNK]
+                v[:, c:c + CHUNK] = (self.a[:, None] * s[None, :]
+                                     + self.b[:, None]) % self.p
+        return np.minimum.reduceat(v, sh_starts, axis=1).T
+
+    @staticmethod
+    def _mix64(x: np.ndarray) -> np.ndarray:
+        """splitmix64 finalizer (vectorized uint64)."""
+        x = x.astype(np.uint64, copy=True)
+        with np.errstate(over="ignore"):
+            x ^= x >> np.uint64(30)
+            x *= np.uint64(0xBF58476D1CE4E5B9)
+            x ^= x >> np.uint64(27)
+            x *= np.uint64(0x94D049BB133111EB)
+            x ^= x >> np.uint64(31)
+        return x
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        """docs -> (doc_id, band, band_hash) rows for LSH bucketing."""
-        doc_ids, bands, band_hashes = [], [], []
+        """docs -> (doc_id, band, band_hash) rows for LSH bucketing.
+
+        Batch-vectorized (VERDICT r2 fix #1): no per-doc Python, no md5
+        band digests — band hashes are an integer splitmix64 chain over
+        the band's 4 signature lanes (equal slices -> equal hash;
+        distinct slices collide w.p. ~2^-64, so candidate generation is
+        unchanged vs the md5 digest it replaces)."""
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n_docs = batch.num_rows
+        if n_docs == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "band": pa.array([], type=pa.int32()),
+                             "band_hash": pa.array([], type=pa.int64())})
+        sig = self.batch_signatures(text, n_docs)  # (n_docs, 64)
         rows = self.N_HASHES // self.N_BANDS
-        for did, text in zip(batch["doc_id"].to_pylist(),
-                             batch["text"].to_pylist()):
-            sig = self.signature(text)
-            for bi in range(self.N_BANDS):
-                h = hashlib.md5(sig[bi * rows : (bi + 1) * rows].tobytes()).hexdigest()[:16]
-                doc_ids.append(did)
-                bands.append(bi)
-                band_hashes.append(h)
+        bh = np.zeros((n_docs, self.N_BANDS), dtype=np.uint64)
+        for r in range(rows):
+            bh = self._mix64(bh ^ sig.view(np.uint64)[:, r::rows])
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "doc_id": pa.array(doc_ids, type=pa.int64()),
-                "band": pa.array(bands, type=pa.int32()),
-                "band_hash": pa.array(band_hashes, type=pa.string()),
+                "doc_id": pa.array(np.repeat(did, self.N_BANDS),
+                                   type=pa.int64()),
+                "band": pa.array(np.tile(
+                    np.arange(self.N_BANDS, dtype=np.int32), n_docs)),
+                "band_hash": pa.array(bh.reshape(-1).view(np.int64)),
             }
         )
 
@@ -195,9 +282,8 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.5,
         # cluster CPUs.
         def add_bucket(t: pa.Table) -> pa.Table:
             hs = t["band_hash"].to_numpy(zero_copy_only=False)
-            b = np.fromiter((int(h[:8], 16) % nparts for h in hs),
-                            dtype=np.int64, count=len(hs))
-            return t.append_column("bucket", pa.array(b))
+            return t.append_column(
+                "bucket", pa.array(hs.view(np.uint64) % np.uint64(nparts)))
 
         def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
             m = g.merge(g, on=["band", "band_hash"], suffixes=("_a", "_b"))
