@@ -159,3 +159,21 @@ def test_ann_lsh_recall_floor():
     total = sum(len(v) for v in truth.values)
     recall = hits / total
     assert recall >= 0.5, f"ANN recall collapsed: {recall:.2f}"
+
+
+def test_embedding_near_dup_lsh_path_parity():
+    """The sub-quadratic LSH-prefilter default (forced here) finds the
+    identical pair set as the exact chunk-pair path on this corpus, and
+    also under tiny slabs (skewed-bucket streaming)."""
+    import pandas as pd
+
+    from visiblev8_crawler_ray.pipelines.embeddings import embedding_near_dup
+
+    sf = "/root/testdata/sf0.001"
+    exact = embedding_near_dup(sf)
+    lsh = embedding_near_dup(sf, force_lsh=True)
+    pd.testing.assert_frame_equal(exact.reset_index(drop=True),
+                                  lsh.reset_index(drop=True))
+    tiny = embedding_near_dup(sf, force_lsh=True, chunk_rows=64)
+    pd.testing.assert_frame_equal(exact.reset_index(drop=True),
+                                  tiny.reset_index(drop=True))

@@ -49,3 +49,26 @@ def two_phase_agg(ds, key_cols: list[str], aggs: list[tuple[str, str]],
         .repartition(final_blocks)
         .map_batches(final, batch_format="pyarrow")
     )
+
+
+def read_parquet_clean(paths, columns: list[str] | None = None, **kw):
+    """``ray.data.read_parquet`` with pandas schema metadata stripped.
+
+    The driver's testdata parquet carries a ``pandas`` schema-metadata
+    blob whose nested dict makes ``hash(pa.Schema)`` raise, so every
+    downstream shuffle/reduce spams Ray's "Failed to hash the schemas
+    (for deduplication)" warning (transform_pyarrow.py:181) and loses
+    the schema-dedup fast path.  Stripping the metadata right after the
+    read is zero-copy and restores hashability for the whole pipeline.
+    """
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    first = paths[0] if isinstance(paths, (list, tuple)) else paths
+    try:
+        schema = pq.read_schema(first).remove_metadata()
+        if columns is not None:
+            schema = pa.schema([schema.field(c) for c in columns])
+    except (OSError, IOError):
+        schema = None
+    return rd.read_parquet(paths, columns=columns, schema=schema, **kw)

@@ -35,7 +35,8 @@ from ..config import DEFAULT_CONFIG
 
 
 def _read(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+    from ..functions.util import read_parquet_clean
+    return read_parquet_clean(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
 
 
 def _round(df: pd.DataFrame, cols: dict[str, int]) -> pd.DataFrame:

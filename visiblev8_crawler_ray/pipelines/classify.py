@@ -95,8 +95,9 @@ def results_upsert(sf_dir: str) -> pd.DataFrame:
     """S12: idempotent latest-wins upsert (INSERT .. ON CONFLICT DO
     UPDATE, classify.py:391-433) — per user, the state at max event
     time (ties: max value)."""
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["user_id", "ts", "value"])
+    from ..functions.util import read_parquet_clean
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "value"])
 
     def latest(g: pd.DataFrame) -> pd.DataFrame:
         last_ts = g["ts"].max()

@@ -28,8 +28,9 @@ from ..functions.util import round_half_away
 
 
 def _read_emb(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                           columns=["vec_id", "embedding"])
+    from ..functions.util import read_parquet_clean
+    return read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"])
 
 
 def _to_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
@@ -121,13 +122,19 @@ class LshBucketer:
     """
 
     def __init__(self, dim: int = 64, n_planes: int = 4, n_tables: int = 3,
-                 seed: int = 42, probe_ids_below: int | None = None):
+                 seed: int = 42, probe_ids_below: int | None = None,
+                 probe_all: bool = False):
         rng = np.random.default_rng(seed)
         self.planes = [rng.standard_normal((dim, n_planes))
                        for _ in range(n_tables)]
         self.n_planes = n_planes
         self.n_tables = n_tables
         self.probe_ids_below = probe_ids_below
+        # probe_all: every vector (not just query ids) also lands in its
+        # Hamming-1 buckets — used by the near-dup path, where both
+        # sides probing makes a pair meet whenever their table hashes
+        # differ by <= 2 bits
+        self.probe_all = probe_all
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids, mat = _to_matrix(t)
@@ -144,7 +151,12 @@ class LshBucketer:
             out_ids.append(ids)
             out_buckets.append(bucket)
             out_emb.append(emb)
-            if self.probe_ids_below is not None:
+            if self.probe_all:
+                for b in range(self.n_planes):
+                    out_ids.append(ids)
+                    out_buckets.append(bucket ^ (1 << b))
+                    out_emb.append(emb)
+            elif self.probe_ids_below is not None:
                 qsel = np.flatnonzero(ids < self.probe_ids_below)
                 for b in range(self.n_planes):
                     out_ids.append(ids[qsel])
@@ -223,27 +235,44 @@ def ann_lsh(sf_dir: str, n_queries: int = 10, k: int = 5,
     return cand.groupby("query_id").head(k).reset_index(drop=True)
 
 
+_EMPTY_PAIRS = {"vec_a": pd.Series([], dtype="int64"),
+                "vec_b": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64")}
+
+
 def embedding_near_dup(sf_dir: str, threshold: float = 0.45,
-                       chunk_rows: int = 4096) -> pa.Table:
+                       chunk_rows: int = 4096,
+                       exact_max_rows: int = 20_000,
+                       force_lsh: bool = False) -> pa.Table:
     """Embedding-cosine near-dup pairs (vec_a < vec_b, cos >= threshold).
 
-    Exact, scale-shaped (VERDICT r1 fix #2): the all-pairs compare runs
-    as a CHUNK-PAIR self-join — vectors are re-blocked into bounded
-    chunks held as object-store refs (``to_arrow_refs``: no driver
-    materialization), and one task per chunk pair (i <= j) loads exactly
-    two chunks, computes the (chunk_i x chunk_j) cosine block, and emits
-    the thresholded pairs.  Worker memory is O(2 x chunk_rows x dim)
-    regardless of corpus size; total compute stays the inherent O(n^2)
-    of an exact threshold join — the approximate sub-quadratic variant
-    is :func:`ann_lsh`'s bucketing, which trades recall and is therefore
-    not hash-comparable to the exact SQL oracle.
+    Adaptive (VERDICT r2 fix #2): corpora up to ``exact_max_rows`` run
+    the EXACT chunk-pair self-join (O(n^2) compute, bounded memory) —
+    this is the path the SQL oracle hash-checks.  Above the threshold
+    (or with ``force_lsh``) the default is the sub-quadratic LSH
+    prefilter: both sides band into multi-table Hamming-1-probed
+    buckets (:class:`LshBucketer` with ``probe_all``) and the exact
+    cosine verify runs only inside buckets — no O(n_chunks^2) task
+    fan-out.  Recall < 1 by design at weak thresholds; the plane count
+    adapts to corpus size so expected bucket width stays near
+    ``chunk_rows`` (documented partitioning assumption: bucket skew is
+    bounded by the slab-streamed verify, the same scheme as
+    :func:`ann_lsh`).
     """
     ds = _read_emb(sf_dir)
     n = ds.count()
     if n == 0:
-        return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
-                             "vec_b": pd.Series([], dtype="int64"),
-                             "cosine": pd.Series([], dtype="float64")})
+        return pd.DataFrame(_EMPTY_PAIRS)
+    if force_lsh or n > exact_max_rows:
+        return _near_dup_lsh(ds, n, threshold, chunk_rows)
+    return _near_dup_exact(ds, n, threshold, chunk_rows)
+
+
+def _near_dup_exact(ds: rd.Dataset, n: int, threshold: float,
+                    chunk_rows: int) -> pd.DataFrame:
+    """Exact all-pairs via chunk-pair tasks over object-store refs:
+    one task per chunk pair (i <= j) loads exactly two chunks; worker
+    memory is O(2 x chunk_rows x dim) regardless of corpus size."""
     n_chunks = max(1, -(-n // chunk_rows))
     refs = ds.repartition(n_chunks).materialize().to_arrow_refs()
 
@@ -260,11 +289,21 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.45,
                 _normalize(mat_a) @ _normalize(mat_b).T, 4)
             ai, bj = np.nonzero(sims >= threshold)
             a, b = ids_a[ai], ids_b[bj]
-            keep = a < b           # orders pairs AND drops the diagonal
+            # off-diagonal tasks see each unordered pair once — orient
+            # it; the diagonal task sees both (a,b) and (b,a) — keep
+            # a<b (also drops self pairs).  No global-sort-by-vec_id
+            # precondition (ADVICE r2).
+            if i == j:
+                keep = a < b
+                lo, hi = a[keep], b[keep]
+            else:
+                keep = a != b
+                lo = np.minimum(a, b)[keep]
+                hi = np.maximum(a, b)[keep]
             outs.append(pa.table(
                 {
-                    "vec_a": pa.array(a[keep], type=pa.int64()),
-                    "vec_b": pa.array(b[keep], type=pa.int64()),
+                    "vec_a": pa.array(lo, type=pa.int64()),
+                    "vec_b": pa.array(hi, type=pa.int64()),
                     "cosine": pa.array(sims[ai, bj][keep], type=pa.float64()),
                 }
             ))
@@ -273,7 +312,59 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.45,
     out = rd.from_items(tasks, override_num_blocks=len(tasks)).map_batches(
         compare, batch_format="pyarrow").to_pandas()
     if len(out) == 0:  # keep the schema on empty results
-        return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
-                             "vec_b": pd.Series([], dtype="int64"),
-                             "cosine": pd.Series([], dtype="float64")})
+        return pd.DataFrame(_EMPTY_PAIRS)
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def _near_dup_lsh(ds: rd.Dataset, n: int, threshold: float,
+                  chunk_rows: int, n_tables: int = 3) -> pd.DataFrame:
+    """Sub-quadratic near-dup: multi-table Hamming-1-probe-all LSH
+    bucketing + exact in-bucket verify.
+
+    A pair meets whenever its sign-hashes in SOME table differ by <= 2
+    bits (both sides probe H1).  At cos 0.45 / 4 planes that is ~0.87
+    per table, ~0.998 over 3 tables; recall decays as ``n_planes``
+    grows with corpus size — the standard LSH trade (tune ``n_tables``
+    up to recover).  The in-bucket verify streams slab x slab so a
+    skewed bucket is O(chunk_rows^2) memory, never O(bucket^2)."""
+    dim = len(ds.take(1)[0]["embedding"])
+    # keep expected bucket width near chunk_rows: planes ~ log2(n*(1+p)/chunk)
+    n_planes = max(4, int(np.ceil(np.log2(max(2.0, n * 5 / (2 * chunk_rows))))))
+    bucketer = LshBucketer(dim=dim, n_planes=n_planes, n_tables=n_tables,
+                           probe_all=True)
+    bucketed = ds.map_batches(bucketer, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy()
+        mat = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
+        rows = []
+        for lo_i in range(0, len(ids), chunk_rows):
+            si = slice(lo_i, lo_i + chunk_rows)
+            for lo_j in range(lo_i, len(ids), chunk_rows):
+                sj = slice(lo_j, lo_j + chunk_rows)
+                sims = round_half_away(mat[si] @ mat[sj].T, 4)
+                ai, bj = np.nonzero(sims >= threshold)
+                a, b = ids[si][ai], ids[sj][bj]
+                if lo_i == lo_j:
+                    keep = a < b
+                    pa_lo, pa_hi = a[keep], b[keep]
+                else:
+                    keep = a != b
+                    pa_lo = np.minimum(a, b)[keep]
+                    pa_hi = np.maximum(a, b)[keep]
+                rows.append(pd.DataFrame(
+                    {"vec_a": pa_lo, "vec_b": pa_hi,
+                     "cosine": sims[ai, bj][keep]}))
+        if not rows:
+            return pd.DataFrame(_EMPTY_PAIRS)
+        return pd.concat(rows, ignore_index=True).astype(
+            {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"})
+
+    # verified pairs are tiny by construction (threshold filter); the
+    # same pair surfaces from several buckets -> one driver-side dedup
+    out = bucketed.groupby("bucket").map_groups(
+        per_bucket, batch_format="pandas").to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame(_EMPTY_PAIRS)
+    return out.drop_duplicates(["vec_a", "vec_b"]).sort_values(
+        ["vec_a", "vec_b"]).reset_index(drop=True)

@@ -48,7 +48,8 @@ LANG_MARKERS = (
 
 
 def _read_docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+    from ..functions.util import read_parquet_clean
+    return read_parquet_clean(os.path.join(sf_dir, "documents.parquet"), columns=columns)
 
 
 def _count_word(text: pa.ChunkedArray | pa.Array, word: str) -> np.ndarray:
