@@ -180,3 +180,71 @@ def test_scale_path_matches_oracle(oracle_result, tmp_path):
     o_seen = pd.DataFrame(orc.urlseen).sort_values("first_seq")
     assert list(seen.url) == list(o_seen.url)
     assert sorted(run.metrics().to_pylist(), key=lambda r: r["wave"]) == orc.metrics
+
+
+def test_seen_spill_matches_oracle_and_resumes(oracle_result, tmp_path):
+    """Force the exact-tier spill (tiny max_mem_keys): every shard spills
+    its sorted key array to parquet runs each wave, membership probes go
+    bloom-first + range-pruned searchsorted into the runs, and lazy
+    compaction merges them — output and resume must equal the in-memory
+    tier exactly."""
+    import os
+    from dataclasses import replace
+
+    seeds, orc = oracle_result
+    cfg = replace(CFG, seen_spill_max_mem_keys=10)
+    root = str(tmp_path / "spill")
+    shutil.rmtree(root, ignore_errors=True)
+    run = run_crawl(seeds, cfg, root, fetch_concurrency=2,
+                    fetch_batch_size=64)
+    # the spill actually happened
+    spill_dir = os.path.join(root, "seen_spill")
+    assert os.path.isdir(spill_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(spill_dir))
+    seen = run.urlseen().to_pandas().sort_values("first_seq")
+    o_seen = pd.DataFrame(orc.urlseen).sort_values("first_seq")
+    assert list(seen.url) == list(o_seen.url)
+    assert sorted(run.metrics().to_pylist(), key=lambda r: r["wave"]) == \
+        orc.metrics
+
+    # kill-and-resume with the spill tier active
+    crashed = str(tmp_path / "spill_crash")
+    shutil.rmtree(crashed, ignore_errors=True)
+    run_crawl(seeds, cfg, crashed, stop_after_wave=0)
+    resumed = run_crawl(seeds, cfg, crashed)
+    assert sorted(resumed.docs().to_pandas().doc_id) == \
+        sorted(run.docs().to_pandas().doc_id)
+    assert sorted(resumed.metrics().to_pylist(), key=lambda r: r["wave"]) == \
+        orc.metrics
+
+
+def test_resume_after_midwave_crash_scale_path(oracle_result, tmp_path):
+    """ADVICE r2: the scale path (small_wave_threshold=0) has a distinct
+    commit ordering (blocked committed mid-wave; fetch/urlseen
+    side-written then committed before metrics) — crash it between the
+    sub-table commits and the metrics commit and require identical
+    docs/metrics/urlseen after resume."""
+    import os
+    from dataclasses import replace
+
+    seeds, orc = oracle_result
+    cfg = replace(CFG, small_wave_threshold=0)
+    full_root = str(tmp_path / "sfull")
+    shutil.rmtree(full_root, ignore_errors=True)
+    full = run_crawl(seeds, cfg, full_root)
+    crashed = str(tmp_path / "smidwave")
+    shutil.rmtree(crashed, ignore_errors=True)
+    run_crawl(seeds, cfg, crashed, stop_after_wave=1)
+    os.remove(os.path.join(crashed, "metrics", "wave=1", "_MANIFEST.json"))
+    resumed = run_crawl(seeds, cfg, crashed)
+
+    f_docs = sorted(full.docs().to_pandas().doc_id)
+    r_docs = sorted(resumed.docs().to_pandas().doc_id)
+    assert f_docs == r_docs
+    assert len(r_docs) == len(set(r_docs))
+    assert sorted(full.metrics().to_pylist(), key=lambda r: r["wave"]) == \
+        sorted(resumed.metrics().to_pylist(), key=lambda r: r["wave"])
+    f_seen = full.urlseen().to_pandas().sort_values("first_seq")
+    r_seen = resumed.urlseen().to_pandas().sort_values("first_seq")
+    assert f_seen[["url_key", "first_wave", "first_seq"]].values.tolist() == \
+        r_seen[["url_key", "first_wave", "first_seq"]].values.tolist()

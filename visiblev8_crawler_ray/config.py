@@ -38,6 +38,11 @@ class CrawlConfig:
     # Dedup / sharding.
     n_seen_shards: int = 8              # URL-seen actor shards
     bloom_bits: int = 1 << 20           # per-shard bloom front (fast path only)
+    # Exact-tier spill: shards whose sorted key array exceeds this spill
+    # it to sorted parquet runs under <store>/seen_spill, probed
+    # bloom-first + range-pruned searchsorted, compacted lazily.  None =
+    # all-in-memory (sandbox scale); the 10^10 design point sets ~10^7.
+    seen_spill_max_mem_keys: int | None = None
 
     # Adaptive execution: waves whose candidate set is below this row
     # count run their dedup/schedule/order steps on a single coalesced
@@ -50,8 +55,9 @@ class CrawlConfig:
         # Enforce the packing invariants _pack_firstwins/_explode_links
         # rely on: child admission keys are pkey*64 + pos + 1, so pages
         # may emit at most 63 outlinks, depth packs into one byte, and
-        # seed_id * 64^depth must stay under 2^63 (the seed table is
-        # synthesized from int seed ids; 2^63 / 64^max_depth bounds them).
+        # seed_id * 64^depth * 256 must stay under 2^63 (the int64
+        # first-wins pack is ak*256+depth, so admission keys are bounded
+        # by 2^55; _canonicalize_batch asserts the seed-id magnitude).
         assert 0 < self.branching < 64, "branching must be in [1, 63]"
         assert 0 <= self.max_depth < 256, "depth must pack into one byte"
         assert self.max_waves >= 1

@@ -34,6 +34,10 @@ import polars as pl
 import pyarrow as pa
 import pyarrow.compute as pc
 
+# the one whitespace set both sides trim (see canonicalize)
+_WS = " \t\n\r\x0b\x0c"
+_SQL_WS = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+
 _SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://"
 
 # Two independent 64-bit seeds -> a 128-bit URL key.  Collision
@@ -52,7 +56,11 @@ def canonicalize(urls: pa.Array | pa.ChunkedArray) -> dict[str, pa.Array]:
     """Return dict of arrays: canonical_url, scheme, host, port, path, valid."""
     if isinstance(urls, pa.ChunkedArray):
         urls = urls.combine_chunks()
-    t = pc.utf8_trim_whitespace(pc.cast(urls, pa.string()))
+    # ASCII whitespace only (" \\t\\n\\r\\v\\f") — arrow
+    # utf8_trim_whitespace strips ALL Unicode whitespace while DuckDB
+    # trim() strips ASCII space only; an explicit char set keeps the
+    # engine and the SQL oracle byte-identical (ADVICE r2)
+    t = pc.utf8_trim(pc.cast(urls, pa.string()), characters=_WS)
     has_scheme = pc.match_substring_regex(t, _SCHEME_RE)
     t = pc.if_else(has_scheme, t, _join(pa.scalar("https://"), t))
 
@@ -64,8 +72,9 @@ def canonicalize(urls: pa.Array | pa.ChunkedArray) -> dict[str, pa.Array]:
     hp = pc.extract_regex(rest, r"^(?P<hostport>[^/]*)(?P<path>.*)$")
     hostport = pc.struct_field(hp, "hostport")
     path = pc.struct_field(hp, "path")
-    host = pc.utf8_trim_whitespace(
-        pc.utf8_lower(pc.replace_substring_regex(hostport, r":.*$", "")))
+    host = pc.utf8_trim(
+        pc.utf8_lower(pc.replace_substring_regex(hostport, r":.*$", "")),
+        characters=_WS)
     port = pc.replace_substring_regex(hostport, r"^[^:]*", "")  # ':NN' or ''
     is_default = pc.or_(
         pc.and_(pc.equal(scheme, "http"), pc.equal(port, ":80")),
@@ -89,7 +98,8 @@ def canonicalize(urls: pa.Array | pa.ChunkedArray) -> dict[str, pa.Array]:
     query = pq_df["qs"].fill_null("").to_arrow().cast(pa.string())
     # trailing whitespace would break idempotence (the canonical output
     # must be its own fixed point under the leading trim)
-    path = pc.utf8_rtrim_whitespace(pq_df["out"].to_arrow().cast(pa.string()))
+    path = pc.utf8_rtrim(pq_df["out"].to_arrow().cast(pa.string()),
+                         characters=_WS)
     canonical = _join(scheme, pa.scalar("://"), host, port, path)
 
     valid = pc.and_(
@@ -114,7 +124,9 @@ def sql_url_parts(col: str) -> dict[str, str]:
     Mirrors :func:`canonicalize` step-for-step; kept next to it so the
     two implementations cannot drift.
     """
-    t = f"(CASE WHEN regexp_matches(trim({col}), '^[A-Za-z][A-Za-z0-9+.\\-]*://') THEN trim({col}) ELSE 'https://' || trim({col}) END)"
+    ws = f"({_SQL_WS})"
+    tcol = f"trim({col}, {ws})"
+    t = f"(CASE WHEN regexp_matches({tcol}, '^[A-Za-z][A-Za-z0-9+.\\-]*://') THEN {tcol} ELSE 'https://' || {tcol} END)"
     scheme = f"lower(regexp_extract({t}, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1))"
     rest = f"regexp_replace(regexp_extract({t}, '://(.*)$', 1), '#.*$', '')"
     hostport = f"regexp_extract({rest}, '^([^/]*)', 1)"
@@ -131,8 +143,8 @@ def sql_url_parts(col: str) -> dict[str, str]:
     query_sorted = f"array_to_string(list_sort(string_split({query0}, '&')), '&')"
     query = f"coalesce({query_sorted}, '')"
     path = (f"rtrim(CASE WHEN {query0} IS NULL THEN {pre_path} "
-            f"ELSE {path_only} || '?' || {query_sorted} END)")
-    host = f"trim(lower(regexp_replace({hostport}, ':.*$', '')))"
+            f"ELSE {path_only} || '?' || {query_sorted} END, {ws})")
+    host = f"trim(lower(regexp_replace({hostport}, ':.*$', '')), {ws})"
     port0 = f"regexp_replace({hostport}, '^[^:]*', '')"
     port = (
         f"(CASE WHEN {port0} = '' OR ({scheme} = 'http' AND {port0} = ':80') "

@@ -78,9 +78,20 @@ def _canonicalize_batch(batch: pa.Table) -> pa.Table:
     c = U.canonicalize(batch.column("url"))
     keep = c["valid"]
     uk, _ = U.url_key128(c["canonical_url"])
+    sid = batch.column("seed_id").cast(pa.int64())
+    if batch.num_rows:
+        # sortkey packs (admission_key, depth) into one int64 as
+        # ak*256+depth, and child keys grow as seed*64^depth — the whole
+        # scheme needs max(seed_id) * 64^max_depth * 256 < 2^63, i.e.
+        # admission keys below 2^55.  Fail loudly instead of silently
+        # wrapping the dedup order (ADVICE r2).
+        mx = pc.max(sid).as_py()
+        assert mx is None or mx < (1 << 55), (
+            f"seed_id {mx} overflows the int64 first-wins pack "
+            f"(admission keys must stay below 2^55)")
     t = pa.table(
         {
-            "admission_key": batch.column("seed_id").cast(pa.int64()),
+            "admission_key": sid,
             "url": c["canonical_url"],
             "url_key": uk,
             "host": c["host"],
@@ -492,6 +503,12 @@ def _explode_links(max_depth: int):
             parent.to_numpy(zero_copy_only=False)
         ]
         child_key = pkey * 64 + pos + 1
+        if len(child_key):
+            # same 2^55 bound as _canonicalize_batch: keys grow 64x per
+            # depth level and the first-wins pack multiplies by 256
+            assert child_key.max() < (1 << 55), (
+                "admission_key overflow: seed ids too large for "
+                "max_depth (need seed * 64^depth < 2^55)")
         host = U.extract_host(flat)
         # path: strip scheme://hostport
         rest = pc.struct_field(
@@ -624,6 +641,8 @@ def run_crawl(
     """
     store = TableStore(store_root)
     seen = None  # built below
+    seen_spill_dir = (os.path.join(store_root, "seen_spill")
+                      if cfg.seen_spill_max_mem_keys else None)
     amap = _build_actions_map(seeds)
     actions_ref = ray.put(amap) if amap else None
     # S6/S7: optional artifact-byte materialization under <root>/blobs
@@ -638,7 +657,8 @@ def run_crawl(
         man = store.read_manifest("metrics", last)
         next_seq = int(man["next_seq"])
         start_wave = last + 1
-        seen = get_seen_index(cfg.n_seen_shards, cfg.bloom_bits)
+        seen = get_seen_index(cfg.n_seen_shards, cfg.bloom_bits,
+                              seen_spill_dir, cfg.seen_spill_max_mem_keys)
         # Restore ONLY waves <= the last *metrics*-committed wave: within a
         # wave, blocked/fetch/urlseen commit before metrics, so a crash in
         # between leaves sub-table partitions for a wave that will be re-run
@@ -660,7 +680,8 @@ def run_crawl(
     else:
         next_seq = 0
         start_wave = 0
-        seen = get_seen_index(cfg.n_seen_shards, cfg.bloom_bits)
+        seen = get_seen_index(cfg.n_seen_shards, cfg.bloom_bits,
+                              seen_spill_dir, cfg.seen_spill_max_mem_keys)
         # The frontier is CONTROL data (urls + keys, no payload): small
         # seed tables canonicalize right on the driver in one vectorized
         # call; Dataset seeds (cluster-scale seed lists) stay distributed.

@@ -31,12 +31,15 @@ materializes the full key set).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
 import ray
 
 KEY_DTYPE = "S32"
+MAX_RUNS_BEFORE_MERGE = 8  # lazy compaction threshold for spilled runs
 
 
 def as_key_array(keys) -> np.ndarray:
@@ -57,6 +60,92 @@ class SeenShard:
         self._staged: dict[bytes, pa.Table] = {}
         self._stage_wave = -1
         self._flush_count = 0
+        # spill tier: sorted parquet runs on disk, probed bloom-first.
+        # Off unless configure() sets a dir + threshold.
+        self.shard_id = 0
+        self.spill_dir: str | None = None
+        self.max_mem_keys: int | None = None
+        self._runs: list[tuple[str, bytes, bytes, int]] = []  # (path, min, max, n)
+        self._run_seq = 0
+        self._run_cache: dict[str, np.ndarray] = {}  # tiny MRU (2 runs)
+
+    def configure(self, shard_id: int, spill_dir: str | None,
+                  max_mem_keys: int | None) -> bool:
+        """(Re)point the spill tier; called on pool (re)acquisition."""
+        self.shard_id = shard_id
+        self.spill_dir = spill_dir
+        self.max_mem_keys = max_mem_keys
+        if spill_dir:
+            os.makedirs(spill_dir, exist_ok=True)
+        return True
+
+    # -- spilled sorted-run tier -------------------------------------------
+
+    def _load_run(self, path: str) -> np.ndarray:
+        run = self._run_cache.get(path)
+        if run is None:
+            import pyarrow.parquet as pq
+
+            run = as_key_array(pq.read_table(path, columns=["url_key"])
+                               .column("url_key"))
+            if len(self._run_cache) >= 2:  # MRU bound: keep 2 runs hot
+                self._run_cache.pop(next(iter(self._run_cache)))
+            self._run_cache[path] = run
+        return run
+
+    def _write_run(self, keys: np.ndarray) -> None:
+        path = os.path.join(
+            self.spill_dir,
+            f"shard{self.shard_id:04d}_run{self._run_seq:06d}.parquet")
+        self._run_seq += 1
+        import pyarrow.parquet as pq
+
+        tmp = path + ".tmp"
+        pq.write_table(
+            pa.table({"url_key": pa.array(keys.astype("U32"),
+                                          type=pa.string())}), tmp)
+        os.replace(tmp, path)
+        self._runs.append((path, keys[0].tobytes(), keys[-1].tobytes(),
+                           len(keys)))
+
+    def _maybe_spill(self) -> None:
+        if (self.max_mem_keys is None or self.spill_dir is None
+                or len(self.keys) <= self.max_mem_keys):
+            return
+        self._write_run(self.keys)
+        self.keys = np.empty(0, dtype=KEY_DTYPE)
+        if len(self._runs) >= MAX_RUNS_BEFORE_MERGE:
+            # lazy compaction: merge every run into one sorted run
+            merged = np.unique(np.concatenate(
+                [self._load_run(p) for p, *_ in self._runs]))
+            old = [p for p, *_ in self._runs]
+            self._runs = []
+            self._run_cache = {}
+            self._write_run(merged)
+            for p in old:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+
+    def _contains_runs(self, keys: np.ndarray, out: np.ndarray,
+                       ix: np.ndarray) -> None:
+        """Probe spilled runs for bloom-positive candidates not found in
+        the memory tier; one vectorized searchsorted per overlapping run."""
+        rem = ix[~out[ix]]
+        for path, kmin, kmax, n in self._runs:
+            if not len(rem):
+                return
+            cand = keys[rem]
+            rsel = (cand >= np.frombuffer(kmin, dtype=KEY_DTYPE)[0]) & \
+                   (cand <= np.frombuffer(kmax, dtype=KEY_DTYPE)[0])
+            if not rsel.any():
+                continue
+            run = self._load_run(path)
+            pos = np.minimum(np.searchsorted(run, cand[rsel]), n - 1)
+            hit = run[pos] == cand[rsel]
+            out[rem[rsel][hit]] = True
+            rem = rem[~out[rem]]
 
     def _positions(self, hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         # two bloom probes derived from the 64-bit key hash
@@ -77,6 +166,8 @@ class SeenShard:
             pos = np.searchsorted(self.keys, cand)
             pos = np.minimum(pos, len(self.keys) - 1)
             out[ix] = self.keys[pos] == cand
+        if len(ix) and self._runs:
+            self._contains_runs(keys, out, ix)
         return out
 
     def contains(self, keys: np.ndarray, hashes: np.ndarray) -> np.ndarray:
@@ -137,7 +228,8 @@ class SeenShard:
             merged = np.concatenate([self.keys, np.asarray(keys, dtype=KEY_DTYPE)])
             merged.sort(kind="stable")
             self.keys = np.unique(merged)
-        return len(self.keys)
+            self._maybe_spill()
+        return self.size()
 
     def reset(self) -> bool:
         self.bloom[:] = 0
@@ -145,30 +237,49 @@ class SeenShard:
         self._staged = {}
         self._stage_wave = -1
         self._flush_count = 0
+        for p, *_ in self._runs:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+        self._runs = []
+        self._run_cache = {}
+        self._run_seq = 0
         return True
 
     def snapshot(self) -> np.ndarray:
-        return self.keys
+        if not self._runs:
+            return self.keys
+        return np.unique(np.concatenate(
+            [self.keys] + [self._load_run(p) for p, *_ in self._runs]))
 
     def restore_from_parquet(self, files: list[str], shard_id: int,
                              n_shards: int) -> int:
         """Shard-side resume: read the committed urlseen/blocked key
         columns and keep ONLY this shard's hash range — the full key set
         never materializes in any single process (crawl.py resume path).
-        """
+        One add() at the end: a single merge+sort+unique instead of
+        O(n_files) re-sorts of the accumulated array (ADVICE r2)."""
         import pyarrow.parquet as pq
 
+        mine_keys, mine_hashes = [], []
         for f in files:
             col = pq.read_table(f, columns=["url_key"]).column("url_key")
             keys = as_key_array(col)
             hashes = routing_hash(keys)
             mine = hashes % np.uint64(n_shards) == np.uint64(shard_id)
             if mine.any():
-                self.add(keys[mine], hashes[mine])
-        return len(self.keys)
+                mine_keys.append(keys[mine])
+                mine_hashes.append(hashes[mine])
+        if mine_keys:
+            self.add(np.concatenate(mine_keys), np.concatenate(mine_hashes))
+        return self.size()
 
     def size(self) -> int:
-        return len(self.keys)
+        # runs may overlap each other/memory after compaction gaps; this
+        # is an upper bound there — exact whenever adds are pre-deduped
+        # (the crawl path) — snapshot() is the exact accessor
+        return len(self.keys) + sum(n for *_x, n in self._runs)
 
 
 def routing_hash(keys: np.ndarray) -> np.ndarray:
@@ -186,11 +297,21 @@ def routing_hash(keys: np.ndarray) -> np.ndarray:
 class SeenIndex:
     """Driver-side handle bundle over the shard actors."""
 
-    def __init__(self, n_shards: int, bloom_bits: int):
+    def __init__(self, n_shards: int, bloom_bits: int,
+                 spill_dir: str | None = None,
+                 max_mem_keys: int | None = None):
         self.n_shards = n_shards
         self.shards = [
             SeenShard.remote(bloom_bits) for _ in range(n_shards)
         ]
+        self.configure(spill_dir, max_mem_keys)
+
+    def configure(self, spill_dir: str | None,
+                  max_mem_keys: int | None) -> None:
+        ray.get([
+            s.configure.remote(i, spill_dir, max_mem_keys)
+            for i, s in enumerate(self.shards)
+        ])
 
     def _route(self, keys) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         arr = as_key_array(keys)
@@ -261,12 +382,15 @@ class SeenIndex:
 _POOL: dict[tuple[int, int], SeenIndex] = {}
 
 
-def get_seen_index(n_shards: int, bloom_bits: int) -> SeenIndex:
+def get_seen_index(n_shards: int, bloom_bits: int,
+                   spill_dir: str | None = None,
+                   max_mem_keys: int | None = None) -> SeenIndex:
     key = (n_shards, bloom_bits)
     idx = _POOL.get(key)
     if idx is None or not idx.alive():
-        idx = SeenIndex(n_shards, bloom_bits)
+        idx = SeenIndex(n_shards, bloom_bits, spill_dir, max_mem_keys)
         _POOL[key] = idx
     else:
         idx.reset()
+        idx.configure(spill_dir, max_mem_keys)
     return idx
