@@ -248,3 +248,31 @@ def test_resume_after_midwave_crash_scale_path(oracle_result, tmp_path):
     r_seen = resumed.urlseen().to_pandas().sort_values("first_seq")
     assert f_seen[["url_key", "first_wave", "first_seq"]].values.tolist() == \
         r_seen[["url_key", "first_wave", "first_seq"]].values.tolist()
+
+
+def test_action_join_mode_matches_oracle(oracle_result, tmp_path):
+    """Force the hash-partitioned actions join (actions_broadcast_max=0):
+    fetch modes and span sequences must equal the broadcast path / the
+    oracle exactly, on both the small and the scale wave path."""
+    from dataclasses import replace
+
+    seeds, orc = oracle_result
+    for sub, extra in (("ajoin", {}), ("ajoin_scale",
+                                      {"small_wave_threshold": 0})):
+        cfg = replace(CFG, actions_broadcast_max=0, **extra)
+        root = str(tmp_path / sub)
+        shutil.rmtree(root, ignore_errors=True)
+        run = run_crawl(seeds, cfg, root, fetch_concurrency=2,
+                        fetch_batch_size=64)
+        fetch = run.store.read_dataset(
+            "fetch", columns=["url", "status", "fetch_mode"]).to_pandas()
+        olog = pd.DataFrame([r for r in orc.crawl_log if r["status"] == "ok"])
+        modes = fetch[fetch.status == "ok"].set_index("url")[
+            "fetch_mode"].to_dict()
+        assert modes == dict(zip(olog.url, olog.fetch_mode)), sub
+        assert "actions" in set(modes.values()), sub
+        docs = run.docs().to_pandas()
+        odocs = {d["doc_id"]: d["spans"] for d in orc.docs}
+        assert set(docs.doc_id) == set(odocs), sub
+        for did, spans in zip(docs.doc_id, docs.spans):
+            assert _span_tuples(spans) == _span_tuples(odocs[did]), (sub, did)

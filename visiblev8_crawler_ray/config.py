@@ -43,6 +43,11 @@ class CrawlConfig:
     # bloom-first + range-pruned searchsorted, compacted lazily.  None =
     # all-in-memory (sandbox scale); the 10^10 design point sets ~10^7.
     seen_spill_max_mem_keys: int | None = None
+    # Actioned-seed lookup: missions up to this many rows broadcast as
+    # one arrow table (ray.put once, pc.index_in per batch); above it
+    # the wave loop attaches actions via a hash-partitioned co-group
+    # join on url_key instead of shipping the list to every worker.
+    actions_broadcast_max: int = 1_000_000
 
     # Adaptive execution: waves whose candidate set is below this row
     # count run their dedup/schedule/order steps on a single coalesced

@@ -225,16 +225,21 @@ def anti_join_retry(sf_dir: str) -> pa.Table:
 def orders_with_customer(sf_dir: str) -> pa.Table:
     """J2: submissions ⋈ script_flow analog — orders joined to the
     customer dimension (broadcast small side)."""
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
-    cust_ref = ray.put(dict(zip(cust.c_custkey, cust.c_name)))
+    cust = pa.concat_tables(
+        _read(sf_dir, "customer", ["c_custkey", "c_name"]).iter_batches(
+            batch_format="pyarrow", batch_size=65536))
+    # broadcast the dimension ONCE as arrow arrays; the per-batch probe
+    # is pc.index_in + take — no per-row Python (VERDICT r2 fix #4)
+    cust_ref = ray.put((cust["c_custkey"].combine_chunks(),
+                        cust["c_name"].combine_chunks()))
 
     def join(t: pa.Table) -> pa.Table:
-        lookup = ray.get(cust_ref)
-        names = [lookup.get(k) for k in t["o_custkey"].to_pylist()]
+        ckeys, cnames = ray.get(cust_ref)
+        idx = pc.index_in(t["o_custkey"], value_set=ckeys)
         return pa.table(
             {
                 "o_orderkey": t["o_orderkey"],
-                "c_name": pa.array(names, type=pa.string()),
+                "c_name": cnames.take(idx),
                 "o_totalprice": pa.array(round_half_away(
                     t["o_totalprice"].to_numpy(zero_copy_only=False), 2)),
             }
@@ -255,11 +260,17 @@ def customer_value_label(sf_dir: str) -> pa.Table:
     spend = orders.groupby("o_custkey").aggregate(
         Sum("o_totalprice", alias_name="spend")
     ).to_pandas()
-    spend_ref = ray.put(dict(zip(spend.o_custkey, spend.spend)))
+    spend_ref = ray.put((pa.array(spend.o_custkey.to_numpy()),
+                         spend.spend.to_numpy()))
 
     def label(t: pa.Table) -> pa.Table:
-        lookup = ray.get(spend_ref)
-        sp = np.array([lookup.get(k, 0.0) for k in t["c_custkey"].to_pylist()])
+        skeys, svals = ray.get(spend_ref)
+        idx = pc.index_in(t["c_custkey"].combine_chunks()
+                          if isinstance(t["c_custkey"], pa.ChunkedArray)
+                          else t["c_custkey"], value_set=skeys)
+        ix = idx.to_numpy(zero_copy_only=False)
+        miss = np.isnan(ix) if ix.dtype.kind == "f" else (ix < 0)
+        sp = np.where(miss, 0.0, svals[np.where(miss, 0, ix.astype(np.int64))])
         tier = np.where(sp == 0, "none",
                np.where(sp > 300000, "high",
                np.where(sp > 100000, "mid", "low")))

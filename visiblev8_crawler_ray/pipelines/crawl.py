@@ -360,30 +360,34 @@ def _failed_rows(part_dir: str) -> int:
         return sum(ex.map(one, files))
 
 
-def _build_actions_map(seeds) -> dict[str, str]:
-    """First-wins {url_key: actions JSON} map for actioned seeds (M6).
+def _build_actions_table(seeds) -> pa.Table:
+    """First-wins (url_key, actions) table for actioned seeds (M6).
 
     The reference accepts per-URL action scripts at submission
     (``endpoints/tasks.py:96-99``); a duplicate submission is served
     from cache, so the FIRST submission of a URL decides its actions —
     mirrored here by keeping the min-seed_id row per canonical URL
     (including rows with no actions) before dropping the empty ones.
-    Mission lists are curated seed sets, far smaller than the frontier,
-    so the map broadcasts via ray.put; at larger mission sizes the same
-    lookup becomes a hash-partitioned join on url_key.
+    Mission lists up to ``cfg.actions_broadcast_max`` broadcast via
+    ray.put (vectorized index_in probe in the fetcher); above it the
+    lookup runs as a hash-partitioned co-group join on url_key per wave
+    (``_attach_actions``) so the full mission list is never shipped to
+    every worker.
     """
+    empty = pa.table({"url_key": pa.array([], type=pa.string()),
+                      "actions": pa.array([], type=pa.string())})
     if isinstance(seeds, rd.Dataset):
         if "actions" not in seeds.schema().names:
-            return {}
+            return empty
         tbl = _collect_control(seeds.map_batches(
             lambda t: t.select(["seed_id", "url", "actions"]),
             batch_format="pyarrow"))
     else:
         if "actions" not in seeds.column_names:
-            return {}
+            return empty
         tbl = seeds.select(["seed_id", "url", "actions"])
     if tbl.num_rows == 0:
-        return {}
+        return empty
     c = U.canonicalize(tbl["url"])
     tbl = pa.table({
         "seed_id": tbl["seed_id"],
@@ -397,7 +401,62 @@ def _build_actions_map(seeds) -> dict[str, str]:
     first[1:] = keys[1:] != keys[:-1]
     tbl = tbl.filter(pa.array(first))
     tbl = tbl.filter(pc.not_equal(tbl["actions"], ""))
-    return dict(zip(tbl["url_key"].to_pylist(), tbl["actions"].to_pylist()))
+    return tbl.select(["url_key", "actions"])
+
+
+def _attach_actions(rows_ds: rd.Dataset, actions_ds: rd.Dataset,
+                    nparts: int) -> rd.Dataset:
+    """Hash-partitioned left-attach of the actions column onto frontier
+    rows by url_key — the scale fallback to the actions broadcast
+    (VERDICT r2 fix #4).  Implemented as a bucketed co-group (tag both
+    sides with hash(url_key) % nparts, union, groupby(bucket), pandas
+    left-merge per bucket) because Dataset.join deadlocks under
+    CPU-constrained sessions (see textops.dedup_minhash).  One exchange
+    per wave, paid only in join mode."""
+    import pandas as pd
+
+    from ..state.urlseen import as_key_array, routing_hash
+
+    schema = rows_ds.schema()
+    row_cols = list(schema.names)
+    row_types = list(schema.types)
+    out_order = ["abucket", "aside", "actions_json"] + row_cols
+
+    def tag_rows(t: pa.Table) -> pa.Table:
+        keys = as_key_array(t["url_key"])
+        cols = {c: t[c] for c in row_cols}
+        cols["abucket"] = pa.array(
+            (routing_hash(keys) % np.uint64(nparts)).astype(np.int64))
+        cols["aside"] = pa.array(np.zeros(t.num_rows, dtype=np.int8))
+        cols["actions_json"] = pa.nulls(t.num_rows, type=pa.string())
+        return pa.table(cols).select(out_order)
+
+    def tag_actions(t: pa.Table) -> pa.Table:
+        keys = as_key_array(t["url_key"])
+        n = t.num_rows
+        cols = {c: (t["url_key"] if c == "url_key" else pa.nulls(n, typ))
+                for c, typ in zip(row_cols, row_types)}
+        cols["abucket"] = pa.array(
+            (routing_hash(keys) % np.uint64(nparts)).astype(np.int64))
+        cols["aside"] = pa.array(np.ones(n, dtype=np.int8))
+        cols["actions_json"] = t["actions"]
+        return pa.table(cols).select(out_order)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        acts = g[g["aside"] == 1][["url_key", "actions_json"]]
+        rows = g[g["aside"] == 0][row_cols]
+        m = rows.merge(acts, on="url_key", how="left")
+        # the union's null fillers made numeric columns float in the
+        # group frame; restore the frontier dtypes (rows side has no
+        # nulls, so the cast is lossless)
+        m = m.astype({c: t.to_pandas_dtype()
+                      for c, t in zip(row_cols, row_types)
+                      if not (pa.types.is_string(t) or pa.types.is_list(t))})
+        return m[row_cols + ["actions_json"]]
+
+    both = rows_ds.map_batches(tag_rows, batch_format="pyarrow").union(
+        actions_ds.map_batches(tag_actions, batch_format="pyarrow"))
+    return both.groupby("abucket").map_groups(merge, batch_format="pandas")
 
 
 def _split_table(t: pa.Table, chunk_rows: int) -> list[pa.Table]:
@@ -643,8 +702,12 @@ def run_crawl(
     seen = None  # built below
     seen_spill_dir = (os.path.join(store_root, "seen_spill")
                       if cfg.seen_spill_max_mem_keys else None)
-    amap = _build_actions_map(seeds)
-    actions_ref = ray.put(amap) if amap else None
+    atbl = _build_actions_table(seeds)
+    join_actions = atbl.num_rows > cfg.actions_broadcast_max
+    actions_ref = (ray.put(atbl)
+                   if atbl.num_rows and not join_actions else None)
+    actions_ds = (rd.from_arrow(_split_table(atbl, 65536)).materialize()
+                  if atbl.num_rows and join_actions else None)
     # S6/S7: optional artifact-byte materialization under <root>/blobs
     # (refs in the spans resolve against this dir; off by default — the
     # blob volume dwarfs the span tables)
@@ -735,6 +798,9 @@ def run_crawl(
                 chunk = max(min(fetch_batch_size, 512),
                             -(-n_admitted // (4 * ncpu)))
                 chain = rd.from_arrow(_split_table(staged, chunk))
+                if actions_ds is not None:
+                    chain = _attach_actions(chain, actions_ds,
+                                            max(2, min(8, ncpu)))
                 if fetcher_mode == "actor":
                     fetched = chain.map_batches(
                         FetchWriter,
@@ -833,6 +899,10 @@ def run_crawl(
             # IS the next frontier's link candidates.
             urlseen_dir = store.prepare_partition("urlseen", wave)
             staged = ordered.map_batches(_add_wave(wave), batch_format="pyarrow")
+            if actions_ds is not None:
+                ncpu_s = int(ray.cluster_resources().get("CPU", 8))
+                staged = _attach_actions(staged, actions_ds,
+                                         max(2, min(8, ncpu_s)))
             if fetcher_mode == "actor":
                 fetched = staged.map_batches(
                     FetchWriter,

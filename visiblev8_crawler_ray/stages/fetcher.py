@@ -35,20 +35,32 @@ from ..schemas import SPAN_STRUCT
 class Fetcher:
     def __init__(self, cfg: CrawlConfig, actions_ref=None):
         # Once-per-actor setup (browser launch analog).  ``actions_ref``
-        # is a ray.put handle to the first-wins {url_key: actions JSON}
-        # map for actioned seed URLs (M6) — broadcast once, read per
-        # actor, never re-shipped per batch.  Action missions are
-        # curated seed lists (LoginGPT), orders of magnitude smaller
-        # than the frontier; at huge mission sizes the same lookup
-        # becomes a hash-partitioned join on url_key instead.
+        # is a ray.put handle to the first-wins (url_key, actions) arrow
+        # table for actioned seed URLs (M6) — broadcast once, read per
+        # actor, never re-shipped per batch; the per-batch probe is a
+        # vectorized pc.index_in.  Missions above
+        # cfg.actions_broadcast_max skip the broadcast entirely: the
+        # wave loop attaches an ``actions_json`` column via a
+        # hash-partitioned join (crawl._attach_actions) and
+        # ``actions_ref`` stays None.
         self.cfg = cfg
-        self._actions: dict[str, str] | None = None
+        self._akeys = self._avals = None
         if actions_ref is not None:
             import ray
 
-            self._actions = ray.get(actions_ref)
+            atbl = ray.get(actions_ref)
+            self._akeys = atbl["url_key"].combine_chunks()
+            self._avals = atbl["actions"].combine_chunks()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        aj_col = None
+        if "actions_json" in batch.column_names:  # join-mode attach
+            aj_col = batch.column("actions_json")
+            if isinstance(aj_col, pa.ChunkedArray):
+                aj_col = aj_col.combine_chunks()
+            if pa.types.is_null(aj_col.type):  # bucket had no actions
+                aj_col = None
+            batch = batch.drop_columns(["actions_json"])
         url_col = batch.column("url")
         # vectorized over the batch: failure predicates + doc ids
         ok = ~U.fail_mask(url_col)
@@ -67,17 +79,24 @@ class Fetcher:
         # failures fall back to a direct crawl (vv8_worker/tasks.py:148-178)
         fetch_mode = ["direct"] * n
         row_actions: list[list | None] = [None] * n
-        if self._actions:
-            keys = batch.column("url_key").to_pylist()                 if "url_key" in batch.column_names else None
-            afail = U.action_fail_mask(url_col)
-            for i in range(n):
-                aj = self._actions.get(keys[i]) if keys else None
-                if aj:
+        if aj_col is None and self._akeys is not None \
+                and "url_key" in batch.column_names:
+            # broadcast mode: one vectorized probe per batch
+            idx = pc.index_in(batch.column("url_key"), value_set=self._akeys)
+            aj_col = self._avals.take(idx)
+        if aj_col is not None and n:
+            hit = pc.and_(aj_col.is_valid(),
+                          pc.not_equal(aj_col.fill_null(""), ""))
+            hit_ix = np.flatnonzero(hit.to_numpy(zero_copy_only=False))
+            if len(hit_ix):
+                afail = U.action_fail_mask(url_col)
+                ajs = aj_col.to_pylist()
+                for i in hit_ix:  # actioned rows only (mission-bounded)
                     if afail[i]:
                         fetch_mode[i] = "actions_fallback"  # direct retry
                     else:
                         fetch_mode[i] = "actions"
-                        row_actions[i] = parse_actions(aj)
+                        row_actions[i] = parse_actions(ajs[i])
 
         ok_ix = np.flatnonzero(ok)
         did_np = did_all.to_numpy(zero_copy_only=False)
