@@ -144,6 +144,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": E.embedding_near_dup,
         # classification pipeline (M9/T3/A5/A7/S12/T4)
         "classify_documents": CL.classify_documents,
+        "classify_documents_artifact": CL.classify_documents_artifact,
+        "verified_behavioral_details": CL.verified_behavioral_details,
+        "score_features_wide": lambda sf: CL.score_features_wide(
+            sf, docs=_crawl(sf).docs()),
         "classification_summary": CL.classification_summary,
         "results_upsert": CL.results_upsert,
         "adblock_filter": CL.adblock_filter,
@@ -234,7 +238,15 @@ def oracle_sql() -> dict[str, str]:
         f"len(regexp_extract_all(text, '\\b{w}\\b'))" for w in T.STOPWORDS
     )
     sc = CL.score_sql_exprs()
-    ad_hosts = ", ".join(f"'{h}'" for h in sorted(CL.AdblockIndex.BLOCKED_HOSTS))
+    sca = CL.artifact_score_sql_exprs()
+    # adblock oracle derives from the SAME easylist rules file the engine
+    # compiles (host anchors match subdomains; prefixes are path rules)
+    _abi = CL.AdblockIndex()
+    ad_host_pred = " OR ".join(
+        f"({{host}} = '{h}' OR suffix({{host}}, '.{h}'))"
+        for h in sorted(_abi.hosts)) or "FALSE"
+    ad_path_pred = " OR ".join(
+        f"starts_with({{path}}, '{p}')" for p in _abi.prefixes) or "FALSE"
     return {
         "usage_rollup": """
             SELECT l_returnflag, l_linestatus,
@@ -398,6 +410,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, round({sc['score']}, 4) AS score,
                    {sc['label']} AS label, {sc['confidence']} AS confidence
             FROM documents""",
+        "verified_behavioral_details": f"""
+            WITH s AS (SELECT doc_id, round({sc['score']}, 4) AS score,
+                              {sc['label']} AS label,
+                              {sc['confidence']} AS confidence
+                       FROM documents)
+            SELECT r.doc_id, r.score, o.source, o.lang, o.n_chars
+            FROM s r JOIN documents o USING (doc_id)
+            WHERE r.label = 'behavioral' AND r.confidence IN ('high', 'very_high')
+            ORDER BY r.score DESC, r.doc_id LIMIT 10""",
+        "classify_documents_artifact": f"""
+            SELECT doc_id, round({sca['score']}, 4) AS score,
+                   {sca['label']} AS label, {sca['confidence']} AS confidence
+            FROM documents""",
         "classification_summary": f"""
             WITH s AS (SELECT round({sc['score']}, 4) AS score,
                               {sc['label']} AS label FROM documents)
@@ -414,8 +439,7 @@ def oracle_sql() -> dict[str, str]:
         "adblock_filter": f"""
             {{seed_cte}}
             SELECT seed_id, {{canon}} AS canonical_url,
-                   ({{host}} IN ({ad_hosts})
-                    OR starts_with({{path}}, '{CL.AdblockIndex.BLOCKED_PATH_PREFIX}'))
+                   (({ad_host_pred}) OR ({ad_path_pred}))
                        AS ad_blocked
             FROM seeds WHERE {{valid}}""".format(
                 seed_cte=_seed_cte(), canon=canon, host=parts["host"],

@@ -77,3 +77,34 @@ def test_features_hand_computed(ray_session):
     assert s2["uses_screen_fp"] == 1
     assert s2["complexity_tier"] == 1
     assert s2["is_behavioral_heavy"] == 0 and s2["is_fp_heavy"] == 0
+
+
+def test_artifact_scorer_matches_hand_computed():
+    """T3 artifact path: npz (bias, weights, feature_names) loaded once,
+    features resolved as batch COLUMNS, score equal to the hand-computed
+    logistic — and ID columns pass through."""
+    import numpy as np
+    import pyarrow as pa
+
+    from visiblev8_crawler_ray.pipelines.classify import Scorer, _artifact
+
+    sc = Scorer(_artifact("script_wide_lr.npz"))
+    batch = pa.table({
+        "doc_id": ["d1", "d2"],
+        "script_sha": ["s1", "s2"],
+        "sophistication_score": pa.array([2.0, 0.0]),
+        "interaction_diversity": pa.array([3, 0]),
+        "fp_approach_diversity": pa.array([1, 0]),
+        "has_aggregation": pa.array([1, 0]),
+        "collection_method_diversity": pa.array([2, 0]),
+    })
+    out = sc(batch).to_pandas()
+    z1 = -3.0 + 0.9 * 2.0 + 0.4 * 3 + 0.35 * 1 + 1.2 * 1 + 0.05 * 2
+    want1 = round(1.0 / (1.0 + np.exp(-z1)), 4)
+    assert out.loc[0, "score"] == want1
+    assert out.loc[0, "label"] == ("behavioral" if want1 > 0.5 else "benign")
+    z2 = -3.0
+    want2 = round(1.0 / (1.0 + np.exp(-z2)), 4)
+    assert out.loc[1, "score"] == want2 and out.loc[1, "label"] == "benign"
+    assert list(out.columns) == ["doc_id", "script_sha", "score", "label",
+                                 "confidence"]

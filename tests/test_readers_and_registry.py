@@ -177,3 +177,37 @@ def test_embedding_near_dup_lsh_path_parity():
     tiny = embedding_near_dup(sf, force_lsh=True, chunk_rows=64)
     pd.testing.assert_frame_equal(exact.reset_index(drop=True),
                                   tiny.reset_index(drop=True))
+
+
+def test_adblock_easylist_rules_file(tmp_path):
+    """T4: easylist-subset parsing — '||host^' anchors match subdomains,
+    '@@' exceptions unblock, leading-'/' rules are path prefixes,
+    comments/unsupported syntax are skipped."""
+    import numpy as np
+    import pyarrow as pa
+
+    from visiblev8_crawler_ray.pipelines.classify import AdblockIndex
+
+    rules = tmp_path / "rules.txt"
+    rules.write_text(
+        "! comment\n"
+        "||ads.example^\n"
+        "@@||good.ads.example^\n"
+        "/track/\n"
+        "##.banner-selector\n"   # unsupported cosmetic rule: ignored
+        "\n")
+    idx = AdblockIndex(str(rules))
+    batch = pa.table({
+        "host": ["ads.example", "sub.ads.example", "good.ads.example",
+                 "clean.example", "clean.example"],
+        "path": ["/", "/x", "/y", "/track/p", "/ok"],
+    })
+    out = idx(batch)["ad_blocked"].to_pylist()
+    #       anchor   subdomain  exception  path-prefix  clean
+    assert out == [True, True, False, True, False]
+
+    # default rules file keeps the original behavior
+    d = AdblockIndex()
+    b2 = pa.table({"host": ["src3.example", "src4.example"],
+                   "path": ["/", "/page/2x"]})
+    assert d(b2)["ad_blocked"].to_pylist() == [True, True]
