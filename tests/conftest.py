@@ -1,4 +1,9 @@
 import logging
+import os
+
+# must precede any import of __ray_entry__: the span-table oracle SQL
+# embeds the docs-export path for this sf (driver default is sf0.01)
+os.environ.setdefault("VV8RAY_ORACLE_SF", "/root/testdata/sf0.001")
 
 import pytest
 

@@ -25,6 +25,8 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
+from ..functions.util import round_half_away
+
 _USAGE_KINDS = {"get": "g", "set": "s", "call": "c", "new": "n"}
 _HDR_RE = __import__("re").compile(r"^g=([a-z_]+);p=(-?\d+);")
 
@@ -315,7 +317,7 @@ def trigger_stats(docs: rd.Dataset) -> rd.Dataset:
             "fired": t["fired"],
             "timeouts": t["timeouts"],
             "avg_duration_ms": pa.array(
-                np.round(ds_ / okn, 2), type=pa.float64()),
+                round_half_away(ds_ / okn, 2), type=pa.float64()),
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
