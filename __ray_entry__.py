@@ -201,6 +201,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scripts_provenance": lambda sf: P.scripts_provenance(_crawl(sf).docs()),
         "doc_features_wide": lambda sf: FW.script_features_wide(_crawl(sf).docs()),
         "create_elements": lambda sf: P.create_elements(_crawl(sf).docs()),
+        "feature_dedup": lambda sf: P.feature_dedup(_crawl(sf).docs()),
+        "instance_dedup": lambda sf: P.instance_dedup(_crawl(sf).docs()),
         "trigger_stats": lambda sf: P.trigger_stats(_crawl(sf).docs()),
         "doc_feature_summary": _doc_feature_summary,
         "usage_rollup_crawl": _usage_rollup_crawl,
@@ -502,6 +504,33 @@ def oracle_sql() -> dict[str, str]:
               AND regexp_replace(u.text, ':.*$', '') = 'Document.createElement'
               AND regexp_extract(u.text, '^[^:]*:(.*)$', 1) <> ''
             GROUP BY 1, 2""",
+        "feature_dedup": f"""
+            WITH sp AS {_sp},
+            u AS (SELECT regexp_replace(text, ':.*$', '') AS feature,
+                         {_mode} AS mode
+                  FROM sp WHERE kind IN {_usage_kinds})
+            SELECT substr(sha256(feature), 1, 16) AS feature_sha, feature,
+                   CAST(count(DISTINCT mode) AS BIGINT) AS n_modes,
+                   count(*) AS n_usages
+            FROM u GROUP BY feature""",
+        "instance_dedup": f"""
+            WITH sp AS {_sp},
+            att AS (SELECT *, max(CASE WHEN kind = 'script' THEN "offset" END)
+                        OVER (PARTITION BY doc_id ORDER BY "offset"
+                              ROWS UNBOUNDED PRECEDING) AS so
+                    FROM sp),
+            scripts AS (SELECT doc_id, "offset",
+                               substr(sha256(regexp_replace(text, {_hdr}, '')),
+                                      1, 16) AS sha
+                        FROM sp WHERE kind = 'script'),
+            inst AS (SELECT s.sha AS script_sha, u.doc_id
+                     FROM att u JOIN scripts s
+                       ON s.doc_id = u.doc_id AND s."offset" = u.so
+                     WHERE u.kind IN {_usage_kinds})
+            SELECT substr(sha256(script_sha || ':' || doc_id), 1, 16)
+                       AS instance_hash,
+                   script_sha, doc_id, count(*) AS n_usages
+            FROM inst GROUP BY script_sha, doc_id""",
         "trigger_stats": f"""
             WITH sp AS {_sp},
             tr AS (SELECT regexp_replace(kind, '^trigger/', '') AS trigger,

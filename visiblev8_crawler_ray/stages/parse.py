@@ -321,3 +321,63 @@ def trigger_stats(docs: rd.Dataset) -> rd.Dataset:
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def feature_dedup(docs: rd.Dataset) -> pa.Table:
+    """D4: feature-name dedup — one row per distinct API feature, keyed
+    by its content hash (mega_features' ``sha256(full_name)`` unique
+    constraint, ``2_mega_vv8_postgres_schema.sql:70-78``).  Combiner
+    shape: per-batch distinct + partial counts, tiny final groupby; the
+    sha runs only over the deduped result rows."""
+    import hashlib as _hl
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # per-batch distinct (feature, mode) pairs with partial usage
+        # counts — COUNT DISTINCT decomposes exactly as pair-distinct
+        # then a per-feature pair count (the A9 pattern)
+        u = explode_usage_batch(batch)
+        g = u.group_by(["feature", "mode"]).aggregate([("offset", "count")])
+        return g.rename_columns(["feature", "mode", "p_usages"])
+
+    from ray.data.aggregate import Sum
+
+    pairs = docs.map_batches(partial, batch_format="pyarrow").groupby(
+        ["feature", "mode"]).aggregate(
+        Sum("p_usages", alias_name="pair_usages")).to_pandas()
+    agg = pairs.groupby("feature").agg(
+        n_modes=("mode", "size"),
+        n_usages=("pair_usages", "sum")).reset_index()
+    agg["feature_sha"] = [
+        _hl.sha256(f.encode()).hexdigest()[:16] for f in agg["feature"]]
+    agg["n_modes"] = agg["n_modes"].astype("int64")
+    agg["n_usages"] = agg["n_usages"].astype("int64")
+    return agg[["feature_sha", "feature", "n_modes", "n_usages"]].sort_values(
+        "feature").reset_index(drop=True)
+
+
+def instance_dedup(docs: rd.Dataset) -> pa.Table:
+    """D5: instance dedup — one row per distinct (script, document)
+    instance with a composite instance hash (mega_instances'
+    ``instance_hash = H(oid+sha2+...)`` unique constraint,
+    ``2_mega_vv8_postgres_schema.sql:46-56``); usage rows collapse onto
+    their instance with a count.  Hashes run over the deduped result."""
+    import hashlib as _hl
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = explode_usage_batch(batch)
+        u = u.filter(pc.not_equal(u["script_sha"], ""))
+        g = u.group_by(["script_sha", "doc_id"]).aggregate(
+            [("offset", "count")])
+        return g.rename_columns(["script_sha", "doc_id", "p_n"])
+
+    from ray.data.aggregate import Sum
+
+    agg = docs.map_batches(partial, batch_format="pyarrow").groupby(
+        ["script_sha", "doc_id"]).aggregate(
+        Sum("p_n", alias_name="n_usages")).to_pandas()
+    agg["instance_hash"] = [
+        _hl.sha256(f"{s}:{d}".encode()).hexdigest()[:16]
+        for s, d in zip(agg["script_sha"], agg["doc_id"])]
+    agg["n_usages"] = agg["n_usages"].astype("int64")
+    return agg[["instance_hash", "script_sha", "doc_id", "n_usages"]] \
+        .sort_values(["script_sha", "doc_id"]).reset_index(drop=True)
