@@ -63,9 +63,10 @@ def _crawl(sf_dir: str) -> CrawlRun:
         )["doc_id"].to_numpy()
         seeds = synth.seeds_table(ids, QCFG)
         _CRAWL_CACHE[key] = run_crawl(seeds, QCFG, _store_root(sf_dir))
-        # every crawl-backed query guarantees the docs export the span
+        # every crawl-backed query guarantees the exports the span/log
         # oracles read (cheap; idempotent)
         _ensure_docs_export(sf_dir)
+        _ensure_log_export(sf_dir)
     return _CRAWL_CACHE[key]
 
 
@@ -73,13 +74,13 @@ def _crawl(sf_dir: str) -> CrawlRun:
 _ORACLE_SF = os.environ.get("VV8RAY_ORACLE_SF", "/root/testdata/sf0.01")
 
 
-def _ensure_docs_export(sf_dir: str) -> str:
-    """Export the crawl's docs table (doc_id, spans) to ONE deterministic
-    parquet file so DuckDB twins can re-derive the span-table queries
-    (explode / attribution / rollups) independently — the crawl itself
-    stays gated by the sequential-simulator suite; these oracles verify
-    the DERIVATIONS over the committed store (VERDICT r2 #8)."""
-    path = os.path.join(_store_root(sf_dir), "export", "docs.parquet")
+def _ensure_export(sf_dir: str, name: str, dataset_fn) -> str:
+    """Export a crawl-derived table to ONE deterministic parquet file so
+    DuckDB twins can re-derive downstream queries (explode / attribution
+    / rollups / projections) independently — the crawl itself stays
+    gated by the sequential-simulator suite; these oracles verify the
+    DERIVATIONS over the committed store (VERDICT r2 #8)."""
+    path = os.path.join(_store_root(sf_dir), "export", f"{name}.parquet")
     if not os.path.exists(path):
         import ray
 
@@ -89,14 +90,22 @@ def _ensure_docs_export(sf_dir: str) -> str:
             return path
         import pyarrow as pa
 
-        docs = _crawl(sf_dir).docs()
+        ds = dataset_fn(_crawl(sf_dir))
         tbl = pa.concat_tables(
-            docs.iter_batches(batch_format="pyarrow", batch_size=4096))
+            ds.iter_batches(batch_format="pyarrow", batch_size=4096))
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + ".tmp"
         pq.write_table(tbl, tmp)
         os.replace(tmp, path)
     return path
+
+
+def _ensure_docs_export(sf_dir: str) -> str:
+    return _ensure_export(sf_dir, "docs", lambda run: run.docs())
+
+
+def _ensure_log_export(sf_dir: str) -> str:
+    return _ensure_export(sf_dir, "crawl_log", lambda run: run.crawl_log())
 
 
 def entry() -> Any:
@@ -120,8 +129,24 @@ def _crawl_docs_summary(sf_dir: str):
 
 
 def _scripts_from_docs(sf_dir: str):
+    """script_flow analog: one row per script with its ordered api trace
+    (apis TEXT[] joined to '|' so the driver's value-hash sees a plain
+    string column, like ``origin_sets``)."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    def proj(t):
+        apis = t["apis"]
+        if isinstance(apis, _pa.ChunkedArray):
+            apis = apis.combine_chunks()
+        joined = _pc.binary_join(apis.cast(_pa.list_(_pa.string())), "|")
+        n = _pc.list_value_length(apis).cast(_pa.int64())
+        return t.drop(["apis"]).append_column(
+            "apis", joined).append_column("n_apis", n)
+
     return _crawl(sf_dir).docs().map_batches(
-        P.parse_scripts_batch, batch_format="pyarrow")
+        P.parse_scripts_batch, batch_format="pyarrow").map_batches(
+        proj, batch_format="pyarrow")
 
 
 def _usage_rollup_crawl(sf_dir: str):
@@ -282,8 +307,11 @@ def oracle_sql() -> dict[str, str]:
     # whether the driver executes the oracle before or after the query
     try:
         _exp = _ensure_docs_export(_ORACLE_SF)
+        _lg = _ensure_log_export(_ORACLE_SF)
     except Exception:  # no Ray session / no testdata: emit the path only
         _exp = os.path.join(_store_root(_ORACLE_SF), "export", "docs.parquet")
+        _lg = os.path.join(
+            _store_root(_ORACLE_SF), "export", "crawl_log.parquet")
     _sp = (f"(SELECT doc_id, unnest(spans, recursive := true) "
            f"FROM read_parquet('{_exp}'))")
     _hdr = "'^g=[a-z_]+;p=-?\\d+;'"
@@ -292,6 +320,8 @@ def oracle_sql() -> dict[str, str]:
              "WHEN 'call' THEN 'c' ELSE 'n' END")
     sc = CL.score_sql_exprs()
     sca = CL.artifact_score_sql_exprs()
+    scw = CL.wide_artifact_score_sql_exprs()
+    wide_sql = FW.features_wide_sql(_sp, _hdr, _usage_kinds)
     # adblock oracle derives from the SAME easylist rules file the engine
     # compiles (host anchors match subdomains; prefixes are path rules)
     _abi = CL.AdblockIndex()
@@ -573,6 +603,78 @@ def oracle_sql() -> dict[str, str]:
             FROM scripts c LEFT JOIN scripts par
               ON par.doc_id = c.doc_id AND c.p >= 0 AND c.p < c.ord
                  AND par.ord = c.p""",
+        "parse_chain_counts": f"""
+            WITH sp AS {_sp}
+            SELECT parser, CAST(n AS BIGINT) AS n FROM (
+                SELECT 'flow' AS parser, count(*) AS n
+                FROM sp WHERE kind = 'script'
+                UNION ALL
+                SELECT 'mfeatures', count(*) FROM sp
+                WHERE kind IN {_usage_kinds}
+                UNION ALL
+                SELECT 'spans', count(*) FROM sp)""",
+        "crawl_docs_summary": f"""
+            SELECT doc_id, wave, n_spans, n_links
+            FROM read_parquet('{_lg}') WHERE status = 'ok'""",
+        "url_status": f"""
+            SELECT url, url_key, status, wave, seq, doc_id, n_spans,
+                   CASE WHEN status = 'ok'
+                        THEN 'blob://' || doc_id || '/shot.png'
+                        ELSE '' END AS screenshot_ref,
+                   CASE WHEN status = 'ok'
+                        THEN 'blob://' || doc_id || '/har.json'
+                        ELSE '' END AS har_ref,
+                   (status <> '') AS complete
+            FROM read_parquet('{_lg}')""",
+        "doc_features_wide": wide_sql,
+        "score_features_wide": f"""
+            WITH wide AS ({wide_sql})
+            SELECT doc_id, script_sha,
+                   round(CAST({scw['score']} AS DOUBLE), 4) AS score,
+                   {scw['label']} AS label,
+                   {scw['confidence']} AS confidence
+            FROM wide""",
+        "scripts_from_docs": f"""
+            WITH sp AS {_sp},
+            scripts AS (
+                SELECT doc_id, "offset",
+                       regexp_replace(text, {_hdr}, '') AS code,
+                       substr(sha256(regexp_replace(text, {_hdr}, '')),
+                              1, 16) AS script_sha,
+                       coalesce(nullif(regexp_extract(
+                           text, '^g=([a-z_]+);p=-?\\d+;', 1), ''),
+                           'unknown') AS genesis,
+                       CAST(coalesce(nullif(regexp_extract(
+                           text, '^g=[a-z_]+;p=(-?\\d+);', 1), ''), '-1')
+                           AS BIGINT) AS p,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY "offset") - 1 AS ord
+                FROM sp WHERE kind = 'script'),
+            bound AS (
+                SELECT doc_id, "offset", kind, text,
+                       max(CASE WHEN kind = 'script' THEN "offset" END)
+                           OVER (PARTITION BY doc_id ORDER BY "offset"
+                                 ROWS UNBOUNDED PRECEDING) AS script_off
+                FROM sp),
+            traces AS (
+                SELECT doc_id, script_off,
+                       array_to_string(
+                           list(regexp_replace(text, ':.*$', '')
+                                ORDER BY "offset"), '|') AS apis,
+                       count(*) AS n_apis
+                FROM bound
+                WHERE kind IN {_usage_kinds} AND script_off IS NOT NULL
+                GROUP BY doc_id, script_off)
+            SELECT s.doc_id, s.script_sha, s.code, s.genesis,
+                   coalesce(par.script_sha, '') AS evaled_by,
+                   coalesce(t.apis, '') AS apis,
+                   CAST(coalesce(t.n_apis, 0) AS BIGINT) AS n_apis
+            FROM scripts s
+            LEFT JOIN scripts par
+              ON par.doc_id = s.doc_id AND s.p >= 0 AND s.p < s.ord
+                 AND par.ord = s.p
+            LEFT JOIN traces t
+              ON t.doc_id = s.doc_id AND t.script_off = s."offset\"""",
         "classification_summary": f"""
             WITH s AS (SELECT round({sc['score']}, 4) AS score,
                               {sc['label']} AS label FROM documents)

@@ -265,6 +265,26 @@ def artifact_score_sql_exprs() -> dict[str, str]:
     return {"score": score, "label": label, "confidence": conf}
 
 
+def wide_artifact_score_sql_exprs() -> dict[str, str]:
+    """DuckDB twin of the script_wide_lr artifact scorer over the wide
+    feature COLUMNS — SQL generated from the same npz (weights cannot
+    drift), z-accumulation parenthesized in Scorer.__call__'s order so
+    the float64 result matches bit for bit."""
+    with np.load(_artifact("script_wide_lr.npz"), allow_pickle=False) as art:
+        bias = float(art["bias"])
+        weights = [float(w) for w in art["weights"]]
+        names = [str(s) for s in art["feature_names"]]
+    z = str(bias)
+    for w, name in zip(weights, names):
+        z = f"({z} + {w} * CAST({name} AS DOUBLE))"
+    score = f"(1.0 / (1.0 + exp(-{z})))"
+    label = f"(CASE WHEN {score} > 0.5 THEN 'behavioral' ELSE 'benign' END)"
+    conf = (f"(CASE WHEN {score} < 0.25 THEN 'low' "
+            f"WHEN {score} < 0.5 THEN 'medium' "
+            f"WHEN {score} < 0.75 THEN 'high' ELSE 'very_high' END)")
+    return {"score": score, "label": label, "confidence": conf}
+
+
 def score_sql_exprs() -> dict[str, str]:
     """DuckDB expressions recomputing the scorer exactly (shared
     constants; same operation order as Scorer.__call__)."""

@@ -25,6 +25,7 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
+from ..functions.util import round_half_away
 from ..stages.parse import explode_usage_batch
 
 BEHAVIORAL_PREFIXES = ("MouseEvent.", "KeyboardEvent.", "TouchEvent.",
@@ -192,8 +193,134 @@ def _derive(df: pd.DataFrame) -> pd.DataFrame:
     for c in ("behavioral_agg_ratio", "fp_agg_ratio",
               "behavioral_focus_ratio", "fp_focus_ratio",
               "collection_intensity", "behavioral_access_ratio"):
-        out[c] = np.round(out[c].to_numpy(dtype=np.float64), 6)
+        # half-away-from-zero, matching DuckDB round() in the SQL twin
+        out[c] = round_half_away(out[c].to_numpy(dtype=np.float64), 6)
     return out
+
+
+def _sql_starts_any(col: str, prefixes: tuple[str, ...]) -> str:
+    return "(" + " OR ".join(
+        f"starts_with({col}, '{p}')" for p in prefixes) + ")"
+
+
+def features_wide_sql(sp: str, hdr: str, usage_kinds: str) -> str:
+    """DuckDB twin of ``script_features_wide``, GENERATED from the same
+    family constants so predicates cannot drift.  ``sp`` is the
+    exploded-spans CTE body (doc_id, kind, text, "offset"), ``hdr`` the
+    quoted script-header regex, ``usage_kinds`` the SQL IN-list.
+
+    Mirrors the engine exactly: usage rows bind to the nearest
+    preceding script span (forward fill), rows before any script keep
+    script_sha = '' (LEFT JOIN), flags sum per (doc_id, script_sha),
+    ratios round half-away at 6 (DuckDB round == round_half_away)."""
+    f = "feature"
+    flags = {
+        "b": _sql_starts_any(f, BEHAVIORAL_PREFIXES),
+        "f": _sql_starts_any(f, FP_PREFIXES),
+        "sinks": f"{f} IN ({', '.join(repr(a) for a in SINK_APIS)})",
+        "coord": _sql_starts_any(f, tuple(
+            f"MouseEvent.{c}" for c in ("clientX", "clientY"))),
+        "timing": f"{f} IN ({', '.join(repr(a) for a in _TIMING_APIS)})",
+        "nav": f"(starts_with({f}, 'Navigator.') OR {f} = 'Window.navigator')",
+        "scr": f"starts_with({f}, 'Screen.')",
+        "canvas": _sql_starts_any(f, ("CanvasRenderingContext2D.",
+                                      "HTMLCanvasElement.",
+                                      "WebGLRenderingContext.")),
+        "audio": f"starts_with({f}, 'AudioContext.')",
+        "mouse": f"starts_with({f}, 'MouseEvent')",
+        "kb": f"starts_with({f}, 'KeyboardEvent')",
+        "touch": f"starts_with({f}, 'TouchEvent')",
+    }
+    sums = ",\n                   ".join(
+        f"sum(CASE WHEN {expr} THEN 1 ELSE 0 END) AS {name}"
+        for name, expr in flags.items())
+    total = "(a.b + a.f)"
+    b_agg = "(CASE WHEN a.sinks > 0 THEN a.b ELSE 0 END)"
+    f_agg = "(CASE WHEN a.sinks > 0 THEN a.f ELSE 0 END)"
+    t_agg = f"({b_agg} + {f_agg})"
+    def bigint(expr: str, name: str) -> str:
+        return f"CAST({expr} AS BIGINT) AS {name}"
+    def flag(expr: str, name: str) -> str:
+        return bigint(f"CASE WHEN {expr} THEN 1 ELSE 0 END", name)
+    def ratio(num: str, den: str, guard: str, name: str) -> str:
+        return (f"round(CASE WHEN {guard} > 0 THEN CAST({num} AS DOUBLE)"
+                f" / greatest({den}, 1) ELSE 0.0 END, 6) AS {name}")
+    diversity = ("(CASE WHEN a.mouse > 0 THEN 1 ELSE 0 END"
+                 " + CASE WHEN a.kb > 0 THEN 1 ELSE 0 END"
+                 " + CASE WHEN a.touch > 0 THEN 1 ELSE 0 END)")
+    soph = ("(CASE WHEN a.coord > 0 THEN 1 ELSE 0 END"
+            " + CASE WHEN a.timing > 0 THEN 1 ELSE 0 END)")
+    fp_div = ("(CASE WHEN a.nav > 0 THEN 1 ELSE 0 END"
+              " + CASE WHEN a.scr > 0 THEN 1 ELSE 0 END"
+              " + CASE WHEN a.canvas > 0 THEN 1 ELSE 0 END"
+              " + CASE WHEN a.audio > 0 THEN 1 ELSE 0 END)")
+    derived = ",\n                   ".join([
+        bigint(f"CASE WHEN a.sinks > 0 THEN {total} ELSE 0 END",
+               "max_api_aggregation_score"),
+        bigint(b_agg, "behavioral_api_agg_count"),
+        bigint(f_agg, "fp_api_agg_count"),
+        bigint(t_agg, "total_aggregation_count"),
+        flag(f"a.sinks > 0 AND {total} > 0", "has_aggregation"),
+        ratio(b_agg, t_agg, t_agg, "behavioral_agg_ratio"),
+        ratio(f_agg, t_agg, t_agg, "fp_agg_ratio"),
+        flag(f"{b_agg} > 0", "has_behavioral_aggregation"),
+        flag(f"{f_agg} > 0", "has_fp_aggregation"),
+        flag(f"{b_agg} > 0 AND {f_agg} > 0", "has_both_aggregation_types"),
+        ratio("a.b", total, total, "behavioral_focus_ratio"),
+        ratio("a.f", total, total, "fp_focus_ratio"),
+        bigint(diversity, "interaction_diversity"),
+        flag(f"{diversity} >= 3", "has_multi_input_types"),
+        flag("a.coord > 0", "tracks_coordinates"),
+        flag("a.timing > 0", "tracks_timing"),
+        bigint("0", "tracks_device_motion"),
+        bigint(soph, "sophistication_score"),
+        flag("a.nav > 0", "uses_navigator_fp"),
+        flag("a.scr > 0", "uses_screen_fp"),
+        flag("a.canvas > 0", "uses_canvas_fp"),
+        flag("a.audio > 0", "uses_audio_fp"),
+        bigint(fp_div, "fp_approach_diversity"),
+        (f"round(CAST(a.n_access AS DOUBLE) / greatest({total}, 1), 6)"
+         " AS collection_intensity"),
+        ratio("a.b", "a.n_access", "a.n_access", "behavioral_access_ratio"),
+        flag("a.sinks > 0", "has_data_collection"),
+        bigint(f"least(a.sinks, {len(SINK_APIS)})",
+               "collection_method_diversity"),
+        flag("a.mouse > 0", "tracks_mouse"),
+        flag("a.kb > 0", "tracks_keyboard"),
+        flag("a.touch > 0", "tracks_touch"),
+        bigint("0", "tracks_pointer"),
+        bigint(f"CASE WHEN {total} = 0 THEN 0 WHEN {total} <= 5 THEN 1 "
+               f"WHEN {total} <= 15 THEN 2 ELSE 3 END", "complexity_tier"),
+        flag("a.b > a.f AND a.b > 5", "is_behavioral_heavy"),
+        flag("a.f > a.b AND a.f > 5", "is_fp_heavy"),
+        flag(f"abs(a.b - a.f) <= 3 AND {total} > 5", "is_balanced_tracker"),
+    ])
+    return f"""
+            WITH sp AS {sp},
+            scripts AS (
+                SELECT doc_id, "offset",
+                       substr(sha256(regexp_replace(text, {hdr}, '')),
+                              1, 16) AS script_sha
+                FROM sp WHERE kind = 'script'),
+            bound AS (
+                SELECT doc_id, "offset", kind, text,
+                       max(CASE WHEN kind = 'script' THEN "offset" END)
+                           OVER (PARTITION BY doc_id ORDER BY "offset"
+                                 ROWS UNBOUNDED PRECEDING) AS script_off
+                FROM sp),
+            u AS (
+                SELECT bo.doc_id, coalesce(s.script_sha, '') AS script_sha,
+                       regexp_replace(bo.text, ':.*$', '') AS feature
+                FROM bound bo LEFT JOIN scripts s
+                  ON s.doc_id = bo.doc_id AND s."offset" = bo.script_off
+                WHERE bo.kind IN {usage_kinds}),
+            agg AS (
+                SELECT doc_id, script_sha, count(*) AS n_access,
+                   {sums}
+                FROM u GROUP BY doc_id, script_sha)
+            SELECT a.doc_id, a.script_sha,
+                   {derived}
+            FROM agg a"""
 
 
 def script_features_wide(docs: rd.Dataset) -> rd.Dataset:
