@@ -91,3 +91,42 @@ def test_blob_artifacts_and_url_status(tmp_path):
     assert (ok.screenshot_ref == "blob://" + ok.doc_id + "/shot.png").all()
     assert (status[status.status != "ok"].screenshot_ref == "").all()
     assert status.complete.all()
+
+
+def test_fetch_rows_flat_matches_naive_reference():
+    """The batch-vectorized span generator must be byte-identical to the
+    per-URL naive reference (make_spans_flat), including actioned rows,
+    multi-wave doc ids and non-page paths."""
+    from visiblev8_crawler_ray import synth
+    from visiblev8_crawler_ray.config import CrawlConfig
+
+    cfg = CrawlConfig()
+    n = 257
+    urls = [f"https://src{i % 7}.example/page/{i % 91}" for i in range(n)]
+    urls[3] = "https://odd.example/nopage"  # page_of -> 0 path shape
+    hosts = [u.split("://", 1)[1].split("/", 1)[0] for u in urls]
+    paths = ["/" + u.split("://", 1)[1].split("/", 1)[1] for u in urls]
+    waves = [i % 3 for i in range(n)]
+    acts: list = [None] * n
+    for i in range(0, n, 11):
+        acts[i] = [(i % 1280, (i * 13) % 720), ((i * 7) % 1280, i % 720)]
+    dids = [synth.doc_id_for(u, int(w)) for u, w in zip(urls, waves)]
+
+    kinds: list = []
+    texts: list = []
+    medias: list = []
+    counts = []
+    links = []
+    for u, h, p, w, d, a in zip(urls, hosts, paths, waves, dids, acts):
+        c, lk = synth.make_spans_flat(u, h, p, int(w), cfg, kinds, texts,
+                                      medias, did=d, actions=a)
+        counts.append(c)
+        links.append(lk)
+
+    K, T, M, C, D, L = synth.fetch_rows_flat(
+        urls, hosts, paths, waves, cfg, doc_ids=dids, actions=acts)
+    assert list(C) == counts
+    assert list(K) == kinds
+    assert list(T) == texts
+    assert list(M) == medias
+    assert L == links

@@ -405,31 +405,257 @@ def robots_blocked(host: str, path: str, cfg: CrawlConfig) -> bool:
     return any(path.startswith(pfx) for pfx in cfg.robots_disallow(host))
 
 
+def _segment_arange(counts: np.ndarray) -> np.ndarray:
+    """[3, 2] -> [0, 1, 2, 0, 1] (intra-segment indices)."""
+    total = int(counts.sum())
+    starts = np.cumsum(counts) - counts
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+
+
+# every span kind is one of these constants; the arrow kind column is a
+# dictionary over this vocabulary (codes below index into it)
+_KIND_VOCAB = ("isolate", "origin", "script", *_MODE_KINDS,
+               *(f"trigger/{name}" for name, _ in TRIGGERS),
+               "action/click", "action/nav",
+               "link", "media/screenshot", "media/har")
+_KC_TRIG0 = 7
+_KC_CLICK = _KC_TRIG0 + len(TRIGGERS)
+_KC_NAV = _KC_CLICK + 1
+_KC_LINK = _KC_NAV + 1
+_KC_SHOT = _KC_LINK + 1
+_KC_HAR = _KC_SHOT + 1
+
+
+def fetch_rows_arrow(urls: list[str], hosts: list[str], paths: list[str],
+                     waves: list[int], cfg: CrawlConfig,
+                     doc_ids: list[str] | None = None,
+                     actions: list[list[tuple[int, int]]] | None = None):
+    """Batch fetch, columnar: arrow span columns + per-row counts.
+
+    Returns (kind_arr, text_arr, media_arr, span_counts, doc_ids,
+    link_lists) with the three span columns already ARROW string arrays
+    — the fetcher wraps them in the list<struct> column directly.
+    ``doc_ids`` lets the fetcher pass vectorized-computed ids;
+    ``actions`` the per-row replay scripts (M6).
+
+    Batch-vectorized page render: every span position is computed
+    analytically (numpy cumsums over the per-URL/per-script layout);
+    the kind and media columns are dictionary codes over small
+    vocabularies, and the text column is assembled per span family then
+    interleaved with ONE arrow take over the inverse position
+    permutation — the multi-million-row usage family never materializes
+    Python string objects.  Byte-identical to the per-URL naive
+    reference :func:`make_spans_flat` (parity-tested), which remains
+    the oracle's view.  Python-int formulas that exceed 64 bits
+    (``h * 37``, ``h * 7``) are rewritten with modular identities so
+    uint64 numpy arithmetic cannot wrap differently.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(urls)
+    if doc_ids is None:
+        doc_ids = [doc_id_for(u, int(w)) for u, w in zip(urls, waves)]
+    empty = pa.array([], type=pa.string())
+    if n == 0:
+        return empty, empty, empty, np.zeros(0, np.int64), doc_ids, []
+    B = cfg.branching
+    nv = len(FEATURE_VOCAB)
+    h = np.array([_u64(u) for u in urls], dtype=np.uint64)
+    pages = np.array([page_of(p) for p in paths], dtype=np.int64)
+    n_act = np.array([len(a) if a else 0 for a in actions],
+                     dtype=np.int64) if actions is not None \
+        else np.zeros(n, dtype=np.int64)
+
+    # ---- per-(url, script) table
+    n_scripts = (2 + (h % 4)).astype(np.int64)
+    u_of_s = np.repeat(np.arange(n, dtype=np.int64), n_scripts)
+    s_idx = _segment_arange(n_scripts)
+    h_s = h[u_of_s]
+    n_api = (25 + ((h_s >> ((4 * s_idx + 4).astype(np.uint64))) % 50)
+             ).astype(np.int64)
+    total_api_u = np.zeros(n, dtype=np.int64)
+    np.add.at(total_api_u, u_of_s, n_api)
+
+    # ---- trigger layout: (n, 10) fixed shape
+    tb = np.array([b for _, b in TRIGGERS], dtype=np.int64)
+    tm = tb + tb // 4
+    j_idx = np.arange(len(TRIGGERS), dtype=np.uint64)
+    dur = ((((h[:, None] >> (2 * j_idx)[None, :])
+             % tm.astype(np.uint64)).astype(np.int64)) * 37) % tm
+    timeout = dur >= tb
+    has_api = np.array([TRIGGERS[j][0] in TRIGGER_HANDLER_API
+                        for j in range(len(TRIGGERS))])
+    extra = (~timeout) & has_api[None, :]
+    t_spans = 1 + extra.astype(np.int64)            # spans per trigger
+    trig_total = t_spans.sum(axis=1)
+
+    # ---- per-URL span layout
+    totals = 2 + n_scripts + total_api_u + trig_total + 2 * n_act + B + 2
+    base = np.cumsum(totals) - totals
+    grand = int(totals.sum())
+    kind_code = np.empty(grand, dtype=np.int8)
+    # text column: (positions, arrow part) pairs, interleaved at the end
+    t_pos: list[np.ndarray] = []
+    t_part: list = []
+
+    # headers
+    kind_code[base] = 0
+    kind_code[base + 1] = 1
+    t_pos.append(base)
+    t_part.append(pa.array(
+        np.char.mod("0x%04x", (h & 0xFFFF).astype(np.int64))))
+    t_pos.append(base + 1)
+    t_part.append(pa.array(
+        [f"{u.split('://', 1)[0]}://{hst}"
+         for u, hst in zip(urls, hosts)], type=pa.string()))
+
+    # script spans: position = base + 2 + s + (api spans of earlier
+    # scripts in the same url)
+    api_cum = np.cumsum(n_api) - n_api
+    first_s = np.cumsum(n_scripts) - n_scripts     # first (u,s) row per u
+    api_cum_u = api_cum - api_cum[first_s][u_of_s]  # segmented excl-cumsum
+    p_script = base[u_of_s] + 2 + s_idx + api_cum_u
+    g_idx = ((h_s >> ((3 * s_idx + 1).astype(np.uint64))) % 6
+             ).astype(np.int64)
+    g_arr = np.array(GENESIS_KINDS, dtype=object)
+    parented = np.array([g in _PARENTED for g in GENESIS_KINDS])
+    genesis = g_arr[g_idx]
+    parent = np.where(parented[g_idx], s_idx - 1, -1)
+    genesis[s_idx == 0] = "static"
+    parent[s_idx == 0] = -1
+    mod997 = (h_s % 997).astype(np.int64)
+    kind_code[p_script] = 2
+    t_pos.append(p_script)
+    t_part.append(pa.array(
+        [f"g={g};p={p};function f_{pg}_{s}() {{ /* {m} */ }}"
+         for g, p, pg, s, m in zip(
+             genesis, parent, pages[u_of_s], s_idx, mod997)],
+        type=pa.string()))
+
+    # usage spans: expand each (u,s) by its n_api.  Texts are dictionary
+    # codes over the (vocab + createElement:tag) table — no Python
+    # strings for the dominant span family.
+    us_row = np.repeat(np.arange(len(s_idx), dtype=np.int64), n_api)
+    i_idx = _segment_arange(n_api)
+    h_i = h_s[us_row]
+    s_i = s_idx[us_row]
+    kind_ix = ((h_i >> (((2 * i_idx + s_i) & 31).astype(np.uint64))) % 4
+               ).astype(np.int64)
+    feat_ix = (((h_i % nv).astype(np.int64) * 7 + s_i * 13 + i_idx * 31)
+               % nv).astype(np.int32)
+    ce = feat_ix == FEATURE_VOCAB.index("Document.createElement")
+    if ce.any():
+        tag_ix = (((h_i[ce] % 6).astype(np.int64) + s_i[ce] * 7
+                   + i_idx[ce]) % 6)
+        feat_ix[ce] = (nv + tag_ix).astype(np.int32)
+    usage_vocab = pa.array(
+        list(FEATURE_VOCAB)
+        + [f"Document.createElement:{t}" for t in CREATE_TAGS])
+    p_usage = p_script[us_row] + 1 + i_idx
+    kind_code[p_usage] = (3 + kind_ix).astype(np.int8)
+    t_pos.append(p_usage)
+    t_part.append(pc.cast(
+        pa.DictionaryArray.from_arrays(pa.array(feat_ix), usage_vocab),
+        pa.string()))
+
+    # trigger spans
+    tbase = base + 2 + n_scripts + total_api_u
+    p_trig = tbase[:, None] + (np.cumsum(t_spans, axis=1) - t_spans)
+    kind_code[p_trig] = (_KC_TRIG0
+                         + np.arange(len(TRIGGERS), dtype=np.int8))[None, :]
+    t_text = np.char.mod("%d", dur).astype(object)
+    t_text[timeout] = "timeout"
+    t_pos.append(p_trig.ravel())
+    t_part.append(pa.array(t_text.ravel(), type=pa.string()))
+    if extra.any():
+        hk_ix = ((h[:, None] >> j_idx[None, :]).astype(np.int64) % 4)
+        api_arr = np.array([TRIGGER_HANDLER_API.get(name, "")
+                            for name, _ in TRIGGERS], dtype=object)
+        pe = (p_trig + 1)[extra]
+        kind_code[pe] = (3 + hk_ix[extra]).astype(np.int8)
+        t_pos.append(pe)
+        t_part.append(pa.array(
+            np.broadcast_to(api_arr, extra.shape)[extra], type=pa.string()))
+
+    # action spans (actioned rows only; mission-bounded)
+    abase = tbase + trig_total
+    if n_act.any():
+        a_pos: list[int] = []
+        a_txt: list[str] = []
+        for u in np.flatnonzero(n_act):
+            hu, p = int(h[u]), int(abase[u])
+            for j, (ax, ay) in enumerate(actions[u]):
+                kind_code[p] = _KC_CLICK
+                kind_code[p + 1] = _KC_NAV
+                a_pos += (p, p + 1)
+                a_txt.append(f"{ax},{ay}")
+                a_txt.append(_NAV_OUTCOMES[(hu >> (2 * j)) % 3])
+                p += 2
+        t_pos.append(np.array(a_pos, dtype=np.int64))
+        t_part.append(pa.array(a_txt, type=pa.string()))
+
+    # link spans + per-URL link lists
+    lbase = abase + 2 * n_act
+    ps_mod = cfg.page_space
+    hs_cache: dict[str, int] = {}
+    hs_mod = np.array([hs_cache.setdefault(hst, host_seed(hst) % ps_mod)
+                       for hst in hosts], dtype=np.int64)
+    jj = np.arange(1, B + 1, dtype=np.int64)
+    t_page = (pages[:, None] * 31 + jj[None, :] * 131
+              + hs_mod[:, None]) % ps_mod
+    sh_ix = (pages[:, None] + jj[None, :]) % cfg.n_src_hosts
+    odd = (jj % 2 == 1)
+    links_flat = [
+        f"https://{hst}/page/{t}" if o else f"https://src{si}.example/page/{t}"
+        for hst, trow, srow in zip(hosts, t_page, sh_ix)
+        for o, t, si in zip(odd, trow, srow)]
+    p_link = (lbase[:, None] + (jj - 1)[None, :]).ravel()
+    kind_code[p_link] = _KC_LINK
+    t_pos.append(p_link)
+    t_part.append(pa.array(links_flat, type=pa.string()))
+
+    # media spans
+    p_med = lbase + B
+    kind_code[p_med] = _KC_SHOT
+    kind_code[p_med + 1] = _KC_HAR
+    t_pos.append(p_med)
+    t_part.append(pa.array([""] * n, type=pa.string()))
+    t_pos.append(p_med + 1)
+    t_part.append(pa.array([""] * n, type=pa.string()))
+
+    # text column: one inverse-permutation take interleaves the parts
+    pos = np.concatenate(t_pos)
+    inv = np.empty(grand, dtype=np.int64)
+    inv[pos] = np.arange(grand, dtype=np.int64)
+    text_arr = pa.concat_arrays(t_part).take(pa.array(inv))
+    kind_arr = pc.cast(
+        pa.DictionaryArray.from_arrays(pa.array(kind_code),
+                                       pa.array(list(_KIND_VOCAB))),
+        pa.string())
+
+    # media column: dictionary over '' + the per-doc blob refs
+    m_code = np.zeros(grand, dtype=np.int32)
+    m_code[p_med] = 1 + np.arange(n, dtype=np.int32)
+    m_code[p_med + 1] = 1 + n + np.arange(n, dtype=np.int32)
+    m_vocab = pa.array(
+        [""] + [f"blob://{d}/shot.png" for d in doc_ids]
+        + [f"blob://{d}/har.json" for d in doc_ids])
+    media_arr = pc.cast(
+        pa.DictionaryArray.from_arrays(pa.array(m_code), m_vocab),
+        pa.string())
+
+    link_lists = [links_flat[u * B:(u + 1) * B] for u in range(n)]
+    return kind_arr, text_arr, media_arr, totals, doc_ids, link_lists
+
+
 def fetch_rows_flat(urls: list[str], hosts: list[str], paths: list[str],
                     waves: list[int], cfg: CrawlConfig,
                     doc_ids: list[str] | None = None,
                     actions: list[list[tuple[int, int]]] | None = None):
-    """Batch fetch, columnar: flat span columns + per-row counts.
-
-    Returns (kinds, texts, medias, span_counts, doc_ids, link_lists) —
-    the fetcher turns these into an Arrow list<struct> column directly.
-    ``doc_ids`` lets the fetcher pass vectorized-computed ids;
-    ``actions`` the per-row replay scripts (M6).
-    """
-    kinds: list = []
-    texts: list = []
-    medias: list = []
-    counts: list[int] = []
-    link_lists: list[list[str]] = []
-    if doc_ids is None:
-        doc_ids = [doc_id_for(u, int(w)) for u, w in zip(urls, waves)]
-    if actions is None:
-        actions = [None] * len(urls)
-    for u, hst, pth, w, did, acts in zip(urls, hosts, paths, waves,
-                                         doc_ids, actions):
-        n, links = make_spans_flat(u, hst, pth, int(w), cfg,
-                                   kinds, texts, medias, did=did,
-                                   actions=acts)
-        counts.append(n)
-        link_lists.append(links)
-    return kinds, texts, medias, counts, doc_ids, link_lists
+    """List-valued view of :func:`fetch_rows_arrow` (parity tests and
+    naive-reference comparisons; the fetcher consumes the arrow form)."""
+    K, T, M, counts, doc_ids, link_lists = fetch_rows_arrow(
+        urls, hosts, paths, waves, cfg, doc_ids=doc_ids, actions=actions)
+    return (K.to_pylist(), T.to_pylist(), M.to_pylist(), counts,
+            doc_ids, link_lists)
