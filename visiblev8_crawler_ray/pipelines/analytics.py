@@ -55,46 +55,45 @@ def usage_rollup(sf_dir: str) -> pa.Table:
                ["l_returnflag", "l_linestatus", "l_quantity",
                 "l_extendedprice", "l_discount"])
 
-    def partial(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        t = t.append_column("disc_price", rev)
-        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
-            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
-             ("disc_price", "sum"), ("l_quantity", "count")]
-        )
-        return g.rename_columns(
-            ["l_returnflag", "l_linestatus", "p_qty", "p_price", "p_disc", "p_n"]
-        )
+    def add_disc(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", rev)
 
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("p_qty", alias_name="sum_qty"),
-            Sum("p_price", alias_name="sum_base_price"),
-            Sum("p_disc", alias_name="sum_disc_price"),
-            Sum("p_n", alias_name="count_order"),
-        )
-        .to_pandas()  # tiny result (|flags| x |status|)
-    )
+    # two-phase combiner: no Ray shuffle for a |flags| x |status| key set
+    out = two_phase_agg(
+        ds.map_batches(add_disc, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+         ("disc_price", "sum"), ("l_quantity", "count")],
+        ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+         "sum_disc_price", "count_order"],
+    ).to_pandas()
     return _round(out, {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2})
 
 
 def event_type_stats(sf_dir: str) -> pa.Table:
     """A6 analog: per-key counts + mean over the events stream table."""
     ds = _read(sf_dir, "events", ["event_type", "value"])
-    out = ds.groupby("event_type").aggregate(
-        Count(alias_name="n"), Mean("value", alias_name="avg_value")
+    out = two_phase_agg(
+        ds, ["event_type"], [("value", "count"), ("value", "sum")],
+        ["event_type", "n", "value_sum"],
     ).to_pandas()
+    out["avg_value"] = out["value_sum"] / out["n"]
+    out = out.drop(columns=["value_sum"])
     return _round(out, {"avg_value": 4})
 
 
 def confidence_histogram(sf_dir: str) -> pa.Table:
     """A5: histogram with share-of-total (production_classifier.py:428-435)."""
     ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
-    agg = ds.groupby("o_orderpriority").aggregate(
-        Count(alias_name="n"), Mean("o_totalprice", alias_name="avg_price")
+    agg = two_phase_agg(
+        ds, ["o_orderpriority"],
+        [("o_totalprice", "count"), ("o_totalprice", "sum")],
+        ["o_orderpriority", "n", "price_sum"],
     ).to_pandas()
+    agg["avg_price"] = agg["price_sum"] / agg["n"]
+    agg = agg.drop(columns=["price_sum"])
     total = float(agg["n"].sum())
     agg["pct"] = round_half_away((agg["n"] * 100.0) / total, 4)
     return _round(agg, {"avg_price": 2})
@@ -103,9 +102,12 @@ def confidence_histogram(sf_dir: str) -> pa.Table:
 def candidate_stats(sf_dir: str) -> pa.Table:
     """A4: per-source document stats (count_login_candidates.py:22-78)."""
     ds = _read(sf_dir, "documents", ["source", "n_chars"])
-    out = ds.groupby("source").aggregate(
-        Count(alias_name="n"), Mean("n_chars", alias_name="avg_chars")
+    out = two_phase_agg(
+        ds, ["source"], [("n_chars", "count"), ("n_chars", "sum")],
+        ["source", "n", "chars_sum"],
     ).to_pandas()
+    out["avg_chars"] = out["chars_sum"] / out["n"]
+    out = out.drop(columns=["chars_sum"])
     return _round(out, {"avg_chars": 4})
 
 
@@ -576,12 +578,13 @@ def events_tumbling_window(sf_dir: str) -> pa.Table:
             }
         )
 
-    out = (
-        ds.map_batches(bucket, batch_format="pyarrow")
-        .groupby(["event_type", "window_start"])
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
-        .to_pandas()
-    )
+    # two-phase combiner: |event_type| x |hour windows| keys stay small
+    out = two_phase_agg(
+        ds.map_batches(bucket, batch_format="pyarrow"),
+        ["event_type", "window_start"],
+        [("value", "count"), ("value", "sum")],
+        ["event_type", "window_start", "n", "sum_value"],
+    ).to_pandas()
     return _round(out, {"sum_value": 4})
 
 

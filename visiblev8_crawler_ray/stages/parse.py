@@ -233,39 +233,37 @@ def parse_scripts_batch(batch: pa.Table) -> pa.Table:
 
 
 def usage_rollup(docs: rd.Dataset) -> rd.Dataset:
-    """A1 analog: count per (feature, mode) with per-batch partial
-    aggregation before the small final groupby (combiner pattern)."""
-    def partial(batch: pa.Table) -> pa.Table:
-        u = explode_usage_batch(batch)
-        df = u.group_by(["feature", "mode"]).aggregate([("offset", "count")])
-        return df.rename_columns(["feature", "mode", "partial_count"])
+    """A1 analog: count per (feature, mode) — two-phase combiner (the
+    explode map fuses with the partial group_by; no Ray shuffle for a
+    |vocab| x |modes| key set)."""
+    from ..functions.util import two_phase_agg
 
-    partials = docs.map_batches(partial, batch_format="pyarrow")
-    from ray.data.aggregate import Sum
-
-    return partials.groupby(["feature", "mode"]).aggregate(
-        Sum("partial_count", alias_name="n")
-    )
+    exploded = docs.map_batches(
+        lambda b: explode_usage_batch(b).select(["feature", "mode", "offset"]),
+        batch_format="pyarrow")
+    return two_phase_agg(exploded, ["feature", "mode"],
+                         [("offset", "count")], ["feature", "mode", "n"])
 
 
 def create_elements(docs: rd.Dataset) -> rd.Dataset:
     """A2: document.createElement rollup (create_elements,
     ``1_postgres_schema.sql:148-158``): create_count per (script_hash,
-    tag_name), from the usage rows' argument channel.  Partial counts
-    per batch, small final groupby (combiner pattern)."""
-    def partial(batch: pa.Table) -> pa.Table:
+    tag_name), from the usage rows' argument channel.  Two-phase
+    combiner over a |scripts| x |tags| key set."""
+    from ..functions.util import two_phase_agg
+
+    def creates(batch: pa.Table) -> pa.Table:
         u = explode_usage_batch(batch)
         u = u.filter(pc.and_(
             pc.equal(u["feature"], "Document.createElement"),
             pc.not_equal(u["arg"], "")))
-        g = u.group_by(["script_sha", "arg"]).aggregate([("offset", "count")])
-        return g.rename_columns(["script_sha", "tag_name", "partial_count"])
+        return u.select(["script_sha", "arg", "offset"]).rename_columns(
+            ["script_sha", "tag_name", "offset"])
 
-    from ray.data.aggregate import Sum
-
-    return docs.map_batches(partial, batch_format="pyarrow").groupby(
-        ["script_sha", "tag_name"]).aggregate(
-        Sum("partial_count", alias_name="create_count"))
+    return two_phase_agg(
+        docs.map_batches(creates, batch_format="pyarrow"),
+        ["script_sha", "tag_name"], [("offset", "count")],
+        ["script_sha", "tag_name", "create_count"])
 
 
 def scripts_provenance(docs: rd.Dataset) -> rd.Dataset:
@@ -296,16 +294,15 @@ def trigger_stats(docs: rd.Dataset) -> rd.Dataset:
             "timeouts": pc.cast(is_to, pa.int64()),
             "dur_sum": pc.if_else(is_to, pa.scalar(0, type=pa.int64()), dur),
         })
-        g = t.group_by(["trigger"]).aggregate(
-            [("fired", "sum"), ("timeouts", "sum"), ("dur_sum", "sum")])
-        return g.rename_columns(["trigger", "fired", "timeouts", "dur_sum"])
+        return t
 
-    from ray.data.aggregate import Sum
+    from ..functions.util import two_phase_agg
 
-    agg = docs.map_batches(partial, batch_format="pyarrow").groupby(
-        "trigger").aggregate(Sum("fired", alias_name="fired"),
-                             Sum("timeouts", alias_name="timeouts"),
-                             Sum("dur_sum", alias_name="dur_sum"))
+    agg = two_phase_agg(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["trigger"], [("fired", "sum"), ("timeouts", "sum"),
+                      ("dur_sum", "sum")],
+        ["trigger", "fired", "timeouts", "dur_sum"])
 
     def finish(t: pa.Table) -> pa.Table:
         fired = t["fired"].to_numpy(zero_copy_only=False)
@@ -331,19 +328,17 @@ def feature_dedup(docs: rd.Dataset) -> pa.Table:
     sha runs only over the deduped result rows."""
     import hashlib as _hl
 
-    def partial(batch: pa.Table) -> pa.Table:
-        # per-batch distinct (feature, mode) pairs with partial usage
-        # counts — COUNT DISTINCT decomposes exactly as pair-distinct
-        # then a per-feature pair count (the A9 pattern)
-        u = explode_usage_batch(batch)
-        g = u.group_by(["feature", "mode"]).aggregate([("offset", "count")])
-        return g.rename_columns(["feature", "mode", "p_usages"])
+    from ..functions.util import two_phase_agg
 
-    from ray.data.aggregate import Sum
-
-    pairs = docs.map_batches(partial, batch_format="pyarrow").groupby(
-        ["feature", "mode"]).aggregate(
-        Sum("p_usages", alias_name="pair_usages")).to_pandas()
+    # per-batch distinct (feature, mode) pairs with partial usage
+    # counts — COUNT DISTINCT decomposes exactly as pair-distinct
+    # then a per-feature pair count (the A9 pattern)
+    exploded = docs.map_batches(
+        lambda b: explode_usage_batch(b).select(["feature", "mode", "offset"]),
+        batch_format="pyarrow")
+    pairs = two_phase_agg(
+        exploded, ["feature", "mode"], [("offset", "count")],
+        ["feature", "mode", "pair_usages"]).to_pandas()
     agg = pairs.groupby("feature").agg(
         n_modes=("mode", "size"),
         n_usages=("pair_usages", "sum")).reset_index()
@@ -364,17 +359,16 @@ def instance_dedup(docs: rd.Dataset) -> pa.Table:
     import hashlib as _hl
 
     def partial(batch: pa.Table) -> pa.Table:
+        # block-local aggregation is EXACT here: the key embeds doc_id
+        # and a doc's spans never split across blocks (docs are whole
+        # rows), so no global groupby/shuffle is needed at any scale
         u = explode_usage_batch(batch)
         u = u.filter(pc.not_equal(u["script_sha"], ""))
         g = u.group_by(["script_sha", "doc_id"]).aggregate(
             [("offset", "count")])
-        return g.rename_columns(["script_sha", "doc_id", "p_n"])
+        return g.rename_columns(["script_sha", "doc_id", "n_usages"])
 
-    from ray.data.aggregate import Sum
-
-    agg = docs.map_batches(partial, batch_format="pyarrow").groupby(
-        ["script_sha", "doc_id"]).aggregate(
-        Sum("p_n", alias_name="n_usages")).to_pandas()
+    agg = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
     agg["instance_hash"] = [
         _hl.sha256(f"{s}:{d}".encode()).hexdigest()[:16]
         for s, d in zip(agg["script_sha"], agg["doc_id"])]
