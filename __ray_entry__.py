@@ -190,6 +190,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stream-shaped (§2.9)
         "events_tumbling_window": A.events_tumbling_window,
         "sessionize": A.sessionize,
+        "events_asof_order": A.events_asof_order,
+        "events_value_band": A.events_value_band,
         # training-data text ops
         "dedup_exact": T.dedup_exact,
         "dedup_minhash": T.dedup_minhash,
@@ -204,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_brute": E.knn_brute,
         "ann_lsh": E.ann_lsh,
+        "ann_ivf": E.ann_ivf,
         "embedding_near_dup": E.embedding_near_dup,
         # classification pipeline (M9/T3/A5/A7/S12/T4)
         "classify_documents": CL.classify_documents,
@@ -438,6 +441,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS window_start,
                    count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2""",
+        "events_asof_order": """
+            WITH pairs AS (
+                SELECT e.event_id, e.user_id, e.ts, o.o_orderkey,
+                       o.o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY e.event_id
+                           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                       ) AS rn
+                FROM events e JOIN orders o
+                  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+            SELECT event_id, user_id, ts, o_orderkey AS asof_orderkey,
+                   o_totalprice AS asof_totalprice
+            FROM pairs WHERE rn = 1""",
+        "events_value_band": """
+            SELECT b.band, count(*) AS n, round(sum(e.value), 4) AS sum_value
+            FROM events e JOIN (VALUES
+                ('b0', 0.0, 50.0), ('b1', 50.0, 100.0), ('b2', 100.0, 200.0),
+                ('b3', 200.0, 300.0), ('b4', 300.0, 400.0), ('b5', 400.0, 500.0)
+            ) AS b(band, lo, hi) ON e.value >= b.lo AND e.value < b.hi
+            GROUP BY b.band""",
         "sessionize": """
             WITH d AS (
                 SELECT user_id, ts,

@@ -612,6 +612,128 @@ def sessionize(sf_dir: str) -> pa.Table:
     return ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
 
 
+def _bucket_of(key: np.ndarray, n_buckets: int) -> np.ndarray:
+    """splitmix64-mixed bucket id for co-group partitioning (sequential
+    keys would otherwise land consecutive buckets and skew the tail)."""
+    from .textops import MinHasher
+    return (MinHasher._mix64(key) % np.uint64(n_buckets)).astype(np.int64)
+
+
+def events_asof_order(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
+    """As-of join (custom wide operator; the nearest-prior-state lookup
+    the reference expresses as correlated max-date subqueries, e.g.
+    ``production_classifier.py`` latest-result selection): each event
+    picks the latest order of the same customer with
+    ``o_orderdate <= ts``; ties on the date break to max ``o_orderkey``
+    so the DuckDB twin is deterministic.
+
+    Ray Data has no as-of join; plan: tag both sides with
+    ``bucket = mix64(key) % B`` (documented partitioning assumption: a
+    key never straddles buckets), one ``groupby(bucket)`` co-locates
+    them, and the per-bucket kernel is one ``np.lexsort`` over the
+    combined rows plus a segmented running maximum over right-row
+    positions — fully vectorized, no per-row Python, memory O(bucket).
+    At scale ``n_buckets`` grows with the cluster; per-bucket cost is
+    O(rows log rows) independent of how the other buckets skew."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def _tag(t: pa.Table, left: bool) -> pa.Table:
+        key = (t["user_id"] if left else t["o_custkey"]).to_numpy(
+            zero_copy_only=False)
+        n = len(t)
+        nulls_i = pa.nulls(n, pa.int64())
+        nulls_f = pa.nulls(n, pa.float64())
+        return pa.table({
+            "bucket": pa.array(_bucket_of(key, n_buckets)),
+            "side": pa.array(np.full(n, 1 if left else 0, dtype=np.int8)),
+            "key": pa.array(key, type=pa.int64()),
+            "ts": (t["ts"] if left else t["o_orderdate"]).cast(
+                pa.timestamp("us")),
+            "event_id": t["event_id"] if left else nulls_i,
+            "o_orderkey": nulls_i if left else t["o_orderkey"],
+            "o_totalprice": nulls_f if left else t["o_totalprice"],
+        })
+
+    tagged = ev.map_batches(
+        lambda t: _tag(t, True), batch_format="pyarrow"
+    ).union(orders.map_batches(lambda t: _tag(t, False),
+                               batch_format="pyarrow"))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        side = t["side"].to_numpy(zero_copy_only=False)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        okey = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        okey = np.where(side == 0, okey, 0).astype(np.int64)
+        n = len(side)
+        # dense key ranks keep the cummax composite within int64
+        _, kr = np.unique(key, return_inverse=True)
+        # rights before lefts at equal ts (<= semantics); rights at equal
+        # (key, ts) ascending by o_orderkey so the running max lands on
+        # the largest orderkey — the pinned tie-break
+        order = np.lexsort((okey, side, ts, kr))
+        kr_s, side_s = kr[order], side[order]
+        pos = np.arange(n, dtype=np.int64)
+        val = np.where(side_s == 0, pos, np.int64(-1))
+        base = kr_s.astype(np.int64) * np.int64(n + 2)
+        best = np.maximum.accumulate(base + val) - base
+        lsel = side_s == 1
+        match = best[lsel]
+        hit = match >= 0          # inner join: events with a prior order
+        l_orig = order[lsel][hit]
+        r_orig = order[match[hit]]
+        out = pa.table({
+            "event_id": t["event_id"].take(pa.array(l_orig)),
+            "user_id": t["key"].take(pa.array(l_orig)),
+            "ts": t["ts"].take(pa.array(l_orig)),
+            "asof_orderkey": t["o_orderkey"].take(pa.array(r_orig)),
+            "asof_totalprice": t["o_totalprice"].take(pa.array(r_orig)),
+        })
+        return out
+
+    return tagged.groupby("bucket").map_groups(
+        per_bucket, batch_format="pyarrow").to_pandas()
+
+
+# static value bands: pinned in code and mirrored verbatim in the
+# oracle's VALUES list (events.value spans ~0..500 by construction)
+VALUE_BANDS = [("b0", 0.0, 50.0), ("b1", 50.0, 100.0),
+               ("b2", 100.0, 200.0), ("b3", 200.0, 300.0),
+               ("b4", 300.0, 400.0), ("b5", 400.0, 500.0)]
+
+
+def events_value_band(sf_dir: str) -> pd.DataFrame:
+    """Range (interval) join: events ⋈ band table on
+    ``lo <= value < hi``, then count + sum per band.
+
+    The band side is tiny and static, so the join is a broadcast
+    ``np.searchsorted`` against the edge array inside ``map_batches`` —
+    zero shuffle for the join itself; the rollup is the two-phase
+    combiner (|bands| keys).  The general pattern for small interval
+    sides at 100 TB: ship the sorted edges once, never the rows."""
+    ds = _read(sf_dir, "events", ["value"])
+    edges = np.array([b[1] for b in VALUE_BANDS] + [VALUE_BANDS[-1][2]])
+    names = np.array([b[0] for b in VALUE_BANDS], dtype=object)
+
+    def band(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(edges, v, side="right") - 1
+        ok = (idx >= 0) & (idx < len(names))
+        return pa.table({
+            "band": pa.array(names[idx[ok]], type=pa.string()),
+            "value": pa.array(v[ok], type=pa.float64()),
+        })
+
+    out = two_phase_agg(
+        ds.map_batches(band, batch_format="pyarrow"),
+        ["band"], [("value", "count"), ("value", "sum")],
+        ["band", "n", "sum_value"],
+    ).to_pandas()
+    return _round(out, {"sum_value": 4})
+
+
 def candidate_preference(sf_dir: str) -> pd.DataFrame:
     """M4/D2: group candidates by URL, prefer strategy 'CRAWLING', then
     min seed_id (eval_banks.py:20-70, 36-56).  Strategies derived
