@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stream-shaped (§2.9)
         "events_tumbling_window": A.events_tumbling_window,
         "sessionize": A.sessionize,
+        "events_hopping_window": A.events_hopping_window,
         "events_asof_order": A.events_asof_order,
         "events_value_band": A.events_value_band,
         # training-data text ops
@@ -441,6 +442,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS window_start,
                    count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2""",
+        "events_hopping_window": """
+            WITH x AS (
+                SELECT event_type, value,
+                       make_timestamp(epoch_us(ts) // 1800000000 * 1800000000) AS w0
+                FROM events),
+            w AS (
+                SELECT event_type, value, w0 AS window_start FROM x
+                UNION ALL
+                SELECT event_type, value, w0 - INTERVAL 30 MINUTE FROM x)
+            SELECT event_type, window_start, count(*) AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM w GROUP BY 1, 2""",
         "events_asof_order": """
             WITH pairs AS (
                 SELECT e.event_id, e.user_id, e.ts, o.o_orderkey,

@@ -588,6 +588,35 @@ def events_tumbling_window(sf_dir: str) -> pa.Table:
     return _round(out, {"sum_value": 4})
 
 
+def events_hopping_window(sf_dir: str) -> pa.Table:
+    """Hopping window (60-min windows, 30-min hop) per event_type:
+    each event lands in exactly two windows, so the map stage emits two
+    window-tagged copies per row and the rollup is the two-phase
+    combiner — the window fan-out is a map, never a shuffle multiplier
+    (the shuffle-free combiner sees |types| x |half-hours| keys)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    HOP_US = 1800 * 1_000_000  # 30 min in microseconds
+
+    def fan_out(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w0 = us // HOP_US * HOP_US
+        starts = np.concatenate([w0, w0 - HOP_US])
+        return pa.table({
+            "event_type": pa.concat_arrays(
+                [t["event_type"].combine_chunks()] * 2),
+            "window_start": pa.array(starts).cast(pa.timestamp("us")),
+            "value": pa.concat_arrays([t["value"].combine_chunks()] * 2),
+        })
+
+    out = two_phase_agg(
+        ds.map_batches(fan_out, batch_format="pyarrow"),
+        ["event_type", "window_start"],
+        [("value", "count"), ("value", "sum")],
+        ["event_type", "window_start", "n", "sum_value"],
+    ).to_pandas()
+    return _round(out, {"sum_value": 4})
+
+
 def sessionize(sf_dir: str) -> pa.Table:
     """Session windows per user (30-min inactivity gap): session count +
     max session length per user.  groupby(user).map_groups over
