@@ -156,3 +156,36 @@ def test_minhash_batch_signatures_match_per_doc():
     assert (out.loc[0] == out.loc[1]).all()
     assert (out.loc[2] == out.loc[3]).all()
     assert (out.loc[0] != out.loc[2]).any()
+
+
+def test_winnow_fingerprint_matches_naive_reference():
+    """The flat-byte vectorized winnowing kernel (zero-copy arrow utf8
+    buffers, W shifted-scaled lanes, reduceat min) equals a per-doc
+    per-position naive rolling hash on a real corpus slice."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from visiblev8_crawler_ray.pipelines.textops import winnow_fingerprint
+
+    out = winnow_fingerprint("/root/testdata/sf0.001")
+    df = (out.to_pandas() if hasattr(out, "to_pandas") else pd.DataFrame(out))
+    col = [c for c in df.columns if c != "doc_id"][0]
+    got = dict(zip(df["doc_id"], df[col]))
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text"])
+    B, M, W = 257, (1 << 31) - 1, 16
+    checked = 0
+    for did, s in zip(t["doc_id"].to_pylist()[:120], t["text"].to_pylist()[:120]):
+        b = s.encode()
+        if len(b) < W:
+            want = int.from_bytes(hashlib.md5(b).digest()[:8], "big") % M
+        else:
+            want = min(
+                sum(c * pow(B, W - 1 - j, M) for j, c in enumerate(b[i:i + W])) % M
+                for i in range(len(b) - W + 1))
+        assert got[did] == want, did
+        checked += 1
+    assert checked == 120

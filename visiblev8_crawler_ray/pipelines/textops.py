@@ -600,10 +600,12 @@ def winnow_fingerprint(sf_dir: str) -> pa.Table:
         text = t["text"]
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
-        blob = b"".join(s.encode() for s in text.to_pylist())
-        lens = np.array([len(s.encode()) for s in text.to_pylist()],
-                        dtype=np.int64)
-        arr = np.frombuffer(blob, dtype=np.uint8).astype(np.int64)
+        # zero-copy: the arrow utf8 value buffer IS the concatenated blob
+        off = np.frombuffer(text.buffers()[1], dtype=np.int32)[
+            text.offset:text.offset + len(text) + 1].astype(np.int64)
+        lens = np.diff(off)
+        arr = np.frombuffer(text.buffers()[2], dtype=np.uint8)[
+            off[0]:off[-1]].astype(np.int64)
         n = len(arr) - W + 1
         out = np.empty(t.num_rows, dtype=np.int64)
         if n > 0:
