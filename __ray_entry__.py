@@ -545,6 +545,18 @@ def oracle_sql() -> dict[str, str]:
         "spans_exploded": f"""
             WITH sp AS {_sp}
             SELECT doc_id, kind, text, media_ref, "offset" FROM sp""",
+        # mirrors MediaDecoder._decode_stub: h = big-endian first 8 md5
+        # bytes of the ref; (width, height, n_bytes) are h-derived
+        "media_features": f"""
+            WITH sp AS {_sp},
+            h AS (SELECT doc_id, media_ref, kind,
+                         ('0x' || substr(md5(media_ref), 1, 16))::UBIGINT AS hv
+                  FROM sp WHERE kind LIKE 'media/%')
+            SELECT doc_id, media_ref, kind,
+                   CAST(320 + hv % 1600 AS INTEGER) AS width,
+                   CAST(240 + (hv >> 16) % 900 AS INTEGER) AS height,
+                   CAST(1024 + hv % 1048576 AS BIGINT) AS n_bytes
+            FROM h""",
         "usage_rollup_crawl": f"""
             WITH sp AS {_sp}
             SELECT regexp_replace(text, ':.*$', '') AS feature,
