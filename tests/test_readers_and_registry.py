@@ -269,3 +269,18 @@ def test_asof_join_edge_cases(tmp_path):
     assert out["event_id"].tolist() == [1, 2, 3]
     assert out["asof_orderkey"].tolist() == [101, 100, 201]
     assert out["asof_totalprice"].tolist() == [2.0, 1.0, 4.0]
+
+
+def test_asof_join_bucket_invariance():
+    """The as-of result is independent of the co-group bucket count
+    (keys never straddle buckets; the per-bucket kernel is exact)."""
+    import pandas as pd
+
+    from visiblev8_crawler_ray.pipelines.analytics import events_asof_order
+
+    sf = "/root/testdata/sf0.001"
+    a = events_asof_order(sf, n_buckets=1).sort_values(
+        "event_id").reset_index(drop=True)
+    b = events_asof_order(sf, n_buckets=64).sort_values(
+        "event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
