@@ -211,8 +211,10 @@ class FetchWriter(Fetcher):
             os.makedirs(os.path.dirname(path), exist_ok=True)
             did, name = rel.split("/", 1)
             if name.endswith(".png"):
-                # PNG signature + deterministic payload
-                payload = b"\x89PNG\r\n\x1a\n" + did.encode()
+                # a REAL (stdlib-codec) RGB8 PNG with deterministic
+                # pixels — the decode stage parses actual image bytes
+                from ..functions.png import encode_png, synth_screenshot
+                payload = encode_png(synth_screenshot(did))
             else:
                 payload = json.dumps({"log": {"doc": did}}).encode()
             tmp = path + ".tmp"
