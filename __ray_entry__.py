@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_window": A.events_tumbling_window,
         "sessionize": A.sessionize,
         "events_hopping_window": A.events_hopping_window,
+        "value_quantiles": A.value_quantiles,
         "events_asof_order": A.events_asof_order,
         "events_value_band": A.events_value_band,
         # training-data text ops
@@ -203,6 +204,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": T.token_counts,
         "token_totals": T.token_totals,
         "fingerprint_docs": T.fingerprint_docs,
+        "sample_hash": T.sample_hash,
+        "pack_sequences": T.pack_sequences,
         "winnow_fingerprint": T.winnow_fingerprint,
         # similarity search
         "knn_brute": E.knn_brute,
@@ -442,6 +445,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS window_start,
                    count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2""",
+        "value_quantiles": """
+            SELECT event_type, quantile_disc(value, 0.5) AS p50,
+                   quantile_disc(value, 0.9) AS p90,
+                   quantile_disc(value, 0.99) AS p99
+            FROM events GROUP BY event_type""",
+        "sample_hash": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                  % 1000 < 50
+            ORDER BY doc_id""",
+        "pack_sequences": """
+            SELECT doc_id, doc_id // 64 AS part,
+                   (sum(n_chars) OVER w - n_chars) // 4096 AS bin,
+                   (sum(n_chars) OVER w - n_chars) % 4096 AS bin_offset
+            FROM documents
+            WINDOW w AS (PARTITION BY doc_id // 64 ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING)
+            ORDER BY doc_id""",
         "events_hopping_window": """
             WITH x AS (
                 SELECT event_type, value,

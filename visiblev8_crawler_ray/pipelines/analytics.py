@@ -730,6 +730,32 @@ def events_asof_order(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
         per_bucket, batch_format="pyarrow").to_pandas()
 
 
+def value_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Per-group exact discrete quantiles (p50/p90/p99 of value per
+    event_type) — the distribution-profiling step every data-quality
+    sweep runs before filtering.  ``groupby(type).map_groups`` with a
+    sort inside the group: exact, and parallel across groups (the group
+    count is the parallelism bound — at 100 TB profile over a
+    hash-sampled slice or switch to a mergeable sketch; this operator
+    is the exact reference the sketch would be validated against).
+    Index rule pinned to DuckDB's quantile_disc: element at
+    ``ceil(q*n) - 1`` of the sorted values."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    QS = [0.5, 0.9, 0.99]
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value"].to_numpy())
+        n = len(v)
+        idx = [min(n - 1, int(np.ceil(q * n)) - 1) for q in QS]
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "p50": [v[idx[0]]], "p90": [v[idx[1]]], "p99": [v[idx[2]]],
+        })
+
+    return ds.groupby("event_type").map_groups(
+        per_type, batch_format="pandas").to_pandas()
+
+
 # static value bands: pinned in code and mirrored verbatim in the
 # oracle's VALUES list (events.value spans ~0..500 by construction)
 VALUE_BANDS = [("b0", 0.0, 50.0), ("b1", 50.0, 100.0),

@@ -631,3 +631,56 @@ def winnow_fingerprint(sf_dir: str) -> pa.Table:
         )
 
     return ds.map_batches(fn, batch_format="pyarrow").to_pandas()
+
+
+def sample_hash(sf_dir: str, rate_per_mille: int = 50) -> pd.DataFrame:
+    """Deterministic Bernoulli sampling by content-key hash — THE
+    scale-safe sampling primitive for training-data pipelines: a pure
+    per-row predicate (no global count, no shuffle, no coordination),
+    stable across reruns and cluster sizes, and composable with any
+    downstream stage.  Keep iff ``md5(doc_id)``'s first 4 bytes mod
+    1000 < rate.  (``ds.random_shuffle``/``ds.limit`` sampling is the
+    anti-pattern at 100 TB: one is an all-to-all exchange, the other a
+    front-biased scan.)"""
+    ds = _read_docs(sf_dir, ["doc_id", "lang", "source"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        h = np.array([
+            int.from_bytes(hashlib.md5(str(i).encode()).digest()[:4], "big")
+            for i in ids], dtype=np.uint64)
+        return t.filter(pa.array(h % 1000 < rate_per_mille))
+
+    return ds.map_batches(keep, batch_format="pyarrow").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+def pack_sequences(sf_dir: str, part_docs: int = 64,
+                   capacity: int = 4096) -> pd.DataFrame:
+    """Concat-and-chunk sequence packing (the standard pretraining
+    layout: concatenate docs in order, slice into fixed-capacity
+    windows): each doc is assigned the bin its first byte lands in.
+
+    Documented partitioning assumption: packing restarts every
+    ``part_docs`` doc ids (``part = doc_id // part_docs``) so the
+    cumsum is embarrassingly parallel — one ``groupby(part)`` is the
+    only exchange and bins never straddle partitions.  At 100 TB the
+    partition is the natural unit of shuffle-file output."""
+    ds = _read_docs(sf_dir, ["doc_id", "n_chars"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        part = pc.divide(t["doc_id"], part_docs)
+        return t.append_column("part", pc.cast(part, pa.int64()))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        start = g["n_chars"].cumsum() - g["n_chars"]
+        g["bin"] = (start // capacity).astype("int64")
+        g["bin_offset"] = (start % capacity).astype("int64")
+        return g[["doc_id", "part", "bin", "bin_offset"]]
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part").map_groups(per_part, batch_format="pandas")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
