@@ -284,3 +284,59 @@ def test_asof_join_bucket_invariance():
     b = events_asof_order(sf, n_buckets=64).sort_values(
         "event_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_asof_join_fuzz_vs_naive(tmp_path):
+    """Randomized (seeded) corpora vs a naive per-event reference:
+    random key overlap, date ties, unmatched events, empty sides per
+    key — the segmented-cummax kernel must match exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from visiblev8_crawler_ray.pipelines.analytics import events_asof_order
+
+    rng = np.random.default_rng(123)
+    for trial in range(3):
+        ne, no = 120, 80
+        base = pd.Timestamp("2024-01-01").value
+        events = pd.DataFrame({
+            "event_id": np.arange(ne),
+            "user_id": rng.integers(0, 25, ne),
+            # us-aligned: the operator contract is timestamp[us] (the
+            # driver tables' unit); a lossy ns cast raises loudly
+            "ts": pd.to_datetime(
+                base + rng.integers(0, 10**9, ne) * 10**6),
+        })
+        orders = pd.DataFrame({
+            "o_orderkey": np.arange(no),
+            "o_custkey": rng.integers(0, 30, no),
+            # coarse grid -> frequent exact date ties
+            "o_orderdate": pd.to_datetime(
+                base + rng.integers(0, 20, no) * 5 * 10**13),
+            "o_totalprice": rng.random(no).round(3),
+        })
+        d = tmp_path / f"fz{trial}"
+        d.mkdir()
+        events.to_parquet(d / "events.parquet")
+        orders.to_parquet(d / "orders.parquet")
+
+        got = events_asof_order(str(d), n_buckets=7).sort_values(
+            "event_id").reset_index(drop=True)
+
+        rows = []
+        for _, e in events.iterrows():
+            cand = orders[(orders["o_custkey"] == e["user_id"])
+                          & (orders["o_orderdate"] <= e["ts"])]
+            if len(cand) == 0:
+                continue
+            best = cand.sort_values(
+                ["o_orderdate", "o_orderkey"],
+                ascending=[False, False]).iloc[0]
+            rows.append((e["event_id"], e["user_id"], e["ts"],
+                         best["o_orderkey"], best["o_totalprice"]))
+        want = pd.DataFrame(rows, columns=[
+            "event_id", "user_id", "ts", "asof_orderkey",
+            "asof_totalprice"]).sort_values("event_id").reset_index(drop=True)
+        want = want.astype({"event_id": "int64", "user_id": "int64",
+                            "asof_orderkey": "int64"})
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
