@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_totals": T.token_totals,
         "fingerprint_docs": T.fingerprint_docs,
         "sample_hash": T.sample_hash,
+        "mix_sources": T.mix_sources,
         "pack_sequences": T.pack_sequences,
         "winnow_fingerprint": T.winnow_fingerprint,
         # similarity search
@@ -450,6 +451,20 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(value, 0.9) AS p90,
                    quantile_disc(value, 0.99) AS p99
             FROM events GROUP BY event_type""",
+        "mix_sources": """
+            WITH s AS (
+                SELECT doc_id,
+                       CASE WHEN CAST(substr(source, 4) AS BIGINT) < 10
+                            THEN 'a' ELSE 'b' END AS stream
+                FROM documents),
+            r AS (SELECT doc_id, stream,
+                         row_number() OVER (PARTITION BY stream
+                                            ORDER BY doc_id) - 1 AS rn
+                  FROM s)
+            SELECT CASE WHEN stream = 'a' THEN (rn // 3) * 4 + rn % 3
+                        ELSE (rn // 1) * 4 + 3 + rn % 1 END AS mix_pos,
+                   doc_id, stream
+            FROM r ORDER BY mix_pos""",
         "sample_hash": """
             SELECT doc_id, lang, source FROM documents
             WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT

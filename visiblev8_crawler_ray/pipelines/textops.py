@@ -684,3 +684,51 @@ def pack_sequences(sf_dir: str, part_docs: int = 64,
         .groupby("part").map_groups(per_part, batch_format="pandas")
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
+
+
+def mix_sources(sf_dir: str, weight_a: int = 3, weight_b: int = 1) -> pd.DataFrame:
+    """Deterministic weighted source interleave — the training-mix
+    curriculum step: stream A (sources src0-src9, the "high-quality"
+    half) and stream B are woven ``weight_a:weight_b`` into one ordered
+    stream.  Per-stream dense ranks come from the same distributed
+    sort+zip machinery as the crawl order (``assign_global_seq``); the
+    weave itself is pure per-row arithmetic on the rank —
+    ``pos_a = (r//wa)*(wa+wb) + r%wa``, ``pos_b`` fills the remaining
+    slots — so after the two rank sorts nothing shuffles.  Positions
+    keep gaps once a stream exhausts (pinned; the SQL twin computes the
+    identical formula)."""
+    from ..functions.seq import assign_global_seq
+
+    ds = _read_docs(sf_dir, ["doc_id", "source"])
+    cycle = weight_a + weight_b
+
+    def tag(t: pa.Table) -> pa.Table:
+        num = pc.cast(pc.utf8_slice_codeunits(t["source"], 3, 99), pa.int64())
+        stream = pc.if_else(pc.less(num, 10), "a", "b")
+        return pa.table({"doc_id": t["doc_id"], "stream": stream})
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    def weave(t: pa.Table, is_a: bool) -> pa.Table:
+        r = t["rn"].to_numpy(zero_copy_only=False)
+        if is_a:
+            pos = (r // weight_a) * cycle + r % weight_a
+        else:
+            pos = (r // weight_b) * cycle + weight_a + r % weight_b
+        return pa.table({
+            "mix_pos": pa.array(pos, type=pa.int64()),
+            "doc_id": t["doc_id"],
+            "stream": t["stream"],
+        })
+
+    parts = []
+    for name, is_a in [("a", True), ("b", False)]:
+        sub = tagged.map_batches(
+            lambda t, n=name: t.filter(pc.equal(t["stream"], n)),
+            batch_format="pyarrow")
+        ranked = assign_global_seq(sub, ["doc_id"], seq_col="rn")
+        parts.append(ranked.map_batches(
+            lambda t, a=is_a: weave(t, a), batch_format="pyarrow"))
+
+    return parts[0].union(parts[1]).to_pandas() \
+        .sort_values("mix_pos").reset_index(drop=True)
