@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": E.ann_lsh,
         "ann_ivf": E.ann_ivf,
         "embedding_near_dup": E.embedding_near_dup,
+        "near_dup_clusters": E.near_dup_clusters,
         # classification pipeline (M9/T3/A5/A7/S12/T4)
         "classify_documents": CL.classify_documents,
         "classify_documents_artifact": CL.classify_documents_artifact,
@@ -808,6 +809,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, cosine FROM s
             QUALIFY row_number() OVER (PARTITION BY query_id
                                        ORDER BY cosine DESC, neighbor_id) <= 5""",
+        "near_dup_clusters": """
+            WITH RECURSIVE pairs AS (
+                SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+                FROM embeddings a, embeddings b
+                WHERE a.vec_id < b.vec_id
+                  AND round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) >= 0.45),
+            edges AS (
+                SELECT vec_a AS a, vec_b AS b FROM pairs
+                UNION ALL SELECT vec_b, vec_a FROM pairs),
+            reach(node, lab) AS (
+                SELECT vec_id, vec_id FROM embeddings
+                UNION
+                SELECT e.a, r.lab FROM reach r JOIN edges e ON e.b = r.node)
+            SELECT node AS vec_id, min(lab) AS cluster_id
+            FROM reach GROUP BY node ORDER BY node""",
         "embedding_near_dup": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cosine

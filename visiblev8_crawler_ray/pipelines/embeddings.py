@@ -479,3 +479,60 @@ def _near_dup_lsh(ds: rd.Dataset, n: int, threshold: float,
         return pd.DataFrame(_EMPTY_PAIRS)
     return out.drop_duplicates(["vec_a", "vec_b"]).sort_values(
         ["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def near_dup_clusters(sf_dir: str, threshold: float = 0.45) -> pd.DataFrame:
+    """Near-dup cluster assignment: connected components over the
+    near-dup pair graph; every vector gets ``cluster_id`` = min vec_id
+    reachable through pairs (singletons cluster with themselves) — the
+    step that turns pairwise dedup output into keep/drop decisions.
+
+    Scale shape: the pair set is the threshold-filtered output of
+    :func:`embedding_near_dup` — orders of magnitude smaller than the
+    corpus by construction — so the transitive closure runs driver-side
+    (path-compressed union-find over the edge-touched subgraph, O(E
+    alpha)) and ships back as a broadcast label map; the corpus-wide
+    assignment is one shuffle-free ``map_batches`` lookup.  Nodes
+    untouched by any edge never enter the iteration.  (If pairs ever
+    outgrew the driver, the same min-label iteration runs as a
+    Dataset groupby loop — the crawl's wave loop is this engine's
+    worked example of that pattern.)"""
+    pairs = embedding_near_dup(sf_dir, threshold=threshold)
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs["vec_a"], pairs["vec_b"]):
+        a, b = int(a), int(b)
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id keeps cluster_id = min member
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    labels = {n: find(n) for n in parent}
+    lab_ref = ray.put(labels)
+
+    def assign(t: pa.Table) -> pa.Table:
+        lab = ray.get(lab_ref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        out = np.array([lab.get(int(i), int(i)) for i in ids],
+                       dtype=np.int64)
+        return pa.table({"vec_id": t["vec_id"],
+                         "cluster_id": pa.array(out)})
+
+    from ..functions.util import read_parquet_clean
+    import os as _os
+    ds = read_parquet_clean(_os.path.join(sf_dir, "embeddings.parquet"),
+                            columns=["vec_id"])
+    return ds.map_batches(assign, batch_format="pyarrow").to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
