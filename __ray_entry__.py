@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": A.sessionize,
         "events_hopping_window": A.events_hopping_window,
         "value_quantiles": A.value_quantiles,
+        "top_events_per_user": A.top_events_per_user,
         "events_asof_order": A.events_asof_order,
         "events_value_band": A.events_value_band,
         # training-data text ops
@@ -206,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_docs": T.fingerprint_docs,
         "sample_hash": T.sample_hash,
         "mix_sources": T.mix_sources,
+        "sample_stratified": T.sample_stratified,
         "pack_sequences": T.pack_sequences,
         "winnow_fingerprint": T.winnow_fingerprint,
         # similarity search
@@ -452,6 +454,17 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(value, 0.9) AS p90,
                    quantile_disc(value, 0.99) AS p99
             FROM events GROUP BY event_type""",
+        "sample_stratified": """
+            SELECT doc_id, source FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                  % 1000 < CASE WHEN CAST(substr(source, 4) AS BIGINT) < 10
+                                THEN 100 ELSE 20 END
+            ORDER BY doc_id""",
+        "top_events_per_user": """
+            SELECT user_id, event_id, value FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id
+                                       ORDER BY value DESC, event_id) <= 3
+            ORDER BY user_id, event_id""",
         "mix_sources": """
             WITH s AS (
                 SELECT doc_id,

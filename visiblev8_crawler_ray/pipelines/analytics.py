@@ -831,3 +831,31 @@ def events_props_parse(sf_dir: str) -> pd.DataFrame:
         Max("k", alias_name="max_k"),
     ).to_pandas()
     return _round(out, {"avg_k": 4})
+
+
+def top_events_per_user(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Per-group top-k (the window-function `row_number() <= k` shape):
+    each user's k highest-value events, ties pinned by event_id.  One
+    groupby; the per-group kernel is a partial sort over the group —
+    at scale, pre-prune inside map_batches first (per-block top-k per
+    user) to shrink the shuffle, the same combiner idea as knn_brute."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "value"])
+
+    def pre_prune(t: pa.Table) -> pa.Table:
+        # block-local top-k per user: only candidates survive the shuffle
+        df = t.to_pandas().sort_values(
+            ["user_id", "value", "event_id"],
+            ascending=[True, False, True])
+        return pa.Table.from_pandas(
+            df.groupby("user_id").head(k), preserve_index=False)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["value", "event_id"],
+                             ascending=[False, True]).head(k)
+
+    return (
+        ds.map_batches(pre_prune, batch_format="pyarrow")
+        .groupby("user_id").map_groups(per_user, batch_format="pandas")
+        .to_pandas().sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )

@@ -732,3 +732,26 @@ def mix_sources(sf_dir: str, weight_a: int = 3, weight_b: int = 1) -> pd.DataFra
 
     return parts[0].union(parts[1]).to_pandas() \
         .sort_values("mix_pos").reset_index(drop=True)
+
+
+def sample_stratified(sf_dir: str, rate_hq: int = 100,
+                      rate_lq: int = 20) -> pd.DataFrame:
+    """Stratified hash-Bernoulli sampling: per-stratum keep rates
+    (high-quality sources src0-src9 at ``rate_hq`` per mille, the rest
+    at ``rate_lq``) with the same pure per-row md5 predicate as
+    :func:`sample_hash` — per-group rates without a groupby, count, or
+    shuffle; the strata definition is the only broadcast."""
+    ds = _read_docs(sf_dir, ["doc_id", "source"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        num = pc.cast(pc.utf8_slice_codeunits(t["source"], 3, 99),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        h = np.array([
+            int.from_bytes(hashlib.md5(str(i).encode()).digest()[:4], "big")
+            for i in ids], dtype=np.uint64)
+        rate = np.where(num < 10, rate_hq, rate_lq).astype(np.uint64)
+        return t.filter(pa.array(h % 1000 < rate))
+
+    return ds.map_batches(keep, batch_format="pyarrow").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
