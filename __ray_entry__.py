@@ -210,6 +210,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_stratified": T.sample_stratified,
         "pack_sequences": T.pack_sequences,
         "winnow_fingerprint": T.winnow_fingerprint,
+        "decontaminate": T.decontaminate,
+        "repetition_stats": T.repetition_stats,
+        "vocab_df": T.vocab_df,
+        "tfidf_top_term": T.tfidf_top_term,
         # similarity search
         "knn_brute": E.knn_brute,
         "ann_lsh": E.ann_lsh,
@@ -575,6 +579,50 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "fingerprint_docs": """
             SELECT doc_id, md5(text) AS fingerprint FROM documents""",
+        "decontaminate": r"""
+            WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+                       FROM documents),
+            g AS (SELECT doc_id, array_to_string(toks[i.i : i.i + 4], ' ') AS ng
+                  FROM t, UNNEST(range(1, greatest(len(toks) - 4, 0) + 1)) AS i(i)),
+            bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 97 = 0),
+            hit AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (ng))
+            SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+            FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id""",
+        "repetition_stats": r"""
+            WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+                       FROM documents),
+            w AS (SELECT doc_id, len(toks) AS n_words,
+                         len(list_distinct(toks)) AS n_distinct FROM t),
+            bg AS (SELECT doc_id, array_to_string(toks[i.i : i.i + 1], ' ') AS bg
+                   FROM t, UNNEST(range(1, greatest(len(toks) - 1, 0) + 1)) AS i(i)),
+            bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+            tb AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM bc GROUP BY 1)
+            SELECT w.doc_id,
+                   round(1.0 - n_distinct * 1.0 / greatest(n_words, 1), 4)
+                       AS dup_word_frac,
+                   round(coalesce(mx * 1.0 / tot, 0), 4) AS top_bigram_frac
+            FROM w LEFT JOIN tb USING (doc_id)""",
+        "vocab_df": r"""
+            WITH t AS (SELECT doc_id,
+                              unnest(list_distinct(regexp_extract_all(text, '\S+')))
+                                  AS token
+                       FROM documents)
+            SELECT token, CAST(count(*) AS BIGINT) AS df FROM t
+            GROUP BY 1 ORDER BY df DESC, token LIMIT 100""",
+        "tfidf_top_term": r"""
+            WITH t AS (SELECT doc_id,
+                              unnest(regexp_extract_all(text, '\S+')) AS token
+                       FROM documents),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+            df AS (SELECT token, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+            s AS (SELECT tf.doc_id, tf.token,
+                         tf.tf * (SELECT count(*) FROM documents) / df.df AS score
+                  FROM tf JOIN df USING (token))
+            SELECT doc_id, token, round(score, 4) AS score FROM (
+                SELECT doc_id, token, score,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, token) AS rn
+                FROM s) WHERE rn = 1""",
         "classify_documents": f"""
             SELECT doc_id, round({sc['score']}, 4) AS score,
                    {sc['label']} AS label, {sc['confidence']} AS confidence

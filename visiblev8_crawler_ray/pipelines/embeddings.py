@@ -519,14 +519,21 @@ def near_dup_clusters(sf_dir: str, threshold: float = 0.45) -> pd.DataFrame:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
 
-    labels = {n: find(n) for n in parent}
-    lab_ref = ray.put(labels)
+    # broadcast the label map as sorted parallel arrays: the per-batch
+    # lookup is one vectorized searchsorted, not a per-row dict probe
+    keys = np.array(sorted(parent), dtype=np.int64)
+    vals = np.array([find(int(k)) for k in keys], dtype=np.int64)
+    lab_ref = ray.put((keys, vals))
 
     def assign(t: pa.Table) -> pa.Table:
-        lab = ray.get(lab_ref)
-        ids = t["vec_id"].to_numpy(zero_copy_only=False)
-        out = np.array([lab.get(int(i), int(i)) for i in ids],
-                       dtype=np.int64)
+        k, v = ray.get(lab_ref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = ids.copy()  # untouched nodes cluster with themselves
+        if len(k):
+            pos = np.searchsorted(k, ids)
+            pos_c = np.minimum(pos, len(k) - 1)
+            hitm = k[pos_c] == ids
+            out[hitm] = v[pos_c[hitm]]
         return pa.table({"vec_id": t["vec_id"],
                          "cluster_id": pa.array(out)})
 

@@ -26,6 +26,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Min, Sum
 
@@ -754,4 +755,227 @@ def sample_stratified(sf_dir: str, rate_hq: int = 100,
         return t.filter(pa.array(h % 1000 < rate))
 
     return ds.map_batches(keep, batch_format="pyarrow").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# decontamination / repetition quality / vocabulary statistics
+
+
+def _flat_tokens(text: pa.Array | pa.ChunkedArray):
+    """Whitespace-tokenize a batch column flat: returns the flattened
+    token StringArray and its doc (parent) index array, with split
+    artifacts (empty tokens from leading/trailing whitespace) dropped —
+    byte-identical to DuckDB ``regexp_extract_all(text, '\\S+')``."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern_regex(text, r"\s+")
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    nonempty = pc.not_equal(flat, "")
+    keep = nonempty.to_numpy(zero_copy_only=False)
+    if not keep.all():
+        flat = flat.filter(nonempty)
+        parent = parent[keep]
+    return flat, parent.astype(np.int64)
+
+
+def _ngrams(flat: pa.Array, parent: np.ndarray, n: int):
+    """Space-joined word n-grams over the flat token column — n sliced
+    views of the same array joined element-wise (one C kernel), with
+    windows straddling a doc boundary masked out.  Returns (ngram
+    StringArray, doc index per n-gram)."""
+    m = len(flat) - n + 1
+    if m <= 0:
+        return pa.array([], type=pa.string()), np.empty(0, dtype=np.int64)
+    cols = [flat.slice(k, m) for k in range(n)]
+    joined = pc.binary_join_element_wise(*cols, " ")
+    valid = parent[:m] == parent[n - 1:]
+    return joined.filter(pa.array(valid)), parent[:m][valid]
+
+
+#: docs with doc_id % DECON_MOD == 0 stand in for the held-out benchmark
+#: (the eval slice a decontamination pass protects).
+DECON_MOD = 97
+DECON_N = 5
+
+
+def decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination: flag every training doc sharing at
+    least one word 5-gram with the benchmark slice (GPT-3-style n-gram
+    overlap decontamination).
+
+    Scale shape: the benchmark side is SMALL BY DEFINITION (an eval
+    set), so its distinct shingle set is collected once and broadcast
+    via ``ray.put``; the corpus side is one streaming ``map_batches``
+    pass — shingling is n sliced views of the flat token buffer joined
+    by one arrow kernel, membership is one vectorized ``pc.is_in``, and
+    the per-doc any() is a ``np.bincount`` over hit parents.  Nothing
+    shuffles and no corpus byte reaches the driver.  (If the benchmark
+    ever outgrew a broadcast, the same shingle tables feed a
+    hash-partitioned semi-join on the shingle key.)"""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def bench_ngrams(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(ids % DECON_MOD == 0))
+        ng, _ = _ngrams(*_flat_tokens(sub["text"]), n=DECON_N)
+        return pa.table({"ng": pc.unique(ng)})
+
+    bench_df = ds.map_batches(bench_ngrams, batch_format="pyarrow").to_pandas()
+    bench = pa.array(pd.unique(bench_df["ng"]), type=pa.string())
+    bench_ref = ray.put(bench)
+
+    def flag(t: pa.Table) -> pa.Table:
+        bset = ray.get(bench_ref)
+        ng, pidx = _ngrams(*_flat_tokens(t["text"]), n=DECON_N)
+        hit = pc.is_in(ng, value_set=bset).to_numpy(zero_copy_only=False)
+        contaminated = np.zeros(t.num_rows, dtype=bool)
+        if hit.any():
+            contaminated[np.unique(pidx[hit])] = True
+        return pa.table({"doc_id": t["doc_id"],
+                         "contaminated": pa.array(contaminated)})
+
+    return ds.map_batches(flag, batch_format="pyarrow").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+def repetition_stats(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition quality: per doc, the duplicated-word
+    fraction (``1 - distinct/total``) and the top-bigram fraction
+    (count of the most frequent word bigram over all bigrams) — the
+    filters that catch boilerplate and degenerate repetition before
+    training.
+
+    One streaming pass, all C kernels: flat tokenization, arrow
+    ``group_by`` on (doc, token) for exact distinct counts (no hashing
+    shortcut — parity with SQL's ``list_distinct`` is string-exact),
+    one sliced-view join for bigrams, arrow ``group_by`` twice for the
+    per-doc max/total.  Per-doc only — no shuffle at any scale."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        n_docs = t.num_rows
+        flat, parent = _flat_tokens(t["text"])
+        n_words = np.bincount(parent, minlength=n_docs).astype(np.int64)
+        d = pa.table({"p": pa.array(parent), "tok": flat}) \
+            .group_by(["p", "tok"]).aggregate([("tok", "count")])
+        n_distinct = np.bincount(
+            d["p"].to_numpy(zero_copy_only=False), minlength=n_docs
+        ).astype(np.int64)
+
+        bg, p2 = _ngrams(flat, parent, 2)
+        mx = np.zeros(n_docs, dtype=np.int64)
+        tot = np.zeros(n_docs, dtype=np.int64)
+        if len(bg):
+            bc = pa.table({"p": pa.array(p2), "bg": bg}) \
+                .group_by(["p", "bg"]).aggregate([("bg", "count")])
+            per = bc.group_by("p").aggregate(
+                [("bg_count", "max"), ("bg_count", "sum")])
+            pi = per["p"].to_numpy(zero_copy_only=False)
+            mx[pi] = per["bg_count_max"].to_numpy(zero_copy_only=False)
+            tot[pi] = per["bg_count_sum"].to_numpy(zero_copy_only=False)
+
+        # expression order mirrors the SQL twin exactly (float parity)
+        dup = round_half_away(
+            1.0 - n_distinct * 1.0 / np.maximum(n_words, 1), 4)
+        top = round_half_away(
+            np.divide(mx, tot, out=np.zeros(n_docs, dtype=np.float64),
+                      where=tot > 0), 4)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "dup_word_frac": pa.array(dup, type=pa.float64()),
+            "top_bigram_frac": pa.array(top, type=pa.float64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+def vocab_df(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Corpus vocabulary by document frequency: for every token, the
+    number of distinct docs containing it; top-k by (df desc, token).
+
+    The canonical partial+final aggregate: per-batch exact per-doc
+    distinct (arrow group_by — each Dataset row is a whole doc, so
+    doc-distinct never crosses batches) emits tiny (token, df_part)
+    tables; the final merge is the two-phase combiner.  The shuffle
+    volume is the vocabulary, not the corpus."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, parent = _flat_tokens(t["text"])
+        d = pa.table({"p": pa.array(parent), "token": flat}) \
+            .group_by(["p", "token"]).aggregate([("token", "count")])
+        part = d.group_by("token").aggregate([("p", "count")])
+        return pa.table({"token": part["token"],
+                         "df_part": pc.cast(part["p_count"], pa.int64())})
+
+    from ..functions.util import two_phase_agg
+    out = two_phase_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["token"], [("df_part", "sum")], ["token", "df"],
+    ).to_pandas()
+    return out.sort_values(["df", "token"], ascending=[False, True]) \
+        .head(k).reset_index(drop=True)
+
+
+def tfidf_top_term(sf_dir: str) -> pd.DataFrame:
+    """Per-doc top TF-IDF term (linear idf variant ``tf * N / df`` —
+    rational arithmetic, so the engine and the SQL twin agree bit for
+    bit; a log idf reweights but never reorders a single doc's terms,
+    since N is constant and df ranks identically under both).
+
+    Two streaming passes: (1) the document-frequency table via the
+    vocab_df machinery — vocabulary-sized, broadcast once with
+    ``ray.put`` as sorted parallel arrays; (2) per-batch term counts
+    (arrow group_by), a ``searchsorted`` df lookup, and a vectorized
+    per-doc argmax (sort + drop_duplicates — C path).  Docs with no
+    tokens are absent, matching SQL.  At a vocabulary too big to
+    broadcast, pass 2's (doc, token, tf) table hash-joins the df table
+    on token instead — same partials, one exchange."""
+    import pyarrow.parquet as pq
+
+    n_total = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, parent = _flat_tokens(t["text"])
+        d = pa.table({"p": pa.array(parent), "token": flat}) \
+            .group_by(["p", "token"]).aggregate([("token", "count")])
+        part = d.group_by("token").aggregate([("p", "count")])
+        return pa.table({"token": part["token"],
+                         "df_part": pc.cast(part["p_count"], pa.int64())})
+
+    from ..functions.util import two_phase_agg
+    df_tab = two_phase_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["token"], [("df_part", "sum")], ["token", "df"],
+    ).to_pandas().sort_values("token").reset_index(drop=True)
+    vocab = df_tab["token"].to_numpy(dtype=object)
+    dfs = df_tab["df"].to_numpy(dtype=np.int64)
+    df_ref = ray.put((vocab, dfs))
+
+    def score(t: pa.Table) -> pa.Table:
+        voc, dfv = ray.get(df_ref)
+        flat, parent = _flat_tokens(t["text"])
+        g = pa.table({"p": pa.array(parent), "token": flat}) \
+            .group_by(["p", "token"]).aggregate([("token", "count")])
+        p = g["p"].to_numpy(zero_copy_only=False)
+        tok = g["token"].to_numpy(zero_copy_only=False)
+        tf = g["token_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(voc, tok)
+        s = (tf * n_total) / dfv[pos]
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out = pd.DataFrame({"doc_id": ids[p], "token": tok, "score_raw": s})
+        out = out.sort_values(["doc_id", "score_raw", "token"],
+                              ascending=[True, False, True]) \
+            .drop_duplicates("doc_id")
+        out["score"] = round_half_away(out.pop("score_raw").to_numpy(), 4)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return ds.map_batches(score, batch_format="pyarrow").to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
