@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": T.repetition_stats,
         "vocab_df": T.vocab_df,
         "tfidf_top_term": T.tfidf_top_term,
+        "curate_corpus": T.curate_corpus,
         # similarity search
         "knn_brute": E.knn_brute,
         "ann_lsh": E.ann_lsh,
@@ -623,6 +624,42 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY doc_id
                                           ORDER BY score DESC, token) AS rn
                 FROM s) WHERE rn = 1""",
+        # thresholds mirror textops.CURATE_* verbatim
+        "curate_corpus": r"""
+            WITH t AS (SELECT doc_id, text, regexp_extract_all(text, '\S+') AS toks
+                       FROM documents),
+            ck AS (SELECT doc_id, md5(text) AS content_key FROM documents),
+            keep AS (SELECT content_key, min(doc_id) AS keep_doc_id
+                     FROM ck GROUP BY 1),
+            g AS (SELECT doc_id, array_to_string(toks[i.i : i.i + 4], ' ') AS ng
+                  FROM t, UNNEST(range(1, greatest(len(toks) - 4, 0) + 1)) AS i(i)),
+            bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 97 = 0),
+            hit AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (ng)),
+            w AS (SELECT doc_id, len(toks) AS n_words,
+                         len(list_distinct(toks)) AS n_distinct FROM t),
+            bg AS (SELECT doc_id, array_to_string(toks[i.i : i.i + 1], ' ') AS bg
+                   FROM t, UNNEST(range(1, greatest(len(toks) - 1, 0) + 1)) AS i(i)),
+            bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+            tb AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM bc GROUP BY 1),
+            rep AS (SELECT w.doc_id,
+                           round(1.0 - n_distinct * 1.0 / greatest(n_words, 1), 4)
+                               AS dup_word_frac,
+                           round(coalesce(mx * 1.0 / tot, 0), 4) AS top_bigram_frac,
+                           n_words
+                    FROM w LEFT JOIN tb USING (doc_id))
+            SELECT d.doc_id,
+                   (keep.keep_doc_id = d.doc_id) AS is_canonical,
+                   (h.doc_id IS NOT NULL) AS contaminated,
+                   (rep.dup_word_frac <= 0.6 AND rep.top_bigram_frac <= 0.12)
+                       AS rep_ok,
+                   (rep.n_words BETWEEN 15 AND 90) AS len_ok,
+                   (keep.keep_doc_id = d.doc_id AND h.doc_id IS NULL
+                    AND rep.dup_word_frac <= 0.6 AND rep.top_bigram_frac <= 0.12
+                    AND rep.n_words BETWEEN 15 AND 90) AS kept
+            FROM documents d
+            JOIN ck USING (doc_id) JOIN keep ON ck.content_key = keep.content_key
+            LEFT JOIN hit h ON d.doc_id = h.doc_id
+            JOIN rep ON rep.doc_id = d.doc_id""",
         "classify_documents": f"""
             SELECT doc_id, round({sc['score']}, 4) AS score,
                    {sc['label']} AS label, {sc['confidence']} AS confidence

@@ -979,3 +979,115 @@ def tfidf_top_term(sf_dir: str) -> pd.DataFrame:
 
     return ds.map_batches(score, batch_format="pyarrow").to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
+
+
+# pinned curation thresholds — mirrored verbatim in the SQL twin
+CURATE_DUP_MAX = 0.6
+CURATE_TOPBG_MAX = 0.12
+CURATE_MIN_WORDS = 15
+CURATE_MAX_WORDS = 90
+
+
+def curate_corpus(sf_dir: str) -> pd.DataFrame:
+    """The composed curation pipeline — the flagship shape a
+    training-data engine exists for: exact-dedup canonicality ∧ not
+    benchmark-contaminated ∧ repetition bounds ∧ length band, one
+    decision row per doc with the per-filter flags preserved (so a
+    user can audit why a doc was dropped).
+
+    One fused streaming pass computes the per-doc signals (content
+    md5, word stats, bigram stats, 5-gram contamination) — every
+    kernel shared with the standalone operators; the flag table (a few
+    scalar columns per doc, no text) is materialized once and consumed
+    twice: a two-phase agg derives the dedup keep-list, then a second
+    map marks canonicality.  The keep-list probe is a broadcast
+    searchsorted here (sorted key/value arrays); at corpus scales where
+    the distinct-text set outgrows a broadcast, the same flag table
+    hash-partition-joins the keep-list on content_key instead — the
+    adaptive small/scale split used across this repo (see
+    multi_origin_rollup, dedup_minhash)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def bench_ngrams(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(ids % DECON_MOD == 0))
+        ng, _ = _ngrams(*_flat_tokens(sub["text"]), n=DECON_N)
+        return pa.table({"ng": pc.unique(ng)})
+
+    bench_df = ds.map_batches(bench_ngrams, batch_format="pyarrow").to_pandas()
+    bench_ref = ray.put(pa.array(pd.unique(bench_df["ng"]), type=pa.string()))
+
+    def signals(t: pa.Table) -> pa.Table:
+        n_docs = t.num_rows
+        keys = [hashlib.md5(s.encode()).hexdigest()
+                for s in t["text"].to_pylist()]
+        flat, parent = _flat_tokens(t["text"])
+        n_words = np.bincount(parent, minlength=n_docs).astype(np.int64)
+        d = pa.table({"p": pa.array(parent), "tok": flat}) \
+            .group_by(["p", "tok"]).aggregate([("tok", "count")])
+        n_distinct = np.bincount(
+            d["p"].to_numpy(zero_copy_only=False), minlength=n_docs
+        ).astype(np.int64)
+        bg, p2 = _ngrams(flat, parent, 2)
+        mx = np.zeros(n_docs, dtype=np.int64)
+        tot = np.zeros(n_docs, dtype=np.int64)
+        if len(bg):
+            bc = pa.table({"p": pa.array(p2), "bg": bg}) \
+                .group_by(["p", "bg"]).aggregate([("bg", "count")])
+            per = bc.group_by("p").aggregate(
+                [("bg_count", "max"), ("bg_count", "sum")])
+            pi = per["p"].to_numpy(zero_copy_only=False)
+            mx[pi] = per["bg_count_max"].to_numpy(zero_copy_only=False)
+            tot[pi] = per["bg_count_sum"].to_numpy(zero_copy_only=False)
+        dup = round_half_away(
+            1.0 - n_distinct * 1.0 / np.maximum(n_words, 1), 4)
+        top = round_half_away(
+            np.divide(mx, tot, out=np.zeros(n_docs, dtype=np.float64),
+                      where=tot > 0), 4)
+        ng5, p5 = _ngrams(flat, parent, DECON_N)
+        hit = pc.is_in(ng5, value_set=ray.get(bench_ref)) \
+            .to_numpy(zero_copy_only=False)
+        contaminated = np.zeros(n_docs, dtype=bool)
+        if hit.any():
+            contaminated[np.unique(p5[hit])] = True
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "content_key": pa.array(keys, type=pa.string()),
+            "n_words": pa.array(n_words),
+            "dup_word_frac": pa.array(dup, type=pa.float64()),
+            "top_bigram_frac": pa.array(top, type=pa.float64()),
+            "contaminated": pa.array(contaminated),
+        })
+
+    flags = ds.map_batches(signals, batch_format="pyarrow").materialize()
+
+    from ..functions.util import two_phase_agg
+    keep = two_phase_agg(flags, ["content_key"], [("doc_id", "min")],
+                         ["content_key", "keep_doc_id"]).to_pandas() \
+        .sort_values("content_key")
+    keep_ref = ray.put((keep["content_key"].to_numpy(dtype=object),
+                        keep["keep_doc_id"].to_numpy(dtype=np.int64)))
+
+    def decide(t: pa.Table) -> pa.Table:
+        kk, kv = ray.get(keep_ref)
+        keys = t["content_key"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        is_canonical = kv[np.searchsorted(kk, keys)] == ids
+        dup = t["dup_word_frac"].to_numpy(zero_copy_only=False)
+        top = t["top_bigram_frac"].to_numpy(zero_copy_only=False)
+        nw = t["n_words"].to_numpy(zero_copy_only=False)
+        cont = t["contaminated"].to_numpy(zero_copy_only=False)
+        rep_ok = (dup <= CURATE_DUP_MAX) & (top <= CURATE_TOPBG_MAX)
+        len_ok = (nw >= CURATE_MIN_WORDS) & (nw <= CURATE_MAX_WORDS)
+        kept = is_canonical & ~cont & rep_ok & len_ok
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "is_canonical": pa.array(is_canonical),
+            "contaminated": t["contaminated"],
+            "rep_ok": pa.array(rep_ok),
+            "len_ok": pa.array(len_ok),
+            "kept": pa.array(kept),
+        })
+
+    return flags.map_batches(decide, batch_format="pyarrow").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
