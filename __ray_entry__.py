@@ -245,6 +245,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feature_dedup": lambda sf: P.feature_dedup(_crawl(sf).docs()),
         "instance_dedup": lambda sf: P.instance_dedup(_crawl(sf).docs()),
         "trigger_stats": lambda sf: P.trigger_stats(_crawl(sf).docs()),
+        "span_kind_transitions": lambda sf: P.span_kind_transitions(
+            _crawl(sf).docs()),
+        "media_text_ratio": lambda sf: P.media_text_ratio(_crawl(sf).docs()),
         "doc_feature_summary": _doc_feature_summary,
         "usage_rollup_crawl": _usage_rollup_crawl,
         "spans_exploded": _spans_exploded,
@@ -680,6 +683,24 @@ def oracle_sql() -> dict[str, str]:
         "spans_exploded": f"""
             WITH sp AS {_sp}
             SELECT doc_id, kind, text, media_ref, "offset" FROM sp""",
+        "span_kind_transitions": f"""
+            WITH sp AS {_sp},
+            nx AS (SELECT doc_id, kind,
+                          lead(kind) OVER (PARTITION BY doc_id
+                                           ORDER BY "offset") AS next_kind
+                   FROM sp)
+            SELECT kind, next_kind, CAST(count(*) AS BIGINT) AS n
+            FROM nx WHERE next_kind IS NOT NULL GROUP BY 1, 2""",
+        "media_text_ratio": f"""
+            WITH sp AS {_sp},
+            c AS (SELECT doc_id,
+                         count(*) FILTER (kind LIKE 'media/%') AS n_media,
+                         count(*) AS n_total
+                  FROM sp GROUP BY 1)
+            SELECT doc_id, CAST(n_total - n_media AS BIGINT) AS n_text_spans,
+                   CAST(n_media AS BIGINT) AS n_media_spans,
+                   round(n_media * 1.0 / greatest(n_total, 1), 4) AS media_frac
+            FROM c""",
         # mirrors MediaDecoder._decode_stub: h = big-endian first 8 md5
         # bytes of the ref; (width, height, n_bytes) are h-derived
         "media_features": f"""

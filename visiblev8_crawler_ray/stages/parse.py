@@ -380,3 +380,62 @@ def instance_dedup(docs: rd.Dataset) -> pa.Table:
     agg["n_usages"] = agg["n_usages"].astype("int64")
     return agg[["instance_hash", "script_sha", "doc_id", "n_usages"]] \
         .sort_values(["script_sha", "doc_id"]).reset_index(drop=True)
+
+
+def span_kind_transitions(docs: rd.Dataset) -> rd.Dataset:
+    """Order-sensitive span-sequence profile: counts of adjacent
+    (kind -> next_kind) transitions within each doc's span list — a
+    direct probe of the interleaved-document invariant (spans are
+    stored in trace order; a shuffled or re-sorted spans column changes
+    this table).  Flat kinds + parent indices, adjacency masked at doc
+    boundaries, two-phase combiner over a |kinds|² key set."""
+    from ..functions.util import two_phase_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        spans, _ = _spans_of(batch)
+        flat = spans.flatten()
+        kinds = flat.field("kind")
+        parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+        m = len(parent) - 1
+        if m < 1:
+            return pa.table({"kind": pa.array([], type=pa.string()),
+                             "next_kind": pa.array([], type=pa.string()),
+                             "o": pa.array([], type=pa.int64())})
+        adj = pa.array(parent[:-1] == parent[1:])
+        return pa.table({
+            "kind": kinds.slice(0, m).filter(adj),
+            "next_kind": kinds.slice(1, m).filter(adj),
+            "o": pa.nulls(int(pc.sum(adj).as_py() or 0), type=pa.int64()),
+        })
+
+    return two_phase_agg(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["kind", "next_kind"], [("o", "count")], ["kind", "next_kind", "n"])
+
+
+def media_text_ratio(docs: rd.Dataset) -> rd.Dataset:
+    """Per-doc interleave profile: text-span vs media-span counts and
+    the media fraction — the payload-mix statistic a multimodal
+    curation pass filters on.  Pure per-doc map (no shuffle)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        spans, doc_ids = _spans_of(batch)
+        flat = spans.flatten()
+        parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+        is_media = pc.starts_with(flat.field("kind"), "media/") \
+            .to_numpy(zero_copy_only=False)
+        n_docs = batch.num_rows
+        n_media = np.bincount(parent[is_media], minlength=n_docs) \
+            .astype(np.int64)
+        n_total = np.bincount(parent, minlength=n_docs).astype(np.int64)
+        n_text = n_total - n_media
+        ratio = round_half_away(
+            n_media * 1.0 / np.maximum(n_total, 1), 4)
+        return pa.table({
+            "doc_id": doc_ids,
+            "n_text_spans": pa.array(n_text),
+            "n_media_spans": pa.array(n_media),
+            "media_frac": pa.array(ratio, type=pa.float64()),
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow")
