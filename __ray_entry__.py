@@ -215,6 +215,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_df": T.vocab_df,
         "tfidf_top_term": T.tfidf_top_term,
         "curate_corpus": T.curate_corpus,
+        "heavy_hitters": T.heavy_hitters,
+        "distinct_tokens_hll": T.distinct_tokens_hll,
         # similarity search
         "knn_brute": E.knn_brute,
         "ann_lsh": E.ann_lsh,
@@ -248,6 +250,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_kind_transitions": lambda sf: P.span_kind_transitions(
             _crawl(sf).docs()),
         "media_text_ratio": lambda sf: P.media_text_ratio(_crawl(sf).docs()),
+        "caption_pairs": lambda sf: P.caption_pairs(_crawl(sf).docs()),
+        "reconstruct_docs": lambda sf: P.reconstruct_text(_crawl(sf).docs()),
         "doc_feature_summary": _doc_feature_summary,
         "usage_rollup_crawl": _usage_rollup_crawl,
         "spans_exploded": _spans_exploded,
@@ -703,6 +707,40 @@ def oracle_sql() -> dict[str, str]:
             FROM c""",
         # mirrors MediaDecoder._decode_stub: h = big-endian first 8 md5
         # bytes of the ref; (width, height, n_bytes) are h-derived
+        "caption_pairs": f"""
+            WITH sp AS {_sp},
+            att AS (SELECT doc_id, kind AS media_kind, media_ref, "offset",
+                           max(CASE WHEN kind NOT LIKE 'media/%'
+                                    THEN "offset" END)
+                               OVER (PARTITION BY doc_id ORDER BY "offset"
+                                     ROWS UNBOUNDED PRECEDING) AS cap_off
+                    FROM sp),
+            cap AS (SELECT doc_id, "offset" AS cap_off, text AS caption,
+                           kind AS caption_kind
+                    FROM sp WHERE kind NOT LIKE 'media/%')
+            SELECT a.doc_id, a.media_ref, a.media_kind,
+                   coalesce(c.caption, '') AS caption,
+                   coalesce(c.caption_kind, '') AS caption_kind,
+                   CAST(coalesce(a."offset" - c.cap_off, -1) AS BIGINT) AS gap
+            FROM att a LEFT JOIN cap c
+              ON c.doc_id = a.doc_id AND c.cap_off = a.cap_off
+            WHERE a.media_kind LIKE 'media/%'""",
+        "reconstruct_docs": f"""
+            WITH sp AS {_sp}
+            SELECT doc_id,
+                   string_agg(CASE WHEN kind LIKE 'media/%'
+                                   THEN '<|' || kind || '|>'
+                                   ELSE text END, ' ' ORDER BY "offset")
+                       AS doc_text,
+                   count(*) AS n_spans
+            FROM sp GROUP BY doc_id""",
+        "heavy_hitters": f"""
+            WITH t AS (SELECT unnest(regexp_extract_all(text, '\\S+'))
+                           AS token
+                       FROM documents)
+            SELECT token, count(*) AS c FROM t
+            GROUP BY token
+            HAVING count(*) * {T.HH_K} > (SELECT count(*) FROM t)""",
         "media_features": f"""
             WITH sp AS {_sp},
             h AS (SELECT doc_id, media_ref, kind,

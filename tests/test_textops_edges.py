@@ -95,3 +95,99 @@ def test_edge_semantics(edge_dir):
     tf = T.tfidf_top_term(edge_dir)
     assert 0 not in set(tf["doc_id"])                  # tokenless doc absent
     assert tf.set_index("doc_id").loc[4, "token"] == "x"
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters / HLL: skewed corpus forces the MG truncation path
+# (vocab >> HH_K) and pushes HLL past the linear-counting range
+
+
+@pytest.fixture(scope="module")
+def skew_dir(tmp_path_factory):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    # Zipf-ish: a few hot tokens + a 50k-token cold tail
+    hot = rng.choice([f"hot{i}" for i in range(8)], size=60_000,
+                     p=[0.35, 0.2, 0.15, 0.1, 0.08, 0.06, 0.04, 0.02])
+    cold = np.array([f"tok{i}" for i in rng.integers(0, 50_000, size=60_000)])
+    toks = np.concatenate([hot, cold])
+    rng.shuffle(toks)
+    texts = [" ".join(toks[i:i + 60]) for i in range(0, len(toks), 60)]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    d = tmp_path_factory.mktemp("skew_docs")
+    df.to_parquet(d / "documents.parquet")
+    return str(d)
+
+
+def test_heavy_hitters_mg_truncation_exact(skew_dir):
+    """vocab (~50k) >> HH_K (200) forces Misra-Gries truncation in every
+    batch AND in the driver merge; the recount pass must still return
+    the EXACT frequent set — compare against the driver's own SQL twin
+    over the same corpus."""
+    eng = T.heavy_hitters(skew_dir)
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS "
+            f"SELECT * FROM read_parquet('{skew_dir}/documents.parquet')")
+    odf = con.sql(R.oracle_sql()["heavy_hitters"]).df()
+    a, b = _norm(pd.DataFrame(eng)), _norm(odf)
+    assert len(a) == len(b) and len(a) >= 8  # all hot tokens survive
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
+def test_hll_error_envelope(skew_dir):
+    """~43k true distinct tokens (past linear counting at p=12): the
+    HLL estimate must land within the published ~1.6%-sigma envelope
+    (3 sigma ~= 5%) of the exact distinct count, and be deterministic."""
+    est1 = int(T.distinct_tokens_hll(skew_dir)["distinct_tokens_est"][0])
+    est2 = int(T.distinct_tokens_hll(skew_dir)["distinct_tokens_est"][0])
+    assert est1 == est2  # register merge is order-independent
+    con = duckdb.connect()
+    exact = con.sql(
+        "SELECT count(DISTINCT t) FROM (SELECT unnest(regexp_extract_all("
+        f"text, '\\S+')) AS t FROM read_parquet('{skew_dir}/documents.parquet'))"
+    ).fetchone()[0]
+    assert exact > 2.5 * 4096  # genuinely beyond linear-counting range
+    assert abs(est1 - exact) / exact < 0.05
+
+
+def test_caption_pairs_and_reconstruct_edges():
+    """Interleaved edge shapes: doc opening with media, consecutive
+    media spans sharing one caption, media-only doc, empty doc."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from visiblev8_crawler_ray.stages import parse as P
+
+    span_t = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                        ("media_ref", pa.string()), ("offset", pa.int32())])
+
+    def sp(kind, text="", ref="", off=0):
+        return {"kind": kind, "text": text, "media_ref": ref, "offset": off}
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "spans": pa.array([
+            # media first (no caption), then text, then TWO media spans
+            # bound to the same nearest-preceding text span
+            [sp("media/shot", "", "b://1/a", 0), sp("get", "T.x", off=1),
+             sp("media/shot", "", "b://1/b", 2),
+             sp("media/har", "", "b://1/c", 3)],
+            [sp("media/shot", "", "b://2/a", 0)],      # media-only
+            [sp("get", "U.y", off=0)],                 # text-only
+            [],                                        # empty spans
+        ], type=pa.list_(span_t)),
+    })
+    ds = rd.from_arrow(docs)
+    cp = P.caption_pairs(ds).to_pandas().sort_values(
+        ["doc_id", "media_ref"]).reset_index(drop=True)
+    assert list(cp["media_ref"]) == ["b://1/a", "b://1/b", "b://1/c", "b://2/a"]
+    assert list(cp["caption"]) == ["", "T.x", "T.x", ""]
+    assert list(cp["gap"]) == [-1, 1, 2, -1]
+
+    rt = P.reconstruct_text(ds).to_pandas().set_index("doc_id")
+    assert rt.loc[1, "doc_text"] == \
+        "<|media/shot|> T.x <|media/shot|> <|media/har|>"
+    assert rt.loc[2, "doc_text"] == "<|media/shot|>"
+    assert rt.loc[3, "doc_text"] == "U.y"
+    assert rt.loc[4, "doc_text"] == "" and rt.loc[4, "n_spans"] == 0

@@ -1091,3 +1091,151 @@ def curate_corpus(sf_dir: str) -> pd.DataFrame:
 
     return flags.map_batches(decide, batch_format="pyarrow").to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters / distinct-count sketch
+
+#: heavy-hitter threshold: tokens with count * HH_K > total token count
+HH_K = 200
+
+
+def heavy_hitters(sf_dir: str, k: int = HH_K) -> pd.DataFrame:
+    """EXACT frequent tokens (count * k > total) via a Misra-Gries
+    prefilter + exact recount — the sketch-then-verify pattern that
+    keeps the shuffle volume at O(k) per block instead of O(vocabulary)
+    (contrast :func:`vocab_df`, which pays vocabulary-sized partials).
+
+    Pass 1 (streaming): each batch computes exact local token counts
+    (one arrow group_by) and reduces them to a <=k-entry Misra-Gries
+    summary (sort + (k+1)-th-largest subtraction — the batch-MG
+    equivalence).  Summaries merge on the driver by summing counters
+    then subtracting the (k+1)-th largest again; merged-MG error stays
+    < total/k (Agarwal et al., "Mergeable Summaries", PODS'12), so
+    every token with true count > total/k SURVIVES the prefilter —
+    candidates is a small superset, never a miss.
+    Pass 2 (streaming): candidates broadcast via ``ray.put``; one
+    ``pc.is_in`` filter + group_by per batch recounts them exactly,
+    and the final threshold uses integer arithmetic (count * k >
+    total) so the result is bit-exact against the SQL twin.
+
+    At 100 TB: pass-1 output is n_blocks x k rows (tiny), the driver
+    merge is O(n_blocks k log k); pass 2 ships one candidate array and
+    shuffles nothing.
+    """
+    ds = _read_docs(sf_dir, ["text"])
+
+    def mg_partial(t: pa.Table) -> pa.Table:
+        flat, _ = _flat_tokens(t["text"])
+        g = pa.table({"token": flat}).group_by("token") \
+            .aggregate([("token", "count")])
+        c = g["token_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tok = g["token"]
+        total = int(c.sum())
+        if len(c) > k:
+            # batch-MG: subtract the (k+1)-th largest count, keep > 0
+            cut = np.partition(c, -(k + 1))[-(k + 1)]
+            keep = c > cut
+            tok, c = tok.filter(pa.array(keep)), c[keep] - cut
+        out = pa.table({"token": tok, "c": pa.array(c)})
+        # one marker row carries the block's true token total
+        marker = pa.table({"token": pa.array([None], type=pa.string()),
+                           "c": pa.array([total], type=pa.int64())})
+        return pa.concat_tables([out, marker])
+
+    summ = pa.concat_tables(
+        ds.map_batches(mg_partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=65536))
+    is_marker = pc.is_null(summ["token"]).to_numpy(zero_copy_only=False)
+    total = int(summ["c"].to_numpy(zero_copy_only=False)[is_marker].sum())
+    cand = summ.filter(pa.array(~is_marker)).group_by("token") \
+        .aggregate([("c", "sum")])
+    cc = cand["c_sum"].to_numpy(zero_copy_only=False)
+    if len(cc) > k:
+        cut = np.partition(cc, -(k + 1))[-(k + 1)]
+        cand = cand.filter(pa.array(cc > cut))
+    cand_ref = ray.put(cand["token"].combine_chunks())
+
+    def recount(t: pa.Table) -> pa.Table:
+        cset = ray.get(cand_ref)
+        flat, _ = _flat_tokens(t["text"])
+        hit = flat.filter(pc.is_in(flat, value_set=cset))
+        g = pa.table({"token": hit}).group_by("token") \
+            .aggregate([("token", "count")])
+        return pa.table({"token": g["token"],
+                         "c_part": pc.cast(g["token_count"], pa.int64())})
+
+    from ..functions.util import two_phase_agg
+    out = two_phase_agg(
+        ds.map_batches(recount, batch_format="pyarrow"),
+        ["token"], [("c_part", "sum")], ["token", "c"],
+    ).to_pandas()
+    out = out[out["c"] * k > total]
+    return out.sort_values(["c", "token"], ascending=[False, True]) \
+        .reset_index(drop=True)
+
+
+#: HLL register count (2^12 = 4096 registers, ~1.6% std error)
+HLL_P = 12
+
+
+def _hll_registers(flat: pa.Array) -> np.ndarray:
+    """Vectorized HyperLogLog register update for a flat token column:
+    one 64-bit hash pass (polars SipHash-based ``hash`` — a C kernel,
+    seeded for determinism), top-p bits route to a register, the
+    leading-zero rank of the rest comes from ``np.frexp`` on the
+    remaining 52 bits (exact: float64 holds 52-bit ints losslessly and
+    frexp reads the exponent field directly — no log rounding), and
+    ``np.maximum.at`` scatters the per-register max."""
+    import polars as pl
+
+    h = pl.from_arrow(flat).hash(seed=0).to_numpy().astype(np.uint64)
+    reg = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rest = h & np.uint64((1 << (64 - HLL_P)) - 1)
+    # rank = (64-p) - floor(log2(rest)) for rest>0, else 64-p+1
+    nz = rest > 0
+    rank = np.full(len(h), 64 - HLL_P + 1, dtype=np.int64)
+    if nz.any():
+        _, e = np.frexp(rest[nz].astype(np.float64))
+        rank[nz] = 64 - HLL_P - (e.astype(np.int64) - 1)
+    regs = np.zeros(1 << HLL_P, dtype=np.int64)
+    np.maximum.at(regs, reg, rank)
+    return regs
+
+
+def distinct_tokens_hll(sf_dir: str) -> pd.DataFrame:
+    """Approximate distinct-token count via HyperLogLog — the
+    classic mergeable sketch: each batch folds its tokens into 4096
+    registers, registers merge by element-wise max (order- and
+    partition-independent, so the estimate is DETERMINISTIC at any
+    parallelism), and the driver applies the standard HLL estimator
+    with the small-range linear-counting correction.
+
+    Approx-by-design (no SQL twin); the correctness gate is the
+    property test asserting the estimate lands within the published
+    ~1.6% error envelope of the exact distinct count
+    (tests/test_textops_edges.py).  At 100 TB the per-block payload is
+    a fixed 32 KB register array regardless of corpus size — the
+    degenerate-shuffle shape that makes HLL the distinct-count of
+    choice at scale."""
+    ds = _read_docs(sf_dir, ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, _ = _flat_tokens(t["text"])
+        return pa.table({"regs": pa.array([_hll_registers(flat)])})
+
+    merged = np.zeros(1 << HLL_P, dtype=np.int64)
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=256):
+        arr = b["regs"].combine_chunks()
+        stack = arr.flatten().to_numpy(zero_copy_only=False) \
+            .reshape(len(arr), 1 << HLL_P)
+        np.maximum(merged, stack.max(axis=0), out=merged)
+
+    m = float(1 << HLL_P)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-merged.astype(np.float64)))
+    zeros = int((merged == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting, small range
+    return pd.DataFrame({"distinct_tokens_est": [int(round(est))]})

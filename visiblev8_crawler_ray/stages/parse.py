@@ -439,3 +439,98 @@ def media_text_ratio(docs: rd.Dataset) -> rd.Dataset:
         })
 
     return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def caption_pairs(docs: rd.Dataset) -> rd.Dataset:
+    """Media-text pair extraction over the interleaved spans: for every
+    media span, the nearest PRECEDING non-media span in trace order —
+    the (image, caption-context) pairs a multimodal training set is
+    built from (the reference stores exactly this adjacency when it
+    interleaves screenshot/HAR artifacts into the per-URL trace,
+    vv8_worker/tasks.py:184-264).
+
+    Same segment trick as :func:`_ffill_script_index`: running max of
+    non-media positions vs running max of doc starts — a candidate
+    caption binds iff it is newer than its doc's first span.  Pure
+    per-doc map (docs are whole rows), no shuffle at any scale.
+    Emits (doc_id, media_ref, media_kind, caption, caption_kind, gap);
+    gap = offset distance, -1 when the doc opens with media.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        spans, doc_ids = _spans_of(batch)
+        flat = spans.flatten()
+        kinds = flat.field("kind")
+        parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+        n = len(parent)
+        is_media = pc.starts_with(kinds, "media/") \
+            .to_numpy(zero_copy_only=False)
+        ar = np.arange(n, dtype=np.int64)
+        starts = np.ones(n, dtype=bool)
+        if n:
+            starts[1:] = parent[1:] != parent[:-1]
+        last_text = np.maximum.accumulate(np.where(~is_media, ar, -1))
+        doc_start = np.maximum.accumulate(np.where(starts, ar, -1))
+        bound = np.where(last_text >= doc_start, last_text, -1)
+
+        mi = ar[is_media]
+        cap = bound[is_media]
+        has = cap >= 0
+        texts = flat.field("text")
+        offs = flat.field("offset").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        # take() with -1 would wrap; point missing rows at 0 and blank
+        # them after (vectorized, no row loop)
+        safe = np.where(has, cap, 0)
+        caption = texts.take(pa.array(safe))
+        caption_kind = kinds.take(pa.array(safe))
+        blank = pa.array(~has)
+        empty = pa.nulls(len(mi), type=pa.string()).fill_null("")
+        gap = np.where(has, offs[mi] - offs[safe], -1)
+        return pa.table({
+            "doc_id": doc_ids.take(pa.array(parent[is_media])),
+            "media_ref": flat.field("media_ref").take(pa.array(mi)),
+            "media_kind": kinds.take(pa.array(mi)),
+            "caption": pc.if_else(blank, empty, caption),
+            "caption_kind": pc.if_else(blank, empty, caption_kind),
+            "gap": pa.array(gap, type=pa.int64()),
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def reconstruct_text(docs: rd.Dataset) -> rd.Dataset:
+    """Interleaved doc -> one training-text string per doc: text spans
+    joined in trace order with media spans replaced by a
+    ``<|media/kind|>`` placeholder token — the render step that turns
+    the span table back into model input (the inverse of the
+    reference's per-URL artifact bundling).
+
+    All C kernels: one element-wise CASE over the flat span column,
+    the list structure rebuilt zero-copy from the original offsets,
+    one ``binary_join`` per doc.  Pure per-doc map, no shuffle.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        spans, doc_ids = _spans_of(batch)
+        flat = spans.flatten()
+        kinds = flat.field("kind")
+        is_media = pc.starts_with(kinds, "media/")
+        placeholder = pc.binary_join_element_wise(
+            pa.scalar("<|"), kinds, pa.scalar("|>"), pa.scalar(""))
+        merged = pc.if_else(is_media, placeholder, flat.field("text"))
+        if isinstance(merged, pa.ChunkedArray):
+            merged = merged.combine_chunks()
+        # offsets rebuilt from value lengths: aligned with flatten()
+        # even if the list array arrives sliced (spans.offsets is not)
+        lens = pc.list_value_length(spans).to_numpy(zero_copy_only=False)
+        offsets = np.zeros(len(lens) + 1, dtype=np.int32)
+        np.cumsum(lens, out=offsets[1:])
+        lists = pa.ListArray.from_arrays(pa.array(offsets), merged)
+        return pa.table({
+            "doc_id": doc_ids,
+            "doc_text": pc.binary_join(lists, " "),
+            "n_spans": pc.list_value_length(spans).cast(pa.int64()),
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow")
