@@ -62,7 +62,10 @@ def _crawl(sf_dir: str) -> CrawlRun:
             os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
         )["doc_id"].to_numpy()
         seeds = synth.seeds_table(ids, QCFG)
-        _CRAWL_CACHE[key] = run_crawl(seeds, QCFG, _store_root(sf_dir))
+        # blob_artifacts: media_dedup / real-decode paths read the
+        # artifact bytes the span refs point to
+        _CRAWL_CACHE[key] = run_crawl(seeds, QCFG, _store_root(sf_dir),
+                                      blob_artifacts=True)
         # every crawl-backed query guarantees the exports the span/log
         # oracles read (cheap; idempotent)
         _ensure_docs_export(sf_dir)
@@ -162,6 +165,12 @@ def _media_features(sf_dir: str):
     return MM.media_features(_crawl(sf_dir).docs())
 
 
+def _media_dedup(sf_dir: str):
+    run = _crawl(sf_dir)
+    blob_dir = os.path.join(_store_root(sf_dir), "blobs")
+    return MM.media_dedup(run.docs(), blob_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {
         # aggregations (A1, A4-A6, A9)
@@ -256,6 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "usage_rollup_crawl": _usage_rollup_crawl,
         "spans_exploded": _spans_exploded,
         "media_features": _media_features,
+        "media_dedup": _media_dedup,
         "parse_chain_counts": _parse_chain_counts,
     }
     return q

@@ -240,3 +240,69 @@ def test_two_phase_agg_count_star_semantics():
     assert out["n"].tolist() == [3, 1]       # count(*)
     assert out["nv"].tolist() == [2, 0]      # count(v)
     assert out["s"].tolist()[0] == 4.0
+
+
+def test_media_dedup_content_level(tmp_path):
+    """media_dedup keys by DECODED content: two PNG files with identical
+    pixels but different bytes (extra ancillary chunk) collapse to one
+    key; byte-identical HARs collapse; distinct pixels stay apart.
+    First-wins holder is the (doc_id, media_ref) minimum."""
+    import os
+    import struct
+    import zlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from visiblev8_crawler_ray.functions.png import encode_png
+    from visiblev8_crawler_ray.pipelines.multimodal import media_dedup
+
+    blob_dir = str(tmp_path / "blobs")
+    rng = np.random.default_rng(3)
+    px_a = rng.integers(0, 256, size=(8, 10, 3), dtype=np.uint8)
+    px_b = rng.integers(0, 256, size=(8, 10, 3), dtype=np.uint8)
+    png_a1 = encode_png(px_a)
+    # same pixels, different bytes: splice a tEXt chunk before IEND
+    raw = b"tEXtcomment\x00dup"
+    chunk = struct.pack(">I", len(raw) - 4) + raw + struct.pack(
+        ">I", zlib.crc32(raw) & 0xFFFFFFFF)
+    png_a2 = png_a1[:-12] + chunk + png_a1[-12:]
+    assert png_a2 != png_a1
+    blobs = {
+        "1/shot.png": png_a1,
+        "2/shot.png": png_a2,          # pixel-dup of doc 1
+        "3/shot.png": encode_png(px_b),
+        "1/har.json": b'{"log": 1}',
+        "3/har.json": b'{"log": 1}',   # byte-dup of doc 1's har
+    }
+    for rel, data in blobs.items():
+        p = os.path.join(blob_dir, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as f:
+            f.write(data)
+
+    span_t = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                        ("media_ref", pa.string()), ("offset", pa.int32())])
+
+    def sp(kind, ref, off):
+        return {"kind": kind, "text": "", "media_ref": ref, "offset": off}
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "spans": pa.array([
+            [sp("media/shot", "blob://1/shot.png", 0),
+             sp("media/har", "blob://1/har.json", 1)],
+            [sp("media/shot", "blob://2/shot.png", 0)],
+            [sp("media/shot", "blob://3/shot.png", 0),
+             sp("media/har", "blob://3/har.json", 1)],
+        ], type=pa.list_(span_t)),
+    })
+    out = media_dedup(rd.from_arrow(docs), blob_dir)
+    # 5 refs -> 3 distinct contents: {px_a x2}, {px_b}, {har x2}
+    assert len(out) == 3
+    by_ref = out.set_index("keep_ref")
+    assert by_ref.loc["blob://1/shot.png", "n_refs"] == 2
+    assert by_ref.loc["blob://1/shot.png", "keep_doc_id"] == 1
+    assert by_ref.loc["blob://3/shot.png", "n_refs"] == 1
+    assert by_ref.loc["blob://1/har.json", "n_refs"] == 2
+    assert "blob://2/shot.png" not in by_ref.index

@@ -120,3 +120,104 @@ def media_features(docs: rd.Dataset,
         # loads once per actor; width follows load instead of pinning 2
         concurrency=(2, max(2, int(ray.cluster_resources().get("CPU", 8)) // 2))
     )
+
+
+class MediaContentHasher:
+    """Actor-pool stage for content-level media dedup: read each
+    artifact's REAL bytes and key it by decoded content — PNGs hash
+    their (w, h, pixel) payload, so two files that differ only in
+    compression, chunk layout or ancillary chunks collapse to one key;
+    non-image artifacts (HAR) hash raw bytes.  One decoder per actor,
+    small batches (payloads are the wide column)."""
+
+    def __init__(self, blob_dir: str):
+        self.blob_dir = blob_dir
+
+    def _key(self, ref: str) -> tuple[str, int]:
+        import os
+
+        import numpy as np
+
+        from ..functions.png import decode_png
+
+        path = os.path.join(self.blob_dir, ref[len("blob://"):])
+        with open(path, "rb") as f:
+            data = f.read()
+        if path.endswith(".png"):
+            px = decode_png(data)
+            h = hashlib.md5()
+            h.update(np.int64(px.shape[0]).tobytes())
+            h.update(np.int64(px.shape[1]).tobytes())
+            h.update(px.tobytes())
+            return h.hexdigest(), len(data)
+        return hashlib.md5(data).hexdigest(), len(data)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keyed = [self._key(r) for r in batch["media_ref"].to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "media_ref": batch["media_ref"],
+            "kind": batch["kind"],
+            "content_key": pa.array([k for k, _ in keyed]),
+            "n_bytes": pa.array([n for _, n in keyed], type=pa.int64()),
+        })
+
+
+def media_dedup(docs: rd.Dataset, blob_dir: str) -> "object":
+    """Cross-doc media dedup by DECODED content: one row per distinct
+    media payload with the first-wins (doc_id, media_ref) holder and
+    the duplicate count — the image-dedup pass a multimodal training
+    pipeline runs before captioning/embedding (exact tier; a perceptual
+    near-dup tier would reuse the minhash/LSH machinery over pixel
+    shingles).
+
+    Scale shape: bytes are read task-side (never through the object
+    store), the hash stage is an autoscaling actor pool, and the
+    first-wins reduction is the same packed-min two-phase combiner as
+    the crawl's D1 dedup — shuffle volume is one short row per
+    DISTINCT payload, not per artifact.  Approx-nothing: rows-only at
+    the driver gate (content keys depend on artifact bytes, outside
+    SQL's reach); exact semantics are pinned by the constructed
+    duplicate-blob unit test (tests/test_invariants.py)."""
+    import numpy as _np
+    import pandas as pd
+
+    from ..functions.util import two_phase_agg
+    from ..stages.parse import explode_spans_batch
+
+    did_type = docs.schema().base_schema.field("doc_id").type
+    media = docs.map_batches(
+        explode_spans_batch, batch_format="pyarrow").map_batches(
+        lambda t: t.filter(pc.starts_with(t["kind"], "media/")),
+        batch_format="pyarrow")
+    hashed = media.map_batches(
+        MediaContentHasher, fn_constructor_kwargs={"blob_dir": blob_dir},
+        batch_format="pyarrow", batch_size=1024,
+        concurrency=(2, max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)))
+
+    def pack(t: pa.Table) -> pa.Table:
+        # length-prefixed pack: lexicographic min == (len, value) min,
+        # which is numeric order for decimal ids and a deterministic
+        # total order for the crawl's hex doc keys
+        did = pc.cast(t["doc_id"], pa.string())
+        ln = pc.utf8_lpad(
+            pc.cast(pc.utf8_length(did), pa.string()), 2, "0")
+        packed = pc.binary_join_element_wise(
+            ln, did, t["media_ref"], "|")
+        return pa.table({"content_key": t["content_key"],
+                         "packed": packed,
+                         "n_bytes": t["n_bytes"]})
+
+    agg = two_phase_agg(
+        hashed.map_batches(pack, batch_format="pyarrow"),
+        ["content_key"],
+        [("packed", "min"), ("packed", "count"), ("n_bytes", "max")],
+        ["content_key", "packed", "n_refs", "n_bytes"],
+    ).to_pandas()
+    first = agg["packed"].str.split("|", n=2, expand=True)
+    agg["keep_doc_id"] = first[1].astype(_np.int64) \
+        if pa.types.is_integer(did_type) else first[1]
+    agg["keep_ref"] = first[2]
+    return agg[["content_key", "keep_doc_id", "keep_ref", "n_refs",
+                "n_bytes"]].sort_values("content_key") \
+        .reset_index(drop=True)
