@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": T.curate_corpus,
         "heavy_hitters": T.heavy_hitters,
         "distinct_tokens_hll": T.distinct_tokens_hll,
+        "sample_per_group": T.sample_per_group,
         # similarity search
         "knn_brute": E.knn_brute,
         "ann_lsh": E.ann_lsh,
@@ -744,6 +745,12 @@ def oracle_sql() -> dict[str, str]:
                        AS doc_text,
                    count(*) AS n_spans
             FROM sp GROUP BY doc_id""",
+        "sample_per_group": """
+            SELECT doc_id, source FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 5
+            ORDER BY doc_id""",
         "heavy_hitters": f"""
             WITH t AS (SELECT unnest(regexp_extract_all(text, '\\S+'))
                            AS token

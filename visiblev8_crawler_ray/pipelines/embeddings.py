@@ -385,6 +385,26 @@ def _near_dup_exact(ds: rd.Dataset, n: int, threshold: float,
     one task per chunk pair (i <= j) loads exactly two chunks; worker
     memory is O(2 x chunk_rows x dim) regardless of corpus size."""
     n_chunks = max(1, -(-n // chunk_rows))
+    if n_chunks == 1:
+        # single-chunk corpus: the chunk-pair machinery (repartition ->
+        # materialize -> pair tasks = 3 dataset executions) degenerates
+        # to one diagonal task; compute it in one streaming collect and
+        # skip two executions' fixed cost.  Same kernel, same result.
+        t = pa.concat_tables(
+            ds.iter_batches(batch_format="pyarrow", batch_size=chunk_rows))
+        ids, mat = _to_matrix(t)
+        sims = round_half_away(_normalize(mat) @ _normalize(mat).T, 4)
+        ai, bj = np.nonzero(sims >= threshold)
+        a, b = ids[ai], ids[bj]
+        keep = a < b
+        out = pd.DataFrame({
+            "vec_a": a[keep].astype(np.int64),
+            "vec_b": b[keep].astype(np.int64),
+            "cosine": sims[ai, bj][keep].astype(np.float64),
+        })
+        if len(out) == 0:
+            return pd.DataFrame(_EMPTY_PAIRS)
+        return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
     refs = ds.repartition(n_chunks).materialize().to_arrow_refs()
 
     tasks = [{"i": i, "j": j}

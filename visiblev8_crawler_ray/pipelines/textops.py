@@ -1239,3 +1239,39 @@ def distinct_tokens_hll(sf_dir: str) -> pd.DataFrame:
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)  # linear counting, small range
     return pd.DataFrame({"distinct_tokens_est": [int(round(est))]})
+
+
+def sample_per_group(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Per-group reservoir sample WITHOUT replacement, deterministic at
+    any parallelism: each source keeps its ``k`` docs of lowest
+    md5(doc_id) priority — hash-priority sampling, the distributed
+    reservoir equivalent (uniform because the hash is uniform;
+    reproducible because the priority is content-derived, not RNG
+    state).  The per-source cap a training-mix builder applies to
+    over-represented sources.
+
+    Scale shape: block-local top-k per group prunes before the one
+    groupby (same combiner as ``top_events_per_user``); the shuffle
+    carries at most ``k`` rows per (block, group).  SQL twin:
+    ``row_number() OVER (PARTITION BY source ORDER BY md5(id))``."""
+    from ..functions.urls import md5_hex
+
+    ds = _read_docs(sf_dir, ["doc_id", "source"])
+
+    def pre_prune(t: pa.Table) -> pa.Table:
+        pri = md5_hex(pc.cast(t["doc_id"], pa.string()))
+        df = t.append_column("pri", pri).to_pandas().sort_values(
+            ["source", "pri", "doc_id"])
+        return pa.Table.from_pandas(
+            df.groupby("source").head(k), preserve_index=False)
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["pri", "doc_id"]).head(k)
+
+    out = (
+        ds.map_batches(pre_prune, batch_format="pyarrow")
+        .groupby("source").map_groups(per_group, batch_format="pandas")
+        .to_pandas()
+    )
+    return out[["doc_id", "source"]].sort_values("doc_id") \
+        .reset_index(drop=True)
