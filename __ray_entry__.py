@@ -171,6 +171,12 @@ def _media_dedup(sf_dir: str):
     return MM.media_dedup(run.docs(), blob_dir)
 
 
+def _media_near_dup(sf_dir: str):
+    run = _crawl(sf_dir)
+    blob_dir = os.path.join(_store_root(sf_dir), "blobs")
+    return MM.media_near_dup(run.docs(), blob_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {
         # aggregations (A1, A4-A6, A9)
@@ -267,6 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spans_exploded": _spans_exploded,
         "media_features": _media_features,
         "media_dedup": _media_dedup,
+        "media_near_dup": _media_near_dup,
         "parse_chain_counts": _parse_chain_counts,
     }
     return q

@@ -169,6 +169,8 @@ def run_bench() -> dict:
     timed("dedup_minhash", lambda: T.dedup_minhash(sf_dir))
     timed("token_totals", lambda: T.token_totals(sf_dir))
     timed("quality_score", lambda: T.quality_score(sf_dir))
+    timed("curate_corpus", lambda: T.curate_corpus(sf_dir))
+    timed("heavy_hitters", lambda: T.heavy_hitters(sf_dir))
     timed("knn_brute", lambda: E.knn_brute(sf_dir))
     timed("embedding_near_dup", lambda: E.embedding_near_dup(sf_dir))
 

@@ -306,3 +306,47 @@ def test_media_dedup_content_level(tmp_path):
     assert by_ref.loc["blob://3/shot.png", "n_refs"] == 1
     assert by_ref.loc["blob://1/har.json", "n_refs"] == 2
     assert "blob://2/shot.png" not in by_ref.index
+
+
+def test_media_near_dup_perceptual(tmp_path):
+    """Banded-Hamming aHash near-dup: a noise-perturbed re-encode of an
+    image pairs with its original (small Hamming distance); an
+    unrelated image pairs with nothing.  Pigeonhole banding guarantees
+    recall 1.0 within the radius, verified here."""
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from visiblev8_crawler_ray.functions.png import encode_png
+    from visiblev8_crawler_ray.pipelines.multimodal import media_near_dup
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    near = base.copy()
+    near[0, 0] = (near[0, 0].astype(int) + 4) % 256   # tiny perturbation
+    other = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+
+    blob_dir = str(tmp_path / "blobs")
+    for rel, px in [("1/shot.png", base), ("2/shot.png", near),
+                    ("3/shot.png", other)]:
+        p = os.path.join(blob_dir, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as f:
+            f.write(encode_png(px))
+
+    span_t = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                        ("media_ref", pa.string()), ("offset", pa.int32())])
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "spans": pa.array([
+            [{"kind": "media/shot", "text": "",
+              "media_ref": f"blob://{i}/shot.png", "offset": 0}]
+            for i in (1, 2, 3)
+        ], type=pa.list_(span_t)),
+    })
+    pairs = media_near_dup(rd.from_arrow(docs), blob_dir)
+    assert len(pairs) == 1
+    assert pairs.iloc[0]["ref_a"] == "blob://1/shot.png"
+    assert pairs.iloc[0]["ref_b"] == "blob://2/shot.png"
+    assert pairs.iloc[0]["hamming"] <= 3

@@ -191,3 +191,15 @@ def test_caption_pairs_and_reconstruct_edges():
     assert rt.loc[2, "doc_text"] == "<|media/shot|>"
     assert rt.loc[3, "doc_text"] == "U.y"
     assert rt.loc[4, "doc_text"] == "" and rt.loc[4, "n_spans"] == 0
+
+
+def test_tfidf_join_path_parity(skew_dir):
+    """The bucketed-co-group hash-join scale path of tfidf_top_term
+    must be bit-identical to the broadcast path (and hence to the SQL
+    oracle) — forced over the skew corpus, whose 50k-token vocabulary
+    is the shape that path exists for."""
+    a = T.tfidf_top_term(skew_dir)
+    b = T.tfidf_top_term(skew_dir, force_join=True)
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True),
+        check_dtype=False, check_exact=True)

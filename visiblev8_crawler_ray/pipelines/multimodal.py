@@ -221,3 +221,145 @@ def media_dedup(docs: rd.Dataset, blob_dir: str) -> "object":
     return agg[["content_key", "keep_doc_id", "keep_ref", "n_refs",
                 "n_bytes"]].sort_values("content_key") \
         .reset_index(drop=True)
+
+
+class PerceptualHasher:
+    """Actor-pool stage: decode each PNG and reduce it to a 64-bit
+    average-hash (aHash) — mean-pool the grayscale image onto an 8x8
+    grid and threshold at the grid mean.  Compression artifacts, small
+    noise and re-encodes keep the same hash neighborhood, so Hamming
+    distance over these hashes is the standard cheap perceptual
+    near-dup signal (pHash/dHash would slot into the same stage)."""
+
+    GRID = 8
+
+    def __init__(self, blob_dir: str):
+        self.blob_dir = blob_dir
+
+    def _ahash(self, ref: str) -> int:
+        import os
+
+        import numpy as np
+
+        from ..functions.png import decode_png
+
+        path = os.path.join(self.blob_dir, ref[len("blob://"):])
+        with open(path, "rb") as f:
+            px = decode_png(f.read())
+        gray = px.astype(np.float64).mean(axis=2)
+        h, w = gray.shape
+        g = self.GRID
+        # integral-image mean-pool onto the g x g grid (handles any
+        # h, w without PIL): cell boundaries by even splitting
+        ys = np.linspace(0, h, g + 1).astype(np.int64)
+        xs = np.linspace(0, w, g + 1).astype(np.int64)
+        ii = np.zeros((h + 1, w + 1))
+        ii[1:, 1:] = gray.cumsum(axis=0).cumsum(axis=1)
+        cells = (ii[ys[1:, None], xs[None, 1:]] - ii[ys[:-1, None], xs[None, 1:]]
+                 - ii[ys[1:, None], xs[None, :-1]] + ii[ys[:-1, None], xs[None, :-1]])
+        area = ((ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :])
+        cells = cells / area
+        bits = (cells.ravel() > cells.mean()).astype(np.uint64)
+        return int((bits << np.arange(64, dtype=np.uint64)).sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        hashes = np.array(
+            [self._ahash(r) for r in batch["media_ref"].to_pylist()],
+            dtype=np.uint64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "media_ref": batch["media_ref"],
+            "ahash": pa.array(hashes.astype(np.int64)),
+        })
+
+
+def media_near_dup(docs: rd.Dataset, blob_dir: str,
+                   max_hamming: int = 3) -> "object":
+    """Perceptual image near-dup pairs: (ref_a < ref_b, hamming <=
+    ``max_hamming``) over the 64-bit aHash — the near-duplicate tier
+    above :func:`media_dedup`'s exact content tier (re-encoded,
+    lightly-edited or noise-perturbed screenshots land here).
+
+    Candidate generation is Hamming-LSH by pigeonhole: the 64-bit hash
+    splits into ``max_hamming + 1`` bands, and any pair within
+    ``max_hamming`` bit flips agrees on at least one full band — so an
+    exact-match groupby per band finds ALL such pairs (recall 1.0 for
+    the banded radius, unlike cosine LSH).  Verify = exact popcount
+    inside each band bucket; pair dedup across bands is one
+    drop_duplicates over the (small) verified pair set.  Shuffle
+    volume is n_images x n_bands short rows; no image bytes move after
+    the hash stage."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.parse import explode_spans_batch
+
+    n_bands = max_hamming + 1
+    band_bits = 64 // n_bands
+
+    media = docs.map_batches(
+        explode_spans_batch, batch_format="pyarrow").map_batches(
+        lambda t: t.filter(pc.match_substring_regex(
+            t["media_ref"], r"\.png$")),
+        batch_format="pyarrow")
+    hashed = media.map_batches(
+        PerceptualHasher, fn_constructor_kwargs={"blob_dir": blob_dir},
+        batch_format="pyarrow", batch_size=1024,
+        concurrency=(2, max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)))
+
+    def explode_bands(t: pa.Table) -> pa.Table:
+        h = t["ahash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        n = len(h)
+        outs = []
+        for b in range(n_bands):
+            key = (h >> np.uint64(b * band_bits)) \
+                & np.uint64((1 << band_bits) - 1)
+            outs.append(pa.table({
+                "band": pa.array(np.full(n, b, dtype=np.int8)),
+                "key": pa.array(key.astype(np.int64)),
+                "media_ref": t["media_ref"],
+                "ahash": t["ahash"],
+            }))
+        return pa.concat_tables(outs)
+
+    def verify(g: pd.DataFrame, slab: int = 1024) -> pd.DataFrame:
+        # slab-streamed pair compare (the ann_lsh skew scheme): the
+        # XOR/popcount matrix is O(slab x bucket), never O(bucket^2).
+        # NOTE the OUTPUT can still be quadratic when the corpus is
+        # perceptually degenerate (e.g. the synthetic gradients, where
+        # most screenshots sit within a few bits of each other) — pair
+        # ENUMERATION is Omega(|pairs|) for any algorithm; feed
+        # near_dup-style union-find clustering when only class
+        # representatives are needed.
+        if len(g) < 2:
+            return pd.DataFrame({"ref_a": pd.Series(dtype="object"),
+                                 "ref_b": pd.Series(dtype="object"),
+                                 "hamming": pd.Series(dtype="int64")})
+        refs = g["media_ref"].to_numpy(dtype=object)
+        hs = g["ahash"].to_numpy(dtype=np.int64).view(np.uint64)
+        order = np.argsort(refs)
+        refs, hs = refs[order], hs[order]
+        n = len(refs)
+        col = np.arange(n)
+        outs = []
+        for lo in range(0, n, slab):
+            hi_ = min(lo + slab, n)
+            x = hs[lo:hi_, None] ^ hs[None, :]
+            d = np.zeros(x.shape, dtype=np.int8)
+            for _ in range(64):
+                d += (x & np.uint64(1)).astype(np.int8)
+                x >>= np.uint64(1)
+            mask = (d <= max_hamming) & (col[None, :] > col[lo:hi_, None])
+            ii, jj = np.nonzero(mask)
+            outs.append(pd.DataFrame({
+                "ref_a": refs[ii + lo], "ref_b": refs[jj],
+                "hamming": d[ii, jj].astype(np.int64)}))
+        return pd.concat(outs, ignore_index=True)
+
+    pairs = hashed.map_batches(explode_bands, batch_format="pyarrow") \
+        .groupby(["band", "key"]).map_groups(verify, batch_format="pandas") \
+        .to_pandas()
+    pairs = pairs.drop_duplicates(["ref_a", "ref_b"])
+    return pairs.sort_values(["ref_a", "ref_b"]).reset_index(drop=True)

@@ -922,25 +922,36 @@ def vocab_df(sf_dir: str, k: int = 100) -> pd.DataFrame:
         .head(k).reset_index(drop=True)
 
 
-def tfidf_top_term(sf_dir: str) -> pd.DataFrame:
+def tfidf_top_term(sf_dir: str, force_join: bool = False) -> pd.DataFrame:
     """Per-doc top TF-IDF term (linear idf variant ``tf * N / df`` —
     rational arithmetic, so the engine and the SQL twin agree bit for
     bit; a log idf reweights but never reorders a single doc's terms,
     since N is constant and df ranks identically under both).
 
-    Two streaming passes: (1) the document-frequency table via the
-    vocab_df machinery — vocabulary-sized, broadcast once with
-    ``ray.put`` as sorted parallel arrays; (2) per-batch term counts
-    (arrow group_by), a ``searchsorted`` df lookup, and a vectorized
-    per-doc argmax (sort + drop_duplicates — C path).  Docs with no
-    tokens are absent, matching SQL.  At a vocabulary too big to
-    broadcast, pass 2's (doc, token, tf) table hash-joins the df table
-    on token instead — same partials, one exchange."""
+    Default (broadcast) path — two streaming passes: (1) the
+    document-frequency table via the vocab_df machinery —
+    vocabulary-sized, broadcast once with ``ray.put`` as sorted
+    parallel arrays; (2) per-batch term counts (arrow group_by), a
+    ``searchsorted`` df lookup, and a vectorized per-doc argmax (sort
+    + drop_duplicates — C path).  Docs with no tokens are absent,
+    matching SQL.
+
+    ``force_join`` (the vocabulary-too-big-to-broadcast scale path,
+    parity-tested): ONE tokenization pass materializes the
+    (doc, token, tf) partials; per-block df partials ride the SAME
+    token-bucketed shuffle and sum exactly inside each bucket (the
+    df aggregate costs no exchange of its own); the lookup runs as a bucketed
+    co-group hash join on the token key (the same portable pattern as
+    :func:`dedup_minhash` — CPU-count-proof), with a per-(doc, bucket)
+    argmax pre-prune so the final per-doc reduce shuffles at most
+    n_buckets candidate rows per doc."""
     import pyarrow.parquet as pq
 
     n_total = pq.ParquetFile(
         os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
     ds = _read_docs(sf_dir, ["doc_id", "text"])
+    if force_join:
+        return _tfidf_join_path(ds, n_total)
 
     def partial(t: pa.Table) -> pa.Table:
         flat, parent = _flat_tokens(t["text"])
@@ -979,6 +990,100 @@ def tfidf_top_term(sf_dir: str) -> pd.DataFrame:
 
     return ds.map_batches(score, batch_format="pyarrow").to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
+
+
+def _tfidf_join_path(ds: rd.Dataset, n_total: int,
+                     nparts: int = 8) -> pd.DataFrame:
+    """tfidf_top_term's hash-join scale path (see its docstring)."""
+    import polars as pl
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        flat, parent = _flat_tokens(t["text"])
+        g = pa.table({"p": pa.array(parent), "token": flat}) \
+            .group_by(["p", "token"]).aggregate([("token", "count")])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        p = g["p"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids[p], type=pa.int64()),
+            "token": g["token"],
+            "tf": pc.cast(g["token_count"], pa.int64()),
+        })
+
+    # ONE tokenization pass feeds both the df aggregate and the probe
+    tf_tab = ds.map_batches(tf_partial, batch_format="pyarrow").materialize()
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        # (doc, token) rows are globally unique (docs are whole rows),
+        # so a plain per-block count of rows per token is a df PARTIAL;
+        # partials ride the same token-bucketed shuffle as the probe
+        # side and sum to the exact df inside each bucket — the df
+        # aggregate costs no exchange of its own
+        g = t.group_by("token").aggregate([("doc_id", "count")])
+        return pa.table({"token": g["token"],
+                         "df": pc.cast(g["doc_id_count"], pa.int64())})
+
+    df_ds = tf_tab.map_batches(df_partial, batch_format="pyarrow")
+
+    def _bucket_of(tok: pa.Array) -> pa.Array:
+        h = pl.from_arrow(tok).hash(seed=0).to_numpy().astype(np.uint64)
+        return pa.array((h % np.uint64(nparts)).astype(np.int64))
+
+    def tag_tf(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"], "token": t["token"], "tf": t["tf"],
+            "df": pa.nulls(t.num_rows, type=pa.int64()),
+            "bucket": _bucket_of(
+                t["token"].combine_chunks() if isinstance(
+                    t["token"], pa.ChunkedArray) else t["token"]),
+            "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+        })
+
+    def tag_df(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pa.nulls(t.num_rows, type=pa.int64()),
+            "token": t["token"],
+            "tf": pa.nulls(t.num_rows, type=pa.int64()),
+            "df": t["df"],
+            "bucket": _bucket_of(
+                t["token"].combine_chunks() if isinstance(
+                    t["token"], pa.ChunkedArray) else t["token"]),
+            "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+        })
+
+    both = tf_tab.map_batches(tag_tf, batch_format="pyarrow").union(
+        df_ds.map_batches(tag_df, batch_format="pyarrow"))
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0][["doc_id", "token", "tf"]]
+        right = g[g["side"] == 1].groupby(
+            "token", as_index=False)["df"].sum()
+        m = left.merge(right, on="token")
+        if not len(m):
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "token": pd.Series(dtype="object"),
+                                 "score_raw": pd.Series(dtype="float64")})
+        # SAME float expression as the broadcast path: (tf*N)/df on
+        # int64 operands -> float64 (bit-exact across both paths)
+        m["score_raw"] = (m["tf"].to_numpy(dtype=np.int64) * n_total) \
+            / m["df"].to_numpy(dtype=np.int64)
+        m = m.sort_values(["doc_id", "score_raw", "token"],
+                          ascending=[True, False, True]) \
+            .drop_duplicates("doc_id")
+        return m[["doc_id", "token", "score_raw"]]
+
+    cands = both.groupby("bucket").map_groups(
+        merge_bucket, batch_format="pandas")
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["score_raw", "token"],
+                             ascending=[False, True]).head(1)
+
+    out = cands.groupby("doc_id").map_groups(
+        pick, batch_format="pandas").to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["score"] = round_half_away(out.pop("score_raw").to_numpy(), 4)
+    return out[["doc_id", "token", "score"]].sort_values("doc_id") \
+        .reset_index(drop=True)
 
 
 # pinned curation thresholds — mirrored verbatim in the SQL twin
