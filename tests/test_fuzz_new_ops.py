@@ -1,0 +1,106 @@
+"""Seeded fuzz: the new interleaved/profile/sketch operators vs naive
+single-process references over randomized corpora — the same
+fuzz-vs-reference pattern as the as-of-join suite, catching shape
+assumptions (batch splits, empty docs, all-media docs, vocab skew) the
+curated fixtures may miss."""
+
+import collections
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+sys.path.insert(0, "/root/repo")
+from visiblev8_crawler_ray.pipelines import textops as T  # noqa: E402
+from visiblev8_crawler_ray.stages import parse as P  # noqa: E402
+
+SPAN_T = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                    ("media_ref", pa.string()), ("offset", pa.int32())])
+KINDS = ["get", "set", "call", "new", "script", "media/shot", "media/har"]
+
+
+def _random_docs(rng, n_docs):
+    rows = []
+    for d in range(n_docs):
+        n = int(rng.integers(0, 7))
+        spans = []
+        for off in range(n):
+            kind = KINDS[int(rng.integers(0, len(KINDS)))]
+            if kind.startswith("media/"):
+                spans.append({"kind": kind, "text": "",
+                              "media_ref": f"blob://{d}/{off}", "offset": off})
+            else:
+                spans.append({"kind": kind, "text": f"t{d}.{off}",
+                              "media_ref": "", "offset": off})
+        rows.append(spans)
+    return pa.table({
+        "doc_id": pa.array(range(n_docs), type=pa.int64()),
+        "spans": pa.array(rows, type=pa.list_(SPAN_T)),
+    })
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_caption_pairs_fuzz(seed):
+    import ray.data as rd
+
+    rng = np.random.default_rng(seed)
+    docs = _random_docs(rng, 40)
+    got = P.caption_pairs(rd.from_arrow(docs)).to_pandas() \
+        .sort_values(["doc_id", "media_ref"]).reset_index(drop=True)
+
+    exp = []
+    for did, spans in zip(docs["doc_id"].to_pylist(),
+                          docs["spans"].to_pylist()):
+        last = None
+        for s in spans:
+            if s["kind"].startswith("media/"):
+                exp.append({
+                    "doc_id": did, "media_ref": s["media_ref"],
+                    "media_kind": s["kind"],
+                    "caption": last["text"] if last else "",
+                    "caption_kind": last["kind"] if last else "",
+                    "gap": s["offset"] - last["offset"] if last else -1})
+            else:
+                last = s
+    edf = pd.DataFrame(exp, columns=["doc_id", "media_ref", "media_kind",
+                                     "caption", "caption_kind", "gap"]) \
+        .sort_values(["doc_id", "media_ref"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, edf, check_dtype=False)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_reconstruct_fuzz(seed):
+    import ray.data as rd
+
+    rng = np.random.default_rng(seed + 10)
+    docs = _random_docs(rng, 30)
+    got = P.reconstruct_text(rd.from_arrow(docs)).to_pandas() \
+        .set_index("doc_id")
+    for did, spans in zip(docs["doc_id"].to_pylist(),
+                          docs["spans"].to_pylist()):
+        parts = [f"<|{s['kind']}|>" if s["kind"].startswith("media/")
+                 else s["text"] for s in spans]
+        assert got.loc[did, "doc_text"] == " ".join(parts)
+        assert got.loc[did, "n_spans"] == len(spans)
+
+
+@pytest.mark.parametrize("seed,k", [(0, 5), (1, 3), (2, 20)])
+def test_heavy_hitters_fuzz(seed, k, tmp_path):
+    rng = np.random.default_rng(seed + 50)
+    vocab = [f"w{i}" for i in range(200)]
+    p = rng.dirichlet(np.ones(200) * 0.05)   # skewed
+    toks = rng.choice(vocab, size=5000, p=p)
+    texts = [" ".join(toks[i:i + 25]) for i in range(0, 5000, 25)]
+    d = tmp_path / f"hh{seed}"
+    d.mkdir()
+    pd.DataFrame({"doc_id": range(len(texts)), "text": texts}) \
+        .to_parquet(d / "documents.parquet")
+
+    got = T.heavy_hitters(str(d), k=k)
+    cnt = collections.Counter(toks.tolist())
+    total = sum(cnt.values())
+    exp = sorted([(t, c) for t, c in cnt.items() if c * k > total],
+                 key=lambda x: (-x[1], x[0]))
+    assert list(map(tuple, got[["token", "c"]].itertuples(index=False))) == exp
