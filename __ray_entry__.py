@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": T.heavy_hitters,
         "distinct_tokens_hll": T.distinct_tokens_hll,
         "sample_per_group": T.sample_per_group,
+        "text_dup_clusters": T.text_dup_clusters,
         # similarity search
         "knn_brute": E.knn_brute,
         "ann_lsh": E.ann_lsh,
@@ -581,6 +582,24 @@ def oracle_sql() -> dict[str, str]:
                                / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
                   FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
             SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.6""",
+        "text_dup_clusters": """
+            WITH RECURSIVE t AS (
+                SELECT doc_id, lang,
+                       list_distinct(regexp_extract_all(text, '\\S+')) AS toks
+                FROM documents),
+            p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                               / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+                  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id),
+            pairs AS (SELECT doc_a, doc_b FROM p WHERE jaccard >= 0.6),
+            edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                      UNION ALL SELECT doc_b, doc_a FROM pairs),
+            reach(node, lab) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.a, r.lab FROM reach r JOIN edges e ON e.b = r.node)
+            SELECT node AS doc_id, min(lab) AS cluster_id
+            FROM reach GROUP BY node ORDER BY doc_id""",
         "language_id": f"""
             SELECT doc_id, ({lang_case}) AS pred_lang FROM documents""",
         "quality_score": f"""

@@ -86,3 +86,35 @@ def read_parquet_clean(paths, columns: list[str] | None = None, **kw):
     except (OSError, IOError):
         schema = None
     return rd.read_parquet(paths, columns=columns, schema=schema, **kw)
+
+
+def minlabel_components(a, b):
+    """Connected components by min-id label over an edge list:
+    path-compressed union-find (union by min keeps ``label = min
+    member``), returning the label map as sorted parallel numpy arrays
+    ready for a broadcast + ``searchsorted`` probe.  Only edge-touched
+    nodes appear; untouched nodes label themselves at probe time."""
+    import numpy as np
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for xa, xb in zip(a, b):
+        xa, xb = int(xa), int(xb)
+        parent.setdefault(xa, xa)
+        parent.setdefault(xb, xb)
+        ra, rb = find(xa), find(xb)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    keys = np.array(sorted(parent), dtype=np.int64)
+    vals = np.array([find(int(k)) for k in keys], dtype=np.int64)
+    return keys, vals

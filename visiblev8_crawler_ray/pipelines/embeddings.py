@@ -517,32 +517,12 @@ def near_dup_clusters(sf_dir: str, threshold: float = 0.45) -> pd.DataFrame:
     outgrew the driver, the same min-label iteration runs as a
     Dataset groupby loop — the crawl's wave loop is this engine's
     worked example of that pattern.)"""
+    from ..functions.util import minlabel_components
+
     pairs = embedding_near_dup(sf_dir, threshold=threshold)
-
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        r = x
-        while parent[r] != r:
-            r = parent[r]
-        while parent[x] != r:
-            parent[x], x = r, parent[x]
-        return r
-
-    for a, b in zip(pairs["vec_a"], pairs["vec_b"]):
-        a, b = int(a), int(b)
-        parent.setdefault(a, a)
-        parent.setdefault(b, b)
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            # union by min id keeps cluster_id = min member
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-
     # broadcast the label map as sorted parallel arrays: the per-batch
     # lookup is one vectorized searchsorted, not a per-row dict probe
-    keys = np.array(sorted(parent), dtype=np.int64)
-    vals = np.array([find(int(k)) for k in keys], dtype=np.int64)
+    keys, vals = minlabel_components(pairs["vec_a"], pairs["vec_b"])
     lab_ref = ray.put((keys, vals))
 
     def assign(t: pa.Table) -> pa.Table:

@@ -1380,3 +1380,34 @@ def sample_per_group(sf_dir: str, k: int = 5) -> pd.DataFrame:
     )
     return out[["doc_id", "source"]].sort_values("doc_id") \
         .reset_index(drop=True)
+
+
+def text_dup_clusters(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
+    """Text near-dup cluster assignment: connected components over the
+    exact-Jaccard pair graph (:func:`ngram_jaccard_pairs`) — every doc
+    gets ``cluster_id`` = min doc_id transitively reachable through
+    >=threshold pairs (singletons cluster with themselves).  The text
+    twin of ``embeddings.near_dup_clusters``: pairs are tiny by
+    construction, so the union-find runs driver-side and ships back as
+    a broadcast searchsorted label map; the corpus pass is
+    shuffle-free.  Oracle: recursive-CTE transitive closure."""
+    from ..functions.util import minlabel_components
+
+    pairs = ngram_jaccard_pairs(sf_dir, threshold=threshold)
+    keys, vals = minlabel_components(pairs["doc_a"], pairs["doc_b"])
+    lab_ref = ray.put((keys, vals))
+
+    def assign(t: pa.Table) -> pa.Table:
+        k, v = ray.get(lab_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = ids.copy()
+        if len(k):
+            pos = np.minimum(np.searchsorted(k, ids), len(k) - 1)
+            hit = k[pos] == ids
+            out[hit] = v[pos[hit]]
+        return pa.table({"doc_id": t["doc_id"],
+                         "cluster_id": pa.array(out)})
+
+    return _read_docs(sf_dir, ["doc_id"]).map_batches(
+        assign, batch_format="pyarrow").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
