@@ -104,3 +104,76 @@ def test_heavy_hitters_fuzz(seed, k, tmp_path):
     exp = sorted([(t, c) for t, c in cnt.items() if c * k > total],
                  key=lambda x: (-x[1], x[0]))
     assert list(map(tuple, got[["token", "c"]].itertuples(index=False))) == exp
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_minlabel_components_fuzz(seed):
+    """Shared union-find vs naive BFS closure on random graphs."""
+    from visiblev8_crawler_ray.functions.util import minlabel_components
+
+    rng = np.random.default_rng(seed + 99)
+    n_edges = int(rng.integers(0, 60))
+    a = rng.integers(0, 30, size=n_edges)
+    b = rng.integers(0, 30, size=n_edges)
+    keys, vals = minlabel_components(a, b)
+
+    adj = collections.defaultdict(set)
+    for x, y in zip(a.tolist(), b.tolist()):
+        adj[x].add(y)
+        adj[y].add(x)
+    expect = {}
+    for start in adj:
+        seen, stack = {start}, [start]
+        while stack:
+            u = stack.pop()
+            for v in adj[u]:
+                if v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        expect[start] = min(seen)
+    got = dict(zip(keys.tolist(), vals.tolist()))
+    assert got == expect
+
+
+def test_media_dup_clusters(tmp_path):
+    """Pairs -> one row per image with cluster representative + keep
+    flag; transitive classes collapse to the min ref."""
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from visiblev8_crawler_ray.functions.png import encode_png
+    from visiblev8_crawler_ray.pipelines.multimodal import media_dup_clusters
+
+    rng = np.random.default_rng(21)
+    base = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    near1 = base.copy(); near1[0, 0] = (near1[0, 0].astype(int) + 3) % 256
+    near2 = base.copy(); near2[1, 1] = (near2[1, 1].astype(int) + 3) % 256
+    other = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    blob_dir = str(tmp_path / "blobs")
+    for rel, px in [("1/shot.png", base), ("2/shot.png", near1),
+                    ("3/shot.png", near2), ("4/shot.png", other)]:
+        p = os.path.join(blob_dir, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as f:
+            f.write(encode_png(px))
+    span_t = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                        ("media_ref", pa.string()), ("offset", pa.int32())])
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "spans": pa.array([
+            [{"kind": "media/shot", "text": "",
+              "media_ref": f"blob://{i}/shot.png", "offset": 0}]
+            for i in (1, 2, 3, 4)
+        ], type=pa.list_(span_t)),
+    })
+    out = media_dup_clusters(rd.from_arrow(docs), blob_dir) \
+        .set_index("media_ref")
+    # 1,2,3 form one perceptual class (1-2 and 1-3 within radius; 2-3
+    # joins transitively even if its direct distance exceeds it)
+    assert out.loc["blob://1/shot.png", "cluster_ref"] == "blob://1/shot.png"
+    assert out.loc["blob://2/shot.png", "cluster_ref"] == "blob://1/shot.png"
+    assert out.loc["blob://3/shot.png", "cluster_ref"] == "blob://1/shot.png"
+    assert out.loc["blob://4/shot.png", "cluster_ref"] == "blob://4/shot.png"
+    assert out["keep"].sum() == 2

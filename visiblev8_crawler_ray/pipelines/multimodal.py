@@ -363,3 +363,56 @@ def media_near_dup(docs: rd.Dataset, blob_dir: str,
         .to_pandas()
     pairs = pairs.drop_duplicates(["ref_a", "ref_b"])
     return pairs.sort_values(["ref_a", "ref_b"]).reset_index(drop=True)
+
+
+def media_dup_clusters(docs: rd.Dataset, blob_dir: str,
+                       max_hamming: int = 3) -> "object":
+    """Perceptual duplicate classes: one row per image with the
+    cluster representative (min media_ref transitively reachable
+    through :func:`media_near_dup` pairs) and a keep flag — the
+    decision table a curation pass consumes (keep one image per
+    perceptual class), collapsing the pair enumeration's worst case
+    (a near-clique yields |class| rows here, not |class|^2).
+
+    String refs map to dense ids batch-side; the union-find runs on
+    the (small) edge-touched subset via
+    :func:`..functions.util.minlabel_components` and broadcasts back
+    as a sorted label map."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.util import minlabel_components
+
+    pairs = media_near_dup(docs, blob_dir, max_hamming=max_hamming)
+    refs = pd.unique(pd.concat([pairs["ref_a"], pairs["ref_b"]],
+                               ignore_index=True)) if len(pairs) else []
+    idx = {r: i for i, r in enumerate(sorted(refs))}
+    inv = sorted(refs)
+    if len(pairs):
+        keys, vals = minlabel_components(
+            (idx[r] for r in pairs["ref_a"]),
+            (idx[r] for r in pairs["ref_b"]))
+        label = {inv[k]: inv[v] for k, v in zip(keys, vals)}
+    else:
+        label = {}
+    lab_ref = ray.put(label)
+
+    from ..stages.parse import explode_spans_batch
+
+    def assign(t: pa.Table) -> pa.Table:
+        lab = ray.get(lab_ref)
+        rs = t["media_ref"].to_pylist()
+        rep = [lab.get(r, r) for r in rs]
+        return pa.table({
+            "media_ref": t["media_ref"],
+            "cluster_ref": pa.array(rep, type=pa.string()),
+            "keep": pa.array([a == b for a, b in zip(rs, rep)]),
+        })
+
+    out = docs.map_batches(
+        explode_spans_batch, batch_format="pyarrow").map_batches(
+        lambda t: t.filter(pc.match_substring_regex(
+            t["media_ref"], r"\.png$")),
+        batch_format="pyarrow").map_batches(
+        assign, batch_format="pyarrow").to_pandas()
+    return out.sort_values("media_ref").reset_index(drop=True)
