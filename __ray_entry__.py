@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events_per_user": A.top_events_per_user,
         "events_asof_order": A.events_asof_order,
         "events_value_band": A.events_value_band,
+        "events_late_drop": A.events_late_drop,
         # training-data text ops
         "dedup_exact": T.dedup_exact,
         "dedup_minhash": T.dedup_minhash,
@@ -535,6 +536,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, window_start, count(*) AS n,
                    round(sum(value), 4) AS sum_value
             FROM w GROUP BY 1, 2""",
+        "events_late_drop": """
+            WITH w AS (SELECT max(ts) - INTERVAL 120 MINUTE AS cutoff
+                       FROM events)
+            SELECT event_type,
+                   CAST(count(*) FILTER (ts >= (SELECT cutoff FROM w))
+                        AS BIGINT) AS n_on_time,
+                   CAST(count(*) FILTER (ts < (SELECT cutoff FROM w))
+                        AS BIGINT) AS n_late,
+                   round(coalesce(sum(value) FILTER
+                       (ts >= (SELECT cutoff FROM w)), 0), 4)
+                       AS sum_on_time
+            FROM events GROUP BY event_type""",
         "events_asof_order": """
             WITH pairs AS (
                 SELECT e.event_id, e.user_id, e.ts, o.o_orderkey,

@@ -859,3 +859,47 @@ def top_events_per_user(sf_dir: str, k: int = 3) -> pd.DataFrame:
         .to_pandas().sort_values(["user_id", "event_id"])
         .reset_index(drop=True)
     )
+
+
+def events_late_drop(sf_dir: str, lateness_minutes: int = 120) -> pa.Table:
+    """Watermark late-data accounting (the streaming §2.9 semantic the
+    windowed ops assume away): with the watermark at ``max(ts)`` over
+    the stream, events older than ``watermark - allowed_lateness``
+    would be DROPPED by a streaming engine — this batch twin reports,
+    per event_type, how many arrive on time vs late and the on-time
+    value sum, so a replayed pipeline can bound what a live run would
+    have discarded.
+
+    Two streaming passes: pass 1 is a partial+final max(ts) (scalar
+    broadcast — at multi-node scale this is one tiny aggregate, not a
+    shuffle); pass 2 is one vectorized compare + the standard
+    partial+final rollup keyed by event_type."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def ts_max(t: pa.Table) -> pa.Table:
+        return pa.table({"m": pa.array([pc.max(t["ts"]).as_py()])})
+
+    watermark = ds.map_batches(
+        ts_max, batch_format="pyarrow").to_pandas()["m"].max()
+    cutoff = watermark - pd.Timedelta(minutes=lateness_minutes)
+
+    def flag(t: pa.Table) -> pa.Table:
+        late = pc.less(t["ts"], pa.scalar(cutoff, type=t["ts"].type))
+        zero = pa.nulls(t.num_rows, type=pa.float64())
+        return pa.table({
+            "event_type": t["event_type"],
+            "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "is_late": pc.cast(late, pa.int64()),
+            "v_on_time": pc.if_else(late, zero.fill_null(0.0),
+                                    pc.cast(t["value"], pa.float64())),
+        })
+
+    out = two_phase_agg(
+        ds.map_batches(flag, batch_format="pyarrow"),
+        ["event_type"],
+        [("one", "sum"), ("is_late", "sum"), ("v_on_time", "sum")],
+        ["event_type", "n_total", "n_late", "sum_on_time"],
+    ).to_pandas()
+    out["n_on_time"] = out["n_total"] - out["n_late"]
+    out = _round(out, {"sum_on_time": 4})
+    return out[["event_type", "n_on_time", "n_late", "sum_on_time"]]
