@@ -177,6 +177,23 @@ def _media_near_dup(sf_dir: str):
     return MM.media_near_dup(run.docs(), blob_dir)
 
 
+def _media_thumbnails(sf_dir: str):
+    """Real decode -> resize -> re-encode; the driver row gate sees the
+    metadata + thumb byte length (binary payloads stay in the stream
+    for library consumers, not in the hashed result)."""
+    import pyarrow.compute as _pc
+
+    run = _crawl(sf_dir)
+    blob_dir = os.path.join(_store_root(sf_dir), "blobs")
+    ds = MM.media_thumbnails(run.docs(), blob_dir)
+    return ds.map_batches(
+        lambda t: t.append_column(
+            "n_thumb_bytes", _pc.cast(_pc.binary_length(t["thumb_png"]),
+                                      __import__("pyarrow").int64())
+        ).drop_columns(["thumb_png"]),
+        batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {
         # aggregations (A1, A4-A6, A9)
@@ -276,6 +293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _media_features,
         "media_dedup": _media_dedup,
         "media_near_dup": _media_near_dup,
+        "media_thumbnails": _media_thumbnails,
         "parse_chain_counts": _parse_chain_counts,
     }
     return q

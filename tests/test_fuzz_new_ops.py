@@ -177,3 +177,66 @@ def test_media_dup_clusters(tmp_path):
     assert out.loc["blob://3/shot.png", "cluster_ref"] == "blob://1/shot.png"
     assert out.loc["blob://4/shot.png", "cluster_ref"] == "blob://4/shot.png"
     assert out["keep"].sum() == 2
+
+
+def test_media_thumbnails_real_resize(tmp_path):
+    """REAL decode -> nearest-neighbor resize -> re-encode: thumbnail
+    bytes decode back to the exact expected pixel grid."""
+    import os
+
+    import ray.data as rd
+
+    from visiblev8_crawler_ray.functions.png import decode_png, encode_png
+    from visiblev8_crawler_ray.pipelines.multimodal import media_thumbnails
+
+    rng = np.random.default_rng(31)
+    px = rng.integers(0, 256, size=(30, 40, 3), dtype=np.uint8)
+    blob_dir = str(tmp_path / "blobs")
+    os.makedirs(os.path.join(blob_dir, "1"))
+    with open(os.path.join(blob_dir, "1/shot.png"), "wb") as f:
+        f.write(encode_png(px))
+    span_t = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                        ("media_ref", pa.string()), ("offset", pa.int32())])
+    docs = pa.table({
+        "doc_id": pa.array([1], type=pa.int64()),
+        "spans": pa.array([[{"kind": "media/shot", "text": "",
+                             "media_ref": "blob://1/shot.png",
+                             "offset": 0}]], type=pa.list_(span_t)),
+    })
+    out = media_thumbnails(rd.from_arrow(docs), blob_dir,
+                           out_w=8, out_h=6).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row["src_width"], row["src_height"]) == (40, 30)
+    thumb = decode_png(row["thumb_png"])
+    ys = (np.arange(6) * 30) // 6
+    xs = (np.arange(8) * 40) // 8
+    np.testing.assert_array_equal(thumb, px[ys[:, None], xs[None, :]])
+
+
+def test_sample_frames_plumbing():
+    """Every-k-th sampling with a per-video cap over the stub
+    container; frame bytes round-trip exactly."""
+    import ray.data as rd
+
+    from visiblev8_crawler_ray.pipelines.multimodal import (
+        pack_frames, sample_frames)
+
+    vids = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "media_ref": ["vframes://1/clip", "vframes://2/clip"],
+        "payload": pa.array([
+            pack_frames([bytes([i] * 10) for i in range(23)]),
+            pack_frames([b"only"]),
+        ], type=pa.binary()),
+    })
+    out = sample_frames(rd.from_arrow(vids), every_k=5, max_frames=3) \
+        .to_pandas().sort_values(["doc_id", "frame_idx"]) \
+        .reset_index(drop=True)
+    # video 1: frames 0,5,10 (cap 3 of the 0,5,10,15,20 candidates)
+    v1 = out[out["doc_id"] == 1]
+    assert list(v1["frame_idx"]) == [0, 5, 10]
+    assert list(v1["frame"]) == [bytes([0] * 10), bytes([5] * 10),
+                                 bytes([10] * 10)]
+    v2 = out[out["doc_id"] == 2]
+    assert list(v2["frame_idx"]) == [0] and list(v2["frame"]) == [b"only"]

@@ -416,3 +416,149 @@ def media_dup_clusters(docs: rd.Dataset, blob_dir: str,
         batch_format="pyarrow").map_batches(
         assign, batch_format="pyarrow").to_pandas()
     return out.sort_values("media_ref").reset_index(drop=True)
+
+
+class MediaResizer:
+    """Actor-pool stage: REAL image resize — decode the PNG with the
+    stdlib codec, nearest-neighbor resample onto ``(out_h, out_w)``
+    (two integer index maps, one fancy-index — no interpolation libs
+    needed), re-encode.  The normalize-thumbnails pass a multimodal
+    training pipeline runs before embedding/captioning; with PIL
+    present the same stage would swap in `Image.resize(LANCZOS)`."""
+
+    def __init__(self, blob_dir: str, out_w: int = 64, out_h: int = 48):
+        self.blob_dir = blob_dir
+        self.out_w, self.out_h = out_w, out_h
+
+    def _resize(self, ref: str) -> tuple[bytes, int, int]:
+        import os
+
+        import numpy as np
+
+        from ..functions.png import decode_png, encode_png
+
+        path = os.path.join(self.blob_dir, ref[len("blob://"):])
+        with open(path, "rb") as f:
+            px = decode_png(f.read())
+        h, w, _ = px.shape
+        ys = (np.arange(self.out_h) * h) // self.out_h
+        xs = (np.arange(self.out_w) * w) // self.out_w
+        out = px[ys[:, None], xs[None, :]]
+        return encode_png(out), w, h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        done = [self._resize(r) for r in batch["media_ref"].to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "media_ref": batch["media_ref"],
+            "thumb_png": pa.array([d[0] for d in done], type=pa.binary()),
+            "src_width": pa.array(
+                np.array([d[1] for d in done], dtype=np.int32)),
+            "src_height": pa.array(
+                np.array([d[2] for d in done], dtype=np.int32)),
+            "thumb_width": pa.array(
+                np.full(len(done), self.out_w, dtype=np.int32)),
+            "thumb_height": pa.array(
+                np.full(len(done), self.out_h, dtype=np.int32)),
+        })
+
+
+def media_thumbnails(docs: rd.Dataset, blob_dir: str,
+                     out_w: int = 64, out_h: int = 48) -> rd.Dataset:
+    """docs -> one thumbnail row per screenshot (REAL decode → resize →
+    re-encode; binary payload column stays in the stream for a
+    downstream sink or embedder).  Small batches — the output rows
+    carry image bytes (the wide-binary-column sizing rule)."""
+    from ..stages.parse import explode_spans_batch
+
+    media = docs.map_batches(
+        explode_spans_batch, batch_format="pyarrow").map_batches(
+        lambda t: t.filter(pc.match_substring_regex(
+            t["media_ref"], r"\.png$")),
+        batch_format="pyarrow")
+    return media.map_batches(
+        MediaResizer,
+        fn_constructor_kwargs={"blob_dir": blob_dir,
+                               "out_w": out_w, "out_h": out_h},
+        batch_format="pyarrow", batch_size=256,
+        concurrency=(2, max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)))
+
+
+# --- video frame sampling (container decode stubbed; plumbing real) ---
+#
+# No video artifacts exist in the synthetic web and no codec libs in
+# this sandbox, so the CONTAINER format here is a deterministic stub:
+# `vframes://` payloads are a length-prefixed frame concat
+# (`pack_frames`/`_iter_frames`).  Everything Ray-side — the actor-pool
+# stage, every-k-th sampling with a cap, per-frame row fan-out, binary
+# column handling — is real and tested; a real decoder (PyAV/ffmpeg)
+# would replace only `_iter_frames`.
+
+
+def pack_frames(frames: list[bytes]) -> bytes:
+    """Stub container encode: u32-count header + u32-length-prefixed
+    frame payloads."""
+    import struct
+
+    out = [struct.pack(">I", len(frames))]
+    for f in frames:
+        out.append(struct.pack(">I", len(f)))
+        out.append(f)
+    return b"".join(out)
+
+
+def _iter_frames(payload: bytes):
+    import struct
+
+    (n,) = struct.unpack_from(">I", payload, 0)
+    pos = 4
+    for _ in range(n):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        yield payload[pos + 4:pos + 4 + ln]
+        pos += 4 + ln
+
+
+class FrameSampler:
+    """Actor-pool stage: every-k-th frame of each video payload, capped
+    at ``max_frames`` rows per video — the frame-sample step that turns
+    a video column into image rows for the media pipeline above."""
+
+    def __init__(self, every_k: int = 5, max_frames: int = 8):
+        self.every_k, self.max_frames = every_k, max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, refs, fidx, frames = [], [], [], []
+        for did, ref, payload in zip(batch["doc_id"].to_pylist(),
+                                     batch["media_ref"].to_pylist(),
+                                     batch["payload"].to_pylist()):
+            taken = 0
+            for i, fr in enumerate(_iter_frames(payload)):
+                if i % self.every_k:
+                    continue
+                if taken >= self.max_frames:
+                    break
+                taken += 1
+                ids.append(did)
+                refs.append(ref)
+                fidx.append(i)
+                frames.append(fr)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "media_ref": pa.array(refs, type=pa.string()),
+            "frame_idx": pa.array(fidx, type=pa.int32()),
+            "frame": pa.array(frames, type=pa.binary()),
+        })
+
+
+def sample_frames(videos: rd.Dataset, every_k: int = 5,
+                  max_frames: int = 8) -> rd.Dataset:
+    """(doc_id, media_ref, payload) video rows -> one row per sampled
+    frame.  Small batches: payloads are the wide column; the object
+    store never holds more than batch_size videos per task."""
+    return videos.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"every_k": every_k, "max_frames": max_frames},
+        batch_format="pyarrow", batch_size=64,
+        concurrency=(2, max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)))
