@@ -252,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_tokens_hll": T.distinct_tokens_hll,
         "sample_per_group": T.sample_per_group,
         "text_dup_clusters": T.text_dup_clusters,
+        "chunk_docs": T.chunk_docs,
         # similarity search
         "knn_brute": E.knn_brute,
         "ann_lsh": E.ann_lsh,
@@ -631,6 +632,18 @@ def oracle_sql() -> dict[str, str]:
                 SELECT e.a, r.lab FROM reach r JOIN edges e ON e.b = r.node)
             SELECT node AS doc_id, min(lab) AS cluster_id
             FROM reach GROUP BY node ORDER BY doc_id""",
+        "chunk_docs": r"""
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+                FROM documents)
+            SELECT doc_id,
+                   CAST(u.i // 8 AS BIGINT) AS chunk_id,
+                   CAST(u.i AS BIGINT) AS start_tok,
+                   CAST(least(u.i + 16, len(t)) - u.i AS BIGINT) AS n_tokens,
+                   array_to_string(t[u.i + 1 : least(u.i + 16, len(t))],
+                                   ' ') AS chunk_text
+            FROM toks, UNNEST(generate_series(0, len(t) - 1, 8)) AS u(i)
+            ORDER BY doc_id, chunk_id""",
         "language_id": f"""
             SELECT doc_id, ({lang_case}) AS pred_lang FROM documents""",
         "quality_score": f"""

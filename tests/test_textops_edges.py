@@ -36,7 +36,7 @@ EDGE_DOCS = pd.concat(
 )
 
 NEW_OPS = ["decontaminate", "repetition_stats", "vocab_df",
-           "tfidf_top_term", "curate_corpus"]
+           "tfidf_top_term", "curate_corpus", "chunk_docs"]
 
 
 @pytest.fixture(scope="module")
@@ -149,6 +149,21 @@ def test_hll_error_envelope(skew_dir):
     ).fetchone()[0]
     assert exact > 2.5 * 4096  # genuinely beyond linear-counting range
     assert abs(est1 - exact) / exact < 0.05
+
+
+def test_chunk_docs_semantics(edge_dir):
+    """Window arithmetic pinned by hand: empty doc yields no chunks;
+    sub-window doc yields one short chunk; whitespace runs collapse."""
+    ch = T.chunk_docs(edge_dir, size=4, stride=2)
+    assert 0 not in set(ch["doc_id"])            # empty text: no chunks
+    one = ch[ch["doc_id"] == 1]
+    assert len(one) == 1 and one.iloc[0]["chunk_text"] == "word" \
+        and one.iloc[0]["n_tokens"] == 1
+    d2 = ch[ch["doc_id"] == 2].sort_values("chunk_id")
+    assert list(d2["chunk_text"]) == ["a b c", "c"]  # 3 toks, W=4, S=2
+    d4 = ch[ch["doc_id"] == 4].sort_values("chunk_id")  # 6 toks
+    assert list(d4["start_tok"]) == [0, 2, 4]
+    assert list(d4["n_tokens"]) == [4, 4, 2]
 
 
 def test_caption_pairs_and_reconstruct_edges():

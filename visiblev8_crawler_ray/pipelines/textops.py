@@ -1411,3 +1411,60 @@ def text_dup_clusters(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
     return _read_docs(sf_dir, ["doc_id"]).map_batches(
         assign, batch_format="pyarrow").to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
+
+
+def chunk_docs(sf_dir: str, size: int = 16, stride: int = 8) -> pd.DataFrame:
+    """RAG/embedding-style document chunking: split every doc into
+    overlapping ``size``-token windows every ``stride`` tokens (the
+    standard retrieval-corpus preparation step upstream of the
+    embedding + ANN operators in ``embeddings.py``).  Chunk text is the
+    single-space join of the window's whitespace tokens; the last
+    window per doc may be short; a doc whose text is all whitespace
+    yields no chunks.
+
+    Scale shape: a pure per-doc ``map_batches`` pass — embarrassingly
+    parallel, zero shuffle, and the fan-out (rows multiply ~n/stride)
+    happens inside the streaming executor so blocks split rather than
+    accumulate.  The window gather is fully vectorized: one
+    ``np.repeat``/cumsum index build over the flat token column, one
+    arrow ``take``, one ``binary_join`` — no Python per doc or chunk."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        flat, parent = _flat_tokens(t["text"])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.bincount(parent, minlength=t.num_rows).astype(np.int64)
+        doc_off = np.concatenate(([0], np.cumsum(n)[:-1]))
+        n_chunks = np.where(n > 0, (n - 1) // stride + 1, 0)
+        total = int(n_chunks.sum())
+        if total == 0:
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "chunk_id": pa.array([], type=pa.int64()),
+                "start_tok": pa.array([], type=pa.int64()),
+                "n_tokens": pa.array([], type=pa.int64()),
+                "chunk_text": pa.array([], type=pa.string()),
+            })
+        cdoc = np.repeat(np.arange(t.num_rows), n_chunks)
+        cidx = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(n_chunks)[:-1])), n_chunks)
+        start = cidx * stride
+        clen = np.minimum(start + size, n[cdoc]) - start
+        gtot = int(clen.sum())
+        gather = (np.repeat(doc_off[cdoc] + start, clen)
+                  + np.arange(gtot, dtype=np.int64)
+                  - np.repeat(np.concatenate(([0], np.cumsum(clen)[:-1])), clen))
+        taken = flat.take(pa.array(gather))
+        lst = pa.ListArray.from_arrays(
+            pa.array(np.concatenate(([0], np.cumsum(clen))).astype(np.int32)),
+            taken)
+        return pa.table({
+            "doc_id": pa.array(ids[cdoc]),
+            "chunk_id": pa.array(cidx),
+            "start_tok": pa.array(start),
+            "n_tokens": pa.array(clen),
+            "chunk_text": pc.binary_join(lst, " "),
+        })
+
+    return (ds.map_batches(fn, batch_format="pyarrow").to_pandas()
+            .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True))
