@@ -253,12 +253,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_per_group": T.sample_per_group,
         "text_dup_clusters": T.text_dup_clusters,
         "chunk_docs": T.chunk_docs,
+        "redact_terms": T.redact_terms,
         # similarity search
         "knn_brute": E.knn_brute,
         "ann_lsh": E.ann_lsh,
         "ann_ivf": E.ann_ivf,
         "embedding_near_dup": E.embedding_near_dup,
         "near_dup_clusters": E.near_dup_clusters,
+        "embedding_centroids": E.embedding_centroids,
         # classification pipeline (M9/T3/A5/A7/S12/T4)
         "classify_documents": CL.classify_documents,
         "classify_documents_artifact": CL.classify_documents_artifact,
@@ -632,6 +634,21 @@ def oracle_sql() -> dict[str, str]:
                 SELECT e.a, r.lab FROM reach r JOIN edges e ON e.b = r.node)
             SELECT node AS doc_id, min(lab) AS cluster_id
             FROM reach GROUP BY node ORDER BY doc_id""",
+        "embedding_centroids": """
+            SELECT label, CAST(u.i AS BIGINT) AS dim,
+                   sum(CAST(round(CAST(embedding[u.i + 1] AS DOUBLE)
+                                  * 1048576) AS BIGINT))
+                       / (count(*) * 1048576.0) AS centroid,
+                   count(*)::BIGINT AS n
+            FROM embeddings, UNNEST(generate_series(0, 63)) AS u(i)
+            GROUP BY label, dim ORDER BY label, dim""",
+        "redact_terms": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\b(spark|window)\b'))::BIGINT
+                       AS n_redactions,
+                   regexp_replace(text, '\b(spark|window)\b', '[REDACTED]',
+                                  'g') AS clean_text
+            FROM documents ORDER BY doc_id""",
         "chunk_docs": r"""
             WITH toks AS (
                 SELECT doc_id, regexp_extract_all(text, '\S+') AS t

@@ -543,3 +543,53 @@ def near_dup_clusters(sf_dir: str, threshold: float = 0.45) -> pd.DataFrame:
                             columns=["vec_id"])
     return ds.map_batches(assign, batch_format="pyarrow").to_pandas() \
         .sort_values("vec_id").reset_index(drop=True)
+
+
+def embedding_centroids(sf_dir: str) -> pd.DataFrame:
+    """Per-label centroid of the embedding column — the class-prototype
+    aggregate (cluster profiling, prototype-based classification, IVF
+    list statistics).
+
+    Bit-exact SQL parity for a float mean: each value is quantized to
+    fixed-point int64 (2^20 scale, half-away rounding = DuckDB
+    ``round()``), so accumulation is integer — order-independent across
+    blocks and cluster sizes — and the final division of identical
+    int64s is one IEEE op on both sides.
+
+    Scale shape: the classic two-phase mean — every block reduces to an
+    (n_labels x dim) partial-sum sketch, so the exchange is sketch-sized
+    (labels x dim rows per block), never data-sized; the driver-side
+    merge is O(labels x dim), the same mergeable-summaries contract as
+    ``textops.heavy_hitters``."""
+    from ..functions.util import read_parquet_clean
+    ds = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                            columns=["label", "embedding"])
+    S = float(1 << 20)
+
+    def partial(t: pa.Table) -> pa.Table:
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        dim = len(emb[0])
+        mat = flat.reshape(-1, dim) * S
+        fp = (np.sign(mat) * np.floor(np.abs(mat) + 0.5)).astype(np.int64)
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ulab, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(ulab), dim), dtype=np.int64)
+        np.add.at(sums, inv, fp)
+        counts = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(ulab, dim)),
+            "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64),
+                                    len(ulab))),
+            "sum_fp": pa.array(sums.reshape(-1)),
+            "n": pa.array(np.repeat(counts, dim)),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby(["label", "dim"], as_index=False).agg(
+        sum_fp=("sum_fp", "sum"), n=("n", "sum"))
+    agg["centroid"] = agg["sum_fp"] / (agg["n"] * S)
+    return (agg[["label", "dim", "centroid", "n"]]
+            .sort_values(["label", "dim"]).reset_index(drop=True))

@@ -582,6 +582,39 @@ def fingerprint_docs(sf_dir: str) -> pa.Table:
     return ds.map_batches(fn, batch_format="pyarrow").to_pandas()
 
 
+#: deny-list for the redaction op — stands in for the PII pattern set
+#: (emails/phones/SSNs) a production scrub pass compiles; the synthetic
+#: corpus has no PII, so the demo terms are corpus words.
+REDACT_RE = r"\b(spark|window)\b"
+REDACT_TOKEN = "[REDACTED]"
+
+
+def redact_terms(sf_dir: str, pattern: str = REDACT_RE,
+                 token: str = REDACT_TOKEN) -> pd.DataFrame:
+    """PII-scrub-shaped redaction: replace every deny-list match with a
+    redaction token and count hits per doc (the compliance step every
+    training-data pipeline runs before packing).  Pure per-row map,
+    zero shuffle, two RE2 kernels per batch (`replace_substring_regex`
+    + `count_substring_regex`) — RE2 is also DuckDB's regex engine, so
+    the SQL twin is byte-exact.  At 100 TB the real pattern set is
+    large: compile once per actor (the pattern is constructor state
+    exactly like `classify.AdblockIndex`), union patterns into one
+    alternation, and the pass stays one streaming scan."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_redactions": pc.cast(
+                pc.count_substring_regex(t["text"], pattern), pa.int64()),
+            "clean_text": pc.replace_substring_regex(
+                t["text"], pattern, token),
+        })
+
+    return (ds.map_batches(fn, batch_format="pyarrow").to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def winnow_fingerprint(sf_dir: str) -> pa.Table:
     """Rolling polynomial min-hash fingerprint (winnowing-style) per doc
     — the near-dup document fingerprint; non-SQL-expressible.
