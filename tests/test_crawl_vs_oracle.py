@@ -182,6 +182,25 @@ def test_scale_path_matches_oracle(oracle_result, tmp_path):
     assert sorted(run.metrics().to_pylist(), key=lambda r: r["wave"]) == orc.metrics
 
 
+def test_cuckoo_front_matches_oracle(oracle_result, tmp_path):
+    """seen_front='cuckoo' must be behaviorally invisible: the front is
+    an accelerator, the exact tier decides membership, so seen set and
+    crawl order are identical to the oracle (and to the bloom runs)."""
+    from dataclasses import replace
+
+    seeds, orc = oracle_result
+    cfg = replace(CFG, seen_front="cuckoo")
+    root = str(tmp_path / "cuckoo")
+    run = run_crawl(seeds, cfg, root, fetch_concurrency=2,
+                    fetch_batch_size=64)
+    seen = run.urlseen().to_pandas().sort_values("first_seq")
+    o_seen = pd.DataFrame(orc.urlseen).sort_values("first_seq")
+    assert set(seen.url_key) == set(o_seen.url_key)
+    assert list(seen.url) == list(o_seen.url)
+    assert sorted(run.metrics().to_pylist(), key=lambda r: r["wave"]) == \
+        orc.metrics
+
+
 def test_seen_spill_matches_oracle_and_resumes(oracle_result, tmp_path):
     """Force the exact-tier spill (tiny max_mem_keys): every shard spills
     its sorted key array to parquet runs each wave, membership probes go

@@ -37,7 +37,12 @@ class CrawlConfig:
 
     # Dedup / sharding.
     n_seen_shards: int = 8              # URL-seen actor shards
-    bloom_bits: int = 1 << 20           # per-shard bloom front (fast path only)
+    bloom_bits: int = 1 << 20           # per-shard front size budget (fast path only)
+    # Membership front per seen shard: "bloom" (two-probe bitmap) or
+    # "cuckoo" (4-slot 12-bit-fingerprint cuckoo filter, stash +
+    # rebuild-on-pressure).  Both are accelerators only — the exact
+    # tier decides membership, so the seen set is identical either way.
+    seen_front: str = "bloom"
     # Exact-tier spill: shards whose sorted key array exceeds this spill
     # it to sorted parquet runs under <store>/seen_spill, probed
     # bloom-first + range-pruned searchsorted, compacted lazily.  None =

@@ -721,7 +721,8 @@ def run_crawl(
         next_seq = int(man["next_seq"])
         start_wave = last + 1
         seen = get_seen_index(cfg.n_seen_shards, cfg.bloom_bits,
-                              seen_spill_dir, cfg.seen_spill_max_mem_keys)
+                              seen_spill_dir, cfg.seen_spill_max_mem_keys,
+                              front=cfg.seen_front)
         # Restore ONLY waves <= the last *metrics*-committed wave: within a
         # wave, blocked/fetch/urlseen commit before metrics, so a crash in
         # between leaves sub-table partitions for a wave that will be re-run
@@ -744,7 +745,8 @@ def run_crawl(
         next_seq = 0
         start_wave = 0
         seen = get_seen_index(cfg.n_seen_shards, cfg.bloom_bits,
-                              seen_spill_dir, cfg.seen_spill_max_mem_keys)
+                              seen_spill_dir, cfg.seen_spill_max_mem_keys,
+                              front=cfg.seen_front)
         # The frontier is CONTROL data (urls + keys, no payload): small
         # seed tables canonicalize right on the driver in one vectorized
         # call; Dataset seeds (cluster-scale seed lists) stay distributed.

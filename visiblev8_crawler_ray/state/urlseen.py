@@ -1,4 +1,5 @@
-"""Sharded URL-seen membership index (bloom front + vectorized exact tier).
+"""Sharded URL-seen membership index (bloom or cuckoo front + vectorized
+exact tier).
 
 The reference implements URL-seen as a unique-key lookup on the Postgres
 ``submissions`` table before every enqueue (``endpoints/tasks.py:148-156``).
@@ -8,8 +9,11 @@ API can't express, so it becomes the one raw-actor component
 hash routes to it.
 
 Each shard keeps
-- a bloom bitmap front (numpy, ``bloom_bits`` per shard) — O(1) negative
-  checks with zero per-key Python cost on the miss path at scale, and
+- a membership FRONT (``seen_front``): a bloom bitmap (numpy,
+  ``bloom_bits`` per shard) or a partial-key cuckoo filter
+  (``_CuckooFront``) — O(1) negative checks with zero per-key Python
+  cost on the miss path at scale; fronts are accelerators only and
+  never the source of truth, and
 - an exact tier: a SORTED numpy ``S32`` array of 32-hex-char keys —
   bloom false positives never drop a URL (SURVEY.md §7.3: "never drop a
   URL on bloom alone").  Membership is ``searchsorted`` + equality —
@@ -41,6 +45,139 @@ import ray
 KEY_DTYPE = "S32"
 MAX_RUNS_BEFORE_MERGE = 8  # lazy compaction threshold for spilled runs
 
+_CK = np.uint64(0x5BD1E995)  # fp mix constant for the cuckoo alt index
+
+
+class _BloomFront:
+    """Two-probe bloom bitmap — O(1) negative checks, false positives
+    resolved by the exact tier, never a false negative."""
+
+    def __init__(self, bloom_bits: int):
+        self.bits = bloom_bits
+        self.bitmap = np.zeros(bloom_bits // 8 + 1, dtype=np.uint8)
+
+    def _positions(self, hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        h1 = hashes % np.uint64(self.bits)
+        h2 = (hashes >> np.uint64(17)) % np.uint64(self.bits)
+        return h1, h2
+
+    def maybe(self, hashes: np.ndarray) -> np.ndarray:
+        h1, h2 = self._positions(hashes)
+        b = self.bitmap
+        return (
+            (b[h1 >> np.uint64(3)] >> (h1 & np.uint64(7)) & 1).astype(bool)
+            & (b[h2 >> np.uint64(3)] >> (h2 & np.uint64(7)) & 1).astype(bool)
+        )
+
+    def add(self, hashes: np.ndarray) -> bool:
+        h1, h2 = self._positions(hashes)
+        np.bitwise_or.at(self.bitmap, h1 >> np.uint64(3),
+                         np.left_shift(np.uint8(1),
+                                       (h1 & np.uint64(7)).astype(np.uint8)))
+        np.bitwise_or.at(self.bitmap, h2 >> np.uint64(3),
+                         np.left_shift(np.uint8(1),
+                                       (h2 & np.uint64(7)).astype(np.uint8)))
+        return False  # a bloom never needs a rebuild (FP rate just rises)
+
+
+class _CuckooFront:
+    """Partial-key cuckoo filter front — the 'cuckoo' of the survey's
+    bloom/cuckoo URL-seen design (SURVEY.md T5): 4-slot buckets of
+    12-bit fingerprints, alt bucket = idx XOR (fp * K) (power-of-two
+    table so the XOR involution stays in range).  Same
+    no-false-negative contract as the bloom front: a fingerprint the
+    kick loop can't place goes to a stash (probed vectorized), and
+    stash pressure reports True so the owning shard rebuilds the front
+    at 2x capacity from its exact tier — membership truth never
+    depends on the front.  The probe path (every frontier candidate,
+    the hot path) is fully vectorized; inserts are per-key over the
+    one pre-deduped batch per wave.
+
+    vs bloom at the 10^10 design point: ~same memory per supported key
+    at comparable FP rate, but bounded occupancy (a bloom silently
+    degrades to all-maybe as adds accumulate; a cuckoo front holds its
+    FP rate and grows explicitly), and the fingerprint table supports
+    deletion if retired URL ranges ever need eviction."""
+
+    SLOTS = 4
+    MAX_KICKS = 200
+    STASH_REBUILD = 512
+
+    def __init__(self, n_buckets: int):
+        nb = 1 << max(10, int(n_buckets - 1).bit_length())
+        self.mask = np.uint64(nb - 1)
+        self.table = np.zeros((nb, self.SLOTS), dtype=np.uint16)
+        self.stash = np.empty(0, dtype=np.uint64)
+
+    def _fp_idx(self, hashes: np.ndarray):
+        h = hashes.astype(np.uint64, copy=False)
+        fp = (((h >> np.uint64(48)) & np.uint64(0xFFF))
+              | np.uint64(1)).astype(np.uint16)
+        g = (fp.astype(np.uint64) * _CK) & self.mask
+        i1 = (h & self.mask).astype(np.int64)
+        i2 = ((h & self.mask) ^ g).astype(np.int64)
+        return fp, i1, i2
+
+    def maybe(self, hashes: np.ndarray) -> np.ndarray:
+        fp, i1, i2 = self._fp_idx(hashes)
+        m = (self.table[i1] == fp[:, None]).any(axis=1)
+        m |= (self.table[i2] == fp[:, None]).any(axis=1)
+        if len(self.stash):
+            packed = ((np.minimum(i1, i2).astype(np.uint64) << np.uint64(12))
+                      | fp.astype(np.uint64))
+            m |= np.isin(packed, self.stash)
+        return m
+
+    def _insert(self, f: int, a: int, b: int):
+        """Place fingerprint f whose buckets are (a, b); returns the
+        packed stash entry for a fingerprint left homeless, else None."""
+        tbl = self.table
+        row_a, row_b = tbl[a], tbl[b]
+        if (row_a == f).any() or (row_b == f).any():
+            return None  # already represented (fp+bucket collision)
+        for idx, row in ((a, row_a), (b, row_b)):
+            z = np.flatnonzero(row == 0)
+            if len(z):
+                tbl[idx, z[0]] = f
+                return None
+        mask = int(self.mask)
+        idx = a
+        for kick in range(self.MAX_KICKS):
+            s = (f + kick) % self.SLOTS  # deterministic victim slot
+            f, tbl[idx, s] = int(tbl[idx, s]), f
+            idx ^= (f * int(_CK)) & mask
+            row = tbl[idx]
+            z = np.flatnonzero(row == 0)
+            if len(z):
+                tbl[idx, z[0]] = f
+                return None
+        # homeless: eviction only ever moves a fp between its own two
+        # buckets, so min(idx, alt) equals its original min(i1, i2)
+        alt = idx ^ ((f * int(_CK)) & mask)
+        return (min(idx, alt) << 12) | f
+
+    def add(self, hashes: np.ndarray) -> bool:
+        fp, i1, i2 = self._fp_idx(hashes)
+        homeless = []
+        for j in range(len(fp)):
+            p = self._insert(int(fp[j]), int(i1[j]), int(i2[j]))
+            if p is not None:
+                homeless.append(p)
+        if homeless:
+            self.stash = np.concatenate(
+                [self.stash, np.array(homeless, dtype=np.uint64)])
+        return len(self.stash) >= self.STASH_REBUILD
+
+
+def _make_front(front: str, bloom_bits: int, grow: int = 1):
+    """bloom_bits is the shared size budget: the bloom spends it as a
+    bitmap, the cuckoo as bits//16 4-slot buckets (bits//4 slots)."""
+    if front == "cuckoo":
+        return _CuckooFront((bloom_bits // 16) * grow)
+    if front == "bloom":
+        return _BloomFront(bloom_bits * grow)
+    raise ValueError(f"unknown seen_front {front!r}")
+
 
 def as_key_array(keys) -> np.ndarray:
     """Arrow string array / list[str] -> numpy S32 key array."""
@@ -53,9 +190,11 @@ def as_key_array(keys) -> np.ndarray:
 
 @ray.remote(num_cpus=0)
 class SeenShard:
-    def __init__(self, bloom_bits: int):
+    def __init__(self, bloom_bits: int, front: str = "bloom"):
         self.bloom_bits = bloom_bits
-        self.bloom = np.zeros(bloom_bits // 8 + 1, dtype=np.uint8)
+        self.front_kind = front
+        self._front_grow = 1
+        self.front = _make_front(front, bloom_bits)
         self.keys = np.empty(0, dtype=KEY_DTYPE)  # sorted
         self._staged: dict[bytes, pa.Table] = {}
         self._stage_wave = -1
@@ -147,18 +286,8 @@ class SeenShard:
             out[rem[rsel][hit]] = True
             rem = rem[~out[rem]]
 
-    def _positions(self, hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        # two bloom probes derived from the 64-bit key hash
-        h1 = hashes % np.uint64(self.bloom_bits)
-        h2 = (hashes >> np.uint64(17)) % np.uint64(self.bloom_bits)
-        return h1, h2
-
     def _contains_local(self, keys: np.ndarray, hashes: np.ndarray) -> np.ndarray:
-        h1, h2 = self._positions(hashes)
-        maybe = (
-            (self.bloom[h1 >> np.uint64(3)] >> (h1 & np.uint64(7)) & 1).astype(bool)
-            & (self.bloom[h2 >> np.uint64(3)] >> (h2 & np.uint64(7)) & 1).astype(bool)
-        )
+        maybe = self.front.maybe(hashes)
         out = np.zeros(len(keys), dtype=bool)
         ix = np.flatnonzero(maybe)
         if len(ix) and len(self.keys):
@@ -218,21 +347,24 @@ class SeenShard:
         return self._flush_count
 
     def add(self, keys: np.ndarray, hashes: np.ndarray) -> int:
-        h1, h2 = self._positions(hashes)
-        np.bitwise_or.at(self.bloom, h1 >> np.uint64(3),
-                         np.left_shift(np.uint8(1), (h1 & np.uint64(7)).astype(np.uint8)))
-        np.bitwise_or.at(self.bloom, h2 >> np.uint64(3),
-                         np.left_shift(np.uint8(1), (h2 & np.uint64(7)).astype(np.uint8)))
         if len(keys):
             # merge-in: one sort over (existing + new) per wave per shard
             merged = np.concatenate([self.keys, np.asarray(keys, dtype=KEY_DTYPE)])
             merged.sort(kind="stable")
             self.keys = np.unique(merged)
             self._maybe_spill()
+        if self.front.add(hashes):
+            # cuckoo stash pressure: rebuild at 2x capacity from the
+            # exact tier (sound — the front is derived state)
+            self._front_grow *= 2
+            self.front = _make_front(self.front_kind, self.bloom_bits,
+                                     self._front_grow)
+            self.front.add(routing_hash(self.snapshot()))
         return self.size()
 
     def reset(self) -> bool:
-        self.bloom[:] = 0
+        self._front_grow = 1
+        self.front = _make_front(self.front_kind, self.bloom_bits)
         self.keys = np.empty(0, dtype=KEY_DTYPE)
         self._staged = {}
         self._stage_wave = -1
@@ -299,10 +431,12 @@ class SeenIndex:
 
     def __init__(self, n_shards: int, bloom_bits: int,
                  spill_dir: str | None = None,
-                 max_mem_keys: int | None = None):
+                 max_mem_keys: int | None = None,
+                 front: str = "bloom"):
         self.n_shards = n_shards
+        self.front = front
         self.shards = [
-            SeenShard.remote(bloom_bits) for _ in range(n_shards)
+            SeenShard.remote(bloom_bits, front) for _ in range(n_shards)
         ]
         self.configure(spill_dir, max_mem_keys)
 
@@ -384,11 +518,12 @@ _POOL: dict[tuple[int, int], SeenIndex] = {}
 
 def get_seen_index(n_shards: int, bloom_bits: int,
                    spill_dir: str | None = None,
-                   max_mem_keys: int | None = None) -> SeenIndex:
-    key = (n_shards, bloom_bits)
+                   max_mem_keys: int | None = None,
+                   front: str = "bloom") -> SeenIndex:
+    key = (n_shards, bloom_bits, front)
     idx = _POOL.get(key)
     if idx is None or not idx.alive():
-        idx = SeenIndex(n_shards, bloom_bits, spill_dir, max_mem_keys)
+        idx = SeenIndex(n_shards, bloom_bits, spill_dir, max_mem_keys, front)
         _POOL[key] = idx
     else:
         idx.reset()
