@@ -224,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": A.sessionize,
         "events_hopping_window": A.events_hopping_window,
         "value_quantiles": A.value_quantiles,
+        "value_quantiles_sketch": A.value_quantiles_sketch,
         "top_events_per_user": A.top_events_per_user,
         "events_asof_order": A.events_asof_order,
         "events_value_band": A.events_value_band,

@@ -1,0 +1,51 @@
+"""value_quantiles_sketch property gates: exact degradation for small
+groups, bounded rank error vs the exact operator when sampling kicks
+in, and determinism across parallelism (the bottom-k-by-global-priority
+sample is independent of block boundaries)."""
+
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+from visiblev8_crawler_ray.pipelines import analytics as A  # noqa: E402
+
+SF_SMALL = "/root/testdata/sf0.001"   # ~200 rows/type: groups <= k
+SF_BIG = "/root/testdata/sf0.01"      # ~2000 rows/type: sampling active
+
+
+def test_sketch_exact_when_group_fits(ray_session):
+    exact = A.value_quantiles(SF_SMALL).sort_values(
+        "event_type").reset_index(drop=True)
+    approx = A.value_quantiles_sketch(SF_SMALL).sort_values(
+        "event_type").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        approx, exact[approx.columns], check_dtype=False, check_exact=True)
+
+
+def test_sketch_rank_error_envelope(ray_session):
+    import duckdb
+    con = duckdb.connect()
+    con.sql("CREATE VIEW events AS SELECT * FROM "
+            f"'{SF_BIG}/events.parquet'")
+    approx = A.value_quantiles_sketch(SF_BIG, k=512)
+    # 3-sigma-ish binomial envelope on the realized rank of each
+    # estimate: sd = sqrt(q(1-q)/k), plus one discrete step
+    for _, r in approx.iterrows():
+        vals = np.sort(con.sql(
+            "SELECT value FROM events WHERE event_type = ?",
+            params=[r["event_type"]]).df()["value"].to_numpy())
+        n = len(vals)
+        assert n > 1024  # sampling genuinely active
+        for q, col in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+            rank = np.searchsorted(vals, r[col], side="right") / n
+            tol = 3 * np.sqrt(q * (1 - q) / 512) + 2 / n
+            assert abs(rank - q) <= tol, (r["event_type"], col, rank, q, tol)
+
+
+def test_sketch_deterministic_vs_block_layout(ray_session):
+    a = A.value_quantiles_sketch(SF_BIG)
+    b = A.value_quantiles_sketch(SF_BIG)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)

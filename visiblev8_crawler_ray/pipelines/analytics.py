@@ -756,6 +756,53 @@ def value_quantiles(sf_dir: str) -> pd.DataFrame:
         per_type, batch_format="pandas").to_pandas()
 
 
+def value_quantiles_sketch(sf_dir: str, k: int = 512) -> pd.DataFrame:
+    """Mergeable approximate quantiles (p50/p90/p99 of value per
+    event_type) — the sketch `value_quantiles`' docstring promises for
+    100 TB: each block reduces to a bottom-k-by-priority uniform sample
+    per group (KMV-style; priority = splitmix64 of the row's unique
+    event_id, so the sample is deterministic at ANY parallelism and
+    merge = union + re-trim to k).  The exchange is O(groups x k) per
+    block — never data-sized — and the driver merge reads quantiles off
+    the merged sample with the same ceil(q*n)-1 index rule as the exact
+    operator.  Rank error ~ sqrt(q(1-q)/k); a group with <= k rows
+    degrades to EXACT (the sample is the group).  Approx-by-design:
+    rows-only at the driver gate, gated by the rank-error property test
+    (`tests/test_quantile_sketch.py`)."""
+    from .textops import MinHasher
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    QS = [0.5, 0.9, 0.99]
+
+    def partial(t: pa.Table) -> pa.Table:
+        prio = MinHasher._mix64(
+            t["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((prio, et))
+        et_s, prio_s, val_s = et[order], prio[order], val[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], et_s[1:] != et_s[:-1])))
+        seg_len = np.diff(np.concatenate((starts, [len(et_s)])))
+        rank_in_group = np.arange(len(et_s)) - np.repeat(starts, seg_len)
+        keep = rank_in_group < k
+        return pa.table({
+            "event_type": pa.array(et_s[keep].astype(str)),
+            "value": pa.array(val_s[keep]),
+            "prio": pa.array(prio_s[keep]),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = []
+    for et, g in parts.groupby("event_type"):
+        v = np.sort(g.nsmallest(k, "prio")["value"].to_numpy())
+        n = len(v)
+        idx = [min(n - 1, int(np.ceil(q * n)) - 1) for q in QS]
+        rows.append({"event_type": et, "p50": v[idx[0]],
+                     "p90": v[idx[1]], "p99": v[idx[2]]})
+    return pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+
+
 # static value bands: pinned in code and mirrored verbatim in the
 # oracle's VALUES list (events.value spans ~0..500 by construction)
 VALUE_BANDS = [("b0", 0.0, 50.0), ("b1", 50.0, 100.0),
