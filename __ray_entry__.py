@@ -30,6 +30,7 @@ from visiblev8_crawler_ray.pipelines import textops as T
 from visiblev8_crawler_ray.pipelines import multimodal as MM
 from visiblev8_crawler_ray.pipelines import classify as CL
 from visiblev8_crawler_ray.pipelines import features as FW
+from visiblev8_crawler_ray.pipelines import graph as G
 from visiblev8_crawler_ray.pipelines.crawl import CrawlRun, run_crawl
 from visiblev8_crawler_ray.stages import parse as P
 
@@ -299,6 +300,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_near_dup": _media_near_dup,
         "media_thumbnails": _media_thumbnails,
         "parse_chain_counts": _parse_chain_counts,
+        "host_edges": lambda sf: G.host_edges(_crawl(sf).crawl_log(), QCFG),
+        "host_pagerank": lambda sf: G.host_pagerank(
+            _crawl(sf).crawl_log(), QCFG),
     }
     return q
 
@@ -963,6 +967,8 @@ def oracle_sql() -> dict[str, str]:
         "crawl_docs_summary": f"""
             SELECT doc_id, wave, n_spans, n_links
             FROM read_parquet('{_lg}') WHERE status = 'ok'""",
+        "host_edges": G.host_edges_sql(_lg, QCFG),
+        "host_pagerank": G.host_pagerank_sql(_lg, QCFG),
         "url_status": f"""
             SELECT url, url_key, status, wave, seq, doc_id, n_spans,
                    CASE WHEN status = 'ok'

