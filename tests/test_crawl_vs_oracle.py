@@ -67,8 +67,19 @@ def test_crawl_matches_oracle(oracle_result, tmp_path):
     fetched = log[log.seq >= 0].sort_values("seq")
     ofetched = olog[olog.seq >= 0].sort_values("seq")
     cols = ["seq", "wave", "host", "url", "url_key", "doc_id", "depth",
-            "fetch_vtime", "status", "n_spans", "n_links"]
+            "fetch_vtime", "status", "n_spans", "n_links", "retry_count"]
     assert fetched[cols].values.tolist() == ofetched[cols].values.tolist()
+    # retry ledger semantics: retry_count == the per-URL predicate, the
+    # wave metric counts them, and a transient hit keeps status='ok'
+    from visiblev8_crawler_ray.oracle import fetch_retries
+    assert all(int(r.retry_count) == fetch_retries(r.url)
+               for r in fetched.itertuples())
+    mdf = pd.DataFrame(sorted(run.metrics().to_pylist(),
+                              key=lambda r: r["wave"]))
+    per_wave = fetched.groupby("wave")["retry_count"].apply(
+        lambda s: int((s > 0).sum())).to_dict()
+    assert all(int(r.retried) == per_wave.get(int(r.wave), 0)
+               for r in mdf.itertuples())
     blocked = sorted(log[log.seq < 0].url)
     oblocked = sorted(olog[olog.seq < 0].url)
     assert blocked == oblocked

@@ -276,6 +276,22 @@ def fail_mask(strings) -> np.ndarray:
     return (h % np.uint64(211)) == 0
 
 
+_TRANSIENT_SEED = 0x7E57_AB1E_5EED_F00D
+
+
+def transient_fail_mask(strings) -> np.ndarray:
+    """Deterministic TRANSIENT-failure predicate over URLs (vectorized).
+
+    Mirrors the failure class the reference's feeder retry absorbs
+    (``url_sender.py:242-252`` resubmits a failed URL once): ~1/97 of
+    URLs fail their first fetch attempt and succeed on the in-task
+    retry.  Disjoint seed from :func:`fail_mask` (permanent failures =
+    retry exhaustion); a URL in both masks fails both attempts."""
+    arr = _as_arrow_strings(strings)
+    h = pl.from_arrow(arr).hash(seed=_TRANSIENT_SEED).to_numpy().astype(np.uint64)
+    return (h % np.uint64(97)) == 0
+
+
 _ACTION_FAIL_SEED = 0x71EE5EED0C0FFEE5
 
 

@@ -55,6 +55,14 @@ def fetch_fails(canonical_url: str) -> bool:
     return bool(U.fail_mask([canonical_url])[0])
 
 
+def fetch_retries(canonical_url: str) -> int:
+    """Per-row retry_count the fetcher ledgers: 1 if the first attempt
+    failed (transient — saved by the in-task retry — or permanent —
+    retry exhausted), else 0."""
+    return int(U.transient_fail_mask([canonical_url])[0]
+               or U.fail_mask([canonical_url])[0])
+
+
 def url_key_of(canonical_url: str) -> str:
     """Per-row view of the crawl's vectorized 128-bit url_key."""
     h1, h2 = U.hash128_parts([canonical_url])
@@ -103,7 +111,8 @@ def crawl_oracle(seed_urls: list[tuple[int, str]], cfg: CrawlConfig,
     wave = 0
     while cand and wave < cfg.max_waves:
         m = {"wave": wave, "admitted": 0, "fetched": 0, "deduped": 0,
-             "robots_blocked": 0, "deferred": 0, "failed": 0}
+             "robots_blocked": 0, "deferred": 0, "failed": 0,
+             "retried": 0}
         # within-wave dedup: min (admission_key, depth, url) per canonical
         # url (depth in the tiebreak mirrors the pipeline's packed-min)
         best: dict[str, tuple[int, str, int]] = {}
@@ -130,7 +139,8 @@ def crawl_oracle(seed_urls: list[tuple[int, str]], cfg: CrawlConfig,
                 res.crawl_log.append(
                     dict(seq=-1, wave=wave, host=host, url=url, url_key=uk,
                          doc_id="", depth=depth, fetch_vtime=0,
-                         status="robots_blocked", n_spans=0, n_links=0)
+                         status="robots_blocked", n_spans=0, n_links=0,
+                         retry_count=0)
                 )
                 continue
             fetchable.append((key, url, uk, depth, host, path))
@@ -155,12 +165,15 @@ def crawl_oracle(seed_urls: list[tuple[int, str]], cfg: CrawlConfig,
             res.urlseen.append(
                 dict(url_key=uk, url=url, first_wave=wave, first_seq=seq)
             )
+            rc = fetch_retries(url)
+            m["retried"] += rc
             if fetch_fails(url):
                 m["failed"] += 1
                 res.crawl_log.append(
                     dict(seq=seq, wave=wave, host=host, url=url, url_key=uk,
                          doc_id="", depth=depth, fetch_vtime=vt,
-                         status="failed", n_spans=0, n_links=0)
+                         status="failed", n_spans=0, n_links=0,
+                         retry_count=rc)
                 )
                 seq += 1
                 continue
@@ -181,7 +194,7 @@ def crawl_oracle(seed_urls: list[tuple[int, str]], cfg: CrawlConfig,
                 dict(seq=seq, wave=wave, host=host, url=url, url_key=uk,
                      doc_id=did, depth=depth, fetch_vtime=vt, status="ok",
                      n_spans=len(spans), n_links=len(links),
-                     fetch_mode=fetch_mode)
+                     retry_count=rc, fetch_mode=fetch_mode)
             )
             m["fetched"] += 1
             if depth < cfg.max_depth:

@@ -68,7 +68,7 @@ from ..store import TableStore
 
 FRONTIER_COLS = ["admission_key", "url", "url_key", "host", "path", "depth"]
 LOG_COLS = ["seq", "wave", "host", "url", "url_key", "doc_id", "depth",
-            "fetch_vtime", "status", "n_spans", "n_links"]
+            "fetch_vtime", "status", "n_spans", "n_links", "retry_count"]
 
 
 # ---------------------------------------------------------------------------
@@ -338,8 +338,8 @@ def _partition_rows(part_dir: str) -> int:
     return total
 
 
-def _failed_rows(part_dir: str) -> int:
-    """Driver-side count of status='failed' rows — one pruned column read
+def _fetch_counts(part_dir: str) -> tuple[int, int]:
+    """Driver-side (failed, retried) counts — one pruned two-column read
     straight off the side-written files (thread pool; IO-bound), no Ray
     execution."""
     import os
@@ -350,14 +350,19 @@ def _failed_rows(part_dir: str) -> int:
     files = [os.path.join(part_dir, f) for f in os.listdir(part_dir)
              if f.endswith(".parquet")]
 
-    def one(f: str) -> int:
-        col = pq.read_table(f, columns=["status"]).column("status")
-        return pc.sum(pc.equal(col, "failed").cast(pa.int64())).as_py() or 0
+    def one(f: str) -> tuple[int, int]:
+        t = pq.read_table(f, columns=["status", "retry_count"])
+        failed = pc.sum(pc.equal(t["status"], "failed")
+                        .cast(pa.int64())).as_py() or 0
+        retried = pc.sum(pc.greater(t["retry_count"], 0)
+                         .cast(pa.int64())).as_py() or 0
+        return failed, retried
 
     if not files:
-        return 0
+        return 0, 0
     with ThreadPoolExecutor(max_workers=min(16, len(files))) as ex:
-        return sum(ex.map(one, files))
+        parts = list(ex.map(one, files))
+    return sum(p[0] for p in parts), sum(p[1] for p in parts)
 
 
 def _build_actions_table(seeds) -> pa.Table:
@@ -822,11 +827,15 @@ def run_crawl(
                     "links", pa.array([], type=pa.list_(pa.string()))
                 ).append_column(
                     "n_spans", pa.array([], type=pa.int32())).append_column(
-                    "n_links", pa.array([], type=pa.int32()))
+                    "n_links", pa.array([], type=pa.int32())).append_column(
+                    "retry_count", pa.array([], type=pa.int32()))
             store.commit_partition("fetch", wave)
             _mark(f'w{wave} fetch+write')
             n_failed = int(pc.sum(
                 pc.equal(ctrl["status"], "failed").cast(pa.int64())
+            ).as_py() or 0)
+            n_retried = int(pc.sum(
+                pc.greater(ctrl["retry_count"], 0).cast(pa.int64())
             ).as_py() or 0)
             store.write_table(
                 _urlseen_batch(wave)(ctrl.select(["url_key", "url", "seq"])),
@@ -941,7 +950,7 @@ def run_crawl(
             # the fetch chain carries zero seen-index RPCs.
             seen.restore_from_parquet(store._data_files("urlseen", [wave]))
             _mark(f'w{wave} seen-load')
-            n_failed = _failed_rows(fetch_dir)
+            n_failed, n_retried = _fetch_counts(fetch_dir)
             n_next = nxt.count()
             store.write_dataset(nxt, "frontier_next", wave)
             _mark(f'w{wave} links+checkpoint')
@@ -960,6 +969,7 @@ def run_crawl(
                 "robots_blocked": pa.array([n_blocked], type=pa.int64()),
                 "deferred": pa.array([n_deferred], type=pa.int64()),
                 "failed": pa.array([n_failed], type=pa.int64()),
+                "retried": pa.array([n_retried], type=pa.int64()),
             }
         )
         store.write_table(metrics, "metrics", wave,
@@ -1013,6 +1023,7 @@ def _blocked_log_batch(wave: int):
                 "status": pa.array(["robots_blocked"] * n, type=pa.string()),
                 "n_spans": pa.array(np.zeros(n, dtype=np.int32)),
                 "n_links": pa.array(np.zeros(n, dtype=np.int32)),
+                "retry_count": pa.array(np.zeros(n, dtype=np.int32)),
             }
         )
     return fn

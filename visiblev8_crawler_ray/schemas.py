@@ -113,6 +113,10 @@ CRAWL_LOG_SCHEMA = pa.schema(
         pa.field("status", pa.string()),       # 'ok' | 'robots_blocked' | 'failed'
         pa.field("n_spans", pa.int32()),
         pa.field("n_links", pa.int32()),
+        # in-task retries consumed (0 or 1): SURVEY.md:440's crawl_log
+        # retry_count; 1 = transient first attempt (succeeded on retry)
+        # or permanent failure (retry exhausted)
+        pa.field("retry_count", pa.int32()),
     ]
 )
 
@@ -127,6 +131,7 @@ METRICS_SCHEMA = pa.schema(
         pa.field("robots_blocked", pa.int64()),
         pa.field("deferred", pa.int64()),
         pa.field("failed", pa.int64()),
+        pa.field("retried", pa.int64()),  # fetches that consumed a retry
     ]
 )
 

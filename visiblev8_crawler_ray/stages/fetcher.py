@@ -62,8 +62,15 @@ class Fetcher:
                 aj_col = None
             batch = batch.drop_columns(["actions_json"])
         url_col = batch.column("url")
-        # vectorized over the batch: failure predicates + doc ids
+        # vectorized over the batch: failure predicates + doc ids.
+        # In-task retry-once (url_sender.py:242-252 feeder resubmit):
+        # a transiently-failing first attempt is retried immediately —
+        # the synthetic web is deterministic, so the second attempt
+        # renders the identical page and only the LEDGER changes
+        # (retry_count=1); permanent failures consume the retry and
+        # stay failed (retry exhaustion).
         ok = ~U.fail_mask(url_col)
+        retried = (U.transient_fail_mask(url_col) | ~ok).astype(np.int32)
         h1, _ = U.hash128_parts(url_col)
         did_all = pc.binary_join_element_wise(
             U.hex_of_u64(h1), pa.scalar("-w"),
@@ -143,6 +150,7 @@ class Fetcher:
             .append_column("n_links",
                            pa.array([len(x) for x in link_lists],
                                     type=pa.int32()))
+            .append_column("retry_count", pa.array(retried))
             .append_column("fetch_mode",
                            pa.array(fetch_mode, type=pa.string()))
         )
