@@ -230,6 +230,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_order": A.events_asof_order,
         "events_value_band": A.events_value_band,
         "events_late_drop": A.events_late_drop,
+        "events_running_stats": A.events_running_stats,
+        "lineitem_rollup": A.lineitem_rollup,
+        "orders_pivot": A.orders_pivot,
         # training-data text ops
         "dedup_exact": T.dedup_exact,
         "dedup_minhash": T.dedup_minhash,
@@ -609,6 +612,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
                    CAST(max(sz) AS BIGINT) AS max_session_events
             FROM z GROUP BY user_id""",
+        "events_running_stats": """
+            SELECT event_id, user_id,
+                   CAST(row_number() OVER w AS BIGINT) AS rn,
+                   CAST(coalesce(epoch_us(ts) - epoch_us(lag(ts) OVER w),
+                                 -1) AS BIGINT) AS gap_us,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS cum_cents
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+        "lineitem_rollup": """
+            SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+        "orders_pivot": """
+            SELECT o_orderpriority,
+                   CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,
+                   CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_o,
+                   CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p,
+                   CAST(count(*) AS BIGINT) AS n_total
+            FROM orders GROUP BY o_orderpriority""",
         "dedup_exact": """
             SELECT md5(text) AS content_key, min(doc_id) AS keep_doc_id
             FROM documents GROUP BY 1""",

@@ -950,3 +950,100 @@ def events_late_drop(sf_dir: str, lateness_minutes: int = 120) -> pa.Table:
     out["n_on_time"] = out["n_total"] - out["n_late"]
     out = _round(out, {"sum_on_time": 4})
     return out[["event_type", "n_on_time", "n_late", "sum_on_time"]]
+
+
+# ---------------------------------------------------------------------------
+# Window functions / grouping sets / pivot (§2.8-2.9 extensions)
+
+def events_running_stats(sf_dir: str) -> pd.DataFrame:
+    """Partitioned window functions — ``row_number``, ``lag`` delta and
+    a running sum per user ordered by (ts, event_id).  The ordered-scan
+    shape behind the reference's latest-per-key selections
+    (production_classifier.py:480-489) and the crawl's own per-host
+    sequencing; expressed as ONE hash shuffle on the partition key
+    (groupby(user_id).map_groups) with a fully vectorized per-group
+    kernel (argsort + arange + diff + cumsum) — never a global sort,
+    never a row loop.
+
+    The running sum accumulates exact integer cents
+    (``round(value*100)``) so Ray's and DuckDB's float-summation orders
+    cannot diverge under the driver's value-hash gate."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        # pin the epoch unit (pandas may hold ns or us depending on the
+        # parquet reader); first row's gap is the oracle-pinned -1
+        us = g["ts"].astype("datetime64[us]").astype("int64")
+        gap = us.diff().fillna(-1).astype(np.int64)
+        cents = round_half_away(g["value"].to_numpy() * 100.0, 0).astype(np.int64)
+        return pd.DataFrame({
+            "event_id": g["event_id"],
+            "user_id": g["user_id"],
+            "rn": np.arange(1, len(g) + 1, dtype=np.int64),
+            "gap_us": gap,
+            "cum_cents": np.cumsum(cents),
+        })
+
+    return (
+        ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+        .to_pandas().sort_values(["user_id", "rn"]).reset_index(drop=True)
+    )
+
+
+def lineitem_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): the three grains
+    (flag×status, flag, grand total) in one streaming pass.  The map
+    stage fans each row out to its three grain keys (sentinel 'ALL' in
+    rolled-up positions) and the rollup itself is the shuffle-free
+    two-phase combiner — the fan-out is a map-side ×3, never a
+    3× shuffle, and the combined key set stays |flags|×|statuses|+
+    |flags|+1.  Mirrors the multi-grain summary reporting the reference
+    layers over mega_usages (production_classifier.py:430-446)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def fan(t: pa.Table) -> pa.Table:
+        flag = t["l_returnflag"].combine_chunks()
+        st = t["l_linestatus"].combine_chunks()
+        q = t["l_quantity"].combine_chunks()
+        alls = pa.array(np.full(t.num_rows, "ALL", dtype=object),
+                        type=pa.string())
+        return pa.table({
+            "l_returnflag": pa.concat_arrays([flag, flag, alls]),
+            "l_linestatus": pa.concat_arrays([st, alls, alls]),
+            "l_quantity": pa.concat_arrays([q] * 3),
+        })
+
+    out = two_phase_agg(
+        ds.map_batches(fan, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        [("l_quantity", "count"), ("l_quantity", "sum")],
+        ["l_returnflag", "l_linestatus", "n", "sum_qty"],
+    ).to_pandas()
+    return _round(out, {"sum_qty": 4})
+
+
+def orders_pivot(sf_dir: str) -> pd.DataFrame:
+    """Pivot: order counts per priority × status, statuses as columns —
+    the conditional-count (``SUM(CASE WHEN …)``) report shape of
+    production_classifier.py:444.  The distributed part is the narrow
+    two-phase (priority, status) rollup; the pivot of that tiny
+    |priorities|×|statuses| grid happens driver-side, which is exactly
+    where a 100-TB run wants it (the wide table is O(distinct keys),
+    not O(rows))."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+    out = two_phase_agg(
+        ds, ["o_orderpriority", "o_orderstatus"],
+        [("o_orderstatus", "count")],
+        ["o_orderpriority", "o_orderstatus", "n"],
+    ).to_pandas()
+    pv = out.pivot_table(index="o_orderpriority", columns="o_orderstatus",
+                         values="n", fill_value=0, aggfunc="sum")
+    res = pd.DataFrame({"o_orderpriority": pv.index.to_numpy()})
+    for s in ("F", "O", "P"):  # TPC-H order statuses, pinned in the oracle
+        res[f"n_{s.lower()}"] = (pv[s].to_numpy().astype(np.int64)
+                                 if s in pv.columns
+                                 else np.zeros(len(pv), dtype=np.int64))
+    res["n_total"] = res[["n_f", "n_o", "n_p"]].sum(axis=1)
+    return res.sort_values("o_orderpriority").reset_index(drop=True)
