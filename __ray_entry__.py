@@ -31,6 +31,7 @@ from visiblev8_crawler_ray.pipelines import multimodal as MM
 from visiblev8_crawler_ray.pipelines import classify as CL
 from visiblev8_crawler_ray.pipelines import features as FW
 from visiblev8_crawler_ray.pipelines import graph as G
+from visiblev8_crawler_ray.pipelines import curation as CU
 from visiblev8_crawler_ray.pipelines.crawl import CrawlRun, run_crawl
 from visiblev8_crawler_ray.stages import parse as P
 
@@ -247,6 +248,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_sources": T.mix_sources,
         "sample_stratified": T.sample_stratified,
         "pack_sequences": T.pack_sequences,
+        "pack_global": CU.pack_global,
+        "split_assign": CU.split_assign,
+        "shuffle_order": CU.shuffle_order,
+        "iqr_outliers": CU.iqr_outliers,
+        "token_budget_sample": CU.token_budget_sample,
         "winnow_fingerprint": T.winnow_fingerprint,
         "decontaminate": T.decontaminate,
         "repetition_stats": T.repetition_stats,
@@ -553,6 +559,72 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY doc_id // 64 ORDER BY doc_id
                          ROWS UNBOUNDED PRECEDING)
             ORDER BY doc_id""",
+        "pack_global": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '{T.BPE_RE}'))
+                            AS BIGINT) AS n_tokens
+                FROM documents),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tokens
+                            AS BIGINT) AS start_offset
+                FROM t)
+            SELECT doc_id, n_tokens, start_offset,
+                   start_offset // 512 AS pack_id,
+                   start_offset % 512 AS offset_in_pack,
+                   (start_offset % 512) + n_tokens > 512 AS spans_boundary
+            FROM c ORDER BY doc_id""",
+        "split_assign": """
+            SELECT doc_id, lang, source,
+                   CASE WHEN b < 80 THEN 'train'
+                        WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+            FROM (SELECT doc_id, lang, source,
+                         ('0x' || substr(md5('split|' ||
+                                             CAST(doc_id AS VARCHAR)), 1, 8))
+                             ::UBIGINT % 100 AS b
+                  FROM documents)
+            ORDER BY doc_id""",
+        "shuffle_order": """
+            SELECT doc_id,
+                   md5('s42|' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+                   CAST(row_number() OVER (
+                        ORDER BY md5('s42|' || CAST(doc_id AS VARCHAR)),
+                                 doc_id) AS BIGINT) AS shuffle_pos
+            FROM documents""",
+        "iqr_outliers": """
+            WITH q AS (
+                SELECT source,
+                       percentile_cont(0.25) WITHIN GROUP (ORDER BY n_chars)
+                           AS q1,
+                       percentile_cont(0.75) WITHIN GROUP (ORDER BY n_chars)
+                           AS q3
+                FROM documents GROUP BY source),
+            f AS (
+                SELECT source, round(q1 - 1.5 * (q3 - q1), 4) AS lo,
+                       round(q3 + 1.5 * (q3 - q1), 4) AS hi
+                FROM q)
+            SELECT d.doc_id, d.source, d.n_chars,
+                   (d.n_chars < f.lo OR d.n_chars > f.hi) AS is_outlier
+            FROM documents d JOIN f USING (source)
+            ORDER BY d.doc_id""",
+        "token_budget_sample": f"""
+            WITH t AS (
+                SELECT doc_id, source,
+                       CAST(len(regexp_extract_all(text, '{T.BPE_RE}'))
+                            AS BIGINT) AS n_tokens,
+                       md5('budget|' || CAST(doc_id AS VARCHAR)) AS k
+                FROM documents),
+            c AS (
+                SELECT doc_id, source, n_tokens,
+                       CAST(sum(n_tokens) OVER (PARTITION BY source
+                                ORDER BY k, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                           AS cum_tokens
+                FROM t)
+            SELECT doc_id, source, n_tokens, cum_tokens
+            FROM c WHERE cum_tokens <= 1000 ORDER BY doc_id""",
         "events_hopping_window": """
             WITH x AS (
                 SELECT event_type, value,

@@ -1,0 +1,299 @@
+"""Training-mix curation operators over the ``documents`` table.
+
+The reference stops at per-table dedup/upserts (D1-D5,
+``2_mega_vv8_postgres_schema.sql:29-43``); these are the
+corpus-assembly operators a pretraining pipeline layers on top —
+global sequence packing, train/val/test splitting, seeded global
+shuffle, per-group outlier fences and token-budget subsampling.  All
+are first-class ``queries()`` entries with exact DuckDB twins.
+
+Scale notes (the whole point of this module):
+
+- Global *ordered* computations (packing offsets, shuffle positions)
+  use the classic two-pass distributed prefix scan: pass 1 reduces a
+  per-range partial (sum or count) to a tiny driver-side table — one
+  row per range, O(n / range_size) — whose exclusive prefix is then
+  broadcast; pass 2 is a single ``groupby(range)`` where each group
+  adds its base to a vectorized local cumsum/rank.  No global sort,
+  no all-to-all beyond the one hash shuffle on the range key.
+- Pure per-row predicates (hash splits) stay shuffle-free maps.
+- Per-group order-dependent selections (budget sampling) are ONE
+  hash shuffle on the group key with a vectorized per-group kernel.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ..functions.util import round_half_away, two_phase_agg
+from .textops import BPE_RE
+
+
+def _read_docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    from ..functions.util import read_parquet_clean
+    return read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def _md5_u32(prefix: str, ids: np.ndarray) -> np.ndarray:
+    """First 4 md5 bytes of ``prefix + str(id)`` as uint64 — matches
+    DuckDB ``('0x' || substr(md5(prefix || CAST(id AS VARCHAR)), 1, 8))
+    ::UBIGINT``.  Python loop over an id column only (no text); same
+    precedent as functions/urls.py:md5_hex."""
+    return np.array(
+        [int.from_bytes(hashlib.md5((prefix + str(i)).encode()).digest()[:4],
+                        "big") for i in ids],
+        dtype=np.uint64,
+    )
+
+
+def _md5_hex_ids(prefix: str, ids: np.ndarray) -> list[str]:
+    return [hashlib.md5((prefix + str(i)).encode()).hexdigest() for i in ids]
+
+
+# ---------------------------------------------------------------------------
+# Global concat-and-chunk packing (two-pass prefix scan)
+
+def pack_global(sf_dir: str, window: int = 512,
+                range_docs: int = 128) -> pd.DataFrame:
+    """GPT-style GLOBAL sequence packing: concatenate every document's
+    BPE-ish tokens in doc_id order and slice the stream into fixed
+    ``window``-token packs; each doc reports the pack its first token
+    lands in, its offset inside that pack, and whether it straddles a
+    pack boundary.
+
+    Unlike ``textops.pack_sequences`` (which *restarts* packing every
+    ``part_docs`` ids so the cumsum never leaves a partition), this is
+    the true global layout: the exclusive prefix sum over the whole
+    corpus.  Distributed as a two-pass scan —
+
+      pass 1: tokenize once, reduce ``sum(n_tokens)`` per id-range
+              (``doc_id // range_docs``) via the shuffle-free two-phase
+              combiner; the per-range table (O(n/range_docs) rows) comes
+              to the driver, where its exclusive prefix gives each
+              range's global base offset;
+      pass 2: one ``groupby(range)`` re-partitions the narrow
+              (doc_id, n_tokens) table; each group sorts locally by
+              doc_id and adds its broadcast base to a vectorized
+              exclusive cumsum.
+
+    The narrow token table (16 B/doc — no text) is materialized between
+    passes so the full text corpus is tokenized exactly once; at 10^10
+    docs that intermediate is ~160 GB spread across the object store,
+    which is the cheap side of re-reading 100 TB of text.
+    Partitioning assumption: doc ids are orderable (dense not required);
+    ``range_docs`` only balances pass-2 groups.
+    """
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def tokenize(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        n = pc.count_substring_regex(t["text"], BPE_RE).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "rng": pa.array(ids // range_docs, type=pa.int64()),
+            "n_tokens": pa.array(n, type=pa.int64()),
+        })
+
+    tokens = ds.map_batches(tokenize, batch_format="pyarrow").materialize()
+
+    per_range = two_phase_agg(
+        tokens, ["rng"], [("n_tokens", "sum")], ["rng", "rng_tokens"]
+    ).to_pandas().sort_values("rng").reset_index(drop=True)
+    bases = dict(zip(
+        per_range["rng"],
+        np.concatenate(([0], np.cumsum(per_range["rng_tokens"].to_numpy())[:-1])),
+    ))
+
+    def per_range_pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        n = g["n_tokens"].to_numpy()
+        start = int(bases[g["rng"].iloc[0]]) + np.cumsum(n) - n
+        off = start % window
+        return pd.DataFrame({
+            "doc_id": g["doc_id"],
+            "n_tokens": n,
+            "start_offset": start,
+            "pack_id": start // window,
+            "offset_in_pack": off,
+            "spans_boundary": off + n > window,
+        })
+
+    return (
+        tokens.groupby("rng").map_groups(per_range_pack, batch_format="pandas")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Train/val/test hash split
+
+def split_assign(sf_dir: str, pct_train: int = 80,
+                 pct_val: int = 10) -> pd.DataFrame:
+    """Deterministic train/val/test assignment by salted content-key
+    hash — the split every training pipeline needs pinned *before* any
+    shuffling or sampling, and the reason it must be a pure per-row
+    predicate: stable across reruns, cluster sizes and input order, no
+    coordination, composable with every downstream stage.  Salted
+    (``split|``) so it is independent of the ``sample_hash`` /
+    ``sample_stratified`` Bernoulli keys."""
+    ds = _read_docs(sf_dir, ["doc_id", "lang", "source"])
+    hi_val = pct_train + pct_val
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        b = (_md5_u32("split|", ids) % 100).astype(np.int64)
+        split = np.where(b < pct_train, "train",
+                         np.where(b < hi_val, "val", "test"))
+        return t.append_column("split", pa.array(split, type=pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Seeded global shuffle (two-pass rank assignment)
+
+def shuffle_order(sf_dir: str, seed: str = "s42") -> pd.DataFrame:
+    """Seeded deterministic GLOBAL shuffle: every doc gets its position
+    in the permutation induced by ``md5(seed | doc_id)`` — reproducible
+    across runs and cluster sizes, unlike ``ds.random_shuffle``.
+
+    Rank assignment without a global sort: the first hex byte of the
+    shuffle key splits the keyspace into 256 uniform buckets; pass 1
+    counts per bucket (shuffle-free combiner → 256-row driver table →
+    exclusive prefix = each bucket's base rank); pass 2 is one
+    ``groupby(bucket)`` whose groups argsort locally by (key, doc_id)
+    and add their base.  md5 keys are uniform, so buckets are balanced
+    by construction — no skew salting needed."""
+    ds = _read_docs(sf_dir, ["doc_id"])
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keys = _md5_hex_ids(seed + "|", ids)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "shuffle_key": pa.array(keys, type=pa.string()),
+            "bucket": pa.array([int(k[:2], 16) for k in keys],
+                               type=pa.int64()),
+        })
+
+    keyed = ds.map_batches(key, batch_format="pyarrow").materialize()
+    counts = two_phase_agg(
+        keyed, ["bucket"], [("doc_id", "count")], ["bucket", "n"]
+    ).to_pandas().sort_values("bucket").reset_index(drop=True)
+    bases = dict(zip(
+        counts["bucket"],
+        np.concatenate(([0], np.cumsum(counts["n"].to_numpy())[:-1])),
+    ))
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["shuffle_key", "doc_id"]).reset_index(drop=True)
+        base = int(bases[g["bucket"].iloc[0]])
+        return pd.DataFrame({
+            "doc_id": g["doc_id"],
+            "shuffle_key": g["shuffle_key"],
+            "shuffle_pos": base + np.arange(1, len(g) + 1, dtype=np.int64),
+        })
+
+    return (
+        keyed.groupby("bucket").map_groups(rank, batch_format="pandas")
+        .to_pandas().sort_values("shuffle_pos").reset_index(drop=True)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-group IQR outlier fences
+
+def iqr_outliers(sf_dir: str) -> pd.DataFrame:
+    """Tukey outlier flags per source: docs whose ``n_chars`` falls
+    outside [q1 - 1.5·IQR, q3 + 1.5·IQR] of their group.  The
+    quality-filter shape for heterogeneous training mixes (each source
+    gets its own fences).
+
+    Two stages: exact per-group quantiles (linear interpolation — the
+    same arithmetic as DuckDB ``percentile_cont``) via one groupby over
+    the narrow (source, n_chars) projection; the tiny fence table is
+    broadcast into a shuffle-free flag map over the full table.  Fences
+    are rounded half-away to 4 dp on BOTH sides so the boundary compare
+    cannot diverge under the value-hash gate.  For corpora where even
+    per-group exact quantiles are too hot, ``value_quantiles_sketch``
+    is the mergeable-sketch path."""
+    ds = _read_docs(sf_dir, ["doc_id", "source", "n_chars"])
+
+    def fences(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["n_chars"].to_numpy()
+        q1, q3 = np.percentile(v, [25.0, 75.0])  # linear, = percentile_cont
+        iqr = q3 - q1
+        return pd.DataFrame({
+            "source": [g["source"].iloc[0]],
+            "lo": [float(round_half_away(np.array([q1 - 1.5 * iqr]), 4)[0])],
+            "hi": [float(round_half_away(np.array([q3 + 1.5 * iqr]), 4)[0])],
+        })
+
+    f = (
+        ds.groupby("source").map_groups(fences, batch_format="pandas")
+        .to_pandas()
+    )
+    lo = dict(zip(f["source"], f["lo"]))
+    hi = dict(zip(f["source"], f["hi"]))
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        l = df["source"].map(lo).to_numpy()
+        h = df["source"].map(hi).to_numpy()
+        v = df["n_chars"].to_numpy()
+        df["is_outlier"] = (v < l) | (v > h)
+        return df
+
+    return ds.map_batches(flag, batch_format="pandas").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Token-budget subsampling
+
+def token_budget_sample(sf_dir: str, budget: int = 1000) -> pd.DataFrame:
+    """Greedy per-source token-budget subsample: walk each source's docs
+    in salted-hash order (a fixed "random" order, independent of id
+    locality) and keep docs while the running BPE-token total stays
+    within ``budget`` — the standard way to hit a per-source token
+    quota in a training mix.  ONE hash shuffle on the group key; the
+    per-group kernel is argsort + cumsum + mask, fully vectorized."""
+    ds = _read_docs(sf_dir, ["doc_id", "source", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        n = pc.count_substring_regex(t["text"], BPE_RE).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "source": t["source"],
+            "n_tokens": pa.array(n, type=pa.int64()),
+            "k": pa.array(_md5_hex_ids("budget|", ids), type=pa.string()),
+        })
+
+    def take(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["k", "doc_id"]).reset_index(drop=True)
+        cum = g["n_tokens"].to_numpy().cumsum()
+        keep = cum <= budget
+        return pd.DataFrame({
+            "doc_id": g["doc_id"][keep],
+            "source": g["source"][keep],
+            "n_tokens": g["n_tokens"][keep],
+            "cum_tokens": cum[keep],
+        })
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("source").map_groups(take, batch_format="pandas")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
