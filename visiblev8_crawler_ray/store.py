@@ -138,7 +138,12 @@ class TableStore:
         files = self._data_files(table, waves)
         if not files:
             return None
-        return rd.read_parquet(files, columns=columns)
+        # clean read: Ray's write_parquet can embed pandas schema
+        # metadata (a nested dict) when a block passed through a pandas
+        # stage, which makes hash(pa.Schema) raise and every downstream
+        # shuffle reduce lose the schema-dedup fast path
+        from .functions.util import read_parquet_clean
+        return read_parquet_clean(files, columns=columns)
 
     def read_table(self, table: str, waves: list[int] | None = None,
                    columns: list[str] | None = None) -> pa.Table | None:
