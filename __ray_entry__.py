@@ -208,6 +208,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # joins (J1-J3, J5)
         "anti_join_retry": A.anti_join_retry,
         "orders_with_customer": A.orders_with_customer,
+        "bloom_semi_join": A.bloom_semi_join,
+        "shipping_priority": A.shipping_priority,
         "customer_value_label": A.customer_value_label,
         "supplier_nation_region": A.supplier_nation_region,
         # sort/limit/top-k (O1-O5)
@@ -267,6 +269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_terms": T.redact_terms,
         # similarity search
         "knn_brute": E.knn_brute,
+        "embedding_quantize": E.embedding_quantize,
         "ann_lsh": E.ann_lsh,
         "ann_ivf": E.ann_ivf,
         "embedding_near_dup": E.embedding_near_dup,
@@ -440,6 +443,26 @@ def oracle_sql() -> dict[str, str]:
         "orders_with_customer": """
             SELECT o_orderkey, c_name, round(o_totalprice, 2) AS o_totalprice
             FROM orders JOIN customer ON o_custkey = c_custkey""",
+        "bloom_semi_join": """
+            SELECT l_orderkey, count(*) AS n_lines,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            WHERE l_orderkey IN
+                (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+            GROUP BY l_orderkey ORDER BY l_orderkey""",
+        "shipping_priority": """
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                   o_orderdate
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""",
         "customer_value_label": """
             WITH s AS (SELECT o_custkey, sum(o_totalprice) AS sp
                        FROM orders GROUP BY o_custkey)
@@ -1167,6 +1190,19 @@ def oracle_sql() -> dict[str, str]:
                                             THEN 0 ELSE 1 END), seed_id) AS rn
                   FROM c)
             SELECT url, seed_id, strategy FROM r WHERE rn = 1""",
+        "embedding_quantize": """
+            WITH m AS (
+                SELECT vec_id, embedding,
+                       list_max(list_transform(
+                           embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+                FROM embeddings)
+            SELECT vec_id, round(ma, 6) AS maxabs,
+                   round(CASE WHEN ma = 0 THEN 0 ELSE sqrt(list_sum(
+                       list_transform(embedding, x ->
+                           pow(CAST(x AS DOUBLE)
+                               - round(CAST(x AS DOUBLE) * 127.0 / ma)
+                                 * ma / 127.0, 2)))) END, 6) AS l2_err
+            FROM m ORDER BY vec_id""",
         "knn_brute": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe
                        FROM embeddings WHERE vec_id < 10),

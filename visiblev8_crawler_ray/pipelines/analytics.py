@@ -1047,3 +1047,211 @@ def orders_pivot(sf_dir: str) -> pd.DataFrame:
                                  else np.zeros(len(pv), dtype=np.int64))
     res["n_total"] = res[["n_f", "n_o", "n_p"]].sum(axis=1)
     return res.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefilter semi-join + 3-way join top-k (the two big-big join
+# shapes a 100-TB run leans on)
+
+_BLOOM_SEMI_BITS = 1 << 20  # 128 KiB; ~3k build keys -> FP ~ 1e-9 at k=4
+
+
+def _bloom_positions(keys: np.ndarray, nbits: int, k: int = 4):
+    """k bit positions per key via a splitmix64 double-hash chain
+    (h1 + i*h2 — the standard Kirsch-Mitzenmacher construction)."""
+    x = keys.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x ^= x >> np.uint64(30); x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27); x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+        h2 = (x >> np.uint64(17)) | np.uint64(1)  # odd -> full cycle
+        pos = (x[None, :] + np.arange(k, dtype=np.uint64)[:, None] * h2[None, :])
+    return (pos % np.uint64(nbits)).astype(np.int64)  # (k, n)
+
+
+def bloom_semi_join(sf_dir: str, price_cut: float = 400_000.0) -> pd.DataFrame:
+    """Semi-join with a broadcast Bloom prefilter and an exact verify —
+    lineitem rolled up per order, kept only for high-value orders.
+
+    The 100-TB semi-join pattern: the build side's EXACT key set is too
+    big to broadcast (10^9 keys), but its Bloom front is not (~1.2 GB at
+    10 bits/key) — so the probe side is prefiltered inside
+    ``map_batches`` (every true negative dies before any shuffle),
+    pre-aggregated, and only the surviving key-sized rollup meets the
+    build keys in a hash-partitioned bucketed co-group for the EXACT
+    membership verify (kills the Bloom's false positives; output is
+    exact, which is what lets the DuckDB oracle gate it).
+
+    Build is mergeable: each build block emits its own 128-KiB bit
+    array; the driver ORs the per-block fronts (sketch-sized driver
+    state, like the HLL/MG operators).
+    """
+    nbits = _BLOOM_SEMI_BITS
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    hot = orders.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], price_cut))
+        .select(["o_orderkey"]).group_by(["o_orderkey"]).aggregate([]),
+        batch_format="pyarrow")
+
+    def partial_bloom(t: pa.Table) -> pa.Table:
+        words = np.zeros(nbits // 64, dtype=np.uint64)
+        keys = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        if len(keys):
+            pos = _bloom_positions(keys, nbits).reshape(-1)
+            np.bitwise_or.at(words, pos >> 6,
+                             np.uint64(1) << (pos & 63).astype(np.uint64))
+        return pa.table({"front": pa.array([words.tobytes()],
+                                           type=pa.binary())})
+
+    hot_mat = hot.materialize()
+    merged = np.zeros(nbits // 64, dtype=np.uint64)
+    for b in hot_mat.map_batches(partial_bloom, batch_format="pyarrow") \
+                    .iter_batches(batch_format="pyarrow", batch_size=64):
+        for buf in b["front"].to_pylist():
+            merged |= np.frombuffer(buf, dtype=np.uint64)
+    front_ref = ray.put(merged)
+
+    def prefilter_partial(t: pa.Table) -> pa.Table:
+        words = ray.get(front_ref)
+        keys = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        pos = _bloom_positions(keys, nbits)  # (k, n)
+        hit = np.ones(len(keys), dtype=bool)
+        for r in pos:
+            hit &= (words[r >> 6] >> (r & 63).astype(np.uint64)) \
+                & np.uint64(1) != 0
+        sub = t.filter(pa.array(hit))
+        g = sub.group_by(["l_orderkey"]).aggregate(
+            [("l_quantity", "count"), ("l_quantity", "sum")])
+        return g.rename_columns(["l_orderkey", "p_n", "p_qty"])
+
+    survivors = two_phase_agg(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        .map_batches(prefilter_partial, batch_format="pyarrow"),
+        ["l_orderkey"], [("p_n", "sum"), ("p_qty", "sum")],
+        ["l_orderkey", "n_lines", "sum_qty"])
+
+    # exact verify: survivors ⋈ build keys, hash-partitioned co-group
+    # (both sides are key-sized by now; Dataset.join is avoided for its
+    # low-CPU deadlock — see textops.dedup_minhash)
+    B = 8
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            key = (t["l_orderkey"] if side == 0 else t["o_orderkey"]) \
+                .to_numpy(zero_copy_only=False)
+            n = t.num_rows
+            return pa.table({
+                "l_orderkey": pa.array(key),
+                "n_lines": (pc.cast(t["n_lines"], pa.int64()) if side == 0
+                            else pa.array(np.zeros(n, dtype=np.int64))),
+                "sum_qty": (t["sum_qty"] if side == 0
+                            else pa.array(np.zeros(n, dtype=np.float64))),
+                "side": pa.array(np.full(n, side, dtype=np.int8)),
+                "bucket": pa.array(key % B),
+            })
+        return fn
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        build = set(g.loc[g["side"] == 1, "l_orderkey"])
+        out = g[(g["side"] == 0) & g["l_orderkey"].isin(build)]
+        return out[["l_orderkey", "n_lines", "sum_qty"]]
+
+    both = survivors.map_batches(tag(0), batch_format="pyarrow").union(
+        hot_mat.map_batches(tag(1), batch_format="pyarrow"))
+    out = both.groupby("bucket").map_groups(
+        verify, batch_format="pandas").to_pandas()
+    out["sum_qty"] = round_half_away(out["sum_qty"].to_numpy(), 2)
+    return out.sort_values("l_orderkey").reset_index(drop=True)
+
+
+def shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                      cutoff: str = "1998-01-01", k: int = 10) -> pd.DataFrame:
+    """TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem with a group-sort-
+    limit tail — top-k open orders by post-cutoff revenue for one market
+    segment (the J2/J4 'detail join' pattern widened to three tables).
+
+    Scale shape: the customer segment filter broadcasts as a key set
+    (dimension-sized); orders filter + semi-join happen per batch; the
+    orders ⋈ lineitem big-big join is a hash-partitioned bucketed
+    co-group on the order key; top-k is computed per bucket and only
+    B×k rows reach the driver for the final merge."""
+    cut = np.datetime64(cutoff, "us")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    seg_keys = np.sort(np.concatenate([
+        b["c_custkey"].to_numpy(zero_copy_only=False)[
+            b["c_mktsegment"].to_numpy(zero_copy_only=False) == segment]
+        for b in cust.iter_batches(batch_format="pyarrow",
+                                   batch_size=65536)] or
+        [np.empty(0, dtype=np.int64)]))
+    seg_ref = ray.put(seg_keys)
+
+    B = 8
+
+    def orders_side(t: pa.Table) -> pa.Table:
+        keys = ray.get(seg_ref)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
+            keep = np.zeros(len(ck), dtype=bool)
+        else:
+            ix = np.searchsorted(keys, ck)
+            ix[ix >= len(keys)] = 0
+            keep = (od < cut) & (keys[ix] == ck)
+        sub = t.filter(pa.array(keep))
+        ok = sub["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_orderkey": pa.array(ok),
+            "revenue": pa.array(np.zeros(len(ok), dtype=np.float64)),
+            "o_orderdate": sub["o_orderdate"],
+            "side": pa.array(np.ones(len(ok), dtype=np.int8)),
+            "bucket": pa.array(ok % B),
+        })
+
+    def lines_side(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(sd > cut))
+        rev = (sub["l_extendedprice"].to_numpy(zero_copy_only=False)
+               * (1.0 - sub["l_discount"].to_numpy(zero_copy_only=False)))
+        part = pa.table({
+            "l_orderkey": sub["l_orderkey"],
+            "revenue": pa.array(rev),
+        }).group_by(["l_orderkey"]).aggregate([("revenue", "sum")]) \
+          .rename_columns(["l_orderkey", "revenue"])
+        ok = part["l_orderkey"].to_numpy(zero_copy_only=False)
+        n = part.num_rows
+        return pa.table({
+            "l_orderkey": part["l_orderkey"],
+            "revenue": part["revenue"],
+            "o_orderdate": pa.nulls(n, type=pa.timestamp("us")),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+            "bucket": pa.array(ok % B),
+        })
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(orders_side, batch_format="pyarrow")
+    lines = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_extendedprice", "l_discount",
+                   "l_shipdate"]) \
+        .map_batches(lines_side, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 1][["l_orderkey", "o_orderdate"]]
+        l = g[g["side"] == 0].groupby("l_orderkey", as_index=False)[
+            "revenue"].sum()
+        m = l.merge(o, on="l_orderkey")
+        if m.empty:
+            return pd.DataFrame({"l_orderkey": pd.Series([], dtype="int64"),
+                                 "revenue": pd.Series([], dtype="float64"),
+                                 "o_orderdate":
+                                     pd.Series([], dtype="datetime64[us]")})
+        m["revenue"] = round_half_away(m["revenue"].to_numpy(), 2)
+        m = m.sort_values(["revenue", "o_orderdate", "l_orderkey"],
+                          ascending=[False, True, True])
+        return m.head(k)  # per-bucket top-k pre-prune
+
+    cand = orders.union(lines).groupby("bucket").map_groups(
+        per_bucket, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(["revenue", "o_orderdate", "l_orderkey"],
+                            ascending=[False, True, True])
+    return cand.head(k).reset_index(drop=True)

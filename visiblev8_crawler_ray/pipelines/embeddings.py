@@ -593,3 +593,35 @@ def embedding_centroids(sf_dir: str) -> pd.DataFrame:
     agg["centroid"] = agg["sum_fp"] / (agg["n"] * S)
     return (agg[["label", "dim", "centroid", "n"]]
             .sort_values(["label", "dim"]).reset_index(drop=True))
+
+
+def embedding_quantize(sf_dir: str) -> "pd.DataFrame":
+    """Int8 per-vector max-abs quantization — the 4x memory/bandwidth
+    cut an ANN index takes before sharding 10^10 vectors (codes ship as
+    int8, one float64 scale per vector; dequantize is q*scale).
+
+    Pure per-batch map (no shuffle).  Emits the per-vector scale and the
+    exact L2 reconstruction error so the DuckDB twin can gate the whole
+    quantize→dequantize round trip bit-for-bit: every arithmetic step
+    mirrors the SQL expression (float64 promotion, multiply-before-
+    divide association, half-away rounding)."""
+    import pandas as pd
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        ids, mat = _to_matrix(t)
+        maxabs = np.abs(mat).max(axis=1)
+        safe = np.where(maxabs == 0, 1.0, maxabs)
+        q = round_half_away((mat * 127.0) / safe[:, None], 0)
+        deq = (q * safe[:, None]) / 127.0
+        err = np.sqrt(((mat - deq) ** 2).sum(axis=1))
+        err = np.where(maxabs == 0, 0.0, err)
+        assert np.all(np.abs(q) <= 127)  # int8-representable by scheme
+        return pa.table({
+            "vec_id": pa.array(ids),
+            "maxabs": pa.array(round_half_away(maxabs, 6)),
+            "l2_err": pa.array(round_half_away(err, 6)),
+        })
+
+    out = _read_emb(sf_dir).map_batches(
+        per_batch, batch_format="pyarrow").to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
