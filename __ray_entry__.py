@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_retry": A.anti_join_retry,
         "orders_with_customer": A.orders_with_customer,
         "bloom_semi_join": A.bloom_semi_join,
+        "distinct_users_salted": A.distinct_users_salted,
         "shipping_priority": A.shipping_priority,
         "customer_value_label": A.customer_value_label,
         "supplier_nation_region": A.supplier_nation_region,
@@ -443,6 +444,11 @@ def oracle_sql() -> dict[str, str]:
         "orders_with_customer": """
             SELECT o_orderkey, c_name, round(o_totalprice, 2) AS o_totalprice
             FROM orders JOIN customer ON o_custkey = c_custkey""",
+        "distinct_users_salted": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type ORDER BY event_type""",
         "bloom_semi_join": """
             SELECT l_orderkey, count(*) AS n_lines,
                    round(sum(l_quantity), 2) AS sum_qty

@@ -1255,3 +1255,52 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
     cand = cand.sort_values(["revenue", "o_orderdate", "l_orderkey"],
                             ascending=[False, True, True])
     return cand.head(k).reset_index(drop=True)
+
+
+def distinct_users_salted(sf_dir: str, n_salt: int = 16) -> pd.DataFrame:
+    """Exact count(DISTINCT user_id) per event_type via hot-key salting.
+
+    ``event_type`` has a handful of values over the whole table — a
+    naive ``groupby(event_type).map_groups`` would pull 1/|types| of a
+    100-TB corpus into ONE group.  Salting by ``hash(user_id) % S``
+    splits every hot group into S bounded sub-groups, and because the
+    salt is a function of the DISTINCT key, the per-(type, salt)
+    distinct counts are disjoint and simply ADD — the result stays
+    exact (this is the "salt hot keys" rule from the partitioning
+    notes, applied to a non-decomposable aggregate).
+
+    Plan: per-block dedup of (type, salt, user) combiner-style →
+    one hash shuffle on (type, salt) whose largest group is
+    O(|users| / S) → driver-side sum over salts (|types| × S rows).
+    """
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        # splitmix64 salt — decorrelated from any id assignment pattern
+        x = uid.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            x ^= x >> np.uint64(30); x *= np.uint64(0xBF58476D1CE4E5B9)
+            x ^= x >> np.uint64(27)
+        salted = t.append_column(
+            "salt", pa.array((x % np.uint64(n_salt)).astype(np.int64)))
+        g = salted.group_by(["event_type", "salt", "user_id"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["event_type", "salt", "user_id", "p_n"])
+
+    def per_salt(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "salt": [g["salt"].iloc[0]],
+            "n_users": [int(g["user_id"].nunique())],
+            "n_events": [int(g["p_n"].sum())],
+        })
+
+    per = ds.map_batches(partial, batch_format="pyarrow") \
+            .groupby(["event_type", "salt"]) \
+            .map_groups(per_salt, batch_format="pandas").to_pandas()
+    out = per.groupby("event_type", as_index=False).agg(
+        n_users=("n_users", "sum"), n_events=("n_events", "sum"))
+    out["n_users"] = out["n_users"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
