@@ -118,3 +118,14 @@ def minlabel_components(a, b):
     keys = np.array(sorted(parent), dtype=np.int64)
     vals = np.array([find(int(k)) for k in keys], dtype=np.int64)
     return keys, vals
+
+
+def arrow_from_pandas(df) -> pa.Table:
+    """``pa.Table.from_pandas`` minus the pandas schema-metadata blob.
+
+    The blob's nested dict makes ``hash(pa.Schema)`` raise, which costs
+    every downstream shuffle reduce the schema-dedup fast path (and
+    spams Ray's "Failed to hash the schemas" warning) — strip it at the
+    conversion, the same rule read_parquet_clean applies at the read."""
+    return pa.Table.from_pandas(
+        df, preserve_index=False).replace_schema_metadata(None)

@@ -890,11 +890,11 @@ def top_events_per_user(sf_dir: str, k: int = 3) -> pd.DataFrame:
 
     def pre_prune(t: pa.Table) -> pa.Table:
         # block-local top-k per user: only candidates survive the shuffle
+        from ..functions.util import arrow_from_pandas
         df = t.to_pandas().sort_values(
             ["user_id", "value", "event_id"],
             ascending=[True, False, True])
-        return pa.Table.from_pandas(
-            df.groupby("user_id").head(k), preserve_index=False)
+        return arrow_from_pandas(df.groupby("user_id").head(k))
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(["value", "event_id"],

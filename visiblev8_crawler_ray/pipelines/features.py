@@ -332,9 +332,10 @@ def script_features_wide(docs: rd.Dataset) -> rd.Dataset:
     per-batch group_by is already exact; the map_groups pass only
     derives.
     """
+    from ..functions.util import arrow_from_pandas
+
     flags = docs.map_batches(_flags_batch, batch_format="pyarrow")
     return flags.map_batches(
-        lambda t: pa.Table.from_pandas(_derive(t.to_pandas()),
-                                       preserve_index=False),
+        lambda t: arrow_from_pandas(_derive(t.to_pandas())),
         batch_format="pyarrow",
     )

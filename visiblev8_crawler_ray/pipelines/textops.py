@@ -1019,7 +1019,8 @@ def tfidf_top_term(sf_dir: str, force_join: bool = False) -> pd.DataFrame:
                               ascending=[True, False, True]) \
             .drop_duplicates("doc_id")
         out["score"] = round_half_away(out.pop("score_raw").to_numpy(), 4)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        from ..functions.util import arrow_from_pandas
+        return arrow_from_pandas(out)
 
     return ds.map_batches(score, batch_format="pyarrow").to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
@@ -1400,8 +1401,8 @@ def sample_per_group(sf_dir: str, k: int = 5) -> pd.DataFrame:
         pri = md5_hex(pc.cast(t["doc_id"], pa.string()))
         df = t.append_column("pri", pri).to_pandas().sort_values(
             ["source", "pri", "doc_id"])
-        return pa.Table.from_pandas(
-            df.groupby("source").head(k), preserve_index=False)
+        from ..functions.util import arrow_from_pandas
+        return arrow_from_pandas(df.groupby("source").head(k))
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(["pri", "doc_id"]).head(k)

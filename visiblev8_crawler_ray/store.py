@@ -158,3 +158,57 @@ class TableStore:
     def read_manifest(self, table: str, wave: int) -> dict:
         with open(self.manifest_path(table, wave)) as f:
             return json.load(f)
+
+    # -- maintenance ---------------------------------------------------------
+    def compact(self, table: str, target_rows: int = 1_000_000,
+                waves: list[int] | None = None) -> dict:
+        """Small-file compaction: rewrite each committed wave partition
+        into ~``target_rows``-row parquet files.
+
+        The crawl's side-writing stages leave one file per task (64+
+        per wave); at 100-TB scale a store accumulates millions of
+        small files, and every later read pays per-file open cost.
+        Compaction is an offline, per-partition maintenance op (the
+        Lance/lakehouse ``compact_files`` analog): rows and manifest
+        lineage are preserved, only the file layout changes — readers
+        never depend on file order (all consumers sort explicitly).
+
+        Crash safety: the rewrite lands in a tmp dir, the live dir is
+        parked at ``<dir>.old``, tmp renamed in, then ``.old`` removed.
+        A crash between the renames leaves ``.old`` intact; the next
+        :meth:`compact` call restores it before doing anything else.
+        Returns {wave: (files_before, files_after)}.
+        """
+        done: dict[int, tuple[int, int]] = {}
+        tdir = os.path.join(self.root, table)
+        if os.path.isdir(tdir):  # recover any partition parked by a crash
+            for name in os.listdir(tdir):
+                if name.endswith(".old"):
+                    live = os.path.join(tdir, name[:-4])
+                    if not os.path.exists(live):
+                        os.rename(os.path.join(tdir, name), live)
+                    else:
+                        shutil.rmtree(os.path.join(tdir, name))
+        for w in (waves if waves is not None else self.committed_waves(table)):
+            d = self.part_dir(table, w)
+            files = [f for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+            n_rows = sum(pq.read_metadata(os.path.join(d, f)).num_rows
+                         for f in files)
+            n_out = max(1, -(-n_rows // target_rows))
+            if len(files) <= n_out:
+                done[w] = (len(files), len(files))
+                continue
+            ds = self.read_dataset(table, waves=[w])
+            tmp = d + f".compact-{uuid.uuid4().hex[:8]}"
+            os.makedirs(tmp)
+            ds.repartition(n_out).write_parquet(tmp)
+            man = self.read_manifest(table, w)
+            man["compacted"] = {"files_before": len(files), "rows": n_rows}
+            with open(os.path.join(tmp, "_MANIFEST.json"), "w") as f:
+                json.dump(man, f)
+            os.rename(d, d + ".old")
+            os.rename(tmp, d)
+            shutil.rmtree(d + ".old")
+            done[w] = (len(files),
+                       len([f for f in os.listdir(d) if f.endswith(".parquet")]))
+        return done
