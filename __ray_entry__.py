@@ -271,6 +271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_brute": E.knn_brute,
         "embedding_quantize": E.embedding_quantize,
+        "knn_int8": E.knn_int8,
         "ann_lsh": E.ann_lsh,
         "ann_ivf": E.ann_ivf,
         "embedding_near_dup": E.embedding_near_dup,

@@ -340,3 +340,22 @@ def test_asof_join_fuzz_vs_naive(tmp_path):
         want = want.astype({"event_id": "int64", "user_id": "int64",
                             "asof_orderkey": "int64"})
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_knn_int8_recall():
+    """The int8-quantized kNN must recover nearly all exact neighbors
+    (quantization shifts cosines by ~1e-3; only genuine near-ties can
+    flip), and its cosines must sit within 0.01 of the exact ones."""
+    from visiblev8_crawler_ray.pipelines.embeddings import knn_brute, knn_int8
+
+    sf = "/root/testdata/sf0.001"
+    exact = knn_brute(sf)
+    quant = knn_int8(sf)
+    truth = exact.groupby("query_id")["neighbor_id"].apply(set)
+    got = quant.groupby("query_id")["neighbor_id"].apply(set)
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth.index)
+    total = sum(len(v) for v in truth.values)
+    assert hits / total >= 0.9, f"int8 recall collapsed: {hits / total:.2f}"
+    merged = exact.merge(quant, on=["query_id", "neighbor_id"],
+                         suffixes=("_f", "_q"))
+    assert (merged["cosine_f"] - merged["cosine_q"]).abs().max() <= 0.01
