@@ -85,3 +85,32 @@ def test_seen_shard_cuckoo_rebuild_under_pressure(ray_session):
     assert not ray.get(
         shard.contains.remote(other, routing_hash(other))).any()
     ray.kill(shard)
+
+
+def test_stage_idempotent_under_task_retry():
+    """A Ray task retry re-stages the same sub-batch under the same
+    content-derived task_key; flush must yield the batch exactly once
+    (crawl.py's at-least-once push barrier depends on this)."""
+    import pyarrow as pa
+    import ray
+
+    from visiblev8_crawler_ray.state.urlseen import SeenShard
+
+    sh = SeenShard.remote(bloom_bits=1 << 12)
+    tbl = pa.table({
+        "url_key": pa.array([f"{i:032x}" for i in range(5)]),
+        "sortkey": pa.array(list(range(5)), type=pa.int64()),
+        "url": pa.array([f"https://h/{i}" for i in range(5)]),
+    })
+    ray.get(sh.stage.remote(0, b"task-A", tbl))
+    ray.get(sh.stage.remote(0, b"task-A", tbl))  # retry of the same task
+    ray.get(sh.stage.remote(0, b"task-B", tbl.slice(0, 2)))  # same keys
+    out = ray.get(sh.flush_fresh.remote(0))
+    # first-wins min per key: duplicates collapse, nothing double-counts
+    assert out.num_rows == 5
+    assert ray.get(sh.last_flush_count.remote()) == 5
+    assert sorted(out["url_key"].to_pylist()) == \
+        sorted(tbl["url_key"].to_pylist())
+    # a later wave's stage resets the buffer; stale-wave flush is empty
+    ray.get(sh.stage.remote(1, b"task-C", tbl.slice(0, 1)))
+    assert ray.get(sh.flush_fresh.remote(0)).num_rows == 0
