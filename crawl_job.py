@@ -37,6 +37,11 @@ def main() -> int:
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="only for standalone runs; under `ray job submit` "
                          "the cluster's resources are used")
+    ap.add_argument("--compact", type=int, metavar="TARGET_ROWS",
+                    default=None,
+                    help="after the crawl (or resume no-op), compact the "
+                         "span tables' wave partitions to ~TARGET_ROWS-row "
+                         "files (store maintenance; crash-safe)")
     args = ap.parse_args()
 
     import ray
@@ -80,6 +85,12 @@ def main() -> int:
         "waves": len(m) if m is not None else 0,
         "urls": int(sum(r["admitted"] for r in m.to_pylist())) if m is not None else 0,
     }
+    if args.compact:
+        comp = run.store.compact("fetch", target_rows=args.compact)
+        summary["compacted"] = {
+            "files_before": sum(b for b, _ in comp.values()),
+            "files_after": sum(a for _, a in comp.values()),
+        }
     print(json.dumps(summary))
     ray.shutdown()
     return 0
