@@ -161,6 +161,8 @@ def run_bench() -> dict:
 
     timed("usage_rollup", lambda: A.usage_rollup(sf_dir))
     timed("multi_origin_rollup", lambda: A.multi_origin_rollup(sf_dir))
+    timed("bloom_semi_join", lambda: A.bloom_semi_join(sf_dir))
+    timed("shipping_priority", lambda: A.shipping_priority(sf_dir))
     timed("events_tumbling_window", lambda: A.events_tumbling_window(sf_dir))
     timed("sessionize", lambda: A.sessionize(sf_dir))
     timed("urlseen_dedup", lambda: A.urlseen_dedup(sf_dir))
@@ -172,6 +174,7 @@ def run_bench() -> dict:
     timed("curate_corpus", lambda: T.curate_corpus(sf_dir))
     timed("heavy_hitters", lambda: T.heavy_hitters(sf_dir))
     timed("knn_brute", lambda: E.knn_brute(sf_dir))
+    timed("knn_int8", lambda: E.knn_int8(sf_dir))
     timed("embedding_near_dup", lambda: E.embedding_near_dup(sf_dir))
 
     total = round(sum(timings.values()), 3)

@@ -71,3 +71,56 @@ def test_compact_crash_recovery(tmp_path):
     assert os.path.exists(d) and not os.path.exists(d + ".old")
     assert _spans_key(run.docs().to_pandas()) == before
     assert set(done) == set(run.store.committed_waves("fetch"))
+
+
+def test_compact_crash_windows_all(tmp_path):
+    """Every interruption window of the compaction swap must be repaired
+    by the NEXT store open (reader-side), not just by a later compact():
+    a leaked tmp dir, a parked .old with live missing, and a stale .old
+    next to a completed swap must all leave reads working."""
+    from visiblev8_crawler_ray.store import TableStore
+
+    seeds = synth.seeds_table(np.arange(40), CFG)
+    root = str(tmp_path / "store")
+    run = run_crawl(seeds, CFG, root, fetch_concurrency=2,
+                    fetch_batch_size=32)
+    before = _spans_key(run.docs().to_pandas())
+    d0 = run.store.part_dir("fetch", 0)
+    d1 = run.store.part_dir("fetch", 1)
+
+    # window 1: tmp rewrite complete (incl. manifest) but never swapped
+    tmp = d0 + ".compact-deadbeef"
+    shutil.copytree(d0, tmp)
+    # window 2: between the renames — live parked, tmp still present
+    tmp2 = d1 + ".compact-cafecafe"
+    shutil.copytree(d1, tmp2)
+    os.rename(d1, d1 + ".old")
+
+    store = TableStore(root)  # a fresh reader-side open repairs both
+    assert not os.path.exists(tmp) and not os.path.exists(tmp2)
+    assert os.path.exists(d1) and not os.path.exists(d1 + ".old")
+    assert store.committed_waves("fetch") == run.store.committed_waves("fetch")
+    assert _spans_key(run.docs().to_pandas()) == before
+
+    # window 3: swap done, stale .old left behind
+    shutil.copytree(d0, d0 + ".old")
+    store2 = TableStore(root)
+    assert not os.path.exists(d0 + ".old")
+    assert _spans_key(run.docs().to_pandas()) == before
+
+
+def test_committed_waves_ignores_non_wave_dirs(tmp_path):
+    """A CONCURRENT reader (no recovery pass) must not trip over the
+    sibling dirs a mid-swap crash leaves around."""
+    from visiblev8_crawler_ray.store import TableStore
+
+    seeds = synth.seeds_table(np.arange(40), CFG)
+    root = str(tmp_path / "store")
+    run = run_crawl(seeds, CFG, root, fetch_concurrency=2,
+                    fetch_batch_size=32)
+    waves = run.store.committed_waves("fetch")
+    d0 = run.store.part_dir("fetch", 0)
+    shutil.copytree(d0, d0 + ".old")
+    shutil.copytree(d0, d0 + ".compact-deadbeef")
+    # same store object, no fresh open: the parse must simply skip them
+    assert run.store.committed_waves("fetch") == waves

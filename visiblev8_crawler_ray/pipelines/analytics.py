@@ -1147,7 +1147,7 @@ def bloom_semi_join(sf_dir: str, price_cut: float = 400_000.0) -> pd.DataFrame:
                 "sum_qty": (t["sum_qty"] if side == 0
                             else pa.array(np.zeros(n, dtype=np.float64))),
                 "side": pa.array(np.full(n, side, dtype=np.int8)),
-                "bucket": pa.array(key % B),
+                "bucket": pa.array(_bucket_of(key, B)),
             })
         return fn
 
@@ -1204,7 +1204,7 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
             "revenue": pa.array(np.zeros(len(ok), dtype=np.float64)),
             "o_orderdate": sub["o_orderdate"],
             "side": pa.array(np.ones(len(ok), dtype=np.int8)),
-            "bucket": pa.array(ok % B),
+            "bucket": pa.array(_bucket_of(ok, B)),
         })
 
     def lines_side(t: pa.Table) -> pa.Table:
@@ -1224,7 +1224,7 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
             "revenue": part["revenue"],
             "o_orderdate": pa.nulls(n, type=pa.timestamp("us")),
             "side": pa.array(np.zeros(n, dtype=np.int8)),
-            "bucket": pa.array(ok % B),
+            "bucket": pa.array(_bucket_of(ok, B)),
         })
 
     orders = _read(sf_dir, "orders",
@@ -1277,13 +1277,10 @@ def distinct_users_salted(sf_dir: str, n_salt: int = 16) -> pd.DataFrame:
 
     def partial(t: pa.Table) -> pa.Table:
         uid = t["user_id"].to_numpy(zero_copy_only=False)
-        # splitmix64 salt — decorrelated from any id assignment pattern
-        x = uid.astype(np.uint64)
-        with np.errstate(over="ignore"):
-            x ^= x >> np.uint64(30); x *= np.uint64(0xBF58476D1CE4E5B9)
-            x ^= x >> np.uint64(27)
+        # splitmix64 salt (shared _bucket_of kernel) — decorrelated from
+        # any id assignment pattern
         salted = t.append_column(
-            "salt", pa.array((x % np.uint64(n_salt)).astype(np.int64)))
+            "salt", pa.array(_bucket_of(uid.astype(np.uint64), n_salt)))
         g = salted.group_by(["event_type", "salt", "user_id"]).aggregate(
             [([], "count_all")])
         return g.rename_columns(["event_type", "salt", "user_id", "p_n"])

@@ -595,6 +595,19 @@ def embedding_centroids(sf_dir: str) -> pd.DataFrame:
             .sort_values(["label", "dim"]).reset_index(drop=True))
 
 
+def _quantize_rows(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-row max-abs int8 quantization — THE kernel the DuckDB twin of
+    :func:`embedding_quantize` pins step-for-step (float64 promotion,
+    multiply-before-divide association, half-away rounding).  Returns
+    (codes, maxabs, safe_scale); dequantize is ``codes*safe/127.0``.
+    Shared by the SQL-gated round trip and :func:`knn_int8` so the two
+    can never drift apart."""
+    maxabs = np.abs(mat).max(axis=1)
+    safe = np.where(maxabs == 0, 1.0, maxabs)
+    codes = round_half_away((mat * 127.0) / safe[:, None], 0)
+    return codes, maxabs, safe
+
+
 def embedding_quantize(sf_dir: str) -> "pd.DataFrame":
     """Int8 per-vector max-abs quantization — the 4x memory/bandwidth
     cut an ANN index takes before sharding 10^10 vectors (codes ship as
@@ -609,9 +622,7 @@ def embedding_quantize(sf_dir: str) -> "pd.DataFrame":
 
     def per_batch(t: pa.Table) -> pa.Table:
         ids, mat = _to_matrix(t)
-        maxabs = np.abs(mat).max(axis=1)
-        safe = np.where(maxabs == 0, 1.0, maxabs)
-        q = round_half_away((mat * 127.0) / safe[:, None], 0)
+        q, maxabs, safe = _quantize_rows(mat)
         deq = (q * safe[:, None]) / 127.0
         err = np.sqrt(((mat - deq) ** 2).sum(axis=1))
         err = np.where(maxabs == 0, 0.0, err)
@@ -643,19 +654,17 @@ def knn_int8(sf_dir: str, n_queries: int = 10, k: int = 5) -> pd.DataFrame:
 
     qids, qmat = _query_matrix(sf_dir, n_queries)
     qn = _normalize(qmat)
-    # quantize the queries once, driver-side
-    qmax = np.abs(qn).max(axis=1)
-    qsafe = np.where(qmax == 0, 1.0, qmax)
-    q8 = round_half_away((qn * 127.0) / qsafe[:, None], 0).astype(np.int32)
+    # quantize the queries once, driver-side (shared kernel)
+    codes, _, qsafe = _quantize_rows(qn)
+    q8 = codes.astype(np.int32)
     q_ref = ray.put((qids, q8, qsafe))
 
     def partial(t: pa.Table) -> pa.Table:
         qids, q8, qscale = ray.get(q_ref)
         ids, mat = _to_matrix(t)
         xn = _normalize(mat)
-        xmax = np.abs(xn).max(axis=1)
-        xsafe = np.where(xmax == 0, 1.0, xmax)
-        x8 = round_half_away((xn * 127.0) / xsafe[:, None], 0).astype(np.int32)
+        xcodes, _, xsafe = _quantize_rows(xn)
+        x8 = xcodes.astype(np.int32)
         # integer accumulate; rescale scores: cos ~= (q8·x8) * qs*xs/127^2
         raw = q8 @ x8.T  # (n_queries, batch) int32
         sims = raw * (qscale[:, None] * xsafe[None, :] / (127.0 * 127.0))

@@ -44,6 +44,37 @@ class TableStore:
     def __init__(self, root: str):
         self.root = root
         os.makedirs(root, exist_ok=True)
+        # finish any compaction interrupted mid-swap BEFORE the first
+        # read: a crash can leave 'wave=N.old' (live dir parked) and/or
+        # 'wave=N.compact-*' (tmp rewrite) — see compact() for the
+        # window-by-window story
+        for name in os.listdir(root):
+            tdir = os.path.join(root, name)
+            if os.path.isdir(tdir):
+                self._recover_compaction(tdir)
+
+    @staticmethod
+    def _recover_compaction(tdir: str) -> None:
+        """Roll an interrupted :meth:`compact` forward or back.
+
+        Crash windows (swap order: write tmp fully -> rename live to
+        .old -> rename tmp to live -> remove .old):
+        - tmp exists, live intact: rewrite never swapped — drop tmp;
+        - .old exists, live missing: crash between the renames — park
+          the partition back (tmp, if present, is dropped: recompact);
+        - .old exists, live exists: crash before the cleanup — drop .old.
+        """
+        names = os.listdir(tdir)
+        for name in names:
+            if name.endswith(".old"):
+                live = os.path.join(tdir, name[:-4])
+                if not os.path.exists(live):
+                    os.rename(os.path.join(tdir, name), live)
+                else:
+                    shutil.rmtree(os.path.join(tdir, name))
+        for name in names:
+            if ".compact-" in name and os.path.isdir(os.path.join(tdir, name)):
+                shutil.rmtree(os.path.join(tdir, name))
 
     # -- partition paths ----------------------------------------------------
     def part_dir(self, table: str, wave: int) -> str:
@@ -61,9 +92,13 @@ class TableStore:
             return []
         waves = []
         for name in os.listdir(tdir):
-            if name.startswith("wave=") and os.path.exists(
-                os.path.join(tdir, name, "_MANIFEST.json")
-            ):
+            # 'wave=<int>' only: a compaction interrupted mid-swap can
+            # leave 'wave=N.old' / 'wave=N.compact-*' siblings (repaired
+            # by _recover_compaction, but a CONCURRENT reader in another
+            # process must not trip over them)
+            if name.startswith("wave=") and name.split("=", 1)[1].isdigit() \
+                    and os.path.exists(
+                        os.path.join(tdir, name, "_MANIFEST.json")):
                 waves.append(int(name.split("=", 1)[1]))
         return sorted(waves)
 
@@ -181,14 +216,8 @@ class TableStore:
         """
         done: dict[int, tuple[int, int]] = {}
         tdir = os.path.join(self.root, table)
-        if os.path.isdir(tdir):  # recover any partition parked by a crash
-            for name in os.listdir(tdir):
-                if name.endswith(".old"):
-                    live = os.path.join(tdir, name[:-4])
-                    if not os.path.exists(live):
-                        os.rename(os.path.join(tdir, name), live)
-                    else:
-                        shutil.rmtree(os.path.join(tdir, name))
+        if os.path.isdir(tdir):  # repair any compaction a crash cut short
+            self._recover_compaction(tdir)
         for w in (waves if waves is not None else self.committed_waves(table)):
             d = self.part_dir(table, w)
             files = [f for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
