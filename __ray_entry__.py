@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": T.quality_score,
         "token_counts": T.token_counts,
         "token_totals": T.token_totals,
+        "boilerplate_grams": T.boilerplate_grams,
         "fingerprint_docs": T.fingerprint_docs,
         "sample_hash": T.sample_hash,
         "mix_sources": T.mix_sources,
@@ -811,6 +812,23 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens,
                    len(regexp_extract_all(text, '{T.BPE_RE}')) AS n_bpe_tokens
             FROM documents""",
+        "boilerplate_grams": """
+            WITH words AS (SELECT doc_id, source,
+                                  string_split(text, ' ') AS w
+                           FROM documents),
+            idx AS (SELECT doc_id, source, w,
+                           unnest(range(1, len(w) - 1)) AS i FROM words),
+            grams AS (SELECT doc_id, source,
+                             array_to_string(w[i:i+2], ' ') AS gram
+                      FROM idx),
+            df AS (SELECT source, gram,
+                          count(DISTINCT doc_id) AS df
+                   FROM grams GROUP BY source, gram)
+            SELECT g.doc_id, count(*) AS n_grams,
+                   CAST(sum(CASE WHEN df.df >= 3 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_boiler
+            FROM grams g JOIN df USING (source, gram)
+            GROUP BY g.doc_id ORDER BY g.doc_id""",
         "token_totals": f"""
             SELECT CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
                        AS total_ws_tokens,

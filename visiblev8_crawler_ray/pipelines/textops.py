@@ -1502,3 +1502,93 @@ def chunk_docs(sf_dir: str, size: int = 16, stride: int = 8) -> pd.DataFrame:
 
     return (ds.map_batches(fn, batch_format="pyarrow").to_pandas()
             .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True))
+
+
+def boilerplate_grams(sf_dir: str, n: int = 3, min_df: int = 3) -> pd.DataFrame:
+    """Duplicated-span (boilerplate) accounting — the C4/RefinedWeb
+    curation primitive this suite still lacked: per doc, how many of its
+    word ``n``-grams are boilerplate, where boilerplate = an n-gram
+    appearing in >= ``min_df`` DISTINCT docs of the same source (headers,
+    footers, nav chrome repeat within a source, not across sources).
+
+    Scale shape: gram explosion is a pure per-batch map (flat split +
+    aligned object-array concat, no per-row Python); the DF computation
+    is block-local (source, gram, doc) dedup -> one combiner-style
+    distinct -> per-(source, gram) count; the frequent set (df >=
+    min_df) is SMALL by construction — boilerplate is what repeats — so
+    it broadcasts and the per-doc scoring pass is one hash probe per
+    batch.  At 100 TB the distinct/count steps become
+    ``groupby(source, gram)`` hash shuffles; the broadcast stays
+    sketch-sized.  Docs with < n words have no grams and drop out (the
+    SQL twin's inner join does the same)."""
+    from ..functions.util import two_phase_agg
+
+    ds = _read_docs(sf_dir, ["doc_id", "source", "text"])
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")  # = DuckDB string_split
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        L = len(flat)
+        if L < n:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "source": pa.array([], type=pa.string()),
+                             "gram": pa.array([], type=pa.string())})
+        keep = parent[: L - n + 1] == parent[n - 1:]
+        g = flat[: L - n + 1].astype(object)
+        for j in range(1, n):
+            g = g + " " + flat[j: L - n + 1 + j]
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        src = t["source"].to_numpy(zero_copy_only=False)
+        p = parent[: L - n + 1][keep]
+        return pa.table({
+            "doc_id": pa.array(did[p], type=pa.int64()),
+            "source": pa.array(src[p], type=pa.string()),
+            "gram": pa.array(g[keep], type=pa.string()),
+        })
+
+    grams = ds.map_batches(gram_rows, batch_format="pyarrow").materialize()
+
+    # DF per (source, gram): combiner distinct of the triple, then the
+    # per-pair distinct-doc count in the coalesced final block
+    triples = two_phase_agg(
+        grams.map_batches(
+            lambda t: t.group_by(["source", "gram", "doc_id"]).aggregate([]),
+            batch_format="pyarrow"),
+        ["source", "gram", "doc_id"], [("doc_id", "count")],
+        ["source", "gram", "doc_id", "_c"])
+    freq = triples.map_batches(
+        lambda t: t.group_by(["source", "gram"]).aggregate(
+            [("doc_id", "count")]).rename_columns(["source", "gram", "df"]),
+        batch_format="pyarrow").to_pandas()
+    freq = freq[freq["df"] >= min_df]
+    fkeys = set(zip(freq["source"], freq["gram"]))
+    # \x1f (unit separator) — NOT \x00: numpy's unicode scalar
+    # conversion silently drops trailing NULs when a str scalar meets an
+    # object array, which would desynchronize probe keys from this set
+    fkeys_ref = ray.put(np.array(
+        sorted(s + "\x1f" + g for s, g in fkeys), dtype=object))
+
+    def score(t: pa.Table) -> pa.Table:
+        fkeys = ray.get(fkeys_ref)
+        src = t["source"].to_numpy(zero_copy_only=False).astype(object)
+        gr = t["gram"].to_numpy(zero_copy_only=False).astype(object)
+        key = src + "\x1f" + gr
+        if len(fkeys):
+            ix = np.searchsorted(fkeys, key)
+            ix[ix >= len(fkeys)] = 0
+            boiler = (fkeys[ix] == key).astype(np.int64)
+        else:
+            boiler = np.zeros(len(key), dtype=np.int64)
+        g = pa.table({
+            "doc_id": t["doc_id"],
+            "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "boiler": pa.array(boiler),
+        }).group_by(["doc_id"]).aggregate([("one", "sum"), ("boiler", "sum")])
+        return g.rename_columns(["doc_id", "p_n", "p_b"])
+
+    out = two_phase_agg(
+        grams.map_batches(score, batch_format="pyarrow"),
+        ["doc_id"], [("p_n", "sum"), ("p_b", "sum")],
+        ["doc_id", "n_grams", "n_boiler"]).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
