@@ -269,6 +269,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_dup_clusters": T.text_dup_clusters,
         "chunk_docs": T.chunk_docs,
         "redact_terms": T.redact_terms,
+        "inverted_index": T.inverted_index,
+        "bm25_topk": T.bm25_topk,
+        "pmi_cooccurrence": T.pmi_cooccurrence,
+        "prefix_dup_pairs": T.prefix_dup_pairs,
+        "events_group_zscore": A.events_group_zscore,
         # similarity search
         "knn_brute": E.knn_brute,
         "embedding_quantize": E.embedding_quantize,
@@ -860,6 +865,97 @@ def oracle_sql() -> dict[str, str]:
                        AS dup_word_frac,
                    round(coalesce(mx * 1.0 / tot, 0), 4) AS top_bigram_frac
             FROM w LEFT JOIN tb USING (doc_id)""",
+        "inverted_index": r"""
+            WITH t AS (SELECT doc_id,
+                              unnest(list_distinct(regexp_extract_all(text, '\S+')))
+                                  AS token
+                       FROM documents),
+            r AS (SELECT token, doc_id,
+                         row_number() OVER (PARTITION BY token
+                                            ORDER BY doc_id) AS rn,
+                         count(*) OVER (PARTITION BY token) AS df
+                  FROM t)
+            SELECT token, CAST(max(df) AS BIGINT) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings
+            FROM r WHERE rn <= 8 GROUP BY token ORDER BY token""",
+        "bm25_topk": r"""
+            WITH d AS (SELECT doc_id,
+                              regexp_extract_all(text, '\S+') AS toks
+                       FROM documents),
+            s AS (SELECT doc_id, len(toks) AS dl,
+                         len(list_filter(toks, x -> x = 'table'))  AS tf0,
+                         len(list_filter(toks, x -> x = 'scan'))   AS tf1,
+                         len(list_filter(toks, x -> x = 'merge'))  AS tf2,
+                         len(list_filter(toks, x -> x = 'vector')) AS tf3
+                  FROM d),
+            g AS (SELECT count(*) AS n, sum(dl) AS sum_dl,
+                         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+                         sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+                  FROM s)
+            SELECT doc_id, round(
+                ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * (tf0 * (1.5 + 1.0))
+                    / (tf0 + 1.5 * (1.0 - 0.75 + 0.75 * dl / (sum_dl * 1.0 / n)))
+              + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * (tf1 * (1.5 + 1.0))
+                    / (tf1 + 1.5 * (1.0 - 0.75 + 0.75 * dl / (sum_dl * 1.0 / n)))
+              + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * (tf2 * (1.5 + 1.0))
+                    / (tf2 + 1.5 * (1.0 - 0.75 + 0.75 * dl / (sum_dl * 1.0 / n)))
+              + ln((n - df3 + 0.5) / (df3 + 0.5) + 1.0) * (tf3 * (1.5 + 1.0))
+                    / (tf3 + 1.5 * (1.0 - 0.75 + 0.75 * dl / (sum_dl * 1.0 / n))),
+                4) AS score
+            FROM s, g WHERE tf0 + tf1 + tf2 + tf3 > 0
+            ORDER BY ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * (tf0 * (1.5 + 1.0))
+                    / (tf0 + 1.5 * (1.0 - 0.75 + 0.75 * dl / (sum_dl * 1.0 / n)))
+              + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * (tf1 * (1.5 + 1.0))
+                    / (tf1 + 1.5 * (1.0 - 0.75 + 0.75 * dl / (sum_dl * 1.0 / n)))
+              + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * (tf2 * (1.5 + 1.0))
+                    / (tf2 + 1.5 * (1.0 - 0.75 + 0.75 * dl / (sum_dl * 1.0 / n)))
+              + ln((n - df3 + 0.5) / (df3 + 0.5) + 1.0) * (tf3 * (1.5 + 1.0))
+                    / (tf3 + 1.5 * (1.0 - 0.75 + 0.75 * dl / (sum_dl * 1.0 / n)))
+              DESC, doc_id LIMIT 10""",
+        "pmi_cooccurrence": r"""
+            WITH t AS (SELECT doc_id,
+                              unnest(list_distinct(regexp_extract_all(text, '\S+')))
+                                  AS token
+                       FROM documents),
+            p AS (SELECT a.token AS ta, b.token AS tb
+                  FROM t a JOIN t b
+                    ON a.doc_id = b.doc_id AND a.token < b.token),
+            c AS (SELECT ta, tb, count(*) AS c_ab FROM p GROUP BY 1, 2),
+            u AS (SELECT token, count(*) AS c FROM t GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM documents)
+            SELECT c.ta AS token_a, c.tb AS token_b,
+                   CAST(c.c_ab AS BIGINT) AS c_ab,
+                   round(ln(n.n * 1.0 * c.c_ab / (ua.c * 1.0 * ub.c)), 4)
+                       AS pmi
+            FROM c JOIN u ua ON ua.token = c.ta
+                   JOIN u ub ON ub.token = c.tb, n
+            ORDER BY token_a, token_b""",
+        "prefix_dup_pairs": r"""
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(text, '\S+') AS toks
+                       FROM documents),
+            k AS (SELECT doc_id, array_to_string(toks[1:5], ' ') AS key
+                  FROM t WHERE len(toks) >= 5)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.key AS prefix
+            FROM k a JOIN k b ON a.key = b.key AND a.doc_id < b.doc_id
+            ORDER BY doc_a, doc_b""",
+        "events_group_zscore": r"""
+            WITH c AS (SELECT event_id, event_type,
+                              CAST(round(value * 100.0, 0) AS BIGINT) AS cents
+                       FROM events),
+            g AS (SELECT event_type, count(*) AS n, sum(cents) AS s,
+                         sum(cents * cents) AS q
+                  FROM c GROUP BY 1)
+            SELECT event_id, c.event_type,
+                   CASE WHEN (q * 1.0 / n - (s * 1.0 / n) * (s * 1.0 / n)) > 0
+                        THEN round((cents - s * 1.0 / n)
+                                   / sqrt(q * 1.0 / n
+                                          - (s * 1.0 / n) * (s * 1.0 / n)), 4)
+                        ELSE 0.0 END AS z
+            FROM c JOIN g USING (event_type) ORDER BY event_id""",
         "vocab_df": r"""
             WITH t AS (SELECT doc_id,
                               unnest(list_distinct(regexp_extract_all(text, '\S+')))

@@ -1301,3 +1301,60 @@ def distinct_users_salted(sf_dir: str, n_salt: int = 16) -> pd.DataFrame:
     out["n_users"] = out["n_users"].astype("int64")
     out["n_events"] = out["n_events"].astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def events_group_zscore(sf_dir: str) -> pd.DataFrame:
+    """Per-group normalization: z-score each event's value against its
+    event_type's population mean/stddev — the feature-scaling step of a
+    training pipeline, expressed as tiny global stats + a stateless map.
+
+    Values are first pinned to exact integer cents (round-half-away)
+    so the group sums/sum-of-squares are order-independent integers and
+    the derived mean/stddev — and therefore every z — is bit-identical
+    to the DuckDB twin regardless of distributed summation order.  The
+    stats table is |event_type| rows (two-phase combiner, no shuffle);
+    the normalization pass closes over it — broadcast bytes, not rows.
+    """
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def cents_tab(t: pa.Table) -> pa.Table:
+        c = round_half_away(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        return pa.table({
+            "event_type": t["event_type"],
+            "cents": pa.array(c),
+            "cents2": pa.array(c * c),
+        })
+
+    cents_ds = ds.map_batches(cents_tab, batch_format="pyarrow")
+    stats = two_phase_agg(
+        cents_ds, ["event_type"],
+        [("cents", "count"), ("cents", "sum"), ("cents2", "sum")],
+        ["event_type", "n", "s", "q"]).to_pandas()
+    smap = {r.event_type: (int(r.n), int(r.s), int(r.q))
+            for r in stats.itertuples()}
+
+    def z(t: pa.Table) -> pa.Table:
+        c = round_half_away(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        # vectorized probe: factorize the batch's group keys once
+        uniq, inv = np.unique(et, return_inverse=True)
+        tri = np.array([smap[e] for e in uniq], dtype=np.int64)
+        n, s, q = tri[inv, 0], tri[inv, 1], tri[inv, 2]
+        # mirror of: (cents - s*1.0/n) / sqrt(q*1.0/n - (s*1.0/n)^2)
+        mean = (s * 1.0) / n
+        var = (q * 1.0) / n - mean * mean
+        zv = np.where(var > 0,
+                      round_half_away(
+                          (c - mean) / np.sqrt(np.where(var > 0, var, 1.0)),
+                          4),
+                      0.0)
+        return pa.table({"event_id": t["event_id"],
+                         "event_type": t["event_type"],
+                         "z": pa.array(zv, type=pa.float64())})
+
+    out = ds.map_batches(z, batch_format="pyarrow").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)

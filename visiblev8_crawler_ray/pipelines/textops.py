@@ -1592,3 +1592,252 @@ def boilerplate_grams(sf_dir: str, n: int = 3, min_df: int = 3) -> pd.DataFrame:
         ["doc_id"], [("p_n", "sum"), ("p_b", "sum")],
         ["doc_id", "n_grams", "n_boiler"]).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# retrieval operators: inverted index, BM25, co-occurrence PMI, prefix mirrors
+# ---------------------------------------------------------------------------
+
+def inverted_index(sf_dir: str, min_df: int = 1,
+                   k_postings: int = 8) -> pd.DataFrame:
+    """Posting-list construction — the search-index side of the corpus:
+    per token, document frequency plus the first ``k_postings`` doc ids
+    (sorted).  Truncated postings keep the output bounded no matter how
+    hot a token is.
+
+    Scale shape: the (token, doc) explosion is a per-batch arrow kernel
+    with a block-local distinct; each block then pre-prunes to the K
+    smallest doc ids per token (a top-k combiner, so the merge moves
+    O(vocab x K) rows, never full postings).  Here the pruned partials
+    coalesce to one block (vocab is small); at 100 TB the final merge is
+    the same kernel behind ``groupby(token)`` — the pre-prune makes that
+    shuffle's payload independent of corpus size.
+    """
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(t["text"], " ")
+        pairs = pa.table({
+            "token": pc.list_flatten(toks),
+            "doc_id": pc.take(t["doc_id"], pc.list_parent_indices(toks)),
+        }).group_by(["token", "doc_id"]).aggregate([])
+        df = pairs.to_pandas().sort_values(["token", "doc_id"])
+        g = df.groupby("token", sort=True)["doc_id"]
+        return pd.DataFrame({
+            "token": g.size().index,
+            "df_part": g.size().to_numpy().astype(np.int64),
+            "postings_part": g.apply(
+                lambda s: ",".join(map(str, s.iloc[:k_postings]))).to_numpy(),
+        })
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        # a doc lives in exactly one input block, so partial posting
+        # lists are disjoint; the merge is a k-way sorted-prefix take
+        def merge(s: pd.Series) -> str:
+            ids = sorted(int(x) for p in s for x in p.split(","))
+            return ",".join(map(str, ids[:k_postings]))
+
+        g = df.groupby("token", sort=True)
+        return pd.DataFrame({
+            "token": g["df_part"].sum().index,
+            "df": g["df_part"].sum().to_numpy().astype(np.int64),
+            "postings": g["postings_part"].apply(merge).to_numpy(),
+        })
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .repartition(1)
+           .map_batches(final, batch_format="pandas")
+           .to_pandas())
+    out = out[out["df"] >= min_df]
+    return out.sort_values("token").reset_index(drop=True)
+
+
+#: fixed benchmark query for the BM25 scorer (corpus words)
+BM25_QUERY = ("table", "scan", "merge", "vector")
+
+
+def bm25_topk(sf_dir: str, terms: tuple[str, ...] = BM25_QUERY,
+              k: int = 10, k1: float = 1.5, b: float = 0.75) -> pd.DataFrame:
+    """BM25 top-k retrieval for a fixed query — the classic relevance
+    scorer over the corpus (Robertson/Sparck-Jones; the retrieval twin
+    of :func:`~.embeddings.knn_brute`).
+
+    Two streaming passes: (1) tiny global stats (N, sum_dl, per-term
+    df) as integer partials summed exactly (order-independent, so the
+    DuckDB twin is bit-exact); (2) a scoring map with the idf/avgdl
+    constants closed over (broadcast-by-closure — bytes, not rows) and
+    per-block top-k pre-prune, so the final merge sees B x k rows.
+    Every float expression mirrors the SQL twin's parse tree
+    (left-assoc adds, same mul/div order) to keep scores bit-identical.
+    """
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        dl = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        row = {"n": [n], "sum_dl": [int(dl.sum())]}
+        for i, term in enumerate(terms):
+            tf = np.bincount(parent[flat == term], minlength=n)
+            row[f"df{i}"] = [int((tf > 0).sum())]
+        return pa.table({c: pa.array(v, type=pa.int64())
+                         for c, v in row.items()})
+
+    parts = ds.map_batches(stats, batch_format="pyarrow").to_pandas()
+    N = int(parts["n"].sum())
+    sum_dl = int(parts["sum_dl"].sum())
+    dfs = [int(parts[f"df{i}"].sum()) for i in range(len(terms))]
+    avgdl = (sum_dl * 1.0) / N
+    idfs = [np.log((N - df + 0.5) / (df + 0.5) + 1.0) for df in dfs]
+
+    def score(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        dl = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        s = np.zeros(n, dtype=np.float64)
+        tf_any = np.zeros(n, dtype=np.int64)
+        for i, term in enumerate(terms):
+            tf = np.bincount(parent[flat == term], minlength=n)
+            tf_any = tf_any + tf
+            # mirror of: idf * (tf * (k1+1)) / (tf + k1*(1 - b + b*dl/avgdl))
+            s = s + idfs[i] * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * dl / avgdl))
+        hit = tf_any > 0
+        out = pd.DataFrame({"doc_id": t["doc_id"].to_numpy(
+            zero_copy_only=False)[hit], "score_raw": s[hit]})
+        # per-block pre-prune: only k candidates leave each block
+        out = out.sort_values(["score_raw", "doc_id"],
+                              ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    cand = (ds.map_batches(score, batch_format="pyarrow")
+            .repartition(1).to_pandas())
+    cand = cand.sort_values(["score_raw", "doc_id"],
+                            ascending=[False, True]).head(k)
+    cand["score"] = round_half_away(cand.pop("score_raw").to_numpy(), 4)
+    return cand.reset_index(drop=True)
+
+
+def pmi_cooccurrence(sf_dir: str) -> pd.DataFrame:
+    """Pointwise mutual information over token pairs co-occurring in a
+    document — the corpus-statistics op behind collocation mining and
+    phrase vocabulary induction.
+
+    Pair explosion is fully vectorized: per batch, distinct (doc,
+    token) rows are segmented per doc and the upper-triangle index
+    pairs are materialized once per DISTINCT segment size and broadcast
+    across all segments of that size (a loop over <= |vocab| sizes,
+    never over rows).  Pair counts and unigram doc-frequencies both run
+    through the two-phase combiner; the PMI math happens on the final
+    |vocab|^2-bounded table.  At 100 TB the final merges become
+    ``groupby`` shuffles whose payload is the pre-combined pair table.
+    """
+    from ..functions.util import two_phase_agg
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        df = pd.DataFrame({
+            "d": pc.list_parent_indices(toks).to_numpy(zero_copy_only=False),
+            "t": pc.list_flatten(toks).to_numpy(zero_copy_only=False),
+        }).drop_duplicates().sort_values(["d", "t"])
+        sizes = df.groupby("d", sort=True).size().to_numpy()
+        tok = df["t"].to_numpy()
+        starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+        ia, ib = [], []
+        for c in np.unique(sizes):
+            if c < 2:
+                continue
+            ii, jj = np.triu_indices(int(c), k=1)
+            base = starts[sizes == c][:, None]
+            ia.append((base + ii[None, :]).ravel())
+            ib.append((base + jj[None, :]).ravel())
+        if not ia:
+            return pa.table({"ta": pa.array([], type=pa.string()),
+                             "tb": pa.array([], type=pa.string()),
+                             "c_ab": pa.array([], type=pa.int64())})
+        a = tok[np.concatenate(ia)]
+        bt = tok[np.concatenate(ib)]
+        return (pa.table({"ta": pa.array(a, type=pa.string()),
+                          "tb": pa.array(bt, type=pa.string())})
+                .group_by(["ta", "tb"])
+                .aggregate([("ta", "count")])
+                .rename_columns(["ta", "tb", "c_ab"]))
+
+    pair_tab = two_phase_agg(
+        ds.map_batches(pair_counts, batch_format="pyarrow"),
+        ["ta", "tb"], [("c_ab", "sum")], ["ta", "tb", "c_ab"]).to_pandas()
+
+    def uni_counts(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        df = pd.DataFrame({
+            "d": pc.list_parent_indices(toks).to_numpy(zero_copy_only=False),
+            "token": pc.list_flatten(toks).to_numpy(zero_copy_only=False),
+        }).drop_duplicates()
+        g = df.groupby("token", sort=True).size()
+        return pa.table({"token": pa.array(g.index, type=pa.string()),
+                         "c": pa.array(g.to_numpy(), type=pa.int64())})
+
+    uni = two_phase_agg(
+        ds.map_batches(uni_counts, batch_format="pyarrow"),
+        ["token"], [("c", "sum")], ["token", "c"]).to_pandas()
+    n_docs = ds.count()
+
+    cmap = dict(zip(uni["token"], uni["c"].astype(np.int64)))
+    c_a = pair_tab["ta"].map(cmap).to_numpy(dtype=np.float64)
+    c_b = pair_tab["tb"].map(cmap).to_numpy(dtype=np.int64)
+    c_ab = pair_tab["c_ab"].to_numpy(dtype=np.int64)
+    # mirror of: ln(n*1.0*c_ab / (ua.c*1.0*ub.c))
+    pmi = round_half_away(
+        np.log((n_docs * 1.0) * c_ab / (c_a * c_b)), 4)
+    out = pd.DataFrame({"token_a": pair_tab["ta"], "token_b": pair_tab["tb"],
+                        "c_ab": c_ab, "pmi": pmi})
+    return out.sort_values(["token_a", "token_b"]).reset_index(drop=True)
+
+
+def prefix_dup_pairs(sf_dir: str, w: int = 5) -> pd.DataFrame:
+    """Shared-prefix mirror candidates: pairs of docs whose first ``w``
+    words are identical — the cheap candidate generator for
+    mirror/boilerplate detection (the same page served under several
+    URLs starts identically; cf. the URL-dedup family D1-D3).
+
+    One hash shuffle on the prefix key; pair expansion happens inside
+    each group (mirror classes are small; a pathological hot prefix is
+    the documented skew risk — cap group fan-out or salt like the
+    crawl's hot-host split before running this on raw web text).
+    """
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        ok = pc.greater_equal(pc.list_value_length(toks), w)
+        tt = pa.table({"doc_id": t["doc_id"], "toks": toks}).filter(ok)
+        return pa.table({
+            "key": pc.binary_join(pc.list_slice(tt["toks"], 0, w), " "),
+            "doc_id": tt["doc_id"],
+        })
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        ids = np.sort(g["doc_id"].to_numpy(dtype=np.int64))
+        if len(ids) < 2:
+            # typed empty table (an empty object-dtype pandas column
+            # trips Ray's block size estimator)
+            return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                             "doc_b": pa.array([], type=pa.int64()),
+                             "prefix": pa.array([], type=pa.string())})
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pa.table({"doc_a": pa.array(ids[ii]),
+                         "doc_b": pa.array(ids[jj]),
+                         "prefix": pa.array([g["key"].iloc[0]] * len(ii),
+                                            type=pa.string())})
+
+    out = (ds.map_batches(keyed, batch_format="pyarrow")
+           .groupby("key").map_groups(pairs, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
