@@ -274,6 +274,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_cooccurrence": T.pmi_cooccurrence,
         "prefix_dup_pairs": T.prefix_dup_pairs,
         "events_group_zscore": A.events_group_zscore,
+        "token_rarity": T.token_rarity,
+        "ntile_buckets": T.ntile_buckets,
         # similarity search
         "knn_brute": E.knn_brute,
         "embedding_quantize": E.embedding_quantize,
@@ -281,6 +283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": E.ann_lsh,
         "ann_ivf": E.ann_ivf,
         "embedding_near_dup": E.embedding_near_dup,
+        "semantic_dedup": E.semantic_dedup,
         "near_dup_clusters": E.near_dup_clusters,
         "embedding_centroids": E.embedding_centroids,
         # classification pipeline (M9/T3/A5/A7/S12/T4)
@@ -942,6 +945,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.key AS prefix
             FROM k a JOIN k b ON a.key = b.key AND a.doc_id < b.doc_id
             ORDER BY doc_a, doc_b""",
+        "token_rarity": r"""
+            WITH t AS (SELECT doc_id,
+                              unnest(regexp_extract_all(text, '\S+')) AS token
+                       FROM documents),
+            u AS (SELECT token, count(DISTINCT doc_id) AS df
+                  FROM t GROUP BY 1),
+            s AS (SELECT t.doc_id, sum(u.df) AS sum_df,
+                         count(*) AS n_tokens
+                  FROM t JOIN u USING (token) GROUP BY 1)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   round(sum_df * 1.0 / n_tokens, 4) AS mean_df
+            FROM s ORDER BY doc_id""",
+        "ntile_buckets": r"""
+            SELECT doc_id, n_chars,
+                   CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+                       AS tile
+            FROM documents ORDER BY doc_id""",
         "events_group_zscore": r"""
             WITH c AS (SELECT event_id, event_type,
                               CAST(round(value * 100.0, 0) AS BIGINT) AS cents
@@ -1348,6 +1368,17 @@ def oracle_sql() -> dict[str, str]:
                 SELECT e.a, r.lab FROM reach r JOIN edges e ON e.b = r.node)
             SELECT node AS vec_id, min(lab) AS cluster_id
             FROM reach GROUP BY node ORDER BY node""",
+        "semantic_dedup": """
+            WITH p AS (SELECT b.vec_id AS vb, min(a.vec_id) AS dup_of
+                       FROM embeddings a JOIN embeddings b
+                         ON a.label = b.label AND a.vec_id < b.vec_id
+                        AND round(CAST(list_cosine_similarity(a.embedding,
+                                b.embedding) AS DOUBLE), 4) >= 0.3
+                       GROUP BY 1)
+            SELECT e.vec_id, p.vb IS NULL AS kept,
+                   coalesce(p.dup_of, -1) AS dup_of
+            FROM embeddings e LEFT JOIN p ON p.vb = e.vec_id
+            ORDER BY e.vec_id""",
         "embedding_near_dup": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cosine

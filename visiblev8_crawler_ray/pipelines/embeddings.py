@@ -695,3 +695,47 @@ def knn_int8(sf_dir: str, n_queries: int = 10, k: int = 5) -> pd.DataFrame:
             .to_pandas().sort_values(["query_id", "cosine", "neighbor_id"],
                                      ascending=[True, False, True])
             .reset_index(drop=True))
+
+
+def semantic_dedup(sf_dir: str, threshold: float = 0.3) -> pd.DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): within
+    each embedding cluster, drop a vector when a LOWER-id member of the
+    same cluster is cosine-similar above ``threshold``; the survivor is
+    recorded as ``dup_of``.  Clusters here are the table's ``label``
+    column (the k-means assignment a production pipeline would produce
+    with :func:`ann_ivf`'s coarse quantizer).
+
+    One hash shuffle on the cluster id; the in-cluster pass is a single
+    normalized matmul + upper-triangle argmax — no per-row Python.
+    Memory per group is O(c^2) over the similarity tile; at 100 TB
+    cluster sizes are capped upstream (that is SemDeDup's own design:
+    many small k-means clusters), and an oversized cluster would stream
+    through the LSH prefilter of :func:`embedding_near_dup` instead.
+
+    Numeric contract (matches knn_brute / embedding_near_dup): float64
+    dots, similarity rounded to 4 decimals BEFORE thresholding, so the
+    DuckDB ``list_cosine_similarity`` twin agrees exactly.
+    """
+    from ..functions.util import read_parquet_clean
+
+    ds = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                            columns=["vec_id", "embedding", "label"])
+
+    def per_label(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id").reset_index(drop=True)
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.array(g["embedding"].to_list(), dtype=np.float64)
+        nrm = _normalize(mat)
+        sims = round_half_away(nrm @ nrm.T, 4)
+        dup = np.triu(sims >= threshold, k=1)      # dup[i, j]: i < j similar
+        has = dup.any(axis=0)
+        first = dup.argmax(axis=0)                 # smallest similar lower id
+        return pd.DataFrame({
+            "vec_id": ids,
+            "kept": ~has,
+            "dup_of": np.where(has, ids[first], np.int64(-1)),
+        })
+
+    out = (ds.groupby("label").map_groups(per_label, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("vec_id").reset_index(drop=True)

@@ -1841,3 +1841,90 @@ def prefix_dup_pairs(sf_dir: str, w: int = 5) -> pd.DataFrame:
            .groupby("key").map_groups(pairs, batch_format="pandas")
            .to_pandas())
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def token_rarity(sf_dir: str) -> pd.DataFrame:
+    """Rarity-based quality heuristic: per doc, the mean document
+    frequency of its token INSTANCES (low mean df = rare-token doc —
+    the cheap stand-in for an LM perplexity filter, chosen over log-prob
+    because integer df sums are order-independent and therefore exactly
+    DuckDB-checkable; a float log-prob sum would depend on distributed
+    summation order).
+
+    Pass 1 builds the per-doc-distinct df table (two-phase combiner,
+    |vocab| keys); pass 2 probes a broadcast df map per batch and emits
+    integer (sum_df, n_tokens) partials.  At 100 TB the probe becomes
+    the documented hash-join fallback (cf. ``tfidf_top_term``).
+    """
+    from ..functions.util import two_phase_agg
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def uni_counts(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        df = pd.DataFrame({
+            "d": pc.list_parent_indices(toks).to_numpy(zero_copy_only=False),
+            "token": pc.list_flatten(toks).to_numpy(zero_copy_only=False),
+        }).drop_duplicates()
+        g = df.groupby("token", sort=True).size()
+        return pa.table({"token": pa.array(g.index, type=pa.string()),
+                         "c": pa.array(g.to_numpy(), type=pa.int64())})
+
+    uni = two_phase_agg(
+        ds.map_batches(uni_counts, batch_format="pyarrow"),
+        ["token"], [("c", "sum")], ["token", "c"]).to_pandas()
+    toks_sorted = uni["token"].to_numpy(dtype=object)
+    dfs_sorted = uni["c"].to_numpy(dtype=np.int64)
+    ref = ray.put((toks_sorted, dfs_sorted))
+
+    def score(t: pa.Table) -> pa.Table:
+        toks_sorted, dfs_sorted = ray.get(ref)
+        toks = pc.split_pattern(t["text"], " ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        ix = np.searchsorted(toks_sorted, flat.astype(object))
+        sum_df = np.zeros(n, dtype=np.int64)
+        np.add.at(sum_df, parent, dfs_sorted[ix])
+        n_tok = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # mirror of: round(sum_df*1.0/n_tokens, 4)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(n_tok),
+            "mean_df": pa.array(round_half_away(
+                sum_df * 1.0 / n_tok, 4), type=pa.float64()),
+        })
+
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def ntile_buckets(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Distributed NTILE(k) OVER (ORDER BY n_chars, doc_id): global
+    length-percentile bucket per doc — the curriculum/binning window
+    function, computed WITHOUT a driver-side sort: the corpus sorts by
+    the window key through the crawl's sort+zip-with-index machinery
+    (range-partitioned sort + block-offset scan), then the bucket is
+    pure per-row arithmetic on the dense rank (DuckDB's remainder rule:
+    the first ``n_rows % k`` buckets get one extra row).
+    """
+    from ..functions.seq import assign_global_seq
+    from ..functions.util import read_parquet_clean
+
+    ds = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "n_chars"])
+    ranked, total = assign_global_seq(
+        ds, ["n_chars", "doc_id"], seq_col="rn", return_count=True)
+    big, base = total % k, total // k
+
+    def bucket(t: pa.Table) -> pa.Table:
+        rn = t["rn"].to_numpy(zero_copy_only=False)
+        cut = big * (base + 1)
+        tile = np.where(rn < cut, rn // (base + 1),
+                        big + (rn - cut) // max(base, 1))
+        return pa.table({"doc_id": t["doc_id"], "n_chars": t["n_chars"],
+                         "tile": pa.array((tile + 1).astype(np.int64))})
+
+    out = ranked.map_batches(bucket, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
