@@ -48,7 +48,6 @@ Scale notes (10^10 design point):
 from __future__ import annotations
 
 import os
-import threading
 
 from dataclasses import dataclass
 
@@ -768,7 +767,6 @@ def run_crawl(
                 frontier = None
 
     wave = start_wave
-    ckpt = _AsyncCheckpoint()
     while frontier is not None and wave < cfg.max_waves:
         n_cand = (frontier.num_rows if isinstance(frontier, pa.Table)
                   else frontier.count())
@@ -794,9 +792,6 @@ def run_crawl(
             n_admitted = admitted.num_rows
             if n_blocked:
                 seen.add(blocked["url_key"])
-            # first commit of this wave: the previous wave's async
-            # checkpoint must be durable before it
-            ckpt.join()
             store.write_table(_blocked_log_batch(wave)(blocked),
                               "blocked", wave)
             _mark(f'w{wave} kernel')
@@ -857,7 +852,8 @@ def run_crawl(
             else:
                 nxt_tbl = deferred_tbl
             n_next = nxt_tbl.num_rows
-            frontier_ckpt = nxt_tbl.select(FRONTIER_COLS)
+            store.write_table(nxt_tbl.select(FRONTIER_COLS),
+                              "frontier_next", wave)
             nxt = nxt_tbl
             _mark(f'w{wave} links+checkpoint')
         else:
@@ -886,9 +882,6 @@ def run_crawl(
             ).groupby("host").map_groups(
                 _schedule_group(cfg), batch_format="pandas",
             ).materialize()
-            # first commit of this wave: the previous wave's async
-            # checkpoint must be durable before it
-            ckpt.join()
             store.commit_partition("blocked", wave)
             n_blocked = _partition_rows(blocked_dir)
             # bulk seen-add of the blocked keys from the partition just
@@ -959,7 +952,7 @@ def run_crawl(
             _mark(f'w{wave} seen-load')
             n_failed, n_retried = _fetch_counts(fetch_dir)
             n_next = nxt.count()
-            frontier_ckpt = nxt
+            store.write_dataset(nxt, "frontier_next", wave)
             _mark(f'w{wave} links+checkpoint')
         # wave metrics + commit marker
         next_seq += n_admitted
@@ -979,26 +972,14 @@ def run_crawl(
                 "retried": pa.array([n_retried], type=pa.int64()),
             }
         )
-        # The frontier checkpoint + metrics commit overlap the next
-        # wave's compute; ckpt.join() above guarantees they are durable
-        # before wave k+1's first commit (and before returning).
-        lineage = {"next_seq": next_seq, "n_candidates": n_cand,
-                   "n_next": n_next}
-
-        def _write_ckpt(fr=frontier_ckpt, m=metrics, w=wave, lin=lineage):
-            if isinstance(fr, pa.Table):
-                store.write_table(fr, "frontier_next", w)
-            else:
-                store.write_dataset(fr, "frontier_next", w)
-            store.write_table(m, "metrics", w, lineage=lin)
-
-        ckpt.launch(_write_ckpt)
+        store.write_table(metrics, "metrics", wave,
+                          lineage={"next_seq": next_seq, "n_candidates": n_cand,
+                                   "n_next": n_next})
         _mark(f'w{wave} metrics')
         frontier = nxt if n_next else None
         if stop_after_wave is not None and wave >= stop_after_wave:
             break
         wave += 1
-    ckpt.join()
 
     # Completed-wave count comes from the commit log, which is correct on
     # every exit path (natural termination, stop_after_wave, resume).
@@ -1006,43 +987,6 @@ def run_crawl(
     return CrawlRun(store=store,
                     waves=(done_waves[-1] + 1) if done_waves else 0,
                     next_seq=next_seq)
-
-
-class _AsyncCheckpoint:
-    """Overlap the end-of-wave checkpoint (frontier_next + metrics
-    writes) with the NEXT wave's compute (VERDICT r2 #10).
-
-    Resume-safe by construction: the only state the background thread
-    touches is the wave-k frontier/metrics partitions, and the caller
-    joins before the first COMMIT of wave k+1 — so on any crash the
-    store either has wave k fully committed (normal resume) or metrics
-    missing (wave k re-runs; the mid-wave-crash tests pin that path).
-    Errors surface at the next join, never silently."""
-
-    def __init__(self):
-        self._t: threading.Thread | None = None
-        self._err: BaseException | None = None
-
-    def launch(self, fn) -> None:
-        self.join()
-
-        def run():
-            try:
-                fn()
-            except BaseException as e:  # noqa: BLE001 - re-raised at join
-                self._err = e
-
-        self._t = threading.Thread(
-            target=run, name="vv8ray-ckpt", daemon=True)
-        self._t.start()
-
-    def join(self) -> None:
-        if self._t is not None:
-            self._t.join()
-            self._t = None
-        if self._err is not None:
-            err, self._err = self._err, None
-            raise err
 
 
 def _collect_control(ds: rd.Dataset) -> pa.Table:
