@@ -274,8 +274,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_cooccurrence": T.pmi_cooccurrence,
         "prefix_dup_pairs": T.prefix_dup_pairs,
         "events_group_zscore": A.events_group_zscore,
+        "funnel_counts": A.funnel_counts,
         "token_rarity": T.token_rarity,
         "ntile_buckets": T.ntile_buckets,
+        "cdc_chunks": T.cdc_chunks,
         # similarity search
         "knn_brute": E.knn_brute,
         "embedding_quantize": E.embedding_quantize,
@@ -945,6 +947,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.key AS prefix
             FROM k a JOIN k b ON a.key = b.key AND a.doc_id < b.doc_id
             ORDER BY doc_a, doc_b""",
+        "funnel_counts": r"""
+            WITH t1 AS (SELECT user_id, min(ts) AS ts1 FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+            t2 AS (SELECT e.user_id, min(e.ts) AS ts2
+                   FROM events e JOIN t1 ON e.user_id = t1.user_id
+                   WHERE e.event_type = 'click' AND e.ts > t1.ts1
+                     AND e.ts <= t1.ts1 + INTERVAL 6 HOUR GROUP BY 1),
+            t3 AS (SELECT e.user_id, min(e.ts) AS ts3
+                   FROM events e JOIN t2 ON e.user_id = t2.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+                     AND e.ts <= t2.ts2 + INTERVAL 6 HOUR
+                   GROUP BY 1),
+            u AS (SELECT DISTINCT user_id FROM events),
+            s AS (SELECT u.user_id,
+                         CASE WHEN ts3 IS NOT NULL THEN 3
+                              WHEN ts2 IS NOT NULL THEN 2
+                              WHEN ts1 IS NOT NULL THEN 1
+                              ELSE 0 END AS stage
+                  FROM u LEFT JOIN t1 USING (user_id)
+                         LEFT JOIN t2 USING (user_id)
+                         LEFT JOIN t3 USING (user_id))
+            SELECT CAST(stage AS BIGINT) AS funnel_stage,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM s GROUP BY 1 ORDER BY 1""",
         "token_rarity": r"""
             WITH t AS (SELECT doc_id,
                               unnest(regexp_extract_all(text, '\S+')) AS token

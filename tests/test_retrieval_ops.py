@@ -155,3 +155,56 @@ def test_group_zscore_fuzz(seed, tmp_path):
     np.testing.assert_allclose(got["z"].to_numpy(),
                                np.round(z, 4), atol=2e-4)
     assert list(got["event_id"]) == list(range(n))
+
+
+def _naive_cdc(texts, w=16, avg=64):
+    import hashlib
+    B, M = 257, (1 << 31) - 1
+    rows = []
+    for d, s in enumerate(texts):
+        raw = s.encode()
+        cuts = [0]
+        for i in range(len(raw) - w + 1):
+            h = 0
+            for j in range(w):
+                h = (h + raw[i + j] * pow(B, w - 1 - j, M)) % M
+            if h % avg == 0 and i + w < len(raw):
+                cuts.append(i + w)
+        cuts.append(len(raw))
+        cuts = sorted(set(cuts))
+        for ix, (a, b) in enumerate(zip(cuts[:-1], cuts[1:])):
+            rows.append((d, ix, b - a, hashlib.md5(raw[a:b]).hexdigest()))
+    return rows
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_cdc_chunks_fuzz(seed, tmp_path):
+    rng = np.random.default_rng(seed)
+    texts = _write_docs(rng, tmp_path, n_docs=30)
+    got = T.cdc_chunks(str(tmp_path))
+    exp = _naive_cdc(texts)
+    assert [tuple(r) for r in
+            got[["doc_id", "chunk_ix", "length", "chunk_hash"]].values] == exp
+
+
+def test_cdc_shift_resistance(tmp_path):
+    """Inserting a prefix re-chunks only the head: the tail chunk-hash
+    stream re-synchronizes — the property that makes CDC a dedup
+    primitive (fixed-size chunking loses ALL alignment)."""
+    rng = np.random.default_rng(7)
+    body = " ".join(VOCAB[i] for i in rng.integers(0, len(VOCAB), 400))
+    texts = [body, "inserted prefix words " + body]
+    t = pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en", "en"]),
+        "source": pa.array(["s0", "s0"]),
+        "n_chars": pa.array([len(s) for s in texts], type=pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = T.cdc_chunks(str(tmp_path))
+    h0 = list(got[got.doc_id == 0]["chunk_hash"])
+    h1 = list(got[got.doc_id == 1]["chunk_hash"])
+    shared = set(h0) & set(h1)
+    # all but the first boundary-spanning chunks of each doc re-align
+    assert len(shared) >= len(h0) - 2, (len(shared), len(h0), len(h1))

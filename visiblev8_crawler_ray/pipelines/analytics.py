@@ -1358,3 +1358,52 @@ def events_group_zscore(sf_dir: str) -> pd.DataFrame:
 
     out = ds.map_batches(z, batch_format="pyarrow").to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+#: ordered funnel steps for funnel_counts (event_type values)
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_counts(sf_dir: str, window_us: int = 6 * 3600 * 1_000_000
+                  ) -> pd.DataFrame:
+    """Sequential funnel: per user, the furthest stage reached through
+    strictly-increasing timestamps (view -> click -> purchase, each
+    follow-up within a 6-hour conversion window), then users per stage
+    — the order-sensitive analytics shape (the crawl's span-sequence
+    invariant applied to event streams).
+
+    One hash shuffle on user_id (the same partition key as sessionize /
+    events_running_stats — at 100 TB these share a co-located
+    partitioning); the per-user kernel is three vectorized masked mins,
+    and the stage rollup is the two-phase combiner (4 keys).
+    """
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        et = g["event_type"].to_numpy()
+        stage = 0
+        prev = None
+        for step in FUNNEL_STEPS:
+            m = et == step
+            if prev is None:
+                cand = ts[m]
+            else:
+                cand = ts[m & (ts > prev) & (ts <= prev + window_us)]
+            if len(cand) == 0:
+                break
+            prev = cand.min()
+            stage += 1
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "stage": [stage]})
+
+    per = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    out = two_phase_agg(
+        per.map_batches(
+            lambda t: pa.table({
+                "funnel_stage": t["stage"],
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }), batch_format="pyarrow"),
+        ["funnel_stage"], [("one", "sum")],
+        ["funnel_stage", "n_users"]).to_pandas()
+    return out.sort_values("funnel_stage").reset_index(drop=True)
