@@ -208,3 +208,20 @@ def test_cdc_shift_resistance(tmp_path):
     shared = set(h0) & set(h1)
     # all but the first boundary-spanning chunks of each doc re-align
     assert len(shared) >= len(h0) - 2, (len(shared), len(h0), len(h1))
+
+
+def test_cdc_empty_and_short_docs(tmp_path):
+    texts = ["", "ab", "x" * 15, "word " * 100]
+    t = pa.table({
+        "doc_id": pa.array(range(4), type=pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 4),
+        "source": pa.array(["s0"] * 4),
+        "n_chars": pa.array([len(s) for s in texts], type=pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = T.cdc_chunks(str(tmp_path))
+    exp = _naive_cdc(texts)
+    assert [tuple(r) for r in
+            got[["doc_id", "chunk_ix", "length", "chunk_hash"]].values] == exp
+    assert 0 not in set(got["doc_id"])          # empty doc emits nothing

@@ -1999,13 +1999,17 @@ def cdc_chunks(sf_dir: str, w: int = 16, avg: int = 64) -> pd.DataFrame:
         chunk_end[last] = lens
         abs_start = starts[chunk_doc] + chunk_start
         abs_end = starts[chunk_doc] + chunk_end
+        ranks = np.arange(total, dtype=np.int64) - first[chunk_doc]
+        # an empty doc would otherwise emit one zero-length chunk;
+        # a chunker emits nothing for empty input
+        keep = chunk_end > chunk_start
+        abs_start, abs_end = abs_start[keep], abs_end[keep]
         digests = [hashlib.md5(raw[a:b]).hexdigest()
                    for a, b in zip(abs_start, abs_end)]
-        ranks = np.arange(total, dtype=np.int64) - first[chunk_doc]
         return pa.table({
-            "doc_id": pa.array(doc_ids[chunk_doc], type=pa.int64()),
-            "chunk_ix": pa.array(ranks),
-            "length": pa.array(chunk_end - chunk_start),
+            "doc_id": pa.array(doc_ids[chunk_doc[keep]], type=pa.int64()),
+            "chunk_ix": pa.array(ranks[keep]),
+            "length": pa.array((chunk_end - chunk_start)[keep]),
             "chunk_hash": pa.array(digests, type=pa.string()),
         })
 
