@@ -61,7 +61,7 @@ import ray.data as rd
 
 from ..config import CrawlConfig
 from ..functions import urls as U
-from ..functions.seq import assign_global_seq
+from ..functions.seq import assign_global_seq, assign_group_rank
 from ..stages.fetcher import FetchWriter
 from ..state.urlseen import get_seen_index
 from ..store import TableStore
@@ -535,7 +535,9 @@ def _frontier_blocks() -> int:
 
 
 def _schedule_group(cfg: CrawlConfig):
-    """groupby(host).map_groups: politeness rank + window deferral + vtime."""
+    """groupby(host).map_groups politeness kernel — the SMALL-group
+    form (kept for the fused driver kernel); the scale path ranks via
+    :func:`assign_group_rank` instead (see _politeness_cols)."""
     cap = cfg.max_per_host_per_wave
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
@@ -546,6 +548,26 @@ def _schedule_group(cfg: CrawlConfig):
         delay_ms = cfg.crawl_delay_ms(str(g["host"].iloc[0]))
         g["fetch_vtime"] = (rank * delay_ms).astype(np.int64)
         return g
+    return fn
+
+
+def _politeness_cols(cfg: CrawlConfig):
+    """Vectorized politeness columns from a precomputed ``host_rank``
+    (scale path): window deferral + virtual fetch time.  Stateless map —
+    the ranking itself came from the skew-proof sort (seq.py:
+    assign_group_rank), so a hot host never concentrates in one task
+    (north-rule hot-host skew splitting)."""
+    cap = cfg.max_per_host_per_wave
+
+    def fn(t: pa.Table) -> pa.Table:
+        rank = t["host_rank"].to_numpy(zero_copy_only=False)
+        hosts = t["host"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(hosts, return_inverse=True)
+        delays = np.array([cfg.crawl_delay_ms(str(h)) for h in uniq],
+                          dtype=np.int64)
+        return (t.append_column("deferred", pa.array(rank >= cap))
+                 .append_column("fetch_vtime",
+                                pa.array(rank * delays[inv])))
     return fn
 
 
@@ -876,12 +898,12 @@ def run_crawl(
             # re-enters next wave's frontier as deferred rows).  The
             # robots split rides the same execution as the shuffle's map
             # phase.
-            sched = fresh.map_batches(
-                _robots_split(cfg, blocked_dir, wave),
-                batch_format="pyarrow",
-            ).groupby("host").map_groups(
-                _schedule_group(cfg), batch_format="pandas",
-            ).materialize()
+            sched = assign_group_rank(
+                fresh.map_batches(_robots_split(cfg, blocked_dir, wave),
+                                  batch_format="pyarrow"),
+                "host", ["admission_key", "url"], rank_col="host_rank",
+            ).map_batches(_politeness_cols(cfg),
+                          batch_format="pyarrow").materialize()
             store.commit_partition("blocked", wave)
             n_blocked = _partition_rows(blocked_dir)
             # bulk seen-add of the blocked keys from the partition just

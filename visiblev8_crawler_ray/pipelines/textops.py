@@ -1873,6 +1873,9 @@ def token_rarity(sf_dir: str) -> pd.DataFrame:
     uni = two_phase_agg(
         ds.map_batches(uni_counts, batch_format="pyarrow"),
         ["token"], [("c", "sum")], ["token", "c"]).to_pandas()
+    # searchsorted probe requires the broadcast keys SORTED (the final
+    # combiner's group order is hash-arbitrary)
+    uni = uni.sort_values("token")
     toks_sorted = uni["token"].to_numpy(dtype=object)
     dfs_sorted = uni["c"].to_numpy(dtype=np.int64)
     ref = ray.put((toks_sorted, dfs_sorted))
