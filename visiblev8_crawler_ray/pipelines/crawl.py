@@ -9,8 +9,10 @@ is the only materialized control set:
       ─pack-min combiner + groupby(url_key)─────▶ unique    (within-wave dedup, D1)
       ─SeenFilter (sharded actors)──────────────▶ new URLs  (cross-wave dedup, T5)
       ─robots split (blocked side-written)──────▶ fetchable (T7)
-      ─groupby(host).map_groups(rank+defer)─────▶ scheduled / deferred (T6
-                                                  politeness window, skew split)
+      ─sort(host,key)+group-rank (skew-proof)───▶ scheduled / deferred (T6
+                                                  politeness window, skew split:
+                                                  a hot host spreads across
+                                                  range-partitioned blocks)
       ─sort+zip-with-index──────────────────────▶ global crawl order (O4, §4.3)
       ─SeenAdd -> FetchWriter───────────────────▶ spans side-written to the wave
                                                   partition; CONTROL columns flow on
@@ -29,8 +31,8 @@ asserts equality of crawl order, URL-seen set, span sequences and
 metrics at two parallelism levels.
 
 Scale notes (10^10 design point):
-- the only all-to-all exchanges per wave are groupby(url_key),
-  groupby(host) and the scheduling sort — all over the *admitted
+- the only all-to-all exchanges per wave are groupby(url_key), the
+  host-rank sort and the scheduling sort — all over the *admitted
   frontier* (bounded by the politeness budget), never over span payloads;
 - span payloads take exactly ONE hop, task -> storage
   (stages/fetcher.py:FetchWriter): they never enter the object store,
