@@ -225,3 +225,35 @@ def test_cdc_empty_and_short_docs(tmp_path):
     assert [tuple(r) for r in
             got[["doc_id", "chunk_ix", "length", "chunk_hash"]].values] == exp
     assert 0 not in set(got["doc_id"])          # empty doc emits nothing
+
+
+def test_irregular_whitespace_matches_oracle(tmp_path):
+    """Tabs/newlines/double spaces: engine tokenization must stay
+    byte-identical to the oracles' regexp_extract_all('\\S+') (caught
+    a real divergence: pc.split_pattern(' ') emits empty tokens)."""
+    import duckdb
+    import __ray_entry__ as R
+
+    texts = ["a  b\t c", "  x y  ", "table scan\nmerge", "table  scan table"]
+    t = pa.table({
+        "doc_id": pa.array(range(4), type=pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 4),
+        "source": pa.array(["s0"] * 4),
+        "n_chars": pa.array([len(s) for s in texts], type=pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmp_path}/documents.parquet'")
+
+    def norm(df):
+        df = df[sorted(df.columns)]
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    for name in ["inverted_index", "bm25_topk", "pmi_cooccurrence",
+                 "prefix_dup_pairs", "token_rarity"]:
+        df = pd.DataFrame(R.queries()[name](str(tmp_path)))
+        odf = con.sql(R.oracle_sql()[name]).df()
+        pd.testing.assert_frame_equal(norm(df), norm(odf),
+                                      check_dtype=False, check_exact=True)

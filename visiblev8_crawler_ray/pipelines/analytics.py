@@ -1321,19 +1321,33 @@ def events_group_zscore(sf_dir: str) -> pd.DataFrame:
         c = round_half_away(
             t["value"].to_numpy(zero_copy_only=False) * 100.0, 0
         ).astype(np.int64)
+        c2 = c * c
+        # cents^2 partials are quadratic in the values: a 100-TB group
+        # would wrap an int64 sum (DuckDB promotes to HUGEINT).  Split
+        # into 30-bit-shifted lanes whose int64 sums are safe to ~2^33
+        # rows/group, recombine in arbitrary-precision Python below.
         return pa.table({
             "event_type": t["event_type"],
             "cents": pa.array(c),
-            "cents2": pa.array(c * c),
+            "c2_hi": pa.array(c2 >> 30),
+            "c2_lo": pa.array(c2 & ((1 << 30) - 1)),
         })
 
     cents_ds = ds.map_batches(cents_tab, batch_format="pyarrow")
     stats = two_phase_agg(
         cents_ds, ["event_type"],
-        [("cents", "count"), ("cents", "sum"), ("cents2", "sum")],
-        ["event_type", "n", "s", "q"]).to_pandas()
-    smap = {r.event_type: (int(r.n), int(r.s), int(r.q))
-            for r in stats.itertuples()}
+        [("cents", "count"), ("cents", "sum"),
+         ("c2_hi", "sum"), ("c2_lo", "sum")],
+        ["event_type", "n", "s", "hi", "lo"]).to_pandas()
+    smap = {}
+    for r in stats.itertuples():
+        n, s = int(r.n), int(r.s)
+        q = (int(r.hi) << 30) + int(r.lo)       # exact, unbounded
+        # mirror of: s*1.0/n and q*1.0/n - mean^2 (HUGEINT*1.0 -> DOUBLE
+        # rounds the same way float(int) does)
+        mean = (s * 1.0) / n
+        var = (q * 1.0) / n - mean * mean
+        smap[r.event_type] = (mean, var)
 
     def z(t: pa.Table) -> pa.Table:
         c = round_half_away(
@@ -1342,11 +1356,9 @@ def events_group_zscore(sf_dir: str) -> pd.DataFrame:
         et = t["event_type"].to_numpy(zero_copy_only=False)
         # vectorized probe: factorize the batch's group keys once
         uniq, inv = np.unique(et, return_inverse=True)
-        tri = np.array([smap[e] for e in uniq], dtype=np.int64)
-        n, s, q = tri[inv, 0], tri[inv, 1], tri[inv, 2]
+        tri = np.array([smap[e] for e in uniq], dtype=np.float64)
+        mean, var = tri[inv, 0], tri[inv, 1]
         # mirror of: (cents - s*1.0/n) / sqrt(q*1.0/n - (s*1.0/n)^2)
-        mean = (s * 1.0) / n
-        var = (q * 1.0) / n - mean * mean
         zv = np.where(var > 0,
                       round_half_away(
                           (c - mean) / np.sqrt(np.where(var > 0, var, 1.0)),

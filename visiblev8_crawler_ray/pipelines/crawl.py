@@ -536,23 +536,6 @@ def _frontier_blocks() -> int:
     return max(16, 2 * ncpu)
 
 
-def _schedule_group(cfg: CrawlConfig):
-    """groupby(host).map_groups politeness kernel — the SMALL-group
-    form (kept for the fused driver kernel); the scale path ranks via
-    :func:`assign_group_rank` instead (see _politeness_cols)."""
-    cap = cfg.max_per_host_per_wave
-
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["admission_key", "url"]).reset_index(drop=True)
-        rank = np.arange(len(g))
-        g["host_rank"] = rank
-        g["deferred"] = rank >= cap
-        delay_ms = cfg.crawl_delay_ms(str(g["host"].iloc[0]))
-        g["fetch_vtime"] = (rank * delay_ms).astype(np.int64)
-        return g
-    return fn
-
-
 def _politeness_cols(cfg: CrawlConfig):
     """Vectorized politeness columns from a precomputed ``host_rank``
     (scale path): window deferral + virtual fetch time.  Stateless map —

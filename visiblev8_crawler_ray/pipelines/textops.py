@@ -1616,10 +1616,10 @@ def inverted_index(sf_dir: str, min_df: int = 1,
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def partial(t: pa.Table) -> pd.DataFrame:
-        toks = pc.split_pattern(t["text"], " ")
+        flat, parent = _flat_tokens(t["text"])
         pairs = pa.table({
-            "token": pc.list_flatten(toks),
-            "doc_id": pc.take(t["doc_id"], pc.list_parent_indices(toks)),
+            "token": flat,
+            "doc_id": pc.take(t["doc_id"], pa.array(parent)),
         }).group_by(["token", "doc_id"]).aggregate([])
         df = pairs.to_pandas().sort_values(["token", "doc_id"])
         g = df.groupby("token", sort=True)["doc_id"]
@@ -1673,11 +1673,10 @@ def bm25_topk(sf_dir: str, terms: tuple[str, ...] = BM25_QUERY,
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def stats(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(t["text"], " ")
-        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
-        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat_a, parent = _flat_tokens(t["text"])
+        flat = flat_a.to_numpy(zero_copy_only=False)
         n = t.num_rows
-        dl = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        dl = np.bincount(parent, minlength=n)
         row = {"n": [n], "sum_dl": [int(dl.sum())]}
         for i, term in enumerate(terms):
             tf = np.bincount(parent[flat == term], minlength=n)
@@ -1693,12 +1692,10 @@ def bm25_topk(sf_dir: str, terms: tuple[str, ...] = BM25_QUERY,
     idfs = [np.log((N - df + 0.5) / (df + 0.5) + 1.0) for df in dfs]
 
     def score(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(t["text"], " ")
-        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
-        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat_a, parent = _flat_tokens(t["text"])
+        flat = flat_a.to_numpy(zero_copy_only=False)
         n = t.num_rows
-        dl = pc.list_value_length(toks).to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        dl = np.bincount(parent, minlength=n).astype(np.int64)
         s = np.zeros(n, dtype=np.float64)
         tf_any = np.zeros(n, dtype=np.int64)
         for i, term in enumerate(terms):
@@ -1713,10 +1710,12 @@ def bm25_topk(sf_dir: str, terms: tuple[str, ...] = BM25_QUERY,
         # per-block pre-prune: only k candidates leave each block
         out = out.sort_values(["score_raw", "doc_id"],
                               ascending=[False, True]).head(k)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        from ..functions.util import arrow_from_pandas
+        return arrow_from_pandas(out)
 
-    cand = (ds.map_batches(score, batch_format="pyarrow")
-            .repartition(1).to_pandas())
+    # to_pandas() already collects the pre-pruned B x k candidate rows;
+    # no repartition needed before a driver-side final top-k
+    cand = ds.map_batches(score, batch_format="pyarrow").to_pandas()
     cand = cand.sort_values(["score_raw", "doc_id"],
                             ascending=[False, True]).head(k)
     cand["score"] = round_half_away(cand.pop("score_raw").to_numpy(), 4)
@@ -1742,10 +1741,10 @@ def pmi_cooccurrence(sf_dir: str) -> pd.DataFrame:
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def pair_counts(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(t["text"], " ")
+        flat, parent = _flat_tokens(t["text"])
         df = pd.DataFrame({
-            "d": pc.list_parent_indices(toks).to_numpy(zero_copy_only=False),
-            "t": pc.list_flatten(toks).to_numpy(zero_copy_only=False),
+            "d": parent,
+            "t": flat.to_numpy(zero_copy_only=False),
         }).drop_duplicates().sort_values(["d", "t"])
         sizes = df.groupby("d", sort=True).size().to_numpy()
         tok = df["t"].to_numpy()
@@ -1775,10 +1774,10 @@ def pmi_cooccurrence(sf_dir: str) -> pd.DataFrame:
         ["ta", "tb"], [("c_ab", "sum")], ["ta", "tb", "c_ab"]).to_pandas()
 
     def uni_counts(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(t["text"], " ")
+        flat, parent = _flat_tokens(t["text"])
         df = pd.DataFrame({
-            "d": pc.list_parent_indices(toks).to_numpy(zero_copy_only=False),
-            "token": pc.list_flatten(toks).to_numpy(zero_copy_only=False),
+            "d": parent,
+            "token": flat.to_numpy(zero_copy_only=False),
         }).drop_duplicates()
         g = df.groupby("token", sort=True).size()
         return pa.table({"token": pa.array(g.index, type=pa.string()),
@@ -1815,12 +1814,16 @@ def prefix_dup_pairs(sf_dir: str, w: int = 5) -> pd.DataFrame:
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def keyed(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(t["text"], " ")
-        ok = pc.greater_equal(pc.list_value_length(toks), w)
-        tt = pa.table({"doc_id": t["doc_id"], "toks": toks}).filter(ok)
+        flat, parent = _flat_tokens(t["text"])
+        n = t.num_rows
+        counts = np.bincount(parent, minlength=n)
+        ok = np.flatnonzero(counts >= w)
+        starts = (np.cumsum(counts) - counts)[ok]
+        # first w tokens of each qualifying doc, joined in one C kernel
+        cols = [flat.take(pa.array(starts + j)) for j in range(w)]
         return pa.table({
-            "key": pc.binary_join(pc.list_slice(tt["toks"], 0, w), " "),
-            "doc_id": tt["doc_id"],
+            "key": pc.binary_join_element_wise(*cols, " "),
+            "doc_id": pc.take(t["doc_id"], pa.array(ok)),
         })
 
     def pairs(g: pd.DataFrame) -> pa.Table:
@@ -1840,6 +1843,12 @@ def prefix_dup_pairs(sf_dir: str, w: int = 5) -> pd.DataFrame:
     out = (ds.map_batches(keyed, batch_format="pyarrow")
            .groupby("key").map_groups(pairs, batch_format="pandas")
            .to_pandas())
+    if "doc_a" not in out.columns:
+        # no doc met the w-token bar: the grouped stage never ran, so
+        # the empty frame still carries the INPUT schema
+        out = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                            "doc_b": pd.Series([], dtype=np.int64),
+                            "prefix": pd.Series([], dtype=object)})
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
@@ -1861,10 +1870,10 @@ def token_rarity(sf_dir: str) -> pd.DataFrame:
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def uni_counts(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(t["text"], " ")
+        flat, parent = _flat_tokens(t["text"])
         df = pd.DataFrame({
-            "d": pc.list_parent_indices(toks).to_numpy(zero_copy_only=False),
-            "token": pc.list_flatten(toks).to_numpy(zero_copy_only=False),
+            "d": parent,
+            "token": flat.to_numpy(zero_copy_only=False),
         }).drop_duplicates()
         g = df.groupby("token", sort=True).size()
         return pa.table({"token": pa.array(g.index, type=pa.string()),
@@ -1882,15 +1891,13 @@ def token_rarity(sf_dir: str) -> pd.DataFrame:
 
     def score(t: pa.Table) -> pa.Table:
         toks_sorted, dfs_sorted = ray.get(ref)
-        toks = pc.split_pattern(t["text"], " ")
-        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
-        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat_a, parent = _flat_tokens(t["text"])
+        flat = flat_a.to_numpy(zero_copy_only=False)
         n = t.num_rows
         ix = np.searchsorted(toks_sorted, flat.astype(object))
         sum_df = np.zeros(n, dtype=np.int64)
         np.add.at(sum_df, parent, dfs_sorted[ix])
-        n_tok = pc.list_value_length(toks).to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        n_tok = np.bincount(parent, minlength=n).astype(np.int64)
         # mirror of: round(sum_df*1.0/n_tokens, 4)
         return pa.table({
             "doc_id": t["doc_id"],
