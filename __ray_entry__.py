@@ -275,6 +275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_dup_pairs": T.prefix_dup_pairs,
         "events_group_zscore": A.events_group_zscore,
         "funnel_counts": A.funnel_counts,
+        "url_templates": A.url_templates,
         "token_rarity": T.token_rarity,
         "ntile_buckets": T.ntile_buckets,
         "cdc_chunks": T.cdc_chunks,
@@ -947,6 +948,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.key AS prefix
             FROM k a JOIN k b ON a.key = b.key AND a.doc_id < b.doc_id
             ORDER BY doc_a, doc_b""",
+        "url_templates": f"""
+            {_seed_cte()}, c AS (
+                SELECT {parts['host']} AS host,
+                       regexp_replace({parts['path']}, '[0-9]+', '{{n}}',
+                                      'g') AS template
+                FROM seeds WHERE {valid})
+            SELECT host, template, CAST(count(*) AS BIGINT) AS n
+            FROM c GROUP BY 1, 2 HAVING count(*) >= 2
+            ORDER BY host, template""",
         "funnel_counts": r"""
             WITH t1 AS (SELECT user_id, min(ts) AS ts1 FROM events
                         WHERE event_type = 'view' GROUP BY 1),

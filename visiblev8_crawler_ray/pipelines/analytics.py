@@ -1419,3 +1419,40 @@ def funnel_counts(sf_dir: str, window_us: int = 6 * 3600 * 1_000_000
         ["funnel_stage"], [("one", "sum")],
         ["funnel_stage", "n_users"]).to_pandas()
     return out.sort_values("funnel_stage").reset_index(drop=True)
+
+
+def url_templates(sf_dir: str, min_n: int = 2) -> pd.DataFrame:
+    """Crawler-trap / URL-template mining: collapse every digit run in
+    the canonical path to ``{n}`` and count URLs per (host, template) —
+    the frontier-hygiene rollup a large crawl runs to spot infinite
+    calendars, pagination traps and session-id explosions before they
+    eat the politeness budget (complements T6/T7; reference has only
+    global pacing, SURVEY §4.2 skew row).
+
+    Shape: canonicalize is the existing per-batch kernel; the template
+    is one RE2 ``replace_substring_regex`` over the path column; the
+    rollup is the two-phase combiner keyed by (host, template) —
+    template cardinality is tiny by construction (that is the point of
+    templating), so the final merge is control-sized.
+    """
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        urls = synth.derive_seed_urls(ids, DEFAULT_CONFIG)
+        c = U.canonicalize(pa.array(urls, type=pa.string()))
+        keep = pa.table({"host": c["host"], "path": c["path"]}).filter(
+            c["valid"])
+        tmpl = pc.replace_substring_regex(keep["path"], r"[0-9]+", "{n}")
+        return (pa.table({"host": keep["host"], "template": tmpl})
+                .group_by(["host", "template"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["host", "template", "p_n"]))
+
+    out = two_phase_agg(
+        docs.map_batches(derive, batch_format="pyarrow"),
+        ["host", "template"], [("p_n", "sum")],
+        ["host", "template", "n"]).to_pandas()
+    out = out[out["n"] >= min_n]
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["host", "template"]).reset_index(drop=True)
