@@ -287,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": E.ann_ivf,
         "embedding_near_dup": E.embedding_near_dup,
         "semantic_dedup": E.semantic_dedup,
+        "hybrid_search": E.hybrid_search,
         "near_dup_clusters": E.near_dup_clusters,
         "embedding_centroids": E.embedding_centroids,
         # classification pipeline (M9/T3/A5/A7/S12/T4)
@@ -1404,6 +1405,54 @@ def oracle_sql() -> dict[str, str]:
                 SELECT e.a, r.lab FROM reach r JOIN edges e ON e.b = r.node)
             SELECT node AS vec_id, min(lab) AS cluster_id
             FROM reach GROUP BY node ORDER BY node""",
+        "hybrid_search": r"""
+            WITH d AS (SELECT doc_id,
+                              regexp_extract_all(text, '\S+') AS toks
+                       FROM documents),
+            s AS (SELECT doc_id, len(toks) AS dl,
+                         len(list_filter(toks, x -> x = 'table'))  AS tf0,
+                         len(list_filter(toks, x -> x = 'scan'))   AS tf1,
+                         len(list_filter(toks, x -> x = 'merge'))  AS tf2,
+                         len(list_filter(toks, x -> x = 'vector')) AS tf3
+                  FROM d),
+            g AS (SELECT count(*) AS n, sum(dl) AS sum_dl,
+                         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+                         sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+                  FROM s),
+            sc AS (SELECT doc_id,
+                ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * (tf0 * (1.5 + 1.0))
+                    / (tf0 + 1.5 * (1.0 - 0.75 + 0.75 * dl / (sum_dl * 1.0 / n)))
+              + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * (tf1 * (1.5 + 1.0))
+                    / (tf1 + 1.5 * (1.0 - 0.75 + 0.75 * dl / (sum_dl * 1.0 / n)))
+              + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * (tf2 * (1.5 + 1.0))
+                    / (tf2 + 1.5 * (1.0 - 0.75 + 0.75 * dl / (sum_dl * 1.0 / n)))
+              + ln((n - df3 + 0.5) / (df3 + 0.5) + 1.0) * (tf3 * (1.5 + 1.0))
+                    / (tf3 + 1.5 * (1.0 - 0.75 + 0.75 * dl / (sum_dl * 1.0 / n)))
+                       AS score,
+                   tf0 + tf1 + tf2 + tf3 AS tfs
+                   FROM s, g),
+            lex AS (SELECT doc_id,
+                           row_number() OVER (ORDER BY score DESC, doc_id)
+                               AS lex_rank
+                    FROM sc WHERE tfs > 0
+                    QUALIFY lex_rank <= 100),
+            q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            cosd AS (SELECT e.vec_id AS doc_id,
+                            round(CAST(list_cosine_similarity(q.qe,
+                                e.embedding) AS DOUBLE), 4) AS cosine
+                     FROM embeddings e, q WHERE e.vec_id <> 0),
+            cosr AS (SELECT doc_id,
+                            row_number() OVER (ORDER BY cosine DESC, doc_id)
+                                AS cos_rank
+                     FROM cosd QUALIFY cos_rank <= 100),
+            f AS (SELECT coalesce(lex.doc_id, cosr.doc_id) AS doc_id,
+                         coalesce(1.0 / (60 + lex_rank), 0.0)
+                       + coalesce(1.0 / (60 + cos_rank), 0.0) AS s
+                  FROM lex FULL JOIN cosr ON lex.doc_id = cosr.doc_id)
+            SELECT doc_id, round(s, 6) AS rrf FROM f
+            ORDER BY round(s, 6) DESC, doc_id LIMIT 10""",
         "semantic_dedup": """
             WITH p AS (SELECT b.vec_id AS vb, min(a.vec_id) AS dup_of
                        FROM embeddings a JOIN embeddings b

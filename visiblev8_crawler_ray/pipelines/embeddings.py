@@ -739,3 +739,44 @@ def semantic_dedup(sf_dir: str, threshold: float = 0.3) -> pd.DataFrame:
     out = (ds.groupby("label").map_groups(per_label, batch_format="pandas")
            .to_pandas())
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def hybrid_search(sf_dir: str, k: int = 10, n_cand: int = 100,
+                  kf: int = 60) -> pd.DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (the RAG-stack
+    composition): BM25 lexical candidates fuse with cosine-similarity
+    candidates for query vector 0 via RRF(k=60) —
+    ``score = 1/(kf + lex_rank) + 1/(kf + cos_rank)``, a doc missing
+    from one list contributing only the other term.
+
+    Both candidate passes are the existing distributed operators
+    (:func:`~.textops.bm25_topk` pre-pruned per block;
+    :func:`knn_brute` broadcast-query matmul); the fusion runs on the
+    driver over 2 x ``n_cand`` control rows.  RRF arithmetic is exact
+    integer-rank division mirrored against the SQL twin.
+    """
+    from .textops import bm25_topk
+
+    lex = bm25_topk(sf_dir, k=n_cand)
+    lex = lex.reset_index(drop=True)
+    lex["lex_rank"] = np.arange(1, len(lex) + 1, dtype=np.int64)
+
+    cos = knn_brute(sf_dir, n_queries=1, k=n_cand)
+    cos = pd.DataFrame(cos).sort_values(
+        ["cosine", "neighbor_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    cos["cos_rank"] = np.arange(1, len(cos) + 1, dtype=np.int64)
+    cos = cos.rename(columns={"neighbor_id": "doc_id"})
+
+    m = pd.merge(lex[["doc_id", "lex_rank"]],
+                 cos[["doc_id", "cos_rank"]], on="doc_id", how="outer")
+    # mirror of: coalesce(1.0/(kf+lex_rank),0.0)+coalesce(1.0/(kf+cos_rank),0.0)
+    lr = m["lex_rank"].to_numpy(dtype=np.float64)
+    cr = m["cos_rank"].to_numpy(dtype=np.float64)
+    s = (np.where(np.isnan(lr), 0.0, 1.0 / (kf + lr))
+         + np.where(np.isnan(cr), 0.0, 1.0 / (kf + cr)))
+    out = pd.DataFrame({
+        "doc_id": m["doc_id"].astype(np.int64),
+        "rrf": round_half_away(s, 6),
+    }).sort_values(["rrf", "doc_id"], ascending=[False, True]).head(k)
+    return out.reset_index(drop=True)
