@@ -300,19 +300,27 @@ def supplier_nation_region(sf_dir: str) -> pa.Table:
     supplier -> nation -> region, both dims broadcast."""
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
     region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
-    nmap = dict(zip(nation.n_nationkey, zip(nation.n_name, nation.n_regionkey)))
+    # fold the two hops driver-side (|nation| rows), broadcast ONE
+    # arrow probe table; the per-batch probe is index_in + take —
+    # vectorized, no per-row dict lookups (VERDICT r2 anti-pattern #3)
     rmap = dict(zip(region.r_regionkey, region.r_name))
-    dims_ref = ray.put((nmap, rmap))
+    dim = pa.table({
+        "key": pa.array(nation.n_nationkey, type=pa.int64()),
+        "n_name": pa.array(nation.n_name, type=pa.string()),
+        "r_name": pa.array([rmap[k] for k in nation.n_regionkey],
+                           type=pa.string()),
+    })
+    dims_ref = ray.put(dim)
 
     def lookup(t: pa.Table) -> pa.Table:
-        nmap, rmap = ray.get(dims_ref)
-        pairs = [nmap[k] for k in t["s_nationkey"].to_pylist()]
+        dim = ray.get(dims_ref)
+        ix = pc.index_in(t["s_nationkey"].cast(pa.int64()), dim["key"])
         return pa.table(
             {
                 "s_suppkey": t["s_suppkey"],
                 "s_name": t["s_name"],
-                "n_name": pa.array([p[0] for p in pairs], type=pa.string()),
-                "r_name": pa.array([rmap[p[1]] for p in pairs], type=pa.string()),
+                "n_name": pc.take(dim["n_name"], ix),
+                "r_name": pc.take(dim["r_name"], ix),
             }
         )
 
