@@ -176,6 +176,11 @@ def run_bench() -> dict:
     timed("knn_brute", lambda: E.knn_brute(sf_dir))
     timed("knn_int8", lambda: E.knn_int8(sf_dir))
     timed("embedding_near_dup", lambda: E.embedding_near_dup(sf_dir))
+    # retrieval / semantic family (added round 3, third continuation)
+    timed("bm25_topk", lambda: T.bm25_topk(sf_dir))
+    timed("hybrid_search", lambda: E.hybrid_search(sf_dir))
+    timed("semantic_dedup", lambda: E.semantic_dedup(sf_dir))
+    timed("cdc_chunks", lambda: T.cdc_chunks(sf_dir))
 
     total = round(sum(timings.values()), 3)
     result = {
