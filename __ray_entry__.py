@@ -167,6 +167,12 @@ def _media_features(sf_dir: str):
     return MM.media_features(_crawl(sf_dir).docs())
 
 
+def _audio_features(sf_dir: str):
+    run = _crawl(sf_dir)
+    blob_dir = os.path.join(_store_root(sf_dir), "blobs")
+    return MM.audio_features(run.docs(), blob_dir)
+
+
 def _media_dedup(sf_dir: str):
     run = _crawl(sf_dir)
     blob_dir = os.path.join(_store_root(sf_dir), "blobs")
@@ -323,6 +329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "usage_rollup_crawl": _usage_rollup_crawl,
         "spans_exploded": _spans_exploded,
         "media_features": _media_features,
+        "audio_features": _audio_features,
         "media_dedup": _media_dedup,
         "media_near_dup": _media_near_dup,
         "media_thumbnails": _media_thumbnails,

@@ -240,3 +240,47 @@ def test_sample_frames_plumbing():
                                  bytes([10] * 10)]
     v2 = out[out["doc_id"] == 2]
     assert list(v2["frame_idx"]) == [0] and list(v2["frame"]) == [b"only"]
+
+
+def test_wav_codec_roundtrip():
+    from visiblev8_crawler_ray.functions.audio import (
+        decode_wav, encode_wav, synth_clip)
+
+    x = synth_clip("deadbeef-w0")
+    rate, y = decode_wav(encode_wav(x))
+    assert rate == 8000
+    assert np.array_equal(x, y)
+    # full-scale square wave: rms 0.5 at half amplitude
+    sq = (np.ones(800) * 16384).astype(np.int16)
+    _, z = decode_wav(encode_wav(sq))
+    rms = float(np.sqrt(np.mean((z / 32768.0) ** 2)))
+    assert abs(rms - 0.5) < 1e-6
+
+
+def test_audio_features_e2e(tmp_path):
+    import shutil
+
+    from visiblev8_crawler_ray import synth
+    from visiblev8_crawler_ray.config import CrawlConfig
+    from visiblev8_crawler_ray.pipelines.crawl import run_crawl
+    from visiblev8_crawler_ray.pipelines.multimodal import audio_features
+
+    cfg = CrawlConfig(max_depth=0, max_waves=1, max_per_host_per_wave=100)
+    seeds = synth.seeds_table(np.arange(60), cfg)
+    root = str(tmp_path / "store")
+    shutil.rmtree(root, ignore_errors=True)
+    run = run_crawl(seeds, cfg, root, blob_artifacts=True)
+    docs = run.docs()
+    feats = audio_features(docs, root + "/blobs")
+    # every third page (by url hash) carries a clip; all decode for real
+    n_audio = sum(
+        1 for spans in docs.to_pandas()["spans"]
+        for s in spans if s["kind"] == "media/audio")
+    assert len(feats) == n_audio > 0
+    assert (feats["sample_rate"] == 8000).all()
+    assert (feats["n_samples"] == 400).all()
+    assert ((feats["rms"] > 0.0) & (feats["rms"] < 1.0)).all()
+    assert ((feats["zcr"] > 0.0) & (feats["zcr"] < 1.0)).all()
+    # determinism: same clip bytes -> same features on a second pass
+    again = audio_features(docs, root + "/blobs")
+    assert feats.equals(again)

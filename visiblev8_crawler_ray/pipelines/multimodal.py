@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -81,6 +83,11 @@ class MediaDecoder:
 
                 with Image.open(io.BytesIO(data)) as im:
                     return im.width, im.height, len(data)
+        if path.endswith(".wav"):
+            from ..functions.audio import decode_wav
+
+            decode_wav(data)  # audio: validate real bytes, no dims
+            return 0, 0, len(data)
         json.loads(data)  # HAR: validate, no intrinsic dims
         return 0, 0, len(data)
 
@@ -562,3 +569,69 @@ def sample_frames(videos: rd.Dataset, every_k: int = 5,
         fn_constructor_kwargs={"every_k": every_k, "max_frames": max_frames},
         batch_format="pyarrow", batch_size=64,
         concurrency=(2, max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)))
+
+
+class AudioFeatures:
+    """Actor-pool audio feature extractor over REAL WAV blob bytes
+    (stdlib ``wave`` codec — the audio sibling of the PNG decode path):
+    per clip, sample count/rate, duration, RMS level, zero-crossing
+    rate and peak.  One decoder per actor; payload bytes are read
+    task-side from the blob store and never enter the object store."""
+
+    def __init__(self, blob_dir: str):
+        self.blob_dir = blob_dir
+
+    def _feats(self, ref: str) -> tuple[int, int, float, float, float]:
+        import os
+
+        from ..functions.audio import decode_wav
+
+        path = os.path.join(self.blob_dir, ref[len("blob://"):])
+        with open(path, "rb") as f:
+            rate, x = decode_wav(f.read())
+        xf = x.astype(np.float64) / 32768.0
+        rms = float(np.sqrt(np.mean(xf * xf))) if len(xf) else 0.0
+        zcr = (float(np.mean(np.signbit(xf[1:]) != np.signbit(xf[:-1])))
+               if len(xf) > 1 else 0.0)
+        peak = float(np.abs(xf).max()) if len(xf) else 0.0
+        return len(x), rate, rms, zcr, peak
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = [self._feats(r) for r in batch["media_ref"].to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "media_ref": batch["media_ref"],
+            "n_samples": pa.array([r[0] for r in rows], type=pa.int64()),
+            "sample_rate": pa.array([r[1] for r in rows], type=pa.int64()),
+            "duration_ms": pa.array(
+                [round(r[0] * 1000.0 / r[1], 3) for r in rows],
+                type=pa.float64()),
+            "rms": pa.array([round(r[2], 6) for r in rows],
+                            type=pa.float64()),
+            "zcr": pa.array([round(r[3], 6) for r in rows],
+                            type=pa.float64()),
+            "peak": pa.array([round(r[4], 6) for r in rows],
+                             type=pa.float64()),
+        })
+
+
+def audio_features(docs: rd.Dataset, blob_dir: str) -> pd.DataFrame:
+    """Audio feature extraction over the crawl's interleaved docs: the
+    third modality of the brief (image decode and video frame-sampling
+    are the siblings).  Explode -> filter kind == 'media/audio' ->
+    autoscaling actor pool decoding real WAV bytes.  Rows-only at the
+    driver gate (features depend on blob bytes, outside SQL's reach);
+    exactness pinned by the codec round-trip + known-signal unit tests.
+    """
+    from ..stages.parse import explode_spans_batch
+
+    audio = docs.map_batches(
+        explode_spans_batch, batch_format="pyarrow").map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "media/audio")),
+        batch_format="pyarrow")
+    out = audio.map_batches(
+        AudioFeatures, fn_constructor_kwargs={"blob_dir": blob_dir},
+        batch_format="pyarrow", batch_size=1024,
+        concurrency=(2, max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)),
+    ).to_pandas()
+    return out.sort_values(["doc_id", "media_ref"]).reset_index(drop=True)

@@ -43,6 +43,7 @@ SPAN_KINDS = (
     "link",
     "media/screenshot",
     "media/har",
+    "media/audio",
 )
 
 SPAN_STRUCT = pa.struct(

@@ -223,6 +223,10 @@ class FetchWriter(Fetcher):
                 # pixels — the decode stage parses actual image bytes
                 from ..functions.png import encode_png, synth_screenshot
                 payload = encode_png(synth_screenshot(did))
+            elif name.endswith(".wav"):
+                # REAL mono PCM16 WAV bytes (stdlib wave codec)
+                from ..functions.audio import encode_wav, synth_clip
+                payload = encode_wav(synth_clip(did))
             else:
                 payload = json.dumps({"log": {"doc": did}}).encode()
             tmp = path + ".tmp"

@@ -359,6 +359,11 @@ def make_spans_flat(canonical_url: str, host: str, path: str, wave: int,
     medias.append(f"blob://{did}/shot.png")
     kinds.append("media/har"); texts.append("")
     medias.append(f"blob://{did}/har.json")
+    # a third of pages carry an audio capture (interleaved text+media
+    # contract: the third modality; real WAV bytes via functions/audio)
+    if h % 3 == 0:
+        kinds.append("media/audio"); texts.append("")
+        medias.append(f"blob://{did}/clip.wav")
     return len(kinds) - start, links
 
 
@@ -417,13 +422,14 @@ def _segment_arange(counts: np.ndarray) -> np.ndarray:
 _KIND_VOCAB = ("isolate", "origin", "script", *_MODE_KINDS,
                *(f"trigger/{name}" for name, _ in TRIGGERS),
                "action/click", "action/nav",
-               "link", "media/screenshot", "media/har")
+               "link", "media/screenshot", "media/har", "media/audio")
 _KC_TRIG0 = 7
 _KC_CLICK = _KC_TRIG0 + len(TRIGGERS)
 _KC_NAV = _KC_CLICK + 1
 _KC_LINK = _KC_NAV + 1
 _KC_SHOT = _KC_LINK + 1
 _KC_HAR = _KC_SHOT + 1
+_KC_AUD = _KC_HAR + 1
 
 
 def fetch_rows_arrow(urls: list[str], hosts: list[str], paths: list[str],
@@ -491,7 +497,9 @@ def fetch_rows_arrow(urls: list[str], hosts: list[str], paths: list[str],
     trig_total = t_spans.sum(axis=1)
 
     # ---- per-URL span layout
-    totals = 2 + n_scripts + total_api_u + trig_total + 2 * n_act + B + 2
+    aud = (h % np.uint64(3) == 0)        # every third page: audio span
+    totals = (2 + n_scripts + total_api_u + trig_total + 2 * n_act + B + 2
+              + aud.astype(np.int64))
     base = np.cumsum(totals) - totals
     grand = int(totals.sum())
     kind_code = np.empty(grand, dtype=np.int8)
@@ -623,6 +631,12 @@ def fetch_rows_arrow(urls: list[str], hosts: list[str], paths: list[str],
     t_part.append(pa.array([""] * n, type=pa.string()))
     t_pos.append(p_med + 1)
     t_part.append(pa.array([""] * n, type=pa.string()))
+    aud_ix = np.flatnonzero(aud)
+    if len(aud_ix):
+        p_aud = p_med[aud_ix] + 2
+        kind_code[p_aud] = _KC_AUD
+        t_pos.append(p_aud)
+        t_part.append(pa.array([""] * len(aud_ix), type=pa.string()))
 
     # text column: one inverse-permutation take interleaves the parts
     pos = np.concatenate(t_pos)
@@ -638,9 +652,12 @@ def fetch_rows_arrow(urls: list[str], hosts: list[str], paths: list[str],
     m_code = np.zeros(grand, dtype=np.int32)
     m_code[p_med] = 1 + np.arange(n, dtype=np.int32)
     m_code[p_med + 1] = 1 + n + np.arange(n, dtype=np.int32)
+    if len(aud_ix):
+        m_code[p_aud] = 1 + 2 * n + np.arange(len(aud_ix), dtype=np.int32)
     m_vocab = pa.array(
         [""] + [f"blob://{d}/shot.png" for d in doc_ids]
-        + [f"blob://{d}/har.json" for d in doc_ids])
+        + [f"blob://{d}/har.json" for d in doc_ids]
+        + [f"blob://{doc_ids[i]}/clip.wav" for i in aud_ix])
     media_arr = pc.cast(
         pa.DictionaryArray.from_arrays(pa.array(m_code), m_vocab),
         pa.string())
