@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": T.dedup_exact,
         "dedup_minhash": T.dedup_minhash,
         "simhash_docs": T.simhash_docs,
+        "simhash_near_dup": T.simhash_near_dup,
         "ngram_jaccard_pairs": T.ngram_jaccard_pairs,
         "language_id": T.language_id,
         "quality_score": T.quality_score,
@@ -761,6 +762,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT md5(text) AS content_key, min(doc_id) AS keep_doc_id
             FROM documents GROUP BY 1""",
+        "simhash_docs": T.simhash_sql(),
+        "simhash_near_dup": T.simhash_near_dup_sql(),
         "ngram_jaccard_pairs": """
             WITH t AS (SELECT doc_id, lang,
                               list_distinct(regexp_extract_all(text, '\\S+')) AS toks

@@ -216,3 +216,58 @@ def test_winnow_fingerprint_short_doc_fallback(tmp_path):
         sum(c * pow(B, W - 1 - j, M) for j, c in enumerate(b[i:i + W])) % M
         for i in range(len(b) - W + 1))
     assert got[2] == want2
+
+
+def test_simhash_md5_token_hash_matches_duckdb():
+    """The token hash IS DuckDB's md5_number_lower (the SQL-gate
+    contract for the simhash family)."""
+    import duckdb
+    import numpy as np
+
+    from visiblev8_crawler_ray.pipelines.textops import SimHasher
+
+    sh = SimHasher()
+    toks = pa.array(["the", "a", "tok7", "", "Ünïcode"])
+    got = sh._token_hashes(toks)
+    want = [duckdb.sql("select md5_number_lower(?)", params=[t]).fetchone()[0]
+            for t in toks.to_pylist()]
+    assert got.tolist() == [w & ((1 << 64) - 1) for w in want]
+
+
+def test_simhash_banding_is_exact(tmp_path, ray_session):
+    """The 4x16-bit banded pair generation loses NOTHING vs brute-force
+    popcount at Hamming <= 3 (pigeonhole exactness), on a corpus
+    engineered with near and far pairs."""
+    import numpy as np
+    import pandas as pd
+
+    from visiblev8_crawler_ray.pipelines.textops import (
+        SimHasher, popcount64, simhash_near_dup)
+
+    rng = np.random.default_rng(7)
+    base = [" ".join(f"w{rng.integers(0, 40)}" for _ in range(30))
+            for _ in range(12)]
+    texts = []
+    for t in base:
+        texts.append(t)                       # identical twin -> ham 0
+        texts.append(t)
+        toks = t.split()
+        toks[3] = "EDIT"                      # near variant
+        texts.append(" ".join(toks))
+    docs = pd.DataFrame({"doc_id": np.arange(len(texts), dtype="int64"),
+                         "text": texts})
+    docs.to_parquet(tmp_path / "documents.parquet")
+
+    got = simhash_near_dup(str(tmp_path))
+    sim = SimHasher()(pa.table(docs))
+    hs = sim["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+    ids = sim["doc_id"].to_numpy(zero_copy_only=False)
+    i, j = np.triu_indices(len(hs), 1)
+    ham = popcount64(hs[i] ^ hs[j])
+    keep = ham <= 3
+    want = pd.DataFrame({"doc_a": ids[i[keep]], "doc_b": ids[j[keep]],
+                         "hamming": ham[keep]}).sort_values(
+        ["doc_a", "doc_b"]).reset_index(drop=True)
+    assert len(want) >= len(base)  # the identical twins at minimum
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False)

@@ -407,27 +407,49 @@ class SimHasher:
     """64-bit SimHash per doc; near-dups share most bits.
 
     Fully vectorized over the batch (VERDICT r1 weak-item fix): one
-    arrow tokenization for all docs, one polars hash over the flat
-    token column, per-doc distinct via lexsort + first-occurrence mask,
-    and the 64 bit-planes accumulated with ``np.add.reduceat`` over the
-    doc segments — no per-doc/per-token Python.
+    arrow tokenization for all docs, token hashes paid once per UNIQUE
+    token (factorize + memo, exactly like MinHasher), per-doc distinct
+    via lexsort + first-occurrence mask, and the 64 bit-planes
+    accumulated with ``np.add.reduceat`` over the doc segments — no
+    per-doc/per-token Python in the hot path.
+
+    The token hash is the low 64 bits of md5 (digest bytes 8..16,
+    little-endian) — bit-identical to DuckDB's ``md5_number_lower``,
+    so the whole operator is SQL-recomputable and ``simhash_docs`` +
+    ``simhash_near_dup`` sit under the driver's value-hash gate
+    (previously a polars hash, which no oracle could reproduce).
     """
 
     _SHIFTS = np.arange(64, dtype=np.uint64)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import polars as pl
+    def __init__(self):
+        self._tok: dict[str, int] = {}  # token -> md5-low64, memoized
 
+    def _token_hashes(self, flat: pa.Array) -> np.ndarray:
+        codes, uniq = pd.factorize(flat.to_numpy(zero_copy_only=False))
+        cache = self._tok
+        uniq_ids = np.empty(len(uniq), dtype=np.uint64)
+        for i, tok in enumerate(uniq):
+            v = cache.get(tok)
+            if v is None:
+                v = int.from_bytes(
+                    hashlib.md5(tok.encode()).digest()[8:], "little")
+                cache[tok] = v
+            uniq_ids[i] = v
+        return uniq_ids[codes] if len(codes) else np.empty(0, np.uint64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         text = batch["text"]
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
         toks = pc.split_pattern_regex(text, r"\s+")
         flat = pc.list_flatten(toks)
         parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-        hashes = pl.from_arrow(flat).hash(seed=0x51AB11A5).to_numpy().astype(np.uint64)
         # drop empty tokens (split artifacts) and per-doc duplicates
-        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        parent, hashes = parent[nonempty], hashes[nonempty]
+        nonempty = pc.not_equal(flat, "")
+        keep = nonempty.to_numpy(zero_copy_only=False)
+        flat, parent = flat.filter(nonempty), parent[keep]
+        hashes = self._token_hashes(flat)
         order = np.lexsort((hashes, parent))
         parent, hashes = parent[order], hashes[order]
         first = np.ones(len(parent), dtype=bool)
@@ -456,7 +478,133 @@ class SimHasher:
 def simhash_docs(sf_dir: str) -> pa.Table:
     """SimHash fingerprint per document (near-dup key)."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
-    return ds.map_batches(SimHasher(), batch_format="pyarrow").to_pandas()
+    return ds.map_batches(SimHasher(), batch_format="pyarrow").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+def simhash_sql(rel: str = "documents") -> str:
+    """DuckDB twin of :class:`SimHasher` — GENERATED 64-bit-plane SQL
+    (token hash = ``md5_number_lower``, the exact function the engine
+    computes), so the simhash family sits under the value-hash gate.
+    Returns a relation (doc_id, simhash BIGINT) ordered by doc_id."""
+    sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(64))
+    low63 = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(63))
+    packed = (f"(CASE WHEN s63 > 0 THEN -9223372036854775808 ELSE 0 END)"
+              f" + ({low63})")
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+            FROM {rel}
+        ), dt AS (
+            SELECT DISTINCT doc_id, md5_number_lower(tok) AS h FROM toks
+        ), bits AS (
+            SELECT doc_id, {sums} FROM dt GROUP BY doc_id
+        )
+        SELECT d.doc_id, CAST({packed} AS BIGINT) AS simhash
+        FROM {rel} d LEFT JOIN bits USING (doc_id)
+        ORDER BY d.doc_id"""
+
+
+def simhash_near_dup_sql(max_ham: int = 3) -> str:
+    """DuckDB twin of :func:`simhash_near_dup`: exact O(n²) self-join
+    over the generated simhash relation (the banded engine path must
+    equal it exactly — the banding is a candidate superset)."""
+    return f"""
+        WITH sim AS ({simhash_sql()})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_ham}
+        ORDER BY doc_a, doc_b"""
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR; numpy<2 has no bitwise_count)."""
+    x = x.astype(np.uint64, copy=True)
+    x -= (x >> np.uint64(1)) & np.uint64(0x5555555555555555)
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    with np.errstate(over="ignore"):
+        return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(
+            np.int64)
+
+
+def simhash_near_dup(sf_dir: str, max_ham: int = 3) -> pd.DataFrame:
+    """EXACT Hamming-distance near-dup pairs over the 64-bit SimHash —
+    sub-quadratic by construction: the hash splits into 4 disjoint
+    16-bit bands, and by pigeonhole two hashes within Hamming distance
+    3 (< 4 differing bits) agree on at least one band, so the banded
+    bucket join generates a candidate superset and the in-bucket
+    popcount verify makes the result exact (unlike MinHash-LSH there is
+    no recall loss).  This is the scale path for SimHash dedup: one
+    (band, key16) shuffle whose buckets shrink as 2^-16, then one small
+    pair-dedup shuffle; no all-pairs scan ever runs.
+
+    Skew note: a bucket holding k docs costs O(k²) verify — degenerate
+    only when the corpus is dominated by one near-identical cluster, in
+    which case the OUTPUT is itself O(k²) and no exact algorithm does
+    better.  Requires ``max_ham <= 3`` (the 4-band pigeonhole bound).
+    """
+    assert 0 <= max_ham <= 3, "4-band pigeonhole covers Hamming <= 3"
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    sim = ds.map_batches(SimHasher(), batch_format="pyarrow")
+
+    def bandify(t: pa.Table) -> pa.Table:
+        sh = t["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(sh)
+        bands = np.tile(np.arange(4, dtype=np.int32), n)
+        shr = np.repeat(sh, 4)
+        keys = ((shr >> (np.uint64(16) * bands.astype(np.uint64)))
+                & np.uint64(0xFFFF)).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(did, 4), type=pa.int64()),
+            "simhash": pa.array(np.repeat(sh.view(np.int64), 4)),
+            "band": pa.array(bands),
+            "key16": pa.array(keys),
+        })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        hs = g["simhash"].to_numpy().view(np.uint64)
+        i, j = np.triu_indices(n, 1)
+        ham = popcount64(hs[i] ^ hs[j])
+        k = ham <= max_ham
+        return pd.DataFrame({"doc_a": ids[i[k]], "doc_b": ids[j[k]],
+                             "hamming": ham[k]})
+
+    raw = sim.map_batches(bandify, batch_format="pyarrow") \
+        .groupby(["band", "key16"]).map_groups(
+            bucket_pairs, batch_format="pandas")
+    # the same pair surfaces from every band it agrees on — global pair
+    # dedup as one more bucketed shuffle (dedup_minhash's pattern)
+    nparts = 16
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "pbucket", pa.array((a * 1_000_003 + b) % nparts))
+
+    out = raw.map_batches(pair_bucket, batch_format="pyarrow") \
+        .groupby("pbucket").map_groups(
+            lambda g: g[["doc_a", "doc_b", "hamming"]].drop_duplicates(),
+            batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "hamming": pd.Series([], dtype="int64")})
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6) -> pa.Table:
