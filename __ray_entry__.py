@@ -306,6 +306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classification_summary": CL.classification_summary,
         "results_upsert": CL.results_upsert,
         "adblock_filter": CL.adblock_filter,
+        "robots_decisions": CL.robots_decisions,
         "candidate_preference": A.candidate_preference,
         "events_props_parse": A.events_props_parse,
         # crawl pipeline (iterative — oracle-simulator-gated, rows-only here)
@@ -428,6 +429,12 @@ def oracle_sql() -> dict[str, str]:
     wide_sql = FW.features_wide_sql(_sp, _hdr, _usage_kinds)
     # adblock oracle derives from the SAME easylist rules file the engine
     # compiles (host anchors match subdomains; prefixes are path rules)
+    # robots oracle: the CASE trees derive from the SAME parsed rules
+    # the engine's RobotsIndex matches with (longest-match encoded as
+    # first-match-wins over length-desc arms)
+    from visiblev8_crawler_ray.functions import robots as RB
+    _rb = RB.robots_sql_exprs(RB.corpus_rules(RB.default_corpus()),
+                              host_col=parts["host"], path_col=parts["path"])
     _abi = CL.AdblockIndex()
     ad_host_pred = " OR ".join(
         f"({{host}} = '{h}' OR suffix({{host}}, '.{h}'))"
@@ -1359,6 +1366,16 @@ def oracle_sql() -> dict[str, str]:
             FROM seeds WHERE {{valid}}""".format(
                 seed_cte=_seed_cte(), canon=canon, host=parts["host"],
                 path=parts["path"], valid=valid),
+        "robots_decisions": """
+            {seed_cte}
+            SELECT seed_id, {canon} AS canonical_url,
+                   {allowed} AS allowed,
+                   {delay} AS crawl_delay_ms
+            FROM seeds WHERE {valid}
+            ORDER BY seed_id""".format(
+                seed_cte=_seed_cte(), canon=canon,
+                allowed=_rb["allowed"], delay=_rb["crawl_delay_ms"],
+                valid=valid),
         "events_props_parse": """
             SELECT event_type, count(*) AS n,
                    round(avg(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)), 4) AS avg_k,

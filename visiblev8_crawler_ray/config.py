@@ -48,6 +48,14 @@ class CrawlConfig:
     # bloom-first + range-pruned searchsorted, compacted lazily.  None =
     # all-in-memory (sandbox scale); the 10^10 design point sets ~10^7.
     seen_spill_max_mem_keys: int | None = None
+    # T7 real-format tier: path to a robots.txt cache file
+    # (functions/robots.py corpus format).  When set, the crawl's
+    # robots split AND the per-host politeness delay consult the
+    # parsed RFC 9309 rules (parsed once per process, memoized) instead
+    # of the synthetic robots_disallow prefixes — the sequential oracle
+    # evaluates the same objects, so order/seen equality is preserved.
+    robots_file: str | None = None
+
     # Actioned-seed lookup: missions up to this many rows broadcast as
     # one arrow table (ray.put once, pc.index_in per batch); above it
     # the wave loop attaches actions via a hash-partitioned co-group
@@ -73,7 +81,15 @@ class CrawlConfig:
         assert self.max_waves >= 1
 
     def crawl_delay_ms(self, host: str) -> int:
-        """Per-host politeness delay; pure function of the host name."""
+        """Per-host politeness delay; pure function of the host name
+        (and, when ``robots_file`` is set, of that host's declared
+        Crawl-delay — the robots cache becomes the politeness budget)."""
+        if self.robots_file:
+            from .functions.robots import corpus_rules
+
+            hr = corpus_rules(self.robots_file).get(host)
+            if hr is not None and hr.crawl_delay_ms is not None:
+                return hr.crawl_delay_ms
         if host == self.hot_host:
             return 50
         # src hosts: 100..500ms spread by host index

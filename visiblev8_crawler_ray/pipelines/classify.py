@@ -381,3 +381,24 @@ def adblock_filter(sf_dir: str, rules_path: str | None = None) -> pd.DataFrame:
         concurrency=(2, max(2, int(ray.cluster_resources().get("CPU", 8)) // 2))
     ).to_pandas()
     return out[["seed_id", "canonical_url", "ad_blocked"]]
+
+
+def robots_decisions(sf_dir: str, rules_path: str | None = None) -> pd.DataFrame:
+    """T7's real-format tier as a query: derived seeds -> RFC 9309
+    allow/deny + declared crawl delay per valid URL, from a robots.txt
+    cache file compiled once per actor (``functions/robots.py``; the
+    same rules-file-index shape as :class:`AdblockIndex`).  The oracle
+    SQL is GENERATED from the same parsed rules."""
+    from ..functions.robots import RobotsIndex, default_corpus
+    from .analytics import seed_canonicalize
+
+    canon = seed_canonicalize(sf_dir)
+    valid = canon[canon["valid"]][["seed_id", "canonical_url", "host", "path"]]
+    ds = rd.from_pandas(valid)
+    out = ds.map_batches(
+        RobotsIndex, fn_constructor_args=(rules_path or default_corpus(),),
+        batch_format="pyarrow", batch_size=4096,
+        concurrency=(2, max(2, int(ray.cluster_resources().get("CPU", 8)) // 2))
+    ).to_pandas()
+    return out[["seed_id", "canonical_url", "allowed", "crawl_delay_ms"]] \
+        .sort_values("seed_id").reset_index(drop=True)

@@ -257,10 +257,18 @@ def _robots_flag(cfg: CrawlConfig):
     def fn(batch: pa.Table) -> pa.Table:
         hosts = batch.column("host")
         paths = batch.column("path")
-        blocked = np.zeros(batch.num_rows, dtype=bool)
-        # vectorized per distinct host (robots rules are per-host prefixes)
         hosts_np = hosts.to_numpy(zero_copy_only=False)
         paths_np = paths.to_numpy(zero_copy_only=False)
+        if cfg.robots_file:
+            # T7 real-format tier: RFC 9309 longest-match rules, parsed
+            # once per worker process (corpus_rules memo)
+            from ..functions.robots import corpus_rules, decide_batch
+
+            allowed, _ = decide_batch(
+                corpus_rules(cfg.robots_file), hosts_np, paths_np)
+            return batch.append_column("blocked", pa.array(~allowed))
+        blocked = np.zeros(batch.num_rows, dtype=bool)
+        # vectorized per distinct host (robots rules are per-host prefixes)
         for h in np.unique(hosts_np):
             rules = cfg.robots_disallow(str(h))
             if not rules:

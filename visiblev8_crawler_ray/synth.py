@@ -405,8 +405,15 @@ def mode_kind(mode: str) -> str:
 
 
 def robots_blocked(host: str, path: str, cfg: CrawlConfig) -> bool:
-    """Prefix-match robots semantics (new stage; absent in reference —
-    its stealth crawler deliberately ignores robots, SURVEY.md T7)."""
+    """Robots semantics (new stage; absent in reference — its stealth
+    crawler deliberately ignores robots, SURVEY.md T7).  Base tier:
+    synthetic per-host prefixes; with ``cfg.robots_file``, the parsed
+    RFC 9309 rules (longest-match) decide instead."""
+    if cfg.robots_file:
+        from .functions.robots import corpus_rules
+
+        hr = corpus_rules(cfg.robots_file).get(host)
+        return hr is not None and not hr.allowed(path)
     return any(path.startswith(pfx) for pfx in cfg.robots_disallow(host))
 
 
