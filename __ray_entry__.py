@@ -32,7 +32,8 @@ from visiblev8_crawler_ray.pipelines import classify as CL
 from visiblev8_crawler_ray.pipelines import features as FW
 from visiblev8_crawler_ray.pipelines import graph as G
 from visiblev8_crawler_ray.pipelines import curation as CU
-from visiblev8_crawler_ray.pipelines.crawl import CrawlRun, run_crawl
+from visiblev8_crawler_ray.pipelines.crawl import (CrawlRun, recrawl_due,
+                                                   run_crawl)
 from visiblev8_crawler_ray.stages import parse as P
 
 # Crawl configuration used for all sf_dir-derived crawl queries.
@@ -271,6 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_term": T.tfidf_top_term,
         "curate_corpus": T.curate_corpus,
         "heavy_hitters": T.heavy_hitters,
+        "token_cms": T.token_cms,
         "distinct_tokens_hll": T.distinct_tokens_hll,
         "sample_per_group": T.sample_per_group,
         "text_dup_clusters": T.text_dup_clusters,
@@ -313,6 +315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_urlseen": lambda sf: _crawl(sf).urlseen(),
         "crawl_log": lambda sf: _crawl(sf).crawl_log(),
         "url_status": lambda sf: _crawl(sf).url_status(),
+        "recrawl_due": lambda sf: recrawl_due(_crawl(sf).crawl_log(), QCFG),
         "crawl_metrics": lambda sf: _crawl(sf).metrics(),
         "crawl_docs_summary": _crawl_docs_summary,
         "scripts_from_docs": _scripts_from_docs,
@@ -429,6 +432,8 @@ def oracle_sql() -> dict[str, str]:
     wide_sql = FW.features_wide_sql(_sp, _hdr, _usage_kinds)
     # adblock oracle derives from the SAME easylist rules file the engine
     # compiles (host anchors match subdomains; prefixes are path rules)
+    from visiblev8_crawler_ray.pipelines.crawl import \
+        REVISIT_FACTOR as _REVISIT
     # robots oracle: the CASE trees derive from the SAME parsed rules
     # the engine's RobotsIndex matches with (longest-match encoded as
     # first-match-wins over length-desc arms)
@@ -1296,6 +1301,27 @@ def oracle_sql() -> dict[str, str]:
                         ELSE '' END AS har_ref,
                    (status <> '') AS complete
             FROM read_parquet('{_lg}')""",
+        "recrawl_due": f"""
+            WITH ok AS (SELECT * FROM read_parquet('{_lg}')
+                        WHERE status = 'ok'),
+            e AS (SELECT url_key, url, host, seq,
+                         (SELECT max(seq) + 1 FROM ok) AS horizon,
+                         -- crawl_delay_ms(host) for synthetic hosts,
+                         -- Python floor-mod semantics for the -1 branch
+                         CASE WHEN host = 'hot.example' THEN 50
+                              ELSE 100 * (1 + ((COALESCE(TRY_CAST(
+                                  regexp_extract(host,
+                                      '^src(\\d+)\\.example$', 1)
+                                  AS BIGINT), -1) % 5) + 5) % 5) END
+                             AS delay_ms
+                  FROM ok)
+            SELECT url_key, url, host, seq AS last_seq,
+                   CAST((horizon - seq) * {int(QCFG.admission_delay_s * 1000)}
+                        AS BIGINT) AS age_ms,
+                   CAST({_REVISIT} * delay_ms AS BIGINT) AS revisit_ms,
+                   ((horizon - seq) * {int(QCFG.admission_delay_s * 1000)})
+                       >= ({_REVISIT} * delay_ms) AS due
+            FROM e""",
         "doc_features_wide": wide_sql,
         "score_features_wide": f"""
             WITH wide AS ({wide_sql})

@@ -1056,3 +1056,49 @@ def _urlseen_batch(wave: int):
             }
         )
     return fn
+
+
+#: revisit-interval multiple of the per-host politeness delay — the
+#: change-rate policy of the recrawl scheduler (slow-delay hosts are
+#: assumed slow-changing, the standard freshness heuristic).  Calibrated
+#: to the reference's 1-URL/s admission timeline: delays of 50-500 ms
+#: become revisit intervals of 100 s - 1000 s, the middle of a
+#: thousand-URL mission's age range, so the due flag actually splits.
+REVISIT_FACTOR = 2000
+
+
+def recrawl_due(log_ds: rd.Dataset, cfg: CrawlConfig) -> rd.Dataset:
+    """Recrawl scheduling (the revisit policy every production frontier
+    runs; absent in the reference — its crawls are one-shot missions):
+    on the reference's 1-URL/s admission timeline
+    (``url_sender.py:45``), a fetched URL's global fetch instant is
+    ``seq * admission_delay``; it is DUE for recrawl at the horizon
+    (the instant after the last admission) once its age reaches the
+    per-host revisit interval ``REVISIT_FACTOR * crawl_delay_ms(host)``
+    — pure per-row arithmetic over the crawl log (no shuffle at any
+    scale; the horizon is one tiny max aggregate)."""
+    adm_ms = int(cfg.admission_delay_s * 1000)
+    horizon = log_ds.map_batches(
+        lambda t: t.filter(pc.equal(t["status"], "ok")).select(["seq"]),
+        batch_format="pyarrow").max("seq") + 1
+
+    def flag(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["status"], "ok"))
+        hosts = t["host"].to_numpy(zero_copy_only=False)
+        seq = t["seq"].to_numpy(zero_copy_only=False)
+        uniq = np.unique(hosts)
+        delays = {h: cfg.crawl_delay_ms(str(h)) for h in uniq}
+        revisit = np.array([REVISIT_FACTOR * delays[h] for h in hosts],
+                           dtype=np.int64)
+        age = (np.int64(horizon) - seq) * adm_ms
+        return pa.table({
+            "url_key": t["url_key"],
+            "url": t["url"],
+            "host": t["host"],
+            "last_seq": t["seq"],
+            "age_ms": pa.array(age),
+            "revisit_ms": pa.array(revisit),
+            "due": pa.array(age >= revisit),
+        })
+
+    return log_ds.map_batches(flag, batch_format="pyarrow")

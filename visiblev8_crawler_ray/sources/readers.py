@@ -73,6 +73,54 @@ def read_candidates_jsonl(path: str) -> rd.Dataset:
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def read_sitemap(path: str) -> rd.Dataset:
+    """S-family: sitemap-protocol XML (<urlset><url><loc>…) ->
+    (seed_id, url, lastmod, priority).
+
+    seed_id is the 0-based <url> position (the sitemap's document
+    order).  Parsing is vectorized arrow: one split on '</url>' turns
+    the file into per-entry rows, then one RE2 ``extract_regex`` per
+    field — no XML library (the sitemap subset is regular; CDATA and
+    namespaces beyond the default are out of scope, documented).
+    Sitemap files are control-sized (<=50k URLs by protocol), so the
+    single-block numbering mirrors read_url_file."""
+    ds = rd.read_binary_files(path)
+
+    def parse(t: pa.Table) -> pa.Table:
+        tables = []
+        for blob in t["bytes"].to_pylist():
+            entries = pc.split_pattern(
+                pa.array([blob.decode("utf-8", "replace")]), "</url>")
+            flat = pc.list_flatten(entries)
+            loc = pc.extract_regex(flat, r"<loc>\s*(?P<u>[^<]*?)\s*</loc>")
+            keep = pc.is_valid(loc)
+            flat = flat.filter(keep)
+            urls = pc.struct_field(loc.filter(keep), "u")
+            lastmod = pc.struct_field(
+                pc.extract_regex(flat, r"<lastmod>\s*(?P<m>[^<]*?)\s*</lastmod>"),
+                "m")
+            prio = pc.struct_field(
+                pc.extract_regex(flat, r"<priority>\s*(?P<p>[^<]*?)\s*</priority>"),
+                "p")
+            n = len(flat)
+            tables.append(pa.table({
+                "seed_id": pa.array(np.arange(n, dtype=np.int64)),
+                "url": pc.cast(urls, pa.string()),
+                "lastmod": pc.fill_null(pc.cast(lastmod, pa.string()), ""),
+                "priority": pc.cast(
+                    pc.fill_null(pc.cast(prio, pa.string()), "0.5"),
+                    pa.float64()),
+            }))
+        if not tables:
+            return pa.table({"seed_id": pa.array([], type=pa.int64()),
+                             "url": pa.array([], type=pa.string()),
+                             "lastmod": pa.array([], type=pa.string()),
+                             "priority": pa.array([], type=pa.float64())})
+        return pa.concat_tables(tables)
+
+    return ds.map_batches(parse, batch_format="pyarrow")
+
+
 def union_seed_sources(*datasets: rd.Dataset) -> rd.Dataset:
     """D6: union all seed sources (columns aligned to seed_id/url)."""
     out = None
