@@ -280,6 +280,66 @@ def test_resume_after_midwave_crash_scale_path(oracle_result, tmp_path):
         r_seen[["url_key", "first_wave", "first_seq"]].values.tolist()
 
 
+def test_per_host_total_budget_matches_oracle(oracle_result, tmp_path):
+    """cfg.max_per_host_total: rows past a host's remaining mission-wide
+    budget drop for good (status='budget_exhausted', marked seen,
+    counted in metrics.budget_dropped) — on BOTH wave paths, equal to
+    the oracle."""
+    from dataclasses import replace
+
+    seeds, _ = oracle_result
+    cfg = replace(CFG, max_per_host_total=3)
+    orc = crawl_oracle(
+        list(zip(seeds["seed_id"].to_pylist(), seeds["url"].to_pylist())),
+        cfg, seed_actions=seeds["actions"].to_pylist())
+    # the fixture must actually exercise the budget
+    assert sum(m["budget_dropped"] for m in orc.metrics) > 0
+    for sub, extra in (("bud_small", {}),
+                       ("bud_scale", {"small_wave_threshold": 0})):
+        c = replace(cfg, **extra)
+        root = str(tmp_path / sub)
+        shutil.rmtree(root, ignore_errors=True)
+        run = run_crawl(seeds, c, root, fetch_concurrency=2,
+                        fetch_batch_size=64)
+        seen = run.urlseen().to_pandas().sort_values("first_seq")
+        o_seen = pd.DataFrame(orc.urlseen).sort_values("first_seq")
+        assert list(seen.url) == list(o_seen.url), sub
+        assert sorted(run.metrics().to_pylist(),
+                      key=lambda r: r["wave"]) == orc.metrics, sub
+        log = run.crawl_log().to_pandas()
+        bud = log[log.status == "budget_exhausted"]
+        obud = sorted(r["url"] for r in orc.crawl_log
+                      if r["status"] == "budget_exhausted")
+        assert sorted(bud.url) == obud, sub
+        # the budget is a hard per-host admission ceiling
+        assert log[log.seq >= 0].groupby("host").size().max() <= 3, sub
+
+
+def test_per_host_total_budget_resume(oracle_result, tmp_path):
+    """Resume must restore the per-host budget state from the committed
+    fetch partitions: stop after wave 0 (budgets partially consumed),
+    resume, and require metrics/docs identical to an uninterrupted run
+    — on both wave paths."""
+    from dataclasses import replace
+
+    seeds, _ = oracle_result
+    for sub, extra in (("b_small", {}),
+                       ("b_scale", {"small_wave_threshold": 0})):
+        cfg = replace(CFG, max_per_host_total=3, **extra)
+        full_root = str(tmp_path / f"{sub}_full")
+        shutil.rmtree(full_root, ignore_errors=True)
+        full = run_crawl(seeds, cfg, full_root)
+        part = str(tmp_path / f"{sub}_part")
+        shutil.rmtree(part, ignore_errors=True)
+        run_crawl(seeds, cfg, part, stop_after_wave=0)
+        resumed = run_crawl(seeds, cfg, part)
+        assert sorted(full.docs().to_pandas().doc_id) == \
+            sorted(resumed.docs().to_pandas().doc_id), sub
+        assert sorted(full.metrics().to_pylist(), key=lambda r: r["wave"]) \
+            == sorted(resumed.metrics().to_pylist(),
+                      key=lambda r: r["wave"]), sub
+
+
 def test_action_join_mode_matches_oracle(oracle_result, tmp_path):
     """Force the hash-partitioned actions join (actions_broadcast_max=0):
     fetch modes and span sequences must equal the broadcast path / the

@@ -21,4 +21,4 @@ No module in this package calls ``ray.init()`` — the driver, bench.py
 and the pytest session fixture own the Ray session.
 """
 
-__version__ = "0.8.0"  # 0.8: audio modality — media/audio spans + WAV blobs
+__version__ = "0.9.0"  # 0.9: per-host crawl budget + budget_dropped metric

@@ -28,6 +28,13 @@ class CrawlConfig:
     max_waves: int = 8                  # termination backstop (deferrals extend waves)
     branching: int = 3                  # outlinks per page (synthetic web)
     max_per_host_per_wave: int = 100    # hot-host politeness window (skew split)
+    # Per-host TOTAL crawl budget across the whole mission (None = no
+    # cap).  Within a wave's politeness order, a host's rows beyond its
+    # remaining budget are dropped for good: logged
+    # status='budget_exhausted', marked seen (never revisited), counted
+    # in metrics.budget_dropped.  The per-wave window still applies on
+    # top (rows between the window and the remaining budget defer).
+    max_per_host_total: int | None = None
 
     # Synthetic web model.
     n_src_hosts: int = 20               # src0..src19 (.example)

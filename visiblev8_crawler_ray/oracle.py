@@ -83,6 +83,7 @@ def crawl_oracle(seed_urls: list[tuple[int, str]], cfg: CrawlConfig,
     the aligned per-seed actions JSON strings ('' = none, M6)."""
     res = OracleResult()
     seen: set[str] = set()          # url_key of fetched + blocked + failed
+    host_fetched: dict[str, int] = {}  # per-host admitted total (budget)
     seq = 0
 
     # wave-0 candidates: canonicalize + validate
@@ -112,7 +113,7 @@ def crawl_oracle(seed_urls: list[tuple[int, str]], cfg: CrawlConfig,
     while cand and wave < cfg.max_waves:
         m = {"wave": wave, "admitted": 0, "fetched": 0, "deduped": 0,
              "robots_blocked": 0, "deferred": 0, "failed": 0,
-             "retried": 0}
+             "retried": 0, "budget_dropped": 0}
         # within-wave dedup: min (admission_key, depth, url) per canonical
         # url (depth in the tiebreak mirrors the pipeline's packed-min)
         best: dict[str, tuple[int, str, int]] = {}
@@ -144,18 +145,36 @@ def crawl_oracle(seed_urls: list[tuple[int, str]], cfg: CrawlConfig,
                 )
                 continue
             fetchable.append((key, url, uk, depth, host, path))
-        # host_rank + deferral
+        # host_rank + total budget + deferral: within the politeness
+        # order, rows past the host's REMAINING total budget drop for
+        # good (status='budget_exhausted', marked seen); rows between
+        # the per-wave window and the remaining budget defer as before.
         by_host: dict[str, int] = {}
         sched, deferred = [], []
         for key, url, uk, depth, host, path in fetchable:  # already sorted
             r = by_host.get(host, 0)
             by_host[host] = r + 1
+            if cfg.max_per_host_total is not None:
+                remaining = max(
+                    cfg.max_per_host_total - host_fetched.get(host, 0), 0)
+                if r >= remaining:
+                    m["budget_dropped"] += 1
+                    seen.add(uk)
+                    res.crawl_log.append(
+                        dict(seq=-1, wave=wave, host=host, url=url,
+                             url_key=uk, doc_id="", depth=depth,
+                             fetch_vtime=0, status="budget_exhausted",
+                             n_spans=0, n_links=0, retry_count=0)
+                    )
+                    continue
             if r >= cfg.max_per_host_per_wave:
                 deferred.append((key, url, depth))
                 continue
             vt = r * cfg.crawl_delay_ms(host)
             sched.append((vt, key, url, uk, depth, host, path))
         m["deferred"] = len(deferred)
+        for _, _, _, _, _, host, _ in sched:
+            host_fetched[host] = host_fetched.get(host, 0) + 1
         # crawl order within the wave
         sched.sort(key=lambda r: (r[0], r[1], r[2]))
         next_cand: list[tuple[int, str, int]] = list(deferred)

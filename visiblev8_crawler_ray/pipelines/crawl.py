@@ -155,15 +155,19 @@ def _combine_pack_min(batch: pa.Table) -> pa.Table:
 
 
 
-def _wave_kernel(cfg: CrawlConfig, shards, next_seq: int, wave: int):
+def _wave_kernel(cfg: CrawlConfig, shards, next_seq: int, wave: int,
+                 host_prior: dict[str, int] | None = None):
     """Small-wave fused control kernel — the whole per-wave control plane
-    (dedup -> seen filter -> robots -> politeness schedule -> deferral ->
-    crawl order) in ONE map over the single coalesced control block.
+    (dedup -> seen filter -> robots -> politeness schedule -> budget ->
+    deferral -> crawl order) in ONE map over the single coalesced
+    control block.
 
     Valid only when the wave's candidates fit one block (the adaptive
     threshold); block-local == global then, so every step is exact.
     Emits the frontier columns plus host_rank / fetch_vtime / seq and a
-    ``role`` column: 'blocked' | 'deferred' | 'admitted'.
+    ``role`` column: 'blocked' | 'budget' | 'deferred' | 'admitted'.
+    ``host_prior``: per-host admitted totals from earlier waves (the
+    total-budget state; only read when cfg.max_per_host_total is set).
     """
     n_shards = len(shards)
     cap = cfg.max_per_host_per_wave
@@ -211,8 +215,17 @@ def _wave_kernel(cfg: CrawlConfig, shards, next_seq: int, wave: int):
         fetchable = fetchable.append_column(
             "host_rank", pa.array(rank)).append_column(
             "fetch_vtime", pa.array(vtime))
-        admitted = fetchable.filter(pa.array(rank < cap))
-        deferred = fetchable.filter(pa.array(rank >= cap))
+        if cfg.max_per_host_total is not None and len(codes):
+            prior = np.array(
+                [(host_prior or {}).get(str(h), 0) for h in uniq_hosts],
+                dtype=np.int64)[codes]
+            remaining = np.maximum(cfg.max_per_host_total - prior, 0)
+            exhausted = rank >= remaining
+        else:
+            exhausted = np.zeros(len(codes), dtype=bool)
+        budget = fetchable.filter(pa.array(exhausted))
+        admitted = fetchable.filter(pa.array((rank < cap) & ~exhausted))
+        deferred = fetchable.filter(pa.array((rank >= cap) & ~exhausted))
         # 5. crawl order
         admitted = admitted.take(pc.sort_indices(
             admitted, sort_keys=[("fetch_vtime", "ascending"),
@@ -238,8 +251,8 @@ def _wave_kernel(cfg: CrawlConfig, shards, next_seq: int, wave: int):
                             ["host_rank", "fetch_vtime", "seq", "role"])
 
         return pa.concat_tables(
-            [tag(blocked, "blocked"), tag(deferred, "deferred"),
-             tag(admitted, "admitted")])
+            [tag(blocked, "blocked"), tag(budget, "budget"),
+             tag(deferred, "deferred"), tag(admitted, "admitted")])
 
     return fn
 
@@ -346,6 +359,54 @@ def _partition_rows(part_dir: str) -> int:
         if f.endswith(".parquet"):
             total += pq.read_metadata(os.path.join(part_dir, f)).num_rows
     return total
+
+
+def _blocked_counts(part_dir: str) -> tuple[int, int]:
+    """Driver-side (robots_blocked, budget_exhausted) row counts of a
+    blocked partition.  The budget sidewrites use the distinct 'part-b'
+    filename prefix (robots rows are 'part-k'), so the split comes from
+    parquet footers only — no column read, no Ray execution."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    robots = budget = 0
+    for f in os.listdir(part_dir):
+        if not f.endswith(".parquet"):
+            continue
+        n = pq.read_metadata(os.path.join(part_dir, f)).num_rows
+        if f.startswith("part-b"):
+            budget += n
+        else:
+            robots += n
+    return robots, budget
+
+
+def _host_counts(files: list[str]) -> dict[str, int]:
+    """Per-host admitted row counts from committed fetch partitions —
+    one pruned single-column read (thread pool; IO-bound).  Feeds the
+    per-host total-budget state; control-sized output (one int per
+    host).  At the 10^10 design point this state lives sharded next to
+    the seen index; driver-side is exact and cheap at the politeness
+    budget's admitted volume."""
+    from collections import Counter
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow.parquet as pq
+
+    def one(f: str) -> Counter:
+        t = pq.read_table(f, columns=["host"])
+        h, c = np.unique(t["host"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return Counter({str(k): int(v) for k, v in zip(h, c)})
+
+    if not files:
+        return {}
+    tot: Counter = Counter()
+    with ThreadPoolExecutor(max_workers=min(16, len(files))) as ex:
+        for part in ex.map(one, files):
+            tot.update(part)
+    return dict(tot)
 
 
 def _fetch_counts(part_dir: str) -> tuple[int, int]:
@@ -544,12 +605,20 @@ def _frontier_blocks() -> int:
     return max(16, 2 * ncpu)
 
 
-def _politeness_cols(cfg: CrawlConfig):
+def _politeness_cols(cfg: CrawlConfig, host_prior: dict[str, int] | None = None,
+                     blocked_dir: str | None = None, wave: int = 0):
     """Vectorized politeness columns from a precomputed ``host_rank``
-    (scale path): window deferral + virtual fetch time.  Stateless map —
-    the ranking itself came from the skew-proof sort (seq.py:
-    assign_group_rank), so a hot host never concentrates in one task
-    (north-rule hot-host skew splitting)."""
+    (scale path): window deferral + virtual fetch time + (when
+    ``cfg.max_per_host_total`` is set) the per-host TOTAL budget drop.
+    Stateless map — the ranking itself came from the skew-proof sort
+    (seq.py: assign_group_rank), so a hot host never concentrates in
+    one task (north-rule hot-host skew splitting).  Budget-exhausted
+    rows side-write to the blocked partition ('part-b*' files, status
+    'budget_exhausted') inside this same execution and are dropped from
+    the stream; ``host_prior`` ships serialized-once with the closure
+    (control-sized: one int per host seen so far — at the 10^10 design
+    point this map lives in the same sharded actors as the seen index,
+    keyed by host hash)."""
     cap = cfg.max_per_host_per_wave
 
     def fn(t: pa.Table) -> pa.Table:
@@ -558,9 +627,21 @@ def _politeness_cols(cfg: CrawlConfig):
         uniq, inv = np.unique(hosts, return_inverse=True)
         delays = np.array([cfg.crawl_delay_ms(str(h)) for h in uniq],
                           dtype=np.int64)
-        return (t.append_column("deferred", pa.array(rank >= cap))
-                 .append_column("fetch_vtime",
-                                pa.array(rank * delays[inv])))
+        t = (t.append_column("deferred", pa.array(rank >= cap))
+              .append_column("fetch_vtime", pa.array(rank * delays[inv])))
+        if cfg.max_per_host_total is not None and len(rank):
+            prior = np.array(
+                [(host_prior or {}).get(str(h), 0) for h in uniq],
+                dtype=np.int64)[inv]
+            exhausted = rank >= np.maximum(
+                cfg.max_per_host_total - prior, 0)
+            if exhausted.any() and blocked_dir is not None:
+                bud = t.filter(pa.array(exhausted))
+                ltbl = _blocked_log_batch(wave, "budget_exhausted")(bud)
+                _sidewrite(blocked_dir, ltbl,
+                           f"part-b{ltbl['url_key'][0].as_py()[:16]}.parquet")
+            t = t.filter(pa.array(~exhausted))
+        return t
     return fn
 
 
@@ -759,11 +840,20 @@ def run_crawl(
                 "blocked",
                 [w for w in store.committed_waves("blocked") if w <= last]))
         seen.restore_from_parquet(key_files)
+        # Per-host total-budget state: recompute from the committed fetch
+        # partitions (same restore-only-waves<=last rule as the seen set)
+        # — no extra manifest field, exact across mid-wave crashes.
+        host_totals: dict[str, int] = (
+            _host_counts(store._data_files(
+                "fetch",
+                [w for w in store.committed_waves("fetch") if w <= last]))
+            if cfg.max_per_host_total is not None else {})
         fr = store.read_table("frontier_next", waves=[last])
         frontier = fr if fr is not None and fr.num_rows else None
     else:
         next_seq = 0
         start_wave = 0
+        host_totals = {}
         seen = get_seen_index(cfg.n_seen_shards, cfg.bloom_bits,
                               seen_spill_dir, cfg.seen_spill_max_mem_keys,
                               front=cfg.seen_front)
@@ -795,20 +885,36 @@ def run_crawl(
             # executions; the single execution per wave is the fetch.
             ftbl = (frontier if isinstance(frontier, pa.Table)
                     else _collect_control(frontier))
-            control = _wave_kernel(cfg, seen.shards, next_seq, wave)(ftbl)
+            control = _wave_kernel(cfg, seen.shards, next_seq, wave,
+                                   host_totals)(ftbl)
             blocked = control.filter(pc.equal(control["role"], "blocked"))
+            budget_tbl = control.filter(pc.equal(control["role"], "budget"))
             deferred_tbl = control.filter(
                 pc.equal(control["role"], "deferred")).select(FRONTIER_COLS)
             admitted = control.filter(
                 pc.equal(control["role"], "admitted")
             ).drop_columns(["role", "host_rank"])
             n_blocked = blocked.num_rows
+            n_budget = budget_tbl.num_rows
             n_deferred = deferred_tbl.num_rows
             n_admitted = admitted.num_rows
             if n_blocked:
                 seen.add(blocked["url_key"])
-            store.write_table(_blocked_log_batch(wave)(blocked),
-                              "blocked", wave)
+            if n_budget:
+                # budget-exhausted URLs are terminal: marked seen (never
+                # revisited), logged alongside the robots rows
+                seen.add(budget_tbl["url_key"])
+            store.write_table(pa.concat_tables(
+                [_blocked_log_batch(wave)(blocked),
+                 _blocked_log_batch(wave, "budget_exhausted")(budget_tbl)]),
+                "blocked", wave)
+            if cfg.max_per_host_total is not None and n_admitted:
+                hu, hc = np.unique(
+                    admitted["host"].to_numpy(zero_copy_only=False),
+                    return_counts=True)
+                for hh, cc in zip(hu, hc):
+                    host_totals[str(hh)] = (
+                        host_totals.get(str(hh), 0) + int(cc))
             _mark(f'w{wave} kernel')
             # ONE Ray execution: fetch + span side-write; span payloads
             # go task -> storage, never through the object store.  The
@@ -895,15 +1001,17 @@ def run_crawl(
                 fresh.map_batches(_robots_split(cfg, blocked_dir, wave),
                                   batch_format="pyarrow"),
                 "host", ["admission_key", "url"], rank_col="host_rank",
-            ).map_batches(_politeness_cols(cfg),
+            ).map_batches(_politeness_cols(cfg, host_totals, blocked_dir,
+                                           wave),
                           batch_format="pyarrow").materialize()
             store.commit_partition("blocked", wave)
-            n_blocked = _partition_rows(blocked_dir)
-            # bulk seen-add of the blocked keys from the partition just
-            # committed: each shard reads its own hash range — no
-            # per-batch actor RPCs inside the shuffle execution.
+            n_blocked, n_budget = _blocked_counts(blocked_dir)
+            # bulk seen-add of the blocked + budget-exhausted keys from
+            # the partition just committed: each shard reads its own hash
+            # range — no per-batch actor RPCs inside the shuffle
+            # execution.
             seen.restore_from_parquet(store._data_files("blocked", [wave]))
-            n_fetchable = n_fresh - n_blocked
+            n_fetchable = n_fresh - n_blocked - n_budget
             _mark(f'w{wave} sched(scale)')
             admitted_ds = sched.map_batches(
                 lambda t: t.filter(pc.invert(t["deferred"]))
@@ -965,6 +1073,10 @@ def run_crawl(
             # the fetch chain carries zero seen-index RPCs.
             seen.restore_from_parquet(store._data_files("urlseen", [wave]))
             _mark(f'w{wave} seen-load')
+            if cfg.max_per_host_total is not None:
+                for hh, cc in _host_counts(
+                        store._data_files("fetch", [wave])).items():
+                    host_totals[hh] = host_totals.get(hh, 0) + cc
             n_failed, n_retried = _fetch_counts(fetch_dir)
             n_next = nxt.count()
             store.write_dataset(nxt, "frontier_next", wave)
@@ -976,15 +1088,17 @@ def run_crawl(
                 "wave": pa.array([wave], type=pa.int32()),
                 "admitted": pa.array([n_admitted], type=pa.int64()),
                 "fetched": pa.array([n_admitted - n_failed], type=pa.int64()),
-                # fresh = blocked + deferred + admitted, so the dedup
-                # drop count falls out without a separate pass:
+                # fresh = blocked + budget + deferred + admitted, so the
+                # dedup drop count falls out without a separate pass:
                 "deduped": pa.array(
-                    [n_cand - n_blocked - n_deferred - n_admitted],
+                    [n_cand - n_blocked - n_budget - n_deferred
+                     - n_admitted],
                     type=pa.int64()),
                 "robots_blocked": pa.array([n_blocked], type=pa.int64()),
                 "deferred": pa.array([n_deferred], type=pa.int64()),
                 "failed": pa.array([n_failed], type=pa.int64()),
                 "retried": pa.array([n_retried], type=pa.int64()),
+                "budget_dropped": pa.array([n_budget], type=pa.int64()),
             }
         )
         store.write_table(metrics, "metrics", wave,
@@ -1022,7 +1136,7 @@ def _add_wave(wave: int):
     return fn
 
 
-def _blocked_log_batch(wave: int):
+def _blocked_log_batch(wave: int, status: str = "robots_blocked"):
     def fn(t: pa.Table) -> pa.Table:
         n = t.num_rows
         return pa.table(
@@ -1035,7 +1149,7 @@ def _blocked_log_batch(wave: int):
                 "doc_id": pa.array([""] * n, type=pa.string()),
                 "depth": t["depth"],
                 "fetch_vtime": pa.array(np.zeros(n, dtype=np.int64)),
-                "status": pa.array(["robots_blocked"] * n, type=pa.string()),
+                "status": pa.array([status] * n, type=pa.string()),
                 "n_spans": pa.array(np.zeros(n, dtype=np.int32)),
                 "n_links": pa.array(np.zeros(n, dtype=np.int32)),
                 "retry_count": pa.array(np.zeros(n, dtype=np.int32)),

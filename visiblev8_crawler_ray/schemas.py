@@ -133,6 +133,9 @@ METRICS_SCHEMA = pa.schema(
         pa.field("deferred", pa.int64()),
         pa.field("failed", pa.int64()),
         pa.field("retried", pa.int64()),  # fetches that consumed a retry
+        # URLs dropped by the per-host total crawl budget (0 when
+        # cfg.max_per_host_total is unset)
+        pa.field("budget_dropped", pa.int64()),
     ]
 )
 
