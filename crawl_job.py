@@ -30,6 +30,9 @@ def main() -> int:
     ap.add_argument("--store", required=True, help="store root directory")
     ap.add_argument("--max-depth", type=int, default=2)
     ap.add_argument("--max-waves", type=int, default=8)
+    ap.add_argument("--host-budget", type=int, default=None,
+                    help="per-host TOTAL crawl budget across the mission "
+                         "(default: uncapped)")
     ap.add_argument("--host-window", type=int, default=100,
                     help="max URLs per host per wave (politeness window)")
     ap.add_argument("--fetcher-mode", choices=["task", "actor"],
@@ -61,7 +64,8 @@ def main() -> int:
     from visiblev8_crawler_ray.sources import readers
 
     cfg = CrawlConfig(max_depth=args.max_depth, max_waves=args.max_waves,
-                      max_per_host_per_wave=args.host_window)
+                      max_per_host_per_wave=args.host_window,
+                      max_per_host_total=args.host_budget)
 
     if args.n_synthetic:
         import numpy as np
