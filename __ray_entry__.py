@@ -299,6 +299,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_search": E.hybrid_search,
         "near_dup_clusters": E.near_dup_clusters,
         "embedding_centroids": E.embedding_centroids,
+        "kmeans_step": E.kmeans_step,
+        "kmeans_clusters": E.kmeans_clusters,
+        "dsir_sample": T.dsir_sample,
         # classification pipeline (M9/T3/A5/A7/S12/T4)
         "classify_documents": CL.classify_documents,
         "classify_documents_artifact": CL.classify_documents_artifact,
@@ -811,6 +814,56 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n
             FROM embeddings, UNNEST(generate_series(0, 63)) AS u(i)
             GROUP BY label, dim ORDER BY label, dim""",
+        # one Lloyd iteration from the k lowest vec_ids: rounded-L2
+        # argmin (ties -> lowest seed), fixed-point per-cluster mean —
+        # the SQL anchor for the iterative kmeans_clusters
+        "kmeans_step": """
+            WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+                       FROM embeddings WHERE vec_id < 8),
+            d AS (SELECT e.vec_id, c.cid,
+                         round(list_distance(CAST(e.embedding AS DOUBLE[]),
+                                             c.ce), 4) AS dist
+                  FROM embeddings e CROSS JOIN c),
+            a AS (SELECT vec_id, cid, dist,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY dist, cid) AS rn
+                  FROM d),
+            m AS (SELECT vec_id, cid AS cluster FROM a WHERE rn = 1)
+            SELECT m.cluster, CAST(u.i AS BIGINT) AS dim,
+                   sum(CAST(round(CAST(e.embedding[u.i + 1] AS DOUBLE)
+                                  * 1048576) AS BIGINT))
+                       / (count(*) * 1048576.0) AS coord,
+                   count(*)::BIGINT AS n
+            FROM m JOIN embeddings e USING (vec_id),
+                 UNNEST(generate_series(0, 63)) AS u(i)
+            GROUP BY m.cluster, dim ORDER BY m.cluster, dim""",
+        # DSIR-style selection: integer bucket-count sums + the
+        # cross-multiplied integer selection predicate (textops.dsir_sample)
+        "dsir_sample": r"""
+            WITH toks AS (SELECT doc_id,
+                                 unnest(regexp_extract_all(text, '\S+')) AS tok
+                          FROM documents),
+            b AS (SELECT doc_id,
+                         CAST(md5_number_lower(tok) % 64 AS BIGINT) AS bucket
+                  FROM toks),
+            hist AS (SELECT bucket, count(*) AS src_n,
+                            sum(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END)
+                                AS tgt_n
+                     FROM b GROUP BY bucket),
+            tot AS (SELECT sum(src_n) AS tot_s, sum(tgt_n) AS tot_t FROM hist),
+            per AS (SELECT doc_id, sum(h.tgt_n)::BIGINT AS t_hits,
+                           sum(h.src_n)::BIGINT AS s_hits
+                    FROM b JOIN hist h USING (bucket) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(p.t_hits, 0)::BIGINT AS t_hits,
+                   coalesce(p.s_hits, 0)::BIGINT AS s_hits,
+                   round(coalesce(p.t_hits * 1.0 / nullif(p.s_hits, 0), 0), 6)
+                       AS importance,
+                   coalesce(p.t_hits, 0) * (SELECT tot_s FROM tot)
+                       >= coalesce(p.s_hits, 0) * (SELECT tot_t FROM tot)
+                       AS selected
+            FROM documents d LEFT JOIN per p USING (doc_id)
+            ORDER BY d.doc_id""",
         "redact_terms": r"""
             SELECT doc_id,
                    len(regexp_extract_all(text, '\b(spark|window)\b'))::BIGINT

@@ -109,3 +109,95 @@ def test_recrawl_due_policy(ray_session, tmp_path):
     for host, grp in out.groupby("host"):
         assert (grp["revisit_ms"]
                 == REVISIT_FACTOR * cfg.crawl_delay_ms(str(host))).all()
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def _naive_kmeans(sf_dir: str, k: int = 8, iters: int = 5):
+    """Obviously-correct single-process Lloyd's with the same
+    determinism contract (rounded-L2 argmin, fixed-point means)."""
+    import pyarrow.parquet as pq
+
+    from visiblev8_crawler_ray.functions.util import round_half_away
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    mat = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
+        np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    S = 1 << 20
+    cent = mat[ids < k].copy()
+    for _ in range(iters):
+        d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(round_half_away(np.sqrt(d2), 4), axis=1)
+        fp = (np.sign(mat * S) * np.floor(np.abs(mat * S) + 0.5)).astype(
+            np.int64)
+        for c in range(k):
+            sel = fp[assign == c]
+            if len(sel):
+                cent[c] = sel.sum(axis=0) / len(sel) / S
+    d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    assign = np.argmin(round_half_away(np.sqrt(d2), 4), axis=1)
+    return pd.DataFrame({"vec_id": ids.astype(np.int64),
+                         "cluster": assign.astype(np.int64)})
+
+
+def test_kmeans_clusters_matches_naive(ray_session):
+    """Distributed Lloyd's == the sequential reference, bit-for-bit:
+    the fixed-point partial sums make the mean order-independent across
+    blocks, so block boundaries cannot change any assignment."""
+    from visiblev8_crawler_ray.pipelines.embeddings import kmeans_clusters
+
+    got = kmeans_clusters(SF, k=8, iters=5)
+    want = _naive_kmeans(SF, k=8, iters=5)
+    assert got[["vec_id", "cluster"]].values.tolist() == \
+        want[["vec_id", "cluster"]].values.tolist()
+    # n_members is the actual cluster size
+    sizes = got.groupby("cluster").size()
+    assert all(int(r.n_members) == int(sizes[r.cluster])
+               for r in got.itertuples())
+    # non-trivial clustering: more than one cluster in use
+    assert got["cluster"].nunique() > 1
+
+
+def test_kmeans_block_invariance(ray_session):
+    """Same result when the corpus is split into many tiny blocks —
+    the partial-sum exchange is exact, not approximate."""
+    import ray.data as rd
+
+    from visiblev8_crawler_ray.pipelines import embeddings as E
+
+    base = E.kmeans_clusters(SF, k=4, iters=3)
+    orig = E._read_emb
+
+    def shredded(sf_dir):
+        return orig(sf_dir).repartition(13)
+
+    E._read_emb, tmp = shredded, E._read_emb
+    try:
+        split = E.kmeans_clusters(SF, k=4, iters=3)
+    finally:
+        E._read_emb = tmp
+    assert base.values.tolist() == split.values.tolist()
+
+
+def test_dsir_sample_properties(ray_session):
+    """Integer invariants of the DSIR scorer: hit sums are exact token
+    sums, the target slice scores >= corpus average more often than the
+    complement, and selection matches the integer predicate."""
+    from visiblev8_crawler_ray.pipelines.textops import dsir_sample
+
+    out = dsir_sample(SF)
+    assert (out["s_hits"] >= out["t_hits"]).all()  # target ⊆ source
+    sel = out["selected"].to_numpy()
+    assert 0 < sel.sum() < len(out)  # the threshold actually splits
+    # selection is a threshold on t_hits/s_hits, so the (rounded)
+    # importance of every selected doc sits at-or-above every
+    # unselected doc's, up to the 6-decimal rounding width
+    imp = out["importance"].to_numpy()
+    assert imp[sel].min() >= imp[~sel].max() - 1e-6
+    tgt = out[out.doc_id % 97 == 0]
+    assert tgt["selected"].mean() >= out["selected"].mean()

@@ -2240,3 +2240,133 @@ def token_cms(sf_dir: str, k: int = 25) -> pd.DataFrame:
                          "est_count": ests}) \
         .sort_values(["est_count", "token"], ascending=[False, True]) \
         .reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling")
+# ---------------------------------------------------------------------------
+
+
+class _DsirBuckets:
+    """Token -> hashed-n-gram bucket, md5-low64 %% n_buckets — the same
+    ``md5_number_lower``-compatible hash as SimHasher, memoized per
+    unique token, so the whole operator is DuckDB-recomputable."""
+
+    def __init__(self, n_buckets: int):
+        self.n_buckets = n_buckets
+        self._tok: dict[str, int] = {}
+
+    def buckets(self, text) -> tuple[np.ndarray, np.ndarray]:
+        """(parent doc index, bucket id) for every token occurrence."""
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern_regex(text, r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(flat, "")
+        keep = nonempty.to_numpy(zero_copy_only=False)
+        flat, parent = flat.filter(nonempty), parent[keep]
+        codes, uniq = pd.factorize(flat.to_numpy(zero_copy_only=False))
+        cache, B = self._tok, self.n_buckets
+        ub = np.empty(len(uniq), dtype=np.int64)
+        for i, tok in enumerate(uniq):
+            v = cache.get(tok)
+            if v is None:
+                v = int.from_bytes(
+                    hashlib.md5(tok.encode()).digest()[8:], "little") % B
+                cache[tok] = v
+            ub[i] = v
+        buck = ub[codes] if len(codes) else np.empty(0, np.int64)
+        return parent, buck
+
+
+class _DsirHist(_DsirBuckets):
+    """Pass 1: per-block (bucket, src_n, tgt_n) histogram sketch."""
+
+    def __init__(self, n_buckets: int, target_mod: int):
+        super().__init__(n_buckets)
+        self.target_mod = target_mod
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        parent, buck = self.buckets(t["text"])
+        dids = t["doc_id"].to_numpy(zero_copy_only=False)
+        is_tgt = (dids[parent] % self.target_mod == 0) if len(parent) \
+            else np.empty(0, dtype=bool)
+        B = self.n_buckets
+        src = np.bincount(buck, minlength=B).astype(np.int64)
+        tgt = np.bincount(buck[is_tgt], minlength=B).astype(np.int64)
+        return pa.table({"bucket": pa.array(np.arange(B, dtype=np.int64)),
+                         "src_n": pa.array(src), "tgt_n": pa.array(tgt)})
+
+
+class _DsirScore(_DsirBuckets):
+    """Pass 2: per-doc target/source hit sums from the broadcast
+    histogram — one hash take + one segmented int add per batch."""
+
+    def __init__(self, n_buckets: int, cnt_s: np.ndarray, cnt_t: np.ndarray,
+                 tot_s: int, tot_t: int):
+        super().__init__(n_buckets)
+        self.cnt_s, self.cnt_t = cnt_s, cnt_t
+        self.tot_s, self.tot_t = tot_s, tot_t
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..functions.util import round_half_away
+        parent, buck = self.buckets(t["text"])
+        n = t.num_rows
+        t_hits = np.zeros(n, dtype=np.int64)
+        s_hits = np.zeros(n, dtype=np.int64)
+        if len(parent):
+            np.add.at(t_hits, parent, self.cnt_t[buck])
+            np.add.at(s_hits, parent, self.cnt_s[buck])
+        imp = np.where(s_hits > 0,
+                       round_half_away(t_hits / np.maximum(s_hits, 1), 6),
+                       0.0)
+        sel = t_hits * self.tot_s >= s_hits * self.tot_t
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "t_hits": pa.array(t_hits),
+            "s_hits": pa.array(s_hits),
+            "importance": pa.array(imp),
+            "selected": pa.array(sel),
+        })
+
+
+def dsir_sample(sf_dir: str, n_buckets: int = 64,
+                target_mod: int = 97) -> pd.DataFrame:
+    """DSIR-style data selection: score every document by how much its
+    hashed-token distribution looks like a TARGET subset (here the
+    deterministic ``doc_id %% target_mod == 0`` slice, the same stand-in
+    the decontamination operator uses for its benchmark set) relative to
+    the full corpus, and select docs at-or-above the corpus-average
+    ratio.
+
+    Integer-exact contract: per-doc scores are SUMS of int64 bucket
+    counts (t_hits = sum of target-histogram counts over the doc's
+    token occurrences, s_hits likewise over the source histogram) and
+    the selection predicate is the cross-multiplied integer comparison
+    ``t_hits * tot_s >= s_hits * tot_t`` — no float accumulation
+    anywhere, so the DuckDB twin matches bit-for-bit (``importance`` is
+    one IEEE division + half-away round on identical ints).
+
+    Scale shape (the DSIR paper's own design): pass 1 reduces every
+    block to an ``n_buckets``-row sketch (mergeable-summaries exchange,
+    never data-sized); the merged histogram broadcasts
+    (n_buckets x 16 B); pass 2 is one hash take + one segmented add per
+    batch.  Two streaming passes total, zero shuffles.  Int64 headroom:
+    t_hits * tot_s peaks at (doc_tokens x max_bucket) x corpus_tokens —
+    at 10^12 corpus tokens switch the predicate to float128/ratio form,
+    noted here rather than hidden."""
+    hist = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _DsirHist(n_buckets, target_mod), batch_format="pyarrow").to_pandas()
+    agg = hist.groupby("bucket", as_index=False).agg(
+        src_n=("src_n", "sum"), tgt_n=("tgt_n", "sum")).sort_values("bucket")
+    cnt_s = np.zeros(n_buckets, dtype=np.int64)
+    cnt_t = np.zeros(n_buckets, dtype=np.int64)
+    cnt_s[agg["bucket"].to_numpy()] = agg["src_n"].to_numpy()
+    cnt_t[agg["bucket"].to_numpy()] = agg["tgt_n"].to_numpy()
+    out = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _DsirScore(n_buckets, cnt_s, cnt_t,
+                   int(cnt_s.sum()), int(cnt_t.sum())),
+        batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
