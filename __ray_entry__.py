@@ -301,6 +301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": E.embedding_centroids,
         "kmeans_step": E.kmeans_step,
         "kmeans_clusters": E.kmeans_clusters,
+        "semantic_dedup_kmeans": E.semantic_dedup_kmeans,
         "dsir_sample": T.dsir_sample,
         # classification pipeline (M9/T3/A5/A7/S12/T4)
         "classify_documents": CL.classify_documents,

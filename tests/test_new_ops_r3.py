@@ -201,3 +201,38 @@ def test_dsir_sample_properties(ray_session):
     assert imp[sel].min() >= imp[~sel].max() - 1e-6
     tgt = out[out.doc_id % 97 == 0]
     assert tgt["selected"].mean() >= out["selected"].mean()
+
+
+def test_semantic_dedup_kmeans_matches_naive(ray_session):
+    """SemDeDup over learned clusters == the sequential composition of
+    the naive k-means reference and the per-cluster dedup kernel."""
+    from visiblev8_crawler_ray.functions.util import round_half_away
+    from visiblev8_crawler_ray.pipelines.embeddings import (
+        _normalize, semantic_dedup_kmeans)
+    import pyarrow.parquet as pq
+
+    got = semantic_dedup_kmeans(SF, threshold=0.3, k=8, iters=3)
+
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    mat = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
+        np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    assign = _naive_kmeans(SF, k=8, iters=3)["cluster"].to_numpy()
+    kept = np.ones(len(ids), dtype=bool)
+    dup_of = np.full(len(ids), -1, dtype=np.int64)
+    for c in np.unique(assign):
+        sel = np.flatnonzero(assign == c)
+        nrm = _normalize(mat[sel])
+        sims = round_half_away(nrm @ nrm.T, 4)
+        dup = np.triu(sims >= 0.3, k=1)
+        has = dup.any(axis=0)
+        kept[sel] = ~has
+        dup_of[sel[has]] = ids[sel][dup.argmax(axis=0)[has]]
+    want = pd.DataFrame({"vec_id": ids.astype(np.int64), "kept": kept,
+                         "dup_of": dup_of})
+    assert got[["vec_id", "kept", "dup_of"]].values.tolist() == \
+        want.values.tolist()
+    assert (~got["kept"]).sum() > 0  # the threshold actually dedups

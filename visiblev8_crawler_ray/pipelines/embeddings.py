@@ -720,8 +720,19 @@ def semantic_dedup(sf_dir: str, threshold: float = 0.3) -> pd.DataFrame:
 
     ds = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
                             columns=["vec_id", "embedding", "label"])
+    out = (ds.groupby("label")
+           .map_groups(_semdedup_group(threshold), batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("vec_id").reset_index(drop=True)
 
-    def per_label(g: pd.DataFrame) -> pd.DataFrame:
+
+def _semdedup_group(threshold: float):
+    """Per-cluster SemDeDup kernel: one normalized matmul +
+    upper-triangle argmax — keep iff no LOWER-id member is
+    cosine-similar above ``threshold`` (rounded to 4, the suite's
+    numeric contract)."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("vec_id").reset_index(drop=True)
         ids = g["vec_id"].to_numpy(dtype=np.int64)
         mat = np.array(g["embedding"].to_list(), dtype=np.float64)
@@ -736,7 +747,37 @@ def semantic_dedup(sf_dir: str, threshold: float = 0.3) -> pd.DataFrame:
             "dup_of": np.where(has, ids[first], np.int64(-1)),
         })
 
-    out = (ds.groupby("label").map_groups(per_label, batch_format="pandas")
+    return fn
+
+
+def semantic_dedup_kmeans(sf_dir: str, threshold: float = 0.3, k: int = 8,
+                          iters: int = 3) -> pd.DataFrame:
+    """SemDeDup over COMPUTED clusters — the full published pipeline
+    (Abbas et al. 2023): train k-means on the corpus itself
+    (:func:`_kmeans_centroids`, distributed Lloyd's), then dedup within
+    each learned cluster.  Closes :func:`semantic_dedup`'s disclosed
+    label-column stand-in.
+
+    Scale shape: the k x dim centroid matrix broadcasts with the
+    closure; assignment fuses into the read ``map_batches`` (one matmul
+    per batch — no n-row assignment table is ever joined), and the only
+    shuffle is the groupby(cluster) the per-cluster pass needs anyway.
+    Iterative upstream -> no SQL twin; gated by a bit-for-bit
+    naive-reference parity test (same contract as kmeans_clusters)."""
+    from ..functions.util import read_parquet_clean
+
+    cent = _kmeans_centroids(sf_dir, k, iters)
+
+    def assign(t: pa.Table) -> pa.Table:
+        _, mat = _to_matrix(t)
+        return t.append_column(
+            "cluster", pa.array(_km_assign(mat, cent).astype(np.int64)))
+
+    ds = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                            columns=["vec_id", "embedding"]).map_batches(
+        assign, batch_format="pyarrow")
+    out = (ds.groupby("cluster")
+           .map_groups(_semdedup_group(threshold), batch_format="pandas")
            .to_pandas())
     return out.sort_values("vec_id").reset_index(drop=True)
 
@@ -868,20 +909,10 @@ def kmeans_step(sf_dir: str, k: int = 8) -> pd.DataFrame:
     })
 
 
-def kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 5) -> pd.DataFrame:
-    """Full distributed Lloyd's: ``iters`` streaming passes, then one
-    final assignment pass -> (vec_id, cluster, n_members).
-
-    Iterative (no SQL twin; :func:`kmeans_step` anchors the kernel under
-    the value-hash gate).  Empty clusters keep their previous centroid,
-    the standard convention.  Every pass is block-invariant by the
-    fixed-point/rounding contract above, so the result is identical at
-    any parallelism — asserted by the naive-reference parity test.
-
-    At 10^10 vectors the driver state is k x dim int64 (the merged
-    sketch) and each iteration moves k x dim x n_blocks rows — never the
-    corpus; int64 headroom: |v| <= 1 quantized at 2^20 over 10^10 rows
-    peaks at ~2^53.3 per cell, within int64."""
+def _kmeans_centroids(sf_dir: str, k: int, iters: int) -> np.ndarray:
+    """``iters`` distributed Lloyd passes from the deterministic seeds;
+    empty clusters keep their previous centroid (the standard
+    convention).  Driver state is the k x dim merged sketch only."""
     _, cent = _query_matrix(sf_dir, k)
     dim = cent.shape[1]
     for _ in range(iters):
@@ -889,7 +920,23 @@ def kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 5) -> pd.DataFrame:
             _km_partial(cent), batch_format="pyarrow").to_pandas()
         means, counts = _km_reduce(parts, k, dim)
         cent = np.where((counts > 0)[:, None], means, cent)
+    return cent
 
+
+def kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 5) -> pd.DataFrame:
+    """Full distributed Lloyd's: ``iters`` streaming passes, then one
+    final assignment pass -> (vec_id, cluster, n_members).
+
+    Iterative (no SQL twin; :func:`kmeans_step` anchors the kernel under
+    the value-hash gate).  Every pass is block-invariant by the
+    fixed-point/rounding contract above, so the result is identical at
+    any parallelism — asserted by the naive-reference parity test.
+
+    At 10^10 vectors the driver state is k x dim int64 (the merged
+    sketch) and each iteration moves k x dim x n_blocks rows — never the
+    corpus; int64 headroom: |v| <= 1 quantized at 2^20 over 10^10 rows
+    peaks at ~2^53.3 per cell, within int64."""
+    cent = _kmeans_centroids(sf_dir, k, iters)
     state = ray.put(cent)
 
     def final(t: pa.Table) -> pa.Table:
