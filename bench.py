@@ -181,6 +181,9 @@ def run_bench() -> dict:
     timed("hybrid_search", lambda: E.hybrid_search(sf_dir))
     timed("semantic_dedup", lambda: E.semantic_dedup(sf_dir))
     timed("cdc_chunks", lambda: T.cdc_chunks(sf_dir))
+    # clustering / selection family (added round 3, fourth continuation)
+    timed("kmeans_clusters", lambda: E.kmeans_clusters(sf_dir))
+    timed("dsir_sample", lambda: T.dsir_sample(sf_dir))
 
     total = round(sum(timings.values()), 3)
     result = {
