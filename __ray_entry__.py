@@ -302,6 +302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_step": E.kmeans_step,
         "kmeans_clusters": E.kmeans_clusters,
         "semantic_dedup_kmeans": E.semantic_dedup_kmeans,
+        "dup_substring_fraction": T.dup_substring_fraction,
         "dsir_sample": T.dsir_sample,
         # classification pipeline (M9/T3/A5/A7/S12/T4)
         "classify_documents": CL.classify_documents,
@@ -865,6 +866,33 @@ def oracle_sql() -> dict[str, str]:
                        AS selected
             FROM documents d LEFT JOIN per p USING (doc_id)
             ORDER BY d.doc_id""",
+        # ExactSubstr-style filtering metric (Lee et al. 2021): share of
+        # a doc's tokens covered by an 8-token shingle occurring >= 2x
+        # anywhere in the corpus (textops.dup_substring_fraction)
+        "dup_substring_fraction": r"""
+            WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+                       FROM documents),
+            n AS (SELECT doc_id, len(toks) AS n_tokens FROM t),
+            g AS (SELECT doc_id, CAST(i.i AS BIGINT) AS start,
+                         md5_number_lower(
+                             array_to_string(toks[i.i + 1 : i.i + 8], ' '))
+                             AS h
+                  FROM t, UNNEST(range(0, greatest(len(toks) - 7, 0)))
+                       AS i(i)),
+            dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+            ds AS (SELECT g.doc_id, g.start FROM g JOIN dup USING (h)),
+            ng AS (SELECT doc_id, count(*)::BIGINT AS n_dup_grams
+                   FROM ds GROUP BY doc_id),
+            cov AS (SELECT doc_id, count(DISTINCT i.i)::BIGINT AS covered
+                    FROM ds, UNNEST(range(ds.start, ds.start + 8)) AS i(i)
+                    GROUP BY doc_id)
+            SELECT n.doc_id, n.n_tokens,
+                   coalesce(ng.n_dup_grams, 0) AS n_dup_grams,
+                   coalesce(cov.covered, 0) AS covered,
+                   round(coalesce(cov.covered, 0) * 1.0
+                         / greatest(n.n_tokens, 1), 6) AS dup_frac
+            FROM n LEFT JOIN ng USING (doc_id) LEFT JOIN cov USING (doc_id)
+            ORDER BY n.doc_id""",
         "redact_terms": r"""
             SELECT doc_id,
                    len(regexp_extract_all(text, '\b(spark|window)\b'))::BIGINT

@@ -218,3 +218,46 @@ def test_tfidf_join_path_parity(skew_dir):
     pd.testing.assert_frame_equal(
         a.reset_index(drop=True), b.reset_index(drop=True),
         check_dtype=False, check_exact=True)
+
+
+def test_dup_substring_fraction_edges(ray_session, tmp_path):
+    """Hand-checkable corpus for the ExactSubstr metric: within-doc
+    repetition counts as duplication, short docs (< k tokens) emit no
+    shingles, and overlapping duplicated shingles merge into one covered
+    interval."""
+    import pandas as pd
+
+    from visiblev8_crawler_ray.pipelines.textops import (
+        dup_substring_fraction)
+
+    k = 8
+    shared = " ".join(f"s{i}" for i in range(k))      # one exact shingle
+    docs = pd.DataFrame({
+        "doc_id": pd.array([0, 1, 2, 3], dtype="int64"),
+        "text": [
+            f"a0 a1 {shared} a2 a3",                   # shares with doc 1
+            f"b0 {shared} b1 b2 b3 b4",                # shares with doc 0
+            "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9",           # all unique
+            f"{shared} {shared}",                      # repeats ITSELF
+        ],
+    })
+    docs.to_parquet(tmp_path / "documents.parquet")
+    out = dup_substring_fraction(str(tmp_path), k=k)
+
+    r = out.set_index("doc_id")
+    # docs 0/1: exactly one duplicated shingle, k tokens covered
+    assert r.loc[0, "n_dup_grams"] == 1 and r.loc[0, "covered"] == k
+    assert r.loc[1, "n_dup_grams"] == 1 and r.loc[1, "covered"] == k
+    assert r.loc[0, "dup_frac"] == round(k / 12, 6)
+    # doc 2: nothing duplicated
+    assert r.loc[2, "n_dup_grams"] == 0 and r.loc[2, "dup_frac"] == 0.0
+    # doc 3 is "shared shared": EVERY window matches the shared shingle
+    # of docs 0/1 or the self-repetition; full coverage
+    assert r.loc[3, "covered"] == r.loc[3, "n_tokens"] == 2 * k
+    assert r.loc[3, "dup_frac"] == 1.0
+    # a doc shorter than k tokens emits no shingles at all
+    short = pd.DataFrame({"doc_id": pd.array([0], dtype="int64"),
+                          "text": ["only three tokens"]})
+    short.to_parquet(tmp_path / "documents.parquet")
+    s = dup_substring_fraction(str(tmp_path), k=k)
+    assert s.loc[0, "n_dup_grams"] == 0 and s.loc[0, "n_tokens"] == 3

@@ -2370,3 +2370,145 @@ def dsir_sample(sf_dir: str, n_buckets: int = 64,
                    int(cnt_s.sum()), int(cnt_t.sum())),
         batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-substring fraction (Lee et al. 2021, "Deduplicating Training
+# Data Makes Language Models Better" — the ExactSubstr filtering metric)
+# ---------------------------------------------------------------------------
+
+
+class _GramRows:
+    """(doc_id, start, h) for every k-token shingle: flat arrow
+    tokenization, object-array gram join (= DuckDB
+    ``array_to_string(toks[s+1:s+k], ' ')``), md5-low64 gram hash
+    memoized per unique gram (``md5_number_lower``-exact)."""
+
+    def __init__(self, k: int):
+        self.k = k
+        self._memo: dict[str, int] = {}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        k = self.k
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern_regex(text, r"\s+")
+        flat_a = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(flat_a, "")
+        keepm = nonempty.to_numpy(zero_copy_only=False)
+        flat = flat_a.filter(nonempty).to_numpy(zero_copy_only=False)
+        parent = parent[keepm]
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "start": pa.array([], type=pa.int64()),
+                          "h": pa.array([], type=pa.int64())})
+        L = len(flat)
+        if L < k:
+            return empty
+        # 0-based position within the doc's (nonempty) token list —
+        # matches regexp_extract_all indexing in the twin
+        order = np.arange(L, dtype=np.int64)
+        seg_start = np.zeros(L, dtype=np.int64)
+        firsts = np.flatnonzero(np.r_[True, parent[1:] != parent[:-1]])
+        seg_start[firsts] = order[firsts]
+        seg_start = np.maximum.accumulate(seg_start)
+        pos = order - seg_start
+        keep = parent[: L - k + 1] == parent[k - 1:]
+        if not keep.any():
+            return empty
+        g = flat[: L - k + 1].astype(object)
+        for j in range(1, k):
+            g = g + " " + flat[j: L - k + 1 + j]
+        g = g[keep]
+        codes, uniq = pd.factorize(g)
+        memo = self._memo
+        uh = np.empty(len(uniq), dtype=np.uint64)
+        for i, gram in enumerate(uniq):
+            v = memo.get(gram)
+            if v is None:
+                v = int.from_bytes(
+                    hashlib.md5(gram.encode()).digest()[8:], "little")
+                memo[gram] = v
+            uh[i] = v
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        p = parent[: L - k + 1][keep]
+        return pa.table({
+            "doc_id": pa.array(did[p], type=pa.int64()),
+            "start": pa.array(pos[: L - k + 1][keep], type=pa.int64()),
+            "h": pa.array(uh.view(np.int64)[codes]),
+        })
+
+
+def dup_substring_fraction(sf_dir: str, k: int = 8,
+                           nparts: int = 32) -> pd.DataFrame:
+    """Per-doc duplicated-substring fraction: the share of a document's
+    tokens covered by a k-token shingle that occurs >= 2 times anywhere
+    in the corpus (including twice within one doc) — the standard
+    exact-substring dedup FILTERING metric, complementing the
+    pair-producing near-dup family.
+
+    Scale shape: shingles are a pure per-batch map; duplicate detection
+    is ONE bucketed shuffle — all occurrences of a hash land in the same
+    ``h %% nparts`` group, so the per-group occurrence count is globally
+    exact and the dup rows emit right there (no separate count + join).
+    Coverage is a per-doc merge of fixed-length intervals: with starts
+    sorted, covered = sum(min(next_start - start, k)) + k — one
+    vectorized pass per group.  Integer-exact throughout; ``dup_frac``
+    is one IEEE division + half-away round, so the DuckDB twin matches
+    bit-for-bit."""
+    from ..functions.util import round_half_away
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    grams = ds.map_batches(_GramRows(k), batch_format="pyarrow")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        hs = t["h"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array((hs.view(np.uint64)
+                                % np.uint64(nparts)).astype(np.int64)))
+
+    def dup_rows(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("h")["h"].transform("size")
+        return g.loc[c >= 2, ["doc_id", "start"]]
+
+    def cover(g: pd.DataFrame) -> pd.DataFrame:
+        s = np.sort(g["start"].to_numpy(dtype=np.int64))
+        gaps = np.minimum(np.diff(s), k) if len(s) > 1 else \
+            np.empty(0, np.int64)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].iloc[:1].astype(np.int64),
+            "n_dup_grams": np.int64(len(s)),
+            "covered": np.int64(gaps.sum() + k),
+        })
+
+    cov = (grams.map_batches(add_bucket, batch_format="pyarrow")
+           .groupby("bucket").map_groups(dup_rows, batch_format="pandas")
+           .groupby("doc_id").map_groups(cover, batch_format="pandas")
+           .to_pandas())
+    if "doc_id" not in cov.columns:  # no shingle duplicated anywhere
+        cov = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                            "n_dup_grams": pd.Series([], dtype="int64"),
+                            "covered": pd.Series([], dtype="int64")})
+
+    # token count = len(regexp_extract_all(text, '\S+')): count nonempty
+    # split segments
+    def ntok(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t["text"], r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        ne = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        n = np.zeros(t.num_rows, dtype=np.int64)
+        if len(parent):
+            np.add.at(n, parent[ne], 1)
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": pa.array(n)})
+
+    toks = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ntok, batch_format="pyarrow").to_pandas()
+    out = toks.merge(cov, on="doc_id", how="left")
+    out["n_dup_grams"] = out["n_dup_grams"].fillna(0).astype(np.int64)
+    out["covered"] = out["covered"].fillna(0).astype(np.int64)
+    out["dup_frac"] = round_half_away(
+        out["covered"].to_numpy() / np.maximum(out["n_tokens"].to_numpy(), 1),
+        6)
+    return out.sort_values("doc_id").reset_index(drop=True)
