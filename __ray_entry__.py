@@ -304,6 +304,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup_kmeans": E.semantic_dedup_kmeans,
         "dup_substring_fraction": T.dup_substring_fraction,
         "dsir_sample": T.dsir_sample,
+        "gopher_filter": T.gopher_filter,
+        "bpe_pair_counts": T.bpe_pair_counts,
+        "bpe_merges": T.bpe_merges,
+        "sample_weighted": T.sample_weighted,
         # classification pipeline (M9/T3/A5/A7/S12/T4)
         "classify_documents": CL.classify_documents,
         "classify_documents_artifact": CL.classify_documents_artifact,
@@ -893,6 +897,24 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(n.n_tokens, 1), 6) AS dup_frac
             FROM n LEFT JOIN ng USING (doc_id) LEFT JOIN cov USING (doc_id)
             ORDER BY n.doc_id""",
+        # Gopher-rule quality bundle: every flag an integer predicate
+        # (textops.gopher_filter)
+        "gopher_filter": T.gopher_filter_sql(),
+        # BPE merge-selection statistic: adjacent char pairs inside
+        # whitespace tokens, deterministic (cnt DESC, pair) boundary
+        # (textops.bpe_pair_counts)
+        "bpe_pair_counts": r"""
+            WITH toks AS (SELECT unnest(regexp_extract_all(text, '\S+'))
+                              AS tok
+                          FROM documents),
+            pairs AS (SELECT substr(tok, CAST(i.i AS INT), 2) AS pair
+                      FROM toks, UNNEST(range(1, length(tok))) AS i(i))
+            SELECT pair, count(*)::BIGINT AS cnt FROM pairs
+            GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""",
+        # Efraimidis-Spirakis weighted sample: integer-exact u, one ln on
+        # an identical double, round-6 before ordering
+        # (textops.sample_weighted)
+        "sample_weighted": T.sample_weighted_sql(),
         "redact_terms": r"""
             SELECT doc_id,
                    len(regexp_extract_all(text, '\b(spark|window)\b'))::BIGINT

@@ -236,3 +236,148 @@ def test_semantic_dedup_kmeans_matches_naive(ray_session):
     assert got[["vec_id", "kept", "dup_of"]].values.tolist() == \
         want.values.tolist()
     assert (~got["kept"]).sum() > 0  # the threshold actually dedups
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training / Gopher filter / weighted sampling (5th session)
+# ---------------------------------------------------------------------------
+
+SF = "/root/testdata/sf0.001"
+
+
+def _naive_bpe(texts, n_merges):
+    """Single-process reference: Sennrich-style BPE over the word-freq
+    table; adjacent pairs counted overlapping, greedy left-to-right
+    apply, ties -> (count DESC, left ASC, right ASC)."""
+    from collections import Counter
+
+    wf = Counter()
+    for t in texts:
+        wf.update(w for w in t.split() if w)
+    syms = {w: list(w) for w in wf}
+    merges = []
+    for it in range(n_merges):
+        counts = Counter()
+        for w, f in wf.items():
+            s = syms[w]
+            for j in range(len(s) - 1):
+                counts[(s[j], s[j + 1])] += f
+        if not counts:
+            break
+        (left, right), cnt = min(counts.items(),
+                                 key=lambda kv: (-kv[1], kv[0]))
+        merges.append((it, left, right, int(cnt)))
+        new = left + right
+        for w in wf:
+            s = syms[w]
+            j = 0
+            while j < len(s) - 1:
+                if s[j] == left and s[j + 1] == right:
+                    s[j:j + 2] = [new]
+                else:
+                    j += 1
+    return pd.DataFrame(merges, columns=["iter", "left", "right", "cnt"])
+
+
+def test_bpe_merges_matches_naive(ray_session):
+    from visiblev8_crawler_ray.pipelines.textops import bpe_merges
+
+    import pyarrow.parquet as pq
+
+    texts = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["text"])["text"].to_pylist()
+    got = bpe_merges(SF, n_merges=8)
+    want = _naive_bpe(texts, 8)
+    pd.testing.assert_frame_equal(got, want)
+    # learned rules must eventually chain (a merged symbol reappears)
+    symbols = set()
+    chained = False
+    for _, r in got.iterrows():
+        if r["left"] in symbols or r["right"] in symbols:
+            chained = True
+        symbols.add(r["left"] + r["right"])
+    assert chained, "8 merges over this corpus must reuse a merged symbol"
+
+
+def test_bpe_merges_block_invariance(ray_session, tmp_path):
+    """Same corpus split across many small blocks -> identical merges
+    (the per-block pair partials are a mergeable summary)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from visiblev8_crawler_ray.pipelines.textops import bpe_merges
+
+    t = pq.read_table(f"{SF}/documents.parquet")
+    d = tmp_path / "docs13"
+    d.mkdir()
+    n = t.num_rows
+    step = max(1, n // 13)
+    for i, lo in enumerate(range(0, n, step)):
+        pq.write_table(t.slice(lo, step), d / f"part{i:02d}.parquet")
+    # point a fake sf_dir at the 13-file layout
+    sf2 = tmp_path
+    (tmp_path / "documents.parquet").symlink_to(d)
+    got = bpe_merges(str(sf2), n_merges=5)
+    want = bpe_merges(SF, n_merges=5)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_bpe_pair_counts_overlapping_runs(ray_session, tmp_path):
+    """'aaa' contributes ('a','a') twice — overlapping adjacent pairs,
+    the Sennrich counting convention the SQL twin mirrors."""
+    import pyarrow.parquet as pq
+    from visiblev8_crawler_ray.pipelines.textops import bpe_pair_counts
+
+    t = pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                  "text": pa.array(["aaa bb", "ab"], type=pa.string())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = bpe_pair_counts(str(tmp_path))
+    want = {"aa": 2, "bb": 1, "ab": 1}
+    assert dict(zip(got["pair"], got["cnt"])) == want
+
+
+def test_gopher_filter_rules(ray_session, tmp_path):
+    """Hand-computed flags on crafted docs (digit-heavy, short-words,
+    too-short, clean)."""
+    import pyarrow.parquet as pq
+    from visiblev8_crawler_ray.pipelines.textops import gopher_filter
+
+    clean = ("the fast data " * 10).strip()          # 30 words, stops: the
+    clean = clean + " a of"                          # +2 stopwords
+    digits = "the a " + " ".join(str(i) for i in range(30))  # 32 words
+    shortw = "a " * 25 + "the"                       # mean len < 3
+    tiny = "the a big"                               # < 20 words
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": pa.array([clean, digits, shortw, tiny], type=pa.string()),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    df = gopher_filter(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert bool(df.loc[0, "keep"])
+    assert not bool(df.loc[1, "ok_digits"]) and not bool(df.loc[1, "keep"])
+    assert not bool(df.loc[2, "ok_wordlen"]) and not bool(df.loc[2, "keep"])
+    assert not bool(df.loc[3, "ok_nwords"]) and not bool(df.loc[3, "keep"])
+
+
+def test_sample_weighted_block_invariance(ray_session, tmp_path):
+    """Partial top-k per block is exact: a 13-block layout returns the
+    identical sample, and heavier docs are over-represented vs uniform
+    hashing (the E-S property)."""
+    import pyarrow.parquet as pq
+    from visiblev8_crawler_ray.pipelines.textops import sample_weighted
+
+    t = pq.read_table(f"{SF}/documents.parquet")
+    d = tmp_path / "docs13"
+    d.mkdir()
+    n = t.num_rows
+    step = max(1, n // 13)
+    for i, lo in enumerate(range(0, n, step)):
+        pq.write_table(t.slice(lo, step), d / f"part{i:02d}.parquet")
+    (tmp_path / "documents.parquet").symlink_to(d)
+    got = sample_weighted(str(tmp_path), k=60)
+    want = sample_weighted(SF, k=60)
+    pd.testing.assert_frame_equal(got, want)
+    # weighted sample should skew above the corpus mean weight
+    corpus_mean = pq.read_table(
+        f"{SF}/documents.parquet", columns=["text"])["text"].to_pandas() \
+        .str.split().str.len().mean()
+    assert want["wt"].mean() > corpus_mean

@@ -2512,3 +2512,330 @@ def dup_substring_fraction(sf_dir: str, k: int = 8,
         out["covered"].to_numpy() / np.maximum(out["n_tokens"].to_numpy(), 1),
         6)
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality-rule bundle (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", appendix A1.1 repetition/quality filters)
+# ---------------------------------------------------------------------------
+
+
+def gopher_filter(sf_dir: str) -> pa.Table:
+    """Per-document Gopher-rule quality flags and the combined keep bit.
+
+    Rules (thresholds scaled to the synthetic corpus; every comparison
+    is an INTEGER predicate so the DuckDB twin matches bit-for-bit —
+    mean-word-length bounds are the cross-multiplied forms
+    ``3*n_words <= n_word_chars <= 8*n_words``):
+
+    - ``ok_nwords``   : 20 <= n_words <= 80
+    - ``ok_wordlen``  : mean token length in [3, 8]
+    - ``ok_digits``   : all-digit tokens <= 20% of tokens
+    - ``ok_stop``     : >= 2 DISTINCT stopwords present
+
+    One streaming pass, zero shuffles: every column is a vectorized RE2
+    count kernel (semantics identical to DuckDB's regexp functions).
+    The reference's pipeline has no quality filtering; this is one of
+    the first-class training-data extensions (cf. quality_score,
+    repetition_stats).
+    """
+
+    def flags(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        n_words = pc.count_substring_regex(text, WORD_RE).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_word_chars = pc.utf8_length(
+            pc.replace_substring_regex(text, r"\s+", "")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_digit_words = pc.count_substring_regex(
+            text, r"\b[0-9]+\b").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_stop_distinct = np.zeros(t.num_rows, dtype=np.int64)
+        for w in STOPWORDS:
+            n_stop_distinct += (_count_word(text, w) > 0)
+        ok_nwords = (n_words >= 20) & (n_words <= 80)
+        ok_wordlen = (3 * n_words <= n_word_chars) & \
+            (n_word_chars <= 8 * n_words)
+        ok_digits = 5 * n_digit_words <= n_words
+        ok_stop = n_stop_distinct >= 2
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_words": pa.array(n_words),
+            "n_word_chars": pa.array(n_word_chars),
+            "n_digit_words": pa.array(n_digit_words),
+            "n_stop_distinct": pa.array(n_stop_distinct),
+            "ok_nwords": pa.array(ok_nwords),
+            "ok_wordlen": pa.array(ok_wordlen),
+            "ok_digits": pa.array(ok_digits),
+            "ok_stop": pa.array(ok_stop),
+            "keep": pa.array(ok_nwords & ok_wordlen & ok_digits & ok_stop),
+        })
+
+    out = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        flags, batch_format="pyarrow").to_pandas()
+    return pa.Table.from_pandas(
+        out.sort_values("doc_id").reset_index(drop=True),
+        preserve_index=False)
+
+
+def gopher_filter_sql() -> str:
+    stop_distinct = " + ".join(
+        f"(CASE WHEN len(regexp_extract_all(text, '\\b{w}\\b')) > 0 "
+        f"THEN 1 ELSE 0 END)" for w in STOPWORDS)
+    return rf"""
+        WITH m AS (SELECT doc_id,
+                          len(regexp_extract_all(text, '\S+'))::BIGINT
+                              AS n_words,
+                          length(regexp_replace(text, '\s+', '', 'g'))::BIGINT
+                              AS n_word_chars,
+                          len(regexp_extract_all(text, '\b[0-9]+\b'))::BIGINT
+                              AS n_digit_words,
+                          ({stop_distinct})::BIGINT AS n_stop_distinct
+                   FROM documents),
+        f AS (SELECT *,
+                     n_words BETWEEN 20 AND 80 AS ok_nwords,
+                     3 * n_words <= n_word_chars
+                         AND n_word_chars <= 8 * n_words AS ok_wordlen,
+                     5 * n_digit_words <= n_words AS ok_digits,
+                     n_stop_distinct >= 2 AS ok_stop
+              FROM m)
+        SELECT doc_id, n_words, n_word_chars, n_digit_words, n_stop_distinct,
+               ok_nwords, ok_wordlen, ok_digits, ok_stop,
+               ok_nwords AND ok_wordlen AND ok_digits AND ok_stop AS keep
+        FROM f ORDER BY doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (Sennrich et al. 2016): pair counting + merges
+# ---------------------------------------------------------------------------
+
+
+class _BpePairCounts:
+    """Per-batch adjacent-character-pair partial counts.
+
+    Pairs are counted once per UNIQUE token (pd.factorize) and scaled by
+    the token's multiplicity, so the per-batch Python cost is bounded by
+    the batch's unique-token vocabulary, not its token volume; the
+    emitted partial is at most |distinct pairs| rows (alphabet-squared —
+    sketch-sized), so the final combine is a tiny aggregation, the same
+    mergeable-summaries shape as dsir_sample's histogram pass."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t["text"], r"\s+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, "")).to_numpy(
+            zero_copy_only=False)
+        counts: dict[str, int] = {}
+        if len(flat):
+            codes, uniq = pd.factorize(flat)
+            mult = np.bincount(codes, minlength=len(uniq))
+            for i, u in enumerate(uniq):
+                m = int(mult[i])
+                for j in range(len(u) - 1):
+                    p = u[j:j + 2]
+                    counts[p] = counts.get(p, 0) + m
+        return pa.table({
+            "pair": pa.array(list(counts), type=pa.string()),
+            "cnt": pa.array(list(counts.values()), type=pa.int64()),
+        })
+
+
+def bpe_pair_counts(sf_dir: str, k: int = 50) -> pd.DataFrame:
+    """The BPE merge-selection step: corpus-wide counts of adjacent
+    character pairs inside whitespace tokens, top-``k`` by (count DESC,
+    pair ASC) — the statistic a tokenizer trainer maximizes each merge.
+
+    Scale shape: each block reduces to an alphabet-squared partial
+    (never data-sized); the driver-side combine is O(k + |alphabet|^2).
+    Deterministic total order makes the LIMIT boundary exact, so the
+    DuckDB twin matches bit-for-bit."""
+    parts = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _BpePairCounts(), batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"pair": pd.Series([], dtype="object"),
+                             "cnt": pd.Series([], dtype="int64")})
+    agg = parts.groupby("pair", as_index=False)["cnt"].sum()
+    agg = agg.sort_values(["cnt", "pair"],
+                          ascending=[False, True]).head(k)
+    return agg.reset_index(drop=True)
+
+
+def bpe_merges(sf_dir: str, n_merges: int = 8) -> pd.DataFrame:
+    """Iterative BPE training: learn ``n_merges`` merge rules over the
+    corpus (symbols start as characters; each round merges the
+    most-frequent adjacent symbol pair, ties -> lexicographically
+    smallest LEFT then RIGHT symbol) and report each round's winning
+    rule and its count.
+
+    Scale shape (the standard trainer design): ONE shuffle builds the
+    unique-word frequency table (vocabulary-sized, not corpus-sized);
+    every merge round is a streaming pass over that table — per-block
+    pair partials (sketch-sized exchange, exactly _BpePairCounts'
+    shape), a driver argmax, and a broadcast of the single merge rule;
+    the greedy apply pass screens with a vectorized adjacency mask and
+    loops only over words that actually contain the pair.  Iterative
+    upstream -> rows-only at the driver gate; pinned bit-for-bit to a
+    naive single-process reference in tests (the kmeans_clusters
+    pattern)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def word_rows(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t["text"], r"\s+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, "")).to_numpy(
+            zero_copy_only=False)
+        codes, uniq = pd.factorize(flat)
+        return pa.table({
+            "word": pa.array(uniq, type=pa.string()),
+            "freq": pa.array(np.bincount(codes, minlength=len(uniq))
+                             .astype(np.int64)),
+        })
+
+    def init_syms(t: pa.Table) -> pa.Table:
+        words = t["word"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "freq": t["freq"],
+            "syms": pa.array([list(w) for w in words],
+                             type=pa.list_(pa.string())),
+        })
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        syms = t["syms"]
+        if isinstance(syms, pa.ChunkedArray):
+            syms = syms.combine_chunks()
+        flat = pc.list_flatten(syms).to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(syms).to_numpy(zero_copy_only=False)
+        freq = t["freq"].to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table({"left": pa.array([], type=pa.string()),
+                          "right": pa.array([], type=pa.string()),
+                          "cnt": pa.array([], type=pa.int64())})
+        if len(flat) < 2:
+            return empty
+        adj = parent[:-1] == parent[1:]
+        if not adj.any():
+            return empty
+        df = pd.DataFrame({"left": flat[:-1][adj], "right": flat[1:][adj],
+                           "cnt": freq[parent[:-1][adj]]})
+        agg = df.groupby(["left", "right"], as_index=False)["cnt"].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    class ApplyMerge:
+        """Greedy left-to-right merge of one (left, right) rule; only
+        words that actually contain the pair take the Python path (the
+        vectorized adjacency mask screens the rest)."""
+
+        def __init__(self, left: str, right: str):
+            self.left, self.right = left, right
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            syms = t["syms"]
+            if isinstance(syms, pa.ChunkedArray):
+                syms = syms.combine_chunks()
+            flat = pc.list_flatten(syms).to_numpy(zero_copy_only=False)
+            parent = pc.list_parent_indices(syms).to_numpy(
+                zero_copy_only=False)
+            hit = np.zeros(t.num_rows, dtype=bool)
+            if len(flat) >= 2:
+                adj = (parent[:-1] == parent[1:]) & \
+                    (flat[:-1] == self.left) & (flat[1:] == self.right)
+                hit[parent[:-1][adj]] = True
+            if not hit.any():
+                return t
+            new = self.left + self.right
+            rows = syms.to_pylist()
+            for i in np.flatnonzero(hit):
+                s = rows[i]
+                j = 0
+                while j < len(s) - 1:
+                    if s[j] == self.left and s[j + 1] == self.right:
+                        s[j:j + 2] = [new]
+                    else:
+                        j += 1
+            return pa.table({
+                "freq": t["freq"],
+                "syms": pa.array(rows, type=pa.list_(pa.string())),
+            })
+
+    # vocabulary-sized after the first combine; groupby is the one shuffle
+    cur = (ds.map_batches(word_rows, batch_format="pyarrow")
+           .groupby("word").aggregate(Sum("freq", alias_name="freq"))
+           .map_batches(init_syms, batch_format="pyarrow")
+           .materialize())
+
+    merges = []
+    for it in range(n_merges):
+        parts = cur.map_batches(
+            pair_partials, batch_format="pyarrow").to_pandas()
+        if parts.empty:
+            break
+        agg = parts.groupby(["left", "right"], as_index=False)["cnt"].sum()
+        best = agg.sort_values(["cnt", "left", "right"],
+                               ascending=[False, True, True]).iloc[0]
+        left, right, cnt = str(best["left"]), str(best["right"]), \
+            int(best["cnt"])
+        merges.append((it, left, right, cnt))
+        cur = cur.map_batches(ApplyMerge(left, right),
+                              batch_format="pyarrow").materialize()
+    return pd.DataFrame(merges, columns=["iter", "left", "right", "cnt"])
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis & Spirakis 2006)
+# ---------------------------------------------------------------------------
+
+
+def sample_weighted(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Deterministic weighted sample WITHOUT replacement: the k docs
+    with the smallest Efraimidis-Spirakis keys ``-ln(u)/w`` (equivalent
+    to the k largest ``u^(1/w)``), weight = whitespace-token count.
+
+    Parity contract: ``u`` is integer-exact both sides —
+    ``(md5_number_lower('es:' || doc_id) %% 2^53 + 1) / 2^53`` (the
+    numerator and 2^53 are exactly representable doubles, so the
+    division is one identical IEEE op); the only transcendental is one
+    ``ln`` on an identical double, rounded half-away to 6 decimals
+    BEFORE ordering with doc_id tie-break (the round-4-distances idiom),
+    so a <=1-ulp libm difference cannot reorder the selection.
+
+    Scale shape: one streaming pass; each block reduces to its own
+    k-smallest partial (the knn_brute partial-top-k shape), so the
+    driver merge sees O(n_blocks x k) rows, never the corpus.  At
+    extreme block counts, tree-reduce the partials."""
+    M = 1 << 53
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        w = pc.count_substring_regex(t["text"], WORD_RE).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        w = np.maximum(w, 1)
+        u_int = np.fromiter(
+            (int.from_bytes(hashlib.md5(f"es:{d}".encode()).digest()[8:],
+                            "little") % M for d in ids),
+            dtype=np.int64, count=len(ids))
+        key = round_half_away(-np.log((u_int + 1) / float(M)) / w, 6)
+        order = np.lexsort((ids, key))[:k]
+        return pa.table({
+            "doc_id": pa.array(ids[order], type=pa.int64()),
+            "wt": pa.array(w[order]),
+            "es_key": pa.array(key[order], type=pa.float64()),
+        })
+
+    parts = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    return (parts.sort_values(["es_key", "doc_id"]).head(k)
+            .reset_index(drop=True))
+
+
+def sample_weighted_sql(k: int = 100) -> str:
+    return rf"""
+        WITH w AS (SELECT doc_id,
+                          greatest(len(regexp_extract_all(text, '\S+')),
+                                   1)::BIGINT AS wt
+                   FROM documents),
+        s AS (SELECT doc_id, wt,
+                     round(-ln((CAST(md5_number_lower('es:' || doc_id)
+                                     % 9007199254740992 AS BIGINT) + 1)
+                               / 9007199254740992.0) / wt, 6) AS es_key
+              FROM w)
+        SELECT doc_id, wt, es_key FROM s
+        ORDER BY es_key, doc_id LIMIT {k}"""
