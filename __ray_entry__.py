@@ -308,6 +308,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pair_counts": T.bpe_pair_counts,
         "bpe_merges": T.bpe_merges,
         "sample_weighted": T.sample_weighted,
+        "unigram_logprob": T.unigram_logprob,
+        "mix_temperature": T.mix_temperature,
+        "normalize_text": T.normalize_text,
         # classification pipeline (M9/T3/A5/A7/S12/T4)
         "classify_documents": CL.classify_documents,
         "classify_documents_artifact": CL.classify_documents_artifact,
@@ -915,6 +918,36 @@ def oracle_sql() -> dict[str, str]:
         # an identical double, round-6 before ordering
         # (textops.sample_weighted)
         "sample_weighted": T.sample_weighted_sql(),
+        # perplexity-proxy filter: per-distinct-token ln quantized to
+        # int64 at 2^20 (order-independent integer doc sums), avg is one
+        # IEEE division of identical ints (textops.unigram_logprob)
+        "unigram_logprob": r"""
+            WITH toks AS (SELECT doc_id,
+                                 unnest(regexp_extract_all(text, '\S+'))
+                                     AS tok
+                          FROM documents),
+            tot AS (SELECT count(*) AS n FROM toks),
+            vc AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+            q AS (SELECT vc.tok,
+                         CAST(round(ln(vc.cnt * 1.0 / (SELECT n FROM tot))
+                                    * 1048576) AS BIGINT) AS ql
+                  FROM vc),
+            per AS (SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+                           sum(q.ql)::BIGINT AS sum_q
+                    FROM toks t JOIN q USING (tok) GROUP BY t.doc_id)
+            SELECT d.doc_id,
+                   coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+                   coalesce(p.sum_q, 0)::BIGINT AS sum_q,
+                   coalesce(p.sum_q, 0)
+                       / (greatest(coalesce(p.n_tokens, 0), 1) * 1048576.0)
+                       AS avg_logprob
+            FROM documents d LEFT JOIN per p USING (doc_id)
+            ORDER BY d.doc_id""",
+        # temperature-scaled source mixture: IEEE-exact sqrt weights +
+        # integer largest-remainder allocation (textops.mix_temperature)
+        "mix_temperature": T.mix_temperature_sql(),
+        # pre-dedup normalization pass (textops.normalize_text)
+        "normalize_text": T.normalize_text_sql(),
         "redact_terms": r"""
             SELECT doc_id,
                    len(regexp_extract_all(text, '\b(spark|window)\b'))::BIGINT

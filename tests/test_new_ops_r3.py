@@ -381,3 +381,74 @@ def test_sample_weighted_block_invariance(ray_session, tmp_path):
         f"{SF}/documents.parquet", columns=["text"])["text"].to_pandas() \
         .str.split().str.len().mean()
     assert want["wt"].mean() > corpus_mean
+
+
+def test_unigram_logprob_properties(ray_session, tmp_path):
+    """Rare-token docs score below common-token docs; empty doc gets
+    (0, 0, 0.0); sum_q is block-order-independent (13-block layout)."""
+    import pyarrow.parquet as pq
+    from visiblev8_crawler_ray.pipelines.textops import unigram_logprob
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["the the the the", "zyxwv qqqzz", "  "],
+                         type=pa.string()),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    df = unigram_logprob(str(tmp_path)).set_index("doc_id")
+    assert df.loc[0, "avg_logprob"] > df.loc[1, "avg_logprob"]
+    assert df.loc[2, "n_tokens"] == 0 and df.loc[2, "avg_logprob"] == 0.0
+
+    big = pq.read_table(f"{SF}/documents.parquet")
+    d = tmp_path / "docs13"
+    d.mkdir()
+    step = max(1, big.num_rows // 13)
+    for i, lo in enumerate(range(0, big.num_rows, step)):
+        pq.write_table(big.slice(lo, step), d / f"part{i:02d}.parquet")
+    sf13 = tmp_path / "sf13"
+    sf13.mkdir()
+    (sf13 / "documents.parquet").symlink_to(d)
+    got = unigram_logprob(str(sf13))
+    want = unigram_logprob(SF)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_mix_temperature_allocation(ray_session, tmp_path):
+    """Allocation sums exactly to the budget; alpha=0.5 flattens the
+    mixture (share ratio < raw token ratio); skewed fixture."""
+    import pyarrow.parquet as pq
+    from visiblev8_crawler_ray.pipelines.textops import mix_temperature
+
+    t = pa.table({
+        "doc_id": pa.array(range(4), type=pa.int64()),
+        "source": pa.array(["big", "big", "big", "tiny"]),
+        "text": pa.array(["w " * 400, "w " * 400, "w " * 200, "w w w w"]),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    df = mix_temperature(str(tmp_path), budget=97).set_index("source")
+    assert int(df["alloc"].sum()) == 97
+    raw_ratio = df.loc["big", "n_tokens"] / df.loc["tiny", "n_tokens"]
+    share_ratio = df.loc["big", "share"] / df.loc["tiny", "share"]
+    assert 1 < share_ratio < raw_ratio  # temperature flattens, not inverts
+    assert abs(share_ratio**2 - raw_ratio) / raw_ratio < 1e-6  # alpha=0.5
+
+
+def test_normalize_text_idempotent(ray_session, tmp_path):
+    """Normalizing already-normalized text is a fixed point."""
+    import pyarrow.parquet as pq
+    from visiblev8_crawler_ray.pipelines.textops import normalize_text
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array(["  Hello,   WORLD!.. x ", "already clean"]),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    one = normalize_text(str(tmp_path)).to_pandas().sort_values("doc_id")
+    assert one["norm_text"].tolist() == ["hello world x", "already clean"]
+    t2 = pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                   "text": pa.array(one["norm_text"])})
+    sf2 = tmp_path / "again"
+    sf2.mkdir()
+    pq.write_table(t2, sf2 / "documents.parquet")
+    two = normalize_text(str(sf2)).to_pandas().sort_values("doc_id")
+    assert two["norm_text"].tolist() == one["norm_text"].tolist()

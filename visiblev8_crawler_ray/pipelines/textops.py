@@ -2839,3 +2839,187 @@ def sample_weighted_sql(k: int = 100) -> str:
               FROM w)
         SELECT doc_id, wt, es_key FROM s
         ORDER BY es_key, doc_id LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Unigram log-probability quality score (the CCNet / RedPajama
+# perplexity-filter shape with a corpus unigram LM standing in for the
+# KenLM model)
+# ---------------------------------------------------------------------------
+
+
+def unigram_logprob(sf_dir: str) -> pd.DataFrame:
+    """Per-document average unigram log-probability under the corpus'
+    own token distribution — the perplexity-filtering signal (docs far
+    below the mean are gibberish/boilerplate; far above are repetitive).
+
+    Parity contract (fixed-point-sum idiom): each DISTINCT token's
+    ``ln(cnt/total)`` is quantized to int64 at 2^20 scale with
+    half-away rounding (= DuckDB ``round(x * 1048576)``), so the
+    per-doc accumulation is an integer sum — order-independent across
+    blocks — and ``avg_logprob`` is ONE IEEE division of identical
+    ints: ``sum_q / (n_tokens * 1048576.0)``.
+
+    Scale shape: pass 1 is the vocabulary rollup (ONE shuffle,
+    vocab-sized); the vocab broadcasts via ``ray.put`` (at 10^9+ tokens
+    switch to the hash-partitioned join path, the tfidf_top_term
+    pattern); pass 2 is one streaming pass — flat tokenization,
+    factorize, ONE ln per distinct-token-in-batch, segmented int add.
+    """
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        flat, _ = _flat_tokens(t["text"])
+        codes, uniq = pd.factorize(flat.to_numpy(zero_copy_only=False))
+        return pa.table({
+            "tok": pa.array(uniq, type=pa.string()),
+            "cnt": pa.array(np.bincount(codes, minlength=len(uniq))
+                            .astype(np.int64)),
+        })
+
+    vocab = (ds.map_batches(tok_partial, batch_format="pyarrow")
+             .groupby("tok").aggregate(Sum("cnt", alias_name="cnt"))
+             .to_pandas())
+    total = int(vocab["cnt"].sum())
+    lut = dict(zip(vocab["tok"], vocab["cnt"].astype(np.int64)))
+    lut_ref = ray.put((lut, total))
+
+    S = 1 << 20
+
+    def score(t: pa.Table) -> pa.Table:
+        lut, total = ray.get(lut_ref)
+        flat, parent = _flat_tokens(t["text"])
+        n = t.num_rows
+        ntok = np.zeros(n, dtype=np.int64)
+        sum_q = np.zeros(n, dtype=np.int64)
+        if len(flat):
+            codes, uniq = pd.factorize(flat.to_numpy(zero_copy_only=False))
+            cnts = np.fromiter((lut[u] for u in uniq), dtype=np.int64,
+                               count=len(uniq))
+            lp = np.log(cnts / float(total)) * S
+            ql = (np.sign(lp) * np.floor(np.abs(lp) + 0.5)).astype(np.int64)
+            np.add.at(ntok, parent, 1)
+            np.add.at(sum_q, parent, ql[codes])
+        # ONE IEEE division of identical ints (n_tokens * 2^20 < 2^53)
+        avg = sum_q / (np.maximum(ntok, 1) * float(S))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(ntok),
+            "sum_q": pa.array(sum_q),
+            "avg_logprob": pa.array(avg, type=pa.float64()),
+        })
+
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixing (the multilingual-LM sampling rule:
+# p_i proportional to n_i^alpha, alpha = 0.5) + text normalization
+# ---------------------------------------------------------------------------
+
+
+def mix_temperature(sf_dir: str, budget: int = 1000) -> pd.DataFrame:
+    """Temperature-sampled training mixture: per-source token counts,
+    alpha=0.5 temperature weights, normalized share, and an
+    integer-exact largest-remainder allocation of ``budget`` samples.
+
+    Parity contract: ``sqrt`` is EXACTLY rounded under IEEE 754 (unlike
+    ln/pow), ``* 2^20`` is an exponent shift (exact), so the quantized
+    weight ``wq = round(sqrt(n_tokens) * 2^20)`` is bit-identical both
+    sides with no libm caveat; everything downstream (share's single
+    division, base = budget*wq // tot, remainder ranking) is integer
+    arithmetic.
+
+    Scale shape: per-block (source, token-count) partials — a
+    sources-sized sketch — then a tiny driver combine; the allocation
+    runs over n_sources rows."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t["text"], WORD_RE).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        src = t["source"].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(src)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, codes, n)
+        return pa.table({"source": pa.array(uniq, type=pa.string()),
+                         "n_tokens": pa.array(sums)})
+
+    parts = _read_docs(sf_dir, ["source", "text"]).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("source", as_index=False)["n_tokens"].sum() \
+        .sort_values("source").reset_index(drop=True)
+    n = agg["n_tokens"].to_numpy(dtype=np.int64)
+    wq = np.floor(np.abs(np.sqrt(n) * (1 << 20)) + 0.5).astype(np.int64)
+    tot = int(wq.sum())
+    base = (budget * wq) // tot
+    rem = (budget * wq) % tot
+    leftover = budget - int(base.sum())
+    # rank by (rem DESC, source ASC); first `leftover` ranks get +1
+    order = np.lexsort((agg["source"].to_numpy(), -rem))
+    rk = np.empty(len(order), dtype=np.int64)
+    rk[order] = np.arange(1, len(order) + 1)
+    agg["wq"] = wq
+    agg["share"] = wq / float(tot)
+    agg["alloc"] = base + (rk <= leftover)
+    return agg
+
+
+def mix_temperature_sql(budget: int = 1000) -> str:
+    return rf"""
+        WITH c AS (SELECT source,
+                          sum(len(regexp_extract_all(text, '\S+')))::BIGINT
+                              AS n_tokens
+                   FROM documents GROUP BY source),
+        q AS (SELECT source, n_tokens,
+                     CAST(round(sqrt(n_tokens) * 1048576) AS BIGINT) AS wq
+              FROM c),
+        s AS (SELECT sum(wq)::BIGINT AS tot,
+                     ({budget} - sum(({budget} * wq) // (SELECT sum(wq)
+                                                         FROM q)))::BIGINT
+                         AS leftover
+              FROM q),
+        r AS (SELECT source, n_tokens, wq,
+                     ({budget} * wq) // (SELECT tot FROM s) AS base,
+                     row_number() OVER
+                         (ORDER BY ({budget} * wq) % (SELECT tot FROM s)
+                              DESC, source) AS rk
+              FROM q)
+        SELECT source, n_tokens, wq,
+               wq / (CAST((SELECT tot FROM s) AS DOUBLE)) AS share,
+               (base + CASE WHEN rk <= (SELECT leftover FROM s)
+                            THEN 1 ELSE 0 END)::BIGINT AS alloc
+        FROM r ORDER BY source"""
+
+
+def normalize_text(sf_dir: str) -> pa.Table:
+    """Canonical text normalization (the pre-dedup cleanup pass):
+    lowercase, strip punctuation, collapse whitespace runs to one
+    space, trim — all RE2/Arrow kernels with byte-identical DuckDB
+    twins.  One streaming pass, zero shuffles."""
+
+    def norm(t: pa.Table) -> pa.Table:
+        x = pc.utf8_lower(t["text"])
+        x = pc.replace_substring_regex(x, PUNCT_RE, "")
+        x = pc.replace_substring_regex(x, r"\s+", " ")
+        x = pc.utf8_trim(x, characters=" ")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "norm_text": x,
+            "norm_len": pc.utf8_length(x),
+        })
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        norm, batch_format="pyarrow")
+
+
+def normalize_text_sql() -> str:
+    return rf"""
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text),
+                        '{PUNCT_RE}', '', 'g'), '\s+', ' ', 'g'), ' ')
+                   AS norm_text,
+               length(trim(regexp_replace(regexp_replace(lower(text),
+                        '{PUNCT_RE}', '', 'g'), '\s+', ' ', 'g'), ' '))
+                   ::BIGINT AS norm_len
+        FROM documents ORDER BY doc_id"""
