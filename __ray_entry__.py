@@ -311,6 +311,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob": T.unigram_logprob,
         "mix_temperature": T.mix_temperature,
         "normalize_text": T.normalize_text,
+        "bpe_encode": T.bpe_encode,
+        "corpus_novelty": T.corpus_novelty,
         # classification pipeline (M9/T3/A5/A7/S12/T4)
         "classify_documents": CL.classify_documents,
         "classify_documents_artifact": CL.classify_documents_artifact,
@@ -948,6 +950,10 @@ def oracle_sql() -> dict[str, str]:
         "mix_temperature": T.mix_temperature_sql(),
         # pre-dedup normalization pass (textops.normalize_text)
         "normalize_text": T.normalize_text_sql(),
+        # incremental-ingestion novelty filter: incoming (odd doc_id)
+        # vs committed (even) by exact content hash
+        # (textops.corpus_novelty)
+        "corpus_novelty": T.corpus_novelty_sql(),
         "redact_terms": r"""
             SELECT doc_id,
                    len(regexp_extract_all(text, '\b(spark|window)\b'))::BIGINT

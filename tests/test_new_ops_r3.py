@@ -452,3 +452,53 @@ def test_normalize_text_idempotent(ray_session, tmp_path):
     pq.write_table(t2, sf2 / "documents.parquet")
     two = normalize_text(str(sf2)).to_pandas().sort_values("doc_id")
     assert two["norm_text"].tolist() == one["norm_text"].tolist()
+
+
+def test_corpus_novelty_flags_dups(ray_session, tmp_path):
+    """An incoming doc whose text matches a committed doc is not novel;
+    unseen text is; an incoming-only duplicate pair stays novel (dedup
+    within the incoming batch is dedup_exact's job, not novelty's)."""
+    import pyarrow.parquet as pq
+    from visiblev8_crawler_ray.pipelines.textops import corpus_novelty
+
+    t = pa.table({
+        "doc_id": pa.array([0, 2, 1, 3, 5, 7], type=pa.int64()),
+        "text": pa.array(["seen doc", "other committed", "seen doc",
+                          "brand new", "dup in batch", "dup in batch"]),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    df = corpus_novelty(str(tmp_path)).set_index("doc_id")
+    assert not bool(df.loc[1, "novel"])
+    assert bool(df.loc[3, "novel"])
+    assert bool(df.loc[5, "novel"]) and bool(df.loc[7, "novel"])
+
+
+def test_bpe_encode_matches_naive(ray_session):
+    """Encoded symbol counts equal applying the naive BPE reference's
+    merge rules word-by-word; compression <= 1 and decreases vs 0
+    merges."""
+    import pyarrow.parquet as pq
+    from visiblev8_crawler_ray.pipelines.textops import bpe_encode
+
+    texts = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["doc_id", "text"]).to_pandas()
+    rules = _naive_bpe(texts["text"].tolist(), 8)
+    merge_list = list(zip(rules["left"], rules["right"]))
+
+    def enc(w):
+        s = list(w)
+        for left, right in merge_list:
+            j = 0
+            while j < len(s) - 1:
+                if s[j] == left and s[j + 1] == right:
+                    s[j:j + 2] = [left + right]
+                else:
+                    j += 1
+        return len(s)
+
+    got = bpe_encode(SF, n_merges=8).set_index("doc_id")
+    for _, r in texts.head(50).iterrows():
+        toks = [w for w in r["text"].split() if w]
+        want_syms = sum(enc(w) for w in toks)
+        assert got.loc[r["doc_id"], "n_syms"] == want_syms
+    assert (got["n_syms"] <= got["n_chars"]).all()

@@ -3023,3 +3023,113 @@ def normalize_text_sql() -> str:
                         '{PUNCT_RE}', '', 'g'), '\s+', ' ', 'g'), ' '))
                    ::BIGINT AS norm_len
         FROM documents ORDER BY doc_id"""
+
+
+def bpe_encode(sf_dir: str, n_merges: int = 8) -> pd.DataFrame:
+    """Apply the learned BPE merges (:func:`bpe_merges`) to the corpus:
+    per doc, the encoded symbol count and the compression ratio vs raw
+    characters — the tokenizer-training loop's evaluation step.
+
+    Scale shape: the merge table (n_merges rows) broadcasts; encoding
+    is one streaming pass that segments each batch's UNIQUE tokens once
+    (pd.factorize memoization, the _BpePairCounts trick) and scatters
+    per-doc sums vectorized.  Iterative upstream (the merges) makes
+    this rows-only at the driver gate; pinned to a naive reference."""
+    rules = bpe_merges(sf_dir, n_merges=n_merges)
+    merge_list = list(zip(rules["left"], rules["right"]))
+
+    def encode_word(w: str) -> int:
+        s = list(w)
+        for left, right in merge_list:
+            j = 0
+            while j < len(s) - 1:
+                if s[j] == left and s[j + 1] == right:
+                    s[j:j + 2] = [left + right]
+                else:
+                    j += 1
+        return len(s)
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        flat, parent = _flat_tokens(t["text"])
+        n = t.num_rows
+        n_syms = np.zeros(n, dtype=np.int64)
+        n_chars = np.zeros(n, dtype=np.int64)
+        if len(flat):
+            fl = flat.to_numpy(zero_copy_only=False)
+            codes, uniq = pd.factorize(fl)
+            lens = np.fromiter((encode_word(u) for u in uniq),
+                               dtype=np.int64, count=len(uniq))
+            np.add.at(n_syms, parent, lens[codes])
+            tok_chars = pc.utf8_length(flat).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            np.add.at(n_chars, parent, tok_chars)
+        from ..functions.util import round_half_away as _r
+        ratio = _r(n_syms / np.maximum(n_chars, 1), 6)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_chars": pa.array(n_chars),
+            "n_syms": pa.array(n_syms),
+            "compression": pa.array(ratio, type=pa.float64()),
+        })
+
+    out = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        per_doc, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def corpus_novelty(sf_dir: str, nparts: int = 16) -> pd.DataFrame:
+    """Incremental-ingestion dedup: treat docs with even doc_id as the
+    COMMITTED corpus and odd doc_id as the INCOMING batch; flag each
+    incoming doc whose exact content hash already exists in the
+    committed corpus (the daily-refresh novelty filter — the documents
+    analog of the crawl's URL-seen exchange).
+
+    Scale shape: both sides bucket by content-hash %% nparts (ONE
+    co-partitioned shuffle, the dedup_minhash join pattern — no
+    Dataset.join, so it cannot deadlock at low CPU counts); membership
+    resolves per bucket with a vectorized isin.  The committed side
+    could equally restore from the sharded seen-index spill tier;
+    bucketing keeps the SQL twin exact."""
+
+    def hash_rows(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        txt = text.to_numpy(zero_copy_only=False)
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(x.encode()).digest()[8:], "little")
+             for x in txt), dtype=np.uint64, count=len(txt)).view(np.int64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "h": pa.array(h),
+            "bucket": pa.array(((h.view(np.uint64))
+                                % np.uint64(nparts)).astype(np.int64)),
+            "incoming": pa.array(ids % 2 == 1),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        committed = set(g.loc[~g["incoming"], "h"])
+        inc = g[g["incoming"]]
+        # typed even when the bucket holds no incoming rows (stable schema)
+        return pd.DataFrame({
+            "doc_id": inc["doc_id"].to_numpy(dtype=np.int64),
+            "novel": (~inc["h"].isin(committed)).to_numpy(dtype=bool),
+        })
+
+    out = (_read_docs(sf_dir, ["doc_id", "text"])
+           .map_batches(hash_rows, batch_format="pyarrow")
+           .groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def corpus_novelty_sql() -> str:
+    return """
+        WITH h AS (SELECT doc_id, md5_number_lower(text) AS h,
+                          doc_id % 2 = 1 AS incoming
+                   FROM documents)
+        SELECT i.doc_id,
+               NOT EXISTS (SELECT 1 FROM h c
+                           WHERE NOT c.incoming AND c.h = i.h) AS novel
+        FROM h i WHERE i.incoming ORDER BY i.doc_id"""
