@@ -313,6 +313,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": T.normalize_text,
         "bpe_encode": T.bpe_encode,
         "corpus_novelty": T.corpus_novelty,
+        "embedding_covariance": E.embedding_covariance,
+        "embedding_pca": E.embedding_pca,
         # classification pipeline (M9/T3/A5/A7/S12/T4)
         "classify_documents": CL.classify_documents,
         "classify_documents_artifact": CL.classify_documents_artifact,
@@ -954,6 +956,9 @@ def oracle_sql() -> dict[str, str]:
         # vs committed (even) by exact content hash
         # (textops.corpus_novelty)
         "corpus_novelty": T.corpus_novelty_sql(),
+        # exact embedding covariance from 2^16 fixed-point integer
+        # partials (embeddings.embedding_covariance; the PCA anchor)
+        "embedding_covariance": E.embedding_covariance_sql(),
         "redact_terms": r"""
             SELECT doc_id,
                    len(regexp_extract_all(text, '\b(spark|window)\b'))::BIGINT

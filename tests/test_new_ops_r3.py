@@ -502,3 +502,49 @@ def test_bpe_encode_matches_naive(ray_session):
         want_syms = sum(enc(w) for w in toks)
         assert got.loc[r["doc_id"], "n_syms"] == want_syms
     assert (got["n_syms"] <= got["n_chars"]).all()
+
+
+def test_embedding_pca_matches_naive_and_block_invariant(ray_session,
+                                                         tmp_path):
+    """Projection equals a single-process PCA over the same quantized
+    covariance (sign convention pinned), component variances descend,
+    and a 7-block layout yields the identical result."""
+    import pyarrow.parquet as pq
+    from visiblev8_crawler_ray.pipelines.embeddings import embedding_pca
+
+    got = embedding_pca(SF, k=4)
+    v = got[["pc0", "pc1", "pc2", "pc3"]].var().to_numpy()
+    assert (np.diff(v) <= 1e-12).all()
+
+    # naive reference: same 2^16 quantization, driver-side eigh
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    S1 = float(1 << 16)
+    q = (np.sign(mat * S1) * np.floor(np.abs(mat * S1) + 0.5))
+    n = q.shape[0]
+    mean = q.sum(0) / (n * S1)
+    C = (q.T @ q) / (n * S1 * S1) - np.outer(mean, mean)
+    w, vec = np.linalg.eigh(C)
+    basis = vec[:, np.argsort(-w)[:4]]
+    amax = np.argmax(np.abs(basis), axis=0)
+    flip = np.sign(basis[amax, np.arange(4)])
+    flip[flip == 0] = 1.0
+    basis = basis * flip
+    proj = (mat - mean) @ basis
+    ids = np.asarray(t["vec_id"].to_pylist())
+    order = np.argsort(ids)
+    want = np.round(proj[order], 6)
+    np.testing.assert_allclose(
+        got[["pc0", "pc1", "pc2", "pc3"]].to_numpy(), want, atol=2e-6)
+
+    # block invariance
+    full = pq.read_table(f"{SF}/embeddings.parquet")
+    d = tmp_path / "emb7"
+    d.mkdir()
+    step = max(1, full.num_rows // 7)
+    for i, lo in enumerate(range(0, full.num_rows, step)):
+        pq.write_table(full.slice(lo, step), d / f"p{i}.parquet")
+    (tmp_path / "embeddings.parquet").symlink_to(d)
+    got7 = embedding_pca(str(tmp_path), k=4)
+    pd.testing.assert_frame_equal(got7, got)

@@ -952,3 +952,137 @@ def kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 5) -> pd.DataFrame:
     sizes = out.groupby("cluster")["vec_id"].size().rename("n_members")
     out = out.merge(sizes, on="cluster")
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# PCA over the embedding corpus: exact covariance (SQL-gated) + projection
+# ---------------------------------------------------------------------------
+
+
+def _cov_partials(sf_dir: str, S: int = 1 << 16):
+    """One streaming pass -> (pair-product sums P [dim x dim], value
+    sums s [dim], row count n), all int64: each value quantized at
+    2^16 (half-away = DuckDB round()), so P = q.T @ q and s = q.sum(0)
+    accumulate order-independently across blocks.  Exchange per block
+    is a (dim^2 + dim)-sized sketch, never data-sized."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, mat = _to_matrix(t)
+        q = (np.sign(mat * S) * np.floor(np.abs(mat * S) + 0.5)) \
+            .astype(np.int64)
+        P = q.T @ q
+        s = q.sum(axis=0)
+        dim = q.shape[1]
+        i = np.repeat(np.arange(dim, dtype=np.int64), dim)
+        j = np.tile(np.arange(dim, dtype=np.int64), dim)
+        return pa.table({
+            "i": pa.array(i), "j": pa.array(j),
+            "pp": pa.array(P.reshape(-1)),
+            "si": pa.array(np.repeat(s, dim)),
+            "n": pa.array(np.full(dim * dim, q.shape[0], dtype=np.int64)),
+        })
+
+    parts = _read_emb(sf_dir).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby(["i", "j"], as_index=False).agg(
+        pp=("pp", "sum"), si=("si", "sum"), n=("n", "sum"))
+    return agg
+
+
+def embedding_covariance(sf_dir: str) -> pd.DataFrame:
+    """Exact covariance matrix of the embedding corpus (upper triangle
+    i <= j), the statistic PCA/whitening/ZCA pipelines start from.
+
+    Parity contract: pair products and sums are INTEGER (2^16
+    fixed-point; int64 headroom: |q| <= 2^18 -> product <= 2^36, safe to
+    ~10^8 rows per reducer — beyond that, keep per-block partials int
+    and promote the merge to int128/float, noted not hidden); ``cov``
+    is the identical IEEE expression both sides:
+    ``pp/(n*2^32) - (si/(n*2^16)) * (sj/(n*2^16))``."""
+    agg = _cov_partials(sf_dir)
+    agg = agg[agg["i"] <= agg["j"]].reset_index(drop=True)
+    sj = agg.merge(
+        agg[agg["i"] == agg["j"]][["j", "si"]].rename(
+            columns={"j": "j_", "si": "sj"}),
+        left_on="j", right_on="j_", how="left")["sj"]
+    # sj for column j equals si of the diagonal row (i == j)
+    n = agg["n"].to_numpy(dtype=np.float64)
+    S1, S2 = float(1 << 16), float(1 << 32)
+    cov = (agg["pp"].to_numpy() / (n * S2)
+           - (agg["si"].to_numpy() / (n * S1))
+           * (sj.to_numpy() / (n * S1)))
+    out = pd.DataFrame({
+        "i": agg["i"].astype(np.int64), "j": agg["j"].astype(np.int64),
+        "cov": cov,
+    })
+    return out.sort_values(["i", "j"]).reset_index(drop=True)
+
+
+def embedding_covariance_sql() -> str:
+    return """
+        WITH q AS (SELECT vec_id,
+                          CAST(u.i AS BIGINT) AS dim,
+                          CAST(round(CAST(embedding[u.i + 1] AS DOUBLE)
+                                     * 65536) AS BIGINT) AS qv
+                   FROM embeddings, UNNEST(generate_series(0, 63)) AS u(i)),
+        pp AS (SELECT a.dim AS i, b.dim AS j,
+                      sum(a.qv * b.qv)::BIGINT AS pp,
+                      sum(a.qv)::BIGINT AS si, sum(b.qv)::BIGINT AS sj,
+                      count(*)::BIGINT AS n
+               FROM q a JOIN q b USING (vec_id)
+               WHERE a.dim <= b.dim
+               GROUP BY a.dim, b.dim)
+        SELECT i, j,
+               pp / (n * 4294967296.0)
+                   - (si / (n * 65536.0)) * (sj / (n * 65536.0)) AS cov
+        FROM pp ORDER BY i, j"""
+
+
+def embedding_pca(sf_dir: str, k: int = 4) -> pd.DataFrame:
+    """PCA projection onto the top-``k`` principal components — the
+    dimensionality-reduction step ANN-index compression and whitening
+    pipelines run before quantization.
+
+    The covariance comes from :func:`embedding_covariance`'s
+    integer-exact partials (block-order invariant by construction), the
+    eigendecomposition runs on the driver over the dim x dim matrix
+    (sketch-sized — never the data), eigenvector signs are pinned
+    (largest-|component| coordinate made positive, ties -> lowest dim),
+    and the projection is one more streaming pass with the (dim x k)
+    basis broadcast.  Iterative-free but eigh is not SQL-expressible ->
+    rows-only at the driver gate; pinned by variance-ordering,
+    block-invariance and reconstruction-error tests."""
+    agg = _cov_partials(sf_dir)
+    dim = int(agg["i"].max()) + 1
+    n = agg["n"].to_numpy(dtype=np.float64)
+    S1, S2 = float(1 << 16), float(1 << 32)
+    si = np.zeros(dim)
+    diag = agg[agg["i"] == agg["j"]]
+    si[diag["i"].to_numpy()] = diag["si"].to_numpy()
+    nrows = float(diag["n"].iloc[0])
+    mean = si / (nrows * S1)
+    C = np.zeros((dim, dim))
+    C[agg["i"], agg["j"]] = (agg["pp"].to_numpy() / (n * S2)
+                             - np.outer(mean, mean)[agg["i"], agg["j"]])
+    w, v = np.linalg.eigh(C)
+    order = np.argsort(-w)[:k]
+    basis = v[:, order]                      # (dim, k)
+    # sign convention: the largest-|x| coordinate of each PC is positive
+    amax = np.argmax(np.abs(basis), axis=0)
+    flip = np.sign(basis[amax, np.arange(basis.shape[1])])
+    flip[flip == 0] = 1.0
+    basis = basis * flip
+    b_ref = ray.put((mean, basis))
+
+    def project(t: pa.Table) -> pa.Table:
+        mean, basis = ray.get(b_ref)
+        ids, mat = _to_matrix(t)
+        proj = round_half_away((mat - mean) @ basis, 6)
+        cols = {"vec_id": pa.array(ids, type=pa.int64())}
+        for c in range(basis.shape[1]):
+            cols[f"pc{c}"] = pa.array(proj[:, c], type=pa.float64())
+        return pa.table(cols)
+
+    out = _read_emb(sf_dir).map_batches(
+        project, batch_format="pyarrow").to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
