@@ -1,0 +1,102 @@
+"""Seeded fuzz: this session's SQL-gated operators vs their DuckDB
+twins over RANDOMIZED corpora (empty docs, whitespace-only, glued
+punctuation, digits, unicode, tabs/newlines, duplicate texts) — the
+curated sf fixtures never exercise several of these shapes."""
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, "/root/repo")
+import __ray_entry__ as R  # noqa: E402
+from visiblev8_crawler_ray.pipelines import textops as T  # noqa: E402
+
+WORDS = ["the", "a", "of", "to", "and", "spark", "data", "row", "12",
+         "9001", "x", "zz", "café", "a.b,c", "!!!", "loooooooooong",
+         "Mixed", "UPPER", "semi;colon"]
+
+
+def _random_corpus(rng, n_docs):
+    texts = []
+    for d in range(n_docs):
+        kind = int(rng.integers(0, 10))
+        if kind == 0:
+            texts.append("")
+        elif kind == 1:
+            texts.append(" \t\n  ")
+        elif kind == 2 and texts:
+            texts.append(texts[int(rng.integers(0, len(texts)))])  # dup
+        else:
+            n = int(rng.integers(1, 40))
+            ws = [WORDS[int(i)] for i in rng.integers(0, len(WORDS), n)]
+            sep = [" ", "  ", "\t", "\n"][int(rng.integers(0, 4))]
+            texts.append(sep.join(ws))
+    return pa.table({
+        "doc_id": pa.array(range(n_docs), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+        "source": pa.array([f"s{d % 5}" for d in range(n_docs)]),
+    })
+
+
+def _con(sf):
+    c = duckdb.connect()
+    c.sql(f"CREATE VIEW documents AS SELECT * "
+          f"FROM '{sf}/documents.parquet'")
+    return c
+
+
+def _norm(df):
+    df = pd.DataFrame(df)
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+OPS = ["gopher_filter", "bpe_pair_counts", "sample_weighted",
+       "unigram_logprob", "mix_temperature", "normalize_text",
+       "corpus_novelty"]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_session5_ops_fuzz_vs_duckdb(ray_session, tmp_path, seed):
+    rng = np.random.default_rng(seed)
+    docs = _random_corpus(rng, 60)
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    con = _con(tmp_path)
+    q = R.queries()
+    sql = R.oracle_sql()
+    for name in OPS:
+        res = q[name](str(tmp_path))
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        odf = con.sql(sql[name]).df()
+        a, b = _norm(df), _norm(odf)
+        assert list(a.columns) == list(b.columns), name
+        assert len(a) == len(b), (name, len(a), len(b))
+        pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                      check_exact=True, obj=name)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_embedding_covariance_fuzz(ray_session, tmp_path, seed):
+    rng = np.random.default_rng(100 + seed)
+    n, dim = 50, 64
+    mat = rng.normal(0, 1, (n, dim)).round(4)
+    t = pa.table({
+        "vec_id": pa.array(range(n), type=pa.int64()),
+        "embedding": pa.array(mat.tolist(),
+                              type=pa.list_(pa.float32(), dim)),
+        "label": pa.array((np.arange(n) % 3).astype(np.int64)),
+    })
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * "
+            f"FROM '{tmp_path}/embeddings.parquet'")
+    res = R.queries()["embedding_covariance"](str(tmp_path))
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    odf = con.sql(R.oracle_sql()["embedding_covariance"]).df()
+    pd.testing.assert_frame_equal(_norm(df), _norm(odf),
+                                  check_dtype=False, check_exact=True)
