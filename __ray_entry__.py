@@ -186,6 +186,12 @@ def _media_near_dup(sf_dir: str):
     return MM.media_near_dup(run.docs(), blob_dir)
 
 
+def _blob_audit(sf_dir: str):
+    run = _crawl(sf_dir)
+    blob_dir = os.path.join(_store_root(sf_dir), "blobs")
+    return MM.blob_audit(run.docs(), blob_dir)
+
+
 def _media_thumbnails(sf_dir: str):
     """Real decode -> resize -> re-encode; the driver row gate sees the
     metadata + thumb byte length (binary payloads stay in the stream
@@ -354,6 +360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_dedup": _media_dedup,
         "media_near_dup": _media_near_dup,
         "media_thumbnails": _media_thumbnails,
+        "blob_audit": _blob_audit,
         "parse_chain_counts": _parse_chain_counts,
         "host_edges": lambda sf: G.host_edges(_crawl(sf).crawl_log(), QCFG),
         "host_pagerank": lambda sf: G.host_pagerank(

@@ -100,3 +100,42 @@ def test_embedding_covariance_fuzz(ray_session, tmp_path, seed):
     odf = con.sql(R.oracle_sql()["embedding_covariance"]).df()
     pd.testing.assert_frame_equal(_norm(df), _norm(odf),
                                   check_dtype=False, check_exact=True)
+
+
+def test_blob_audit_detects_missing_and_orphans(ray_session, tmp_path):
+    """Clean store audits clean; deleting a blob -> refs_missing=1;
+    planting a stray file -> files_orphaned=1."""
+    import os
+    import numpy as np
+    import ray.data as rd
+    from visiblev8_crawler_ray import synth
+    from visiblev8_crawler_ray.config import CrawlConfig
+    from visiblev8_crawler_ray.pipelines.crawl import run_crawl
+    from visiblev8_crawler_ray.pipelines.multimodal import blob_audit
+
+    cfg = CrawlConfig(max_depth=1, max_waves=2, max_per_host_per_wave=10)
+    seeds = synth.seeds_table(np.arange(12), cfg)
+    store = str(tmp_path / "store")
+    run = run_crawl(seeds, cfg, store, blob_artifacts=True)
+    blob_dir = os.path.join(store, "blobs")
+
+    clean = blob_audit(run.docs(), blob_dir).iloc[0]
+    assert clean["refs_missing"] == 0 and clean["files_orphaned"] == 0
+    assert clean["refs_resolved"] == clean["refs_distinct"] > 0
+    assert clean["files_total"] == clean["refs_distinct"]
+    assert clean["bytes_total"] > 0
+
+    # delete one blob, plant one stray
+    victim = None
+    for root, _, names in os.walk(blob_dir):
+        for n in names:
+            victim = os.path.join(root, n)
+            break
+        if victim:
+            break
+    os.remove(victim)
+    with open(os.path.join(blob_dir, "stray.bin"), "wb") as f:
+        f.write(b"zz")
+    dirty = blob_audit(run.docs(), blob_dir).iloc[0]
+    assert dirty["refs_missing"] == 1
+    assert dirty["files_orphaned"] == 1
