@@ -139,3 +139,36 @@ def test_blob_audit_detects_missing_and_orphans(ray_session, tmp_path):
     dirty = blob_audit(run.docs(), blob_dir).iloc[0]
     assert dirty["refs_missing"] == 1
     assert dirty["files_orphaned"] == 1
+
+
+def test_degenerate_corpora_do_not_crash(ray_session, tmp_path):
+    """Review regressions: empty-incoming novelty, all-empty-doc
+    unigram/mix_temperature — graceful typed empties / zero allocs."""
+    from visiblev8_crawler_ray.pipelines.textops import (
+        corpus_novelty, mix_temperature, unigram_logprob)
+
+    even_only = pa.table({
+        "doc_id": pa.array([0, 2, 4], type=pa.int64()),
+        "text": pa.array(["a", "b", "c"]),
+        "source": pa.array(["s0", "s0", "s0"]),
+    })
+    d1 = tmp_path / "even"
+    d1.mkdir()
+    pq.write_table(even_only, d1 / "documents.parquet")
+    nov = corpus_novelty(str(d1))
+    assert list(nov.columns) == ["doc_id", "novel"] and len(nov) == 0
+
+    empty_docs = pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array(["", " \t\n"]),
+        "source": pa.array(["s0", "s1"]),
+    })
+    d2 = tmp_path / "empty"
+    d2.mkdir()
+    pq.write_table(empty_docs, d2 / "documents.parquet")
+    lp = unigram_logprob(str(d2))
+    assert lp["n_tokens"].tolist() == [0, 0]
+    assert lp["avg_logprob"].tolist() == [0.0, 0.0]
+    mt = mix_temperature(str(d2), budget=7)
+    assert mt["alloc"].tolist() == [0, 0]
+    assert mt["share"].tolist() == [0.0, 0.0]

@@ -648,11 +648,16 @@ def blob_audit(docs: rd.Dataset, blob_dir: str) -> "object":
     refs_missing, files_total, files_orphaned, bytes_total).
 
     Scale shape: refs stream out of the span tables (explode ->
-    media/ filter, never collected raw); existence + size checks run
-    task-side against shared storage (stateless — no pool needed).  The FILE
-    side lists ``blob_dir`` on the driver — artifact manifests, not
-    data; at 10^10 scale the listing would come from the store's blob
-    manifest partitions instead (same columns), noted not hidden."""
+    media/ filter); each block reduces to a ref-DISTINCT partial
+    (media_ref, n_occurrences, resolved, nbytes), so the driver merge
+    is O(distinct refs), never per-span — beyond ~10^8 distinct
+    artifacts, swap the driver drop_duplicates for a groupby(media_ref)
+    first-wins and aggregate the scalars distributed (the media_dedup
+    shape).  Existence + size checks run task-side against shared
+    storage (stateless — no pool needed).  The FILE side lists
+    ``blob_dir`` on the driver — artifact manifests, not data; at
+    10^10 scale the listing would come from the store's blob manifest
+    partitions instead (same columns), noted not hidden."""
     import os as _os
 
     import numpy as _np
@@ -666,10 +671,14 @@ def blob_audit(docs: rd.Dataset, blob_dir: str) -> "object":
         batch_format="pyarrow")
 
     def check(t: pa.Table) -> pa.Table:
-        refs = t["media_ref"].to_pylist()
-        ok = _np.zeros(len(refs), dtype=bool)
-        size = _np.zeros(len(refs), dtype=_np.int64)
-        for i, r in enumerate(refs):
+        # per-block partial: ONE row per distinct ref in the block plus
+        # its occurrence count — the exchange is ref-distinct-sized,
+        # never one row per span occurrence
+        refs_all = t["media_ref"].to_numpy(zero_copy_only=False)
+        uniq, counts = _np.unique(refs_all, return_counts=True)
+        ok = _np.zeros(len(uniq), dtype=bool)
+        size = _np.zeros(len(uniq), dtype=_np.int64)
+        for i, r in enumerate(uniq):
             p = _os.path.join(blob_dir, r[len("blob://"):])
             try:
                 size[i] = _os.path.getsize(p)
@@ -677,17 +686,18 @@ def blob_audit(docs: rd.Dataset, blob_dir: str) -> "object":
             except OSError:
                 pass
         return pa.table({
-            "media_ref": t["media_ref"],
+            "media_ref": pa.array(uniq, type=pa.string()),
+            "n_occurrences": pa.array(counts.astype(_np.int64)),
             "resolved": pa.array(ok),
             "nbytes": pa.array(size),
         })
 
     checked = media.map_batches(
         check, batch_format="pyarrow", batch_size=2048).to_pandas()
-    refs_total = len(checked)
+    refs_total = int(checked["n_occurrences"].sum()) if len(checked) else 0
     distinct = checked.drop_duplicates("media_ref")
     refs_distinct = len(distinct)
-    refs_resolved = int(distinct["resolved"].sum())
+    refs_resolved = int(distinct["resolved"].sum()) if len(distinct) else 0
 
     files, bytes_total = [], 0
     for root, _, names in _os.walk(blob_dir):

@@ -2610,6 +2610,21 @@ def gopher_filter_sql() -> str:
 # ---------------------------------------------------------------------------
 
 
+def _apply_merge_inplace(s: list, left: str, right: str) -> list:
+    """Greedy left-to-right application of one BPE merge rule to a
+    symbol list (in place) — the ONE copy of the merge-apply semantics
+    shared by the trainer (ApplyMerge) and the encoder (bpe_encode);
+    tests keep their own independent naive implementation on purpose."""
+    j = 0
+    new = left + right
+    while j < len(s) - 1:
+        if s[j] == left and s[j + 1] == right:
+            s[j:j + 2] = [new]
+        else:
+            j += 1
+    return s
+
+
 class _BpePairCounts:
     """Per-batch adjacent-character-pair partial counts.
 
@@ -2741,19 +2756,26 @@ def bpe_merges(sf_dir: str, n_merges: int = 8) -> pd.DataFrame:
                 hit[parent[:-1][adj]] = True
             if not hit.any():
                 return t
-            new = self.left + self.right
-            rows = syms.to_pylist()
-            for i in np.flatnonzero(hit):
-                s = rows[i]
-                j = 0
-                while j < len(s) - 1:
-                    if s[j] == self.left and s[j + 1] == self.right:
-                        s[j:j + 2] = [new]
-                    else:
-                        j += 1
+            # convert ONLY the hit rows to Python; the rest stay Arrow
+            # (take + inverse-permutation reassembly)
+            hit_ix = np.flatnonzero(hit)
+            rest_ix = np.flatnonzero(~hit)
+            merged = [
+                _apply_merge_inplace(s, self.left, self.right)
+                for s in syms.take(pa.array(hit_ix)).to_pylist()
+            ]
+            arr_hit = pa.array(merged, type=pa.list_(pa.string()))
+            arr_rest = syms.take(pa.array(rest_ix))
+            if isinstance(arr_rest, pa.ChunkedArray):
+                arr_rest = arr_rest.combine_chunks()
+            combined = pa.concat_arrays(
+                [arr_rest.cast(pa.list_(pa.string())), arr_hit])
+            inv = np.empty(t.num_rows, dtype=np.int64)
+            inv[np.concatenate([rest_ix, hit_ix])] = \
+                np.arange(t.num_rows, dtype=np.int64)
             return pa.table({
                 "freq": t["freq"],
-                "syms": pa.array(rows, type=pa.list_(pa.string())),
+                "syms": combined.take(pa.array(inv)),
             })
 
     # vocabulary-sized after the first combine; groupby is the one shuffle
@@ -2880,6 +2902,9 @@ def unigram_logprob(sf_dir: str) -> pd.DataFrame:
     vocab = (ds.map_batches(tok_partial, batch_format="pyarrow")
              .groupby("tok").aggregate(Sum("cnt", alias_name="cnt"))
              .to_pandas())
+    if "cnt" not in vocab.columns:  # all docs empty/whitespace-only
+        vocab = pd.DataFrame({"tok": pd.Series([], dtype="object"),
+                              "cnt": pd.Series([], dtype="int64")})
     total = int(vocab["cnt"].sum())
     lut = dict(zip(vocab["tok"], vocab["cnt"].astype(np.int64)))
     lut_ref = ray.put((lut, total))
@@ -2952,6 +2977,13 @@ def mix_temperature(sf_dir: str, budget: int = 1000) -> pd.DataFrame:
     n = agg["n_tokens"].to_numpy(dtype=np.int64)
     wq = np.floor(np.abs(np.sqrt(n) * (1 << 20)) + 0.5).astype(np.int64)
     tot = int(wq.sum())
+    if tot == 0:  # degenerate all-empty corpus; the SQL twin is
+        # undefined here (integer division by zero) — return the
+        # explicit zero allocation instead of NaN shares
+        agg["wq"] = wq
+        agg["share"] = 0.0
+        agg["alloc"] = np.int64(0)
+        return agg
     base = (budget * wq) // tot
     rem = (budget * wq) % tot
     leftover = budget - int(base.sum())
@@ -3041,12 +3073,7 @@ def bpe_encode(sf_dir: str, n_merges: int = 8) -> pd.DataFrame:
     def encode_word(w: str) -> int:
         s = list(w)
         for left, right in merge_list:
-            j = 0
-            while j < len(s) - 1:
-                if s[j] == left and s[j + 1] == right:
-                    s[j:j + 2] = [left + right]
-                else:
-                    j += 1
+            _apply_merge_inplace(s, left, right)
         return len(s)
 
     def per_doc(t: pa.Table) -> pa.Table:
@@ -3063,8 +3090,7 @@ def bpe_encode(sf_dir: str, n_merges: int = 8) -> pd.DataFrame:
             tok_chars = pc.utf8_length(flat).to_numpy(
                 zero_copy_only=False).astype(np.int64)
             np.add.at(n_chars, parent, tok_chars)
-        from ..functions.util import round_half_away as _r
-        ratio = _r(n_syms / np.maximum(n_chars, 1), 6)
+        ratio = round_half_away(n_syms / np.maximum(n_chars, 1), 6)
         return pa.table({
             "doc_id": t["doc_id"],
             "n_chars": pa.array(n_chars),
@@ -3121,6 +3147,9 @@ def corpus_novelty(sf_dir: str, nparts: int = 16) -> pd.DataFrame:
            .map_batches(hash_rows, batch_format="pyarrow")
            .groupby("bucket").map_groups(per_bucket, batch_format="pandas")
            .to_pandas())
+    if "doc_id" not in out.columns:  # no incoming rows at all
+        out = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                            "novel": pd.Series([], dtype="bool")})
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
