@@ -319,6 +319,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": T.normalize_text,
         "bpe_encode": T.bpe_encode,
         "corpus_novelty": T.corpus_novelty,
+        "pii_scan": T.pii_scan,
+        "hashed_tf": T.hashed_tf,
         "embedding_covariance": E.embedding_covariance,
         "embedding_pca": E.embedding_pca,
         # classification pipeline (M9/T3/A5/A7/S12/T4)
@@ -963,6 +965,10 @@ def oracle_sql() -> dict[str, str]:
         # vs committed (even) by exact content hash
         # (textops.corpus_novelty)
         "corpus_novelty": T.corpus_novelty_sql(),
+        # typed PII counts + ordered anonymization (textops.pii_scan)
+        "pii_scan": T.pii_scan_sql(),
+        # feature-hashing vectorizer, long form (textops.hashed_tf)
+        "hashed_tf": T.hashed_tf_sql(),
         # exact embedding covariance from 2^16 fixed-point integer
         # partials (embeddings.embedding_covariance; the PCA anchor)
         "embedding_covariance": E.embedding_covariance_sql(),

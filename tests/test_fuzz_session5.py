@@ -14,11 +14,14 @@ import pytest
 
 sys.path.insert(0, "/root/repo")
 import __ray_entry__ as R  # noqa: E402
+
+SF_DOCS = "/root/testdata/sf0.001"
 from visiblev8_crawler_ray.pipelines import textops as T  # noqa: E402
 
 WORDS = ["the", "a", "of", "to", "and", "spark", "data", "row", "12",
          "9001", "x", "zz", "café", "a.b,c", "!!!", "loooooooooong",
-         "Mixed", "UPPER", "semi;colon"]
+         "Mixed", "UPPER", "semi;colon", "bob@example.com", "10.0.0.1",
+         "555-123-4567", "not.an@email", "999.999.999.999"]
 
 
 def _random_corpus(rng, n_docs):
@@ -58,7 +61,7 @@ def _norm(df):
 
 OPS = ["gopher_filter", "bpe_pair_counts", "sample_weighted",
        "unigram_logprob", "mix_temperature", "normalize_text",
-       "corpus_novelty"]
+       "corpus_novelty", "pii_scan", "hashed_tf"]
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2, 3])
@@ -172,3 +175,40 @@ def test_degenerate_corpora_do_not_crash(ray_session, tmp_path):
     mt = mix_temperature(str(d2), budget=7)
     assert mt["alloc"].tolist() == [0, 0]
     assert mt["share"].tolist() == [0.0, 0.0]
+
+
+def test_pii_scan_counts_and_redaction(ray_session, tmp_path):
+    """Hand-checked typed counts and ordered anonymization."""
+    from visiblev8_crawler_ray.pipelines.textops import pii_scan
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array([
+            "mail bob@example.com ip 8.8.8.8 tel 555-123-4567 end",
+            "no pii",
+            "two mails a@b.io c@d.org",
+        ]),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    df = pii_scan(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert df.loc[0, ["n_email", "n_ipv4", "n_phone"]].tolist() == [1, 1, 1]
+    assert "[EMAIL]" in df.loc[0, "clean_text"]
+    assert "[IPV4]" in df.loc[0, "clean_text"]
+    assert "[PHONE]" in df.loc[0, "clean_text"]
+    assert "bob@example.com" not in df.loc[0, "clean_text"]
+    assert df.loc[1, "clean_text"] == "no pii"
+    assert df.loc[2, "n_email"] == 2
+
+
+def test_hashed_tf_mass_conservation(ray_session):
+    """Sum of tf over buckets equals the corpus token totals per doc."""
+    from visiblev8_crawler_ray.pipelines.textops import (hashed_tf,
+                                                         token_counts)
+
+    tf = hashed_tf(SF_DOCS)
+    toks = token_counts(SF_DOCS)
+    toks = toks.to_pandas() if hasattr(toks, "to_pandas") else toks
+    got = tf.groupby("doc_id")["tf"].sum()
+    want = toks.set_index("doc_id")["n_ws_tokens"]
+    pd.testing.assert_series_equal(got, want[got.index],
+                                   check_names=False)

@@ -3162,3 +3162,105 @@ def corpus_novelty_sql() -> str:
                NOT EXISTS (SELECT 1 FROM h c
                            WHERE NOT c.incoming AND c.h = i.h) AS novel
         FROM h i WHERE i.incoming ORDER BY i.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# Typed PII scan + feature-hashing vectorizer
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+    ("phone", r"\b[0-9][0-9()\- ]{7,14}[0-9]\b"),
+)
+
+
+def pii_scan(sf_dir: str) -> pa.Table:
+    """Typed PII detection + anonymization (the Dolma/CCNet-style PII
+    pass): per doc, a count per PII type and the text with every match
+    replaced by its ``[TYPE]`` tag, applied in a fixed type order so
+    the output is deterministic.
+
+    One streaming pass, zero shuffles; every kernel is an RE2
+    count/replace with the byte-identical DuckDB regexp twin (same
+    pattern strings, same replacement order — order matters because an
+    earlier replacement can break a later pattern's match)."""
+
+    def scan(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        cols = {"doc_id": t["doc_id"]}
+        clean = text
+        for name, pat in PII_PATTERNS:
+            cols[f"n_{name}"] = pa.array(
+                pc.count_substring_regex(clean, pat).to_numpy(
+                    zero_copy_only=False).astype(np.int64))
+            clean = pc.replace_substring_regex(clean, pat,
+                                               f"[{name.upper()}]")
+        cols["clean_text"] = clean
+        return pa.table(cols)
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        scan, batch_format="pyarrow")
+
+
+def pii_scan_sql() -> str:
+    clean = "text"
+    counts = []
+    for name, pat in PII_PATTERNS:
+        counts.append(
+            f"len(regexp_extract_all({clean}, '{pat}'))::BIGINT"
+            f" AS n_{name}")
+        clean = (f"regexp_replace({clean}, '{pat}', "
+                 f"'[{name.upper()}]', 'g')")
+    return f"""
+        SELECT doc_id, {', '.join(counts)}, {clean} AS clean_text
+        FROM documents ORDER BY doc_id"""
+
+
+def hashed_tf(sf_dir: str, k: int = 32) -> pd.DataFrame:
+    """Feature-hashing vectorizer (HashingVectorizer shape): per doc,
+    term frequencies folded into ``k`` hash buckets — the fixed-width
+    text representation cheap classifiers and dedup sketches consume
+    when a learned embedding is too expensive.
+
+    Long-form output (doc_id, bucket, tf) — only NONZERO buckets, which
+    keeps the row count corpus-tokens-bounded.  Bucket =
+    ``md5_number_lower(token) %% k`` (integer-exact both sides); one
+    streaming pass, zero shuffles, per-batch memoized token hashing."""
+
+    class _Hasher(_DsirBuckets):
+        def __init__(self):
+            super().__init__(k)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            parent, buck = self.buckets(t["text"])
+            did = t["doc_id"].to_numpy(zero_copy_only=False)
+            if not len(parent):
+                return pa.table({
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "bucket": pa.array([], type=pa.int64()),
+                    "tf": pa.array([], type=pa.int64()),
+                })
+            key = parent.astype(np.int64) * k + buck
+            uniq, counts = np.unique(key, return_counts=True)
+            return pa.table({
+                "doc_id": pa.array(did[(uniq // k)], type=pa.int64()),
+                "bucket": pa.array(uniq % k),
+                "tf": pa.array(counts.astype(np.int64)),
+            })
+
+    out = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _Hasher(), batch_format="pyarrow").to_pandas()
+    return out.sort_values(["doc_id", "bucket"]).reset_index(drop=True)
+
+
+def hashed_tf_sql(k: int = 32) -> str:
+    return rf"""
+        WITH toks AS (SELECT doc_id,
+                             unnest(regexp_extract_all(text, '\S+')) AS tok
+                      FROM documents)
+        SELECT doc_id,
+               CAST(md5_number_lower(tok) % {k} AS BIGINT) AS bucket,
+               count(*)::BIGINT AS tf
+        FROM toks GROUP BY doc_id, bucket
+        ORDER BY doc_id, bucket"""
