@@ -321,6 +321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_novelty": T.corpus_novelty,
         "pii_scan": T.pii_scan,
         "hashed_tf": T.hashed_tf,
+        "source_quality_report": T.source_quality_report,
         "embedding_covariance": E.embedding_covariance,
         "embedding_pca": E.embedding_pca,
         # classification pipeline (M9/T3/A5/A7/S12/T4)
@@ -969,6 +970,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_scan": T.pii_scan_sql(),
         # feature-hashing vectorizer, long form (textops.hashed_tf)
         "hashed_tf": T.hashed_tf_sql(),
+        # per-source corpus health rollup (textops.source_quality_report)
+        "source_quality_report": T.source_quality_report_sql(),
         # exact embedding covariance from 2^16 fixed-point integer
         # partials (embeddings.embedding_covariance; the PCA anchor)
         "embedding_covariance": E.embedding_covariance_sql(),

@@ -184,6 +184,8 @@ def run_bench() -> dict:
     # clustering / selection family (added round 3, fourth continuation)
     timed("kmeans_clusters", lambda: E.kmeans_clusters(sf_dir))
     timed("dsir_sample", lambda: T.dsir_sample(sf_dir))
+    timed("unigram_logprob", lambda: T.unigram_logprob(sf_dir))
+    timed("hashed_tf", lambda: T.hashed_tf(sf_dir))
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -61,7 +61,8 @@ def _norm(df):
 
 OPS = ["gopher_filter", "bpe_pair_counts", "sample_weighted",
        "unigram_logprob", "mix_temperature", "normalize_text",
-       "corpus_novelty", "pii_scan", "hashed_tf"]
+       "corpus_novelty", "pii_scan", "hashed_tf",
+       "source_quality_report"]
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2, 3])

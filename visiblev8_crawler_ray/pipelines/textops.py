@@ -2520,6 +2520,31 @@ def dup_substring_fraction(sf_dir: str, k: int = 8,
 # ---------------------------------------------------------------------------
 
 
+def _gopher_flag_arrays(text):
+    """The Gopher-rule integer metric + flag arrays for one batch —
+    shared by gopher_filter (per-doc rows) and source_quality_report
+    (per-source rollup) so the rule semantics live in ONE place."""
+    n = len(text)
+    n_words = pc.count_substring_regex(text, WORD_RE).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    n_word_chars = pc.utf8_length(
+        pc.replace_substring_regex(text, r"\s+", "")).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    n_digit_words = pc.count_substring_regex(
+        text, r"\b[0-9]+\b").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    n_stop_distinct = np.zeros(n, dtype=np.int64)
+    for w in STOPWORDS:
+        n_stop_distinct += (_count_word(text, w) > 0)
+    ok_nwords = (n_words >= 20) & (n_words <= 80)
+    ok_wordlen = (3 * n_words <= n_word_chars) & \
+        (n_word_chars <= 8 * n_words)
+    ok_digits = 5 * n_digit_words <= n_words
+    ok_stop = n_stop_distinct >= 2
+    return (n_words, n_word_chars, n_digit_words, n_stop_distinct,
+            ok_nwords, ok_wordlen, ok_digits, ok_stop)
+
+
 def gopher_filter(sf_dir: str) -> pa.Table:
     """Per-document Gopher-rule quality flags and the combined keep bit.
 
@@ -2541,23 +2566,9 @@ def gopher_filter(sf_dir: str) -> pa.Table:
     """
 
     def flags(t: pa.Table) -> pa.Table:
-        text = t["text"]
-        n_words = pc.count_substring_regex(text, WORD_RE).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        n_word_chars = pc.utf8_length(
-            pc.replace_substring_regex(text, r"\s+", "")).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        n_digit_words = pc.count_substring_regex(
-            text, r"\b[0-9]+\b").to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        n_stop_distinct = np.zeros(t.num_rows, dtype=np.int64)
-        for w in STOPWORDS:
-            n_stop_distinct += (_count_word(text, w) > 0)
-        ok_nwords = (n_words >= 20) & (n_words <= 80)
-        ok_wordlen = (3 * n_words <= n_word_chars) & \
-            (n_word_chars <= 8 * n_words)
-        ok_digits = 5 * n_digit_words <= n_words
-        ok_stop = n_stop_distinct >= 2
+        (n_words, n_word_chars, n_digit_words, n_stop_distinct,
+         ok_nwords, ok_wordlen, ok_digits, ok_stop) = \
+            _gopher_flag_arrays(t["text"])
         return pa.table({
             "doc_id": t["doc_id"],
             "n_words": pa.array(n_words),
@@ -3264,3 +3275,72 @@ def hashed_tf_sql(k: int = 32) -> str:
                count(*)::BIGINT AS tf
         FROM toks GROUP BY doc_id, bucket
         ORDER BY doc_id, bucket"""
+
+
+def source_quality_report(sf_dir: str) -> pd.DataFrame:
+    """Per-source corpus health dashboard: doc count, Gopher keep count
+    and rate, token totals and mean doc length — the rollup a pipeline
+    operator reads before deciding per-source sampling weights.
+
+    Integer partials per block (source-sized sketch exchange, the
+    mix_temperature shape); ``keep_rate``/``mean_words`` are each ONE
+    IEEE division of identical int64s, so the DuckDB twin matches
+    bit-for-bit."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        (n_words, _, _, _, ok_nwords, ok_wordlen, ok_digits,
+         ok_stop) = _gopher_flag_arrays(t["text"])
+        keep = (ok_nwords & ok_wordlen & ok_digits & ok_stop) \
+            .astype(np.int64)
+        src = t["source"].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(src)
+        n_docs = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        n_keep = np.zeros(len(uniq), dtype=np.int64)
+        sum_words = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(n_keep, codes, keep)
+        np.add.at(sum_words, codes, n_words)
+        return pa.table({
+            "source": pa.array(uniq, type=pa.string()),
+            "n_docs": pa.array(n_docs),
+            "n_keep": pa.array(n_keep),
+            "sum_words": pa.array(sum_words),
+        })
+
+    parts = _read_docs(sf_dir, ["source", "text"]).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("source", as_index=False).agg(
+        n_docs=("n_docs", "sum"), n_keep=("n_keep", "sum"),
+        sum_words=("sum_words", "sum"))
+    agg["keep_rate"] = agg["n_keep"] / agg["n_docs"]
+    agg["mean_words"] = agg["sum_words"] / agg["n_docs"]
+    return agg.sort_values("source").reset_index(drop=True)
+
+
+def source_quality_report_sql() -> str:
+    stop_distinct = " + ".join(
+        f"(CASE WHEN len(regexp_extract_all(text, '\\b{w}\\b')) > 0 "
+        f"THEN 1 ELSE 0 END)" for w in STOPWORDS)
+    return rf"""
+        WITH m AS (SELECT source,
+                          len(regexp_extract_all(text, '\S+'))::BIGINT
+                              AS n_words,
+                          length(regexp_replace(text, '\s+', '', 'g'))::BIGINT
+                              AS n_word_chars,
+                          len(regexp_extract_all(text, '\b[0-9]+\b'))::BIGINT
+                              AS n_digit_words,
+                          ({stop_distinct})::BIGINT AS n_stop_distinct
+                   FROM documents),
+        f AS (SELECT source, n_words,
+                     CASE WHEN n_words BETWEEN 20 AND 80
+                           AND 3 * n_words <= n_word_chars
+                           AND n_word_chars <= 8 * n_words
+                           AND 5 * n_digit_words <= n_words
+                           AND n_stop_distinct >= 2
+                          THEN 1 ELSE 0 END AS keep
+              FROM m)
+        SELECT source, count(*)::BIGINT AS n_docs,
+               sum(keep)::BIGINT AS n_keep,
+               sum(n_words)::BIGINT AS sum_words,
+               sum(keep) / (count(*) * 1.0) AS keep_rate,
+               sum(n_words) / (count(*) * 1.0) AS mean_words
+        FROM f GROUP BY source ORDER BY source"""
