@@ -352,6 +352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trigger_stats": lambda sf: P.trigger_stats(_crawl(sf).docs()),
         "span_kind_transitions": lambda sf: P.span_kind_transitions(
             _crawl(sf).docs()),
+        "api_kgrams": lambda sf: P.api_kgrams(_crawl(sf).docs()),
         "media_text_ratio": lambda sf: P.media_text_ratio(_crawl(sf).docs()),
         "caption_pairs": lambda sf: P.caption_pairs(_crawl(sf).docs()),
         "reconstruct_docs": lambda sf: P.reconstruct_text(_crawl(sf).docs()),
@@ -1371,6 +1372,20 @@ def oracle_sql() -> dict[str, str]:
               AND regexp_replace(u.text, ':.*$', '') = 'Document.createElement'
               AND regexp_extract(u.text, '^[^:]*:(.*)$', 1) <> ''
             GROUP BY 1, 2""",
+        # API-sequence trigrams over the interleaved trace order
+        # (stages/parse.api_kgrams; export-based twin)
+        "api_kgrams": f"""
+            WITH sp AS {_sp},
+            o AS (SELECT doc_id, kind,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY "offset") AS rn
+                  FROM sp),
+            g AS (SELECT a.kind || '>' || b.kind || '>' || c.kind AS kgram
+                  FROM o a
+                  JOIN o b ON b.doc_id = a.doc_id AND b.rn = a.rn + 1
+                  JOIN o c ON c.doc_id = a.doc_id AND c.rn = a.rn + 2)
+            SELECT kgram, count(*)::BIGINT AS n FROM g
+            GROUP BY kgram ORDER BY n DESC, kgram LIMIT 30""",
         "feature_dedup": f"""
             WITH sp AS {_sp},
             u AS (SELECT regexp_replace(text, ':.*$', '') AS feature,

@@ -213,3 +213,24 @@ def test_hashed_tf_mass_conservation(ray_session):
     want = toks.set_index("doc_id")["n_ws_tokens"]
     pd.testing.assert_series_equal(got, want[got.index],
                                    check_names=False)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_api_kgrams_fuzz_vs_naive(ray_session, seed):
+    """Trigram counts over random span docs (incl. docs shorter than k)
+    match a per-doc naive reference; doc boundaries never bleed."""
+    import collections
+    import ray.data as rd
+    from tests.test_fuzz_new_ops import _random_docs
+    from visiblev8_crawler_ray.stages.parse import api_kgrams
+
+    rng = np.random.default_rng(seed)
+    docs = _random_docs(rng, 50)
+    got = api_kgrams(rd.from_arrow(docs), top=1000)
+    want = collections.Counter()
+    for spans in docs["spans"].to_pylist():
+        kinds = [s["kind"] for s in spans]
+        for i in range(len(kinds) - 2):
+            want[">".join(kinds[i:i + 3])] += 1
+    got_d = dict(zip(got["kgram"], got["n"]))
+    assert got_d == dict(want)

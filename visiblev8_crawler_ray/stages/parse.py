@@ -534,3 +534,50 @@ def reconstruct_text(docs: rd.Dataset) -> rd.Dataset:
         })
 
     return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def api_kgrams(docs: rd.Dataset, k: int = 3, top: int = 30) -> pd.DataFrame:
+    """API-sequence mining: the corpus' most frequent ``k``-grams of
+    consecutive span KINDS within a doc's trace — the sequential
+    fingerprint tracker/anomaly classifiers consume on top of the bag
+    of per-feature counts (script_classification extracts bag features;
+    the sequence view is the interleaved-trace extension).
+
+    Per block: flat kinds + parent indices, ``k-1`` vectorized shifts
+    masked at doc boundaries, one string join, block-local counts —
+    a kgram-vocabulary-sized partial, never span-sized.  Deterministic
+    total order (n DESC, kgram ASC) makes the top-``top`` boundary
+    exact against the export-based DuckDB twin."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        spans, _ = _spans_of(batch)
+        flat = spans.flatten()
+        kinds = flat.field("kind").to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(spans).to_numpy(
+            zero_copy_only=False)
+        empty = pa.table({"kgram": pa.array([], type=pa.string()),
+                          "n": pa.array([], type=pa.int64())})
+        m = len(parent) - (k - 1)
+        if m < 1:
+            return empty
+        same_doc = parent[: m] == parent[k - 1:]
+        if not same_doc.any():
+            return empty
+        g = kinds[:m].astype(object)
+        for j in range(1, k):
+            g = g + ">" + kinds[j: m + j]
+        g = g[same_doc]
+        uniq, counts = np.unique(g, return_counts=True)
+        return pa.table({
+            "kgram": pa.array(list(uniq), type=pa.string()),
+            "n": pa.array(counts.astype(np.int64)),
+        })
+
+    parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"kgram": pd.Series([], dtype="object"),
+                             "n": pd.Series([], dtype="int64")})
+    agg = parts.groupby("kgram", as_index=False)["n"].sum()
+    agg = agg.sort_values(["n", "kgram"],
+                          ascending=[False, True]).head(top)
+    return agg.reset_index(drop=True)
