@@ -186,6 +186,15 @@ def _media_near_dup(sf_dir: str):
     return MM.media_near_dup(run.docs(), blob_dir)
 
 
+def _export_corpus(sf_dir: str):
+    """Resumable curated-corpus export (curation.export_corpus): the
+    gate compares the per-partition row counts; the skip/rebuild
+    behavior is pinned by tests/test_curation.py."""
+    out = os.path.join(_store_root(sf_dir), "corpus_export")
+    df = CU.export_corpus(sf_dir, out, nparts=4)
+    return df[["partition", "n_rows"]]
+
+
 def _blob_audit(sf_dir: str):
     run = _crawl(sf_dir)
     blob_dir = os.path.join(_store_root(sf_dir), "blobs")
@@ -322,6 +331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scan": T.pii_scan,
         "hashed_tf": T.hashed_tf,
         "source_quality_report": T.source_quality_report,
+        "export_corpus": _export_corpus,
         "embedding_covariance": E.embedding_covariance,
         "embedding_pca": E.embedding_pca,
         # classification pipeline (M9/T3/A5/A7/S12/T4)
@@ -973,6 +983,12 @@ def oracle_sql() -> dict[str, str]:
         "hashed_tf": T.hashed_tf_sql(),
         # per-source corpus health rollup (textops.source_quality_report)
         "source_quality_report": T.source_quality_report_sql(),
+        # resumable export gate: per-partition keep counts
+        # (curation.export_corpus)
+        "export_corpus": f"""
+            WITH g AS ({T.gopher_filter_sql()})
+            SELECT doc_id % 4 AS partition, count(*)::BIGINT AS n_rows
+            FROM g WHERE keep GROUP BY 1 ORDER BY 1""",
         # exact embedding covariance from 2^16 fixed-point integer
         # partials (embeddings.embedding_covariance; the PCA anchor)
         "embedding_covariance": E.embedding_covariance_sql(),

@@ -75,3 +75,58 @@ def test_token_budget_sample_is_maximal_prefix():
         kept = df[df["source"] == src]
         assert len(kept) == k
         assert set(kept["doc_id"]) == set(g["doc_id"].head(k))
+
+
+def test_export_corpus_resumable(ray_session, tmp_path):
+    """Committed partitions are skipped byte-for-byte on re-run; a
+    partition whose manifest is lost is rebuilt to identical content;
+    the exported rows equal the Gopher-keep set with normalized text."""
+    import os
+
+    import duckdb
+
+    from visiblev8_crawler_ray.pipelines.curation import export_corpus
+    from visiblev8_crawler_ray.store import TableStore
+
+    SF = "/root/testdata/sf0.001"
+    out = str(tmp_path / "corpus_out")
+    first = export_corpus(SF, out, nparts=4)
+    assert not first["skipped"].any()
+    total = int(first["n_rows"].sum())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    import __ray_entry__ as R
+    want_keep = con.sql(
+        "SELECT count(*) FROM (" + R.oracle_sql()["gopher_filter"] + ") "
+        "WHERE keep").fetchone()[0]
+    assert total == want_keep > 0
+
+    store = TableStore(out)
+    mtimes = {}
+    for p in range(4):
+        d = store.part_dir("corpus", p)
+        mtimes[p] = {f: os.path.getmtime(os.path.join(d, f))
+                     for f in os.listdir(d)}
+
+    # re-run: everything skipped, no file touched
+    second = export_corpus(SF, out, nparts=4)
+    assert second["skipped"].all()
+    assert second["n_rows"].sum() == total
+    for p in range(4):
+        d = store.part_dir("corpus", p)
+        assert {f: os.path.getmtime(os.path.join(d, f))
+                for f in os.listdir(d)} == mtimes[p]
+
+    # crash simulation: lose partition 2's manifest -> only 2 rebuilds
+    os.remove(store.manifest_path("corpus", 2))
+    third = export_corpus(SF, out, nparts=4)
+    assert third.set_index("partition")["skipped"].tolist() == \
+        [True, True, False, True]
+    assert third["n_rows"].sum() == total
+    for p in (0, 1, 3):
+        d = store.part_dir("corpus", p)
+        assert {f: os.path.getmtime(os.path.join(d, f))
+                for f in os.listdir(d)} == mtimes[p]
+    # rebuilt content identical (same file names = same content hash)
+    assert set(os.listdir(store.part_dir("corpus", 2))) == \
+        set(mtimes[2].keys())

@@ -297,3 +297,81 @@ def token_budget_sample(sf_dir: str, budget: int = 1000) -> pd.DataFrame:
         .groupby("source").map_groups(take, batch_format="pandas")
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
+
+
+def export_corpus(sf_dir: str, out_dir: str, nparts: int = 8) -> pd.DataFrame:
+    """Resumable curated-corpus export — the text-side twin of the
+    crawl store's checkpointed writes: Gopher-keep docs with normalized
+    text land as hash-partitioned parquet (``doc_id %% nparts``), each
+    partition committed through the store's tmp+rename manifest, so a
+    killed export re-run SKIPS every committed partition (no rewrite,
+    no double rows) and rebuilds only the missing ones.
+
+    One streaming pass over the corpus: the map stage side-writes each
+    batch's rows into every MISSING partition's staging dir under a
+    content-hash file name (idempotent under task retries — a retry
+    re-stages identical bytes under the identical name, the FetchWriter
+    contract), then the driver commits each partition with its row
+    count as lineage.  Partitions already committed are filtered out
+    before any byte moves.
+
+    Returns one row per partition: (partition, n_rows, skipped)."""
+    from ..store import TableStore
+    from .textops import _gopher_flag_arrays
+
+    store = TableStore(out_dir)
+    missing = [p for p in range(nparts)
+               if not store.committed("corpus", p)]
+    summary = []
+    if missing:
+        dirs = {p: store.prepare_partition("corpus", p) for p in missing}
+        missing_set = frozenset(missing)
+
+        def write_part(t: pa.Table) -> pa.Table:
+            import pyarrow.parquet as pq
+
+            (_, _, _, _, ok_nwords, ok_wordlen, ok_digits,
+             ok_stop) = _gopher_flag_arrays(t["text"])
+            keep = ok_nwords & ok_wordlen & ok_digits & ok_stop
+            x = pc.utf8_lower(t["text"])
+            x = pc.replace_substring_regex(x, r"[.,!?;:]", "")
+            x = pc.replace_substring_regex(x, r"\s+", " ")
+            x = pc.utf8_trim(x, characters=" ")
+            kept = pa.table({
+                "doc_id": t["doc_id"],
+                "source": t["source"],
+                "norm_text": x,
+            }).filter(pa.array(keep))
+            ids = kept["doc_id"].to_numpy(zero_copy_only=False)
+            part = ids % nparts
+            counts = {}
+            for p in set(part.tolist()) & missing_set:
+                sub = kept.filter(pa.array(part == p))
+                sub_ids = sub["doc_id"].to_numpy(zero_copy_only=False)
+                name = hashlib.blake2b(
+                    sub_ids.tobytes(), digest_size=12).hexdigest()
+                final = os.path.join(dirs[p], f"{name}.parquet")
+                tmp = final + ".tmp"
+                pq.write_table(sub, tmp)
+                os.replace(tmp, final)
+                counts[p] = sub.num_rows
+            return pa.table({
+                "partition": pa.array(sorted(counts), type=pa.int64()),
+                "n_rows": pa.array([counts[p] for p in sorted(counts)],
+                                   type=pa.int64()),
+            })
+
+        parts = _read_docs(sf_dir, ["doc_id", "source", "text"]) \
+            .map_batches(write_part, batch_format="pyarrow").to_pandas()
+        rows_by_part = (parts.groupby("partition")["n_rows"].sum()
+                        if len(parts) else pd.Series(dtype="int64"))
+        for p in missing:
+            n = int(rows_by_part.get(p, 0))
+            store.commit_partition("corpus", p, lineage={"n_rows": n})
+            summary.append({"partition": p, "n_rows": n, "skipped": False})
+    for p in range(nparts):
+        if p not in missing:
+            n = int(store.read_manifest("corpus", p).get("n_rows", 0))
+            summary.append({"partition": p, "n_rows": n, "skipped": True})
+    return (pd.DataFrame(summary).sort_values("partition")
+            .reset_index(drop=True))
