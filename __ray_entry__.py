@@ -986,9 +986,13 @@ def oracle_sql() -> dict[str, str]:
         # resumable export gate: per-partition keep counts
         # (curation.export_corpus)
         "export_corpus": f"""
-            WITH g AS ({T.gopher_filter_sql()})
-            SELECT doc_id % 4 AS partition, count(*)::BIGINT AS n_rows
-            FROM g WHERE keep GROUP BY 1 ORDER BY 1""",
+            WITH g AS ({T.gopher_filter_sql()}),
+            c AS (SELECT doc_id % 4 AS partition, count(*)::BIGINT AS n
+                  FROM g WHERE keep GROUP BY 1)
+            SELECT CAST(s.p AS BIGINT) AS partition,
+                   coalesce(c.n, 0)::BIGINT AS n_rows
+            FROM UNNEST(generate_series(0, 3)) AS s(p)
+            LEFT JOIN c ON c.partition = s.p ORDER BY 1""",
         # exact embedding covariance from 2^16 fixed-point integer
         # partials (embeddings.embedding_covariance; the PCA anchor)
         "embedding_covariance": E.embedding_covariance_sql(),

@@ -127,6 +127,25 @@ def test_export_corpus_resumable(ray_session, tmp_path):
         d = store.part_dir("corpus", p)
         assert {f: os.path.getmtime(os.path.join(d, f))
                 for f in os.listdir(d)} == mtimes[p]
-    # rebuilt content identical (same file names = same content hash)
-    assert set(os.listdir(store.part_dir("corpus", 2))) == \
-        set(mtimes[2].keys())
+    # rebuilt CONTENT identical (file names hash per-batch doc_id
+    # subsets, which a different block split may regroup — content is
+    # the contract, not the grouping)
+    rebuilt = store.read_table("corpus", [2]).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert int(rebuilt["doc_id"].size) == \
+        int(third.set_index("partition").loc[2, "n_rows"])
+    assert (rebuilt["doc_id"] % 4 == 2).all()
+
+
+def test_export_corpus_nparts_mismatch_refused(ray_session, tmp_path):
+    """A store committed under nparts=4 must refuse a nparts=8 re-run
+    instead of silently skipping mod-8 partitions holding mod-4 data."""
+    import pytest as _pytest
+
+    from visiblev8_crawler_ray.pipelines.curation import export_corpus
+
+    SF = "/root/testdata/sf0.001"
+    out = str(tmp_path / "corpus_out")
+    export_corpus(SF, out, nparts=4)
+    with _pytest.raises(ValueError, match="nparts=4"):
+        export_corpus(SF, out, nparts=8)

@@ -316,10 +316,21 @@ def export_corpus(sf_dir: str, out_dir: str, nparts: int = 8) -> pd.DataFrame:
     before any byte moves.
 
     Returns one row per partition: (partition, n_rows, skipped)."""
+    import uuid
+
     from ..store import TableStore
-    from .textops import _gopher_flag_arrays
+    from .textops import _gopher_flag_arrays, normalize_kernel
 
     store = TableStore(out_dir)
+    committed = store.committed_waves("corpus")
+    if committed:
+        # a store written under a different partition scheme must error,
+        # not silently skip mod-N partitions holding mod-M subsets
+        prior = store.read_manifest("corpus", committed[0]).get("nparts")
+        if prior is not None and prior != nparts:
+            raise ValueError(
+                f"store at {out_dir} was written with nparts={prior}; "
+                f"re-run with that value or use a fresh out_dir")
     missing = [p for p in range(nparts)
                if not store.committed("corpus", p)]
     summary = []
@@ -333,10 +344,7 @@ def export_corpus(sf_dir: str, out_dir: str, nparts: int = 8) -> pd.DataFrame:
             (_, _, _, _, ok_nwords, ok_wordlen, ok_digits,
              ok_stop) = _gopher_flag_arrays(t["text"])
             keep = ok_nwords & ok_wordlen & ok_digits & ok_stop
-            x = pc.utf8_lower(t["text"])
-            x = pc.replace_substring_regex(x, r"[.,!?;:]", "")
-            x = pc.replace_substring_regex(x, r"\s+", " ")
-            x = pc.utf8_trim(x, characters=" ")
+            x = normalize_kernel(t["text"])
             kept = pa.table({
                 "doc_id": t["doc_id"],
                 "source": t["source"],
@@ -351,7 +359,11 @@ def export_corpus(sf_dir: str, out_dir: str, nparts: int = 8) -> pd.DataFrame:
                 name = hashlib.blake2b(
                     sub_ids.tobytes(), digest_size=12).hexdigest()
                 final = os.path.join(dirs[p], f"{name}.parquet")
-                tmp = final + ".tmp"
+                # uuid tmp + rename to the deterministic final name:
+                # two concurrent attempts (at-least-once retries) never
+                # share a tmp path, and the last atomic replace wins
+                # with identical content (the FetchWriter contract)
+                tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
                 pq.write_table(sub, tmp)
                 os.replace(tmp, final)
                 counts[p] = sub.num_rows
@@ -367,7 +379,8 @@ def export_corpus(sf_dir: str, out_dir: str, nparts: int = 8) -> pd.DataFrame:
                         if len(parts) else pd.Series(dtype="int64"))
         for p in missing:
             n = int(rows_by_part.get(p, 0))
-            store.commit_partition("corpus", p, lineage={"n_rows": n})
+            store.commit_partition("corpus", p,
+                                   lineage={"n_rows": n, "nparts": nparts})
             summary.append({"partition": p, "n_rows": n, "skipped": False})
     for p in range(nparts):
         if p not in missing:

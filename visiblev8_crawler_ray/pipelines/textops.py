@@ -3035,6 +3035,17 @@ def mix_temperature_sql(budget: int = 1000) -> str:
         FROM r ORDER BY source"""
 
 
+def normalize_kernel(text):
+    """The ONE copy of the normalization semantics (lowercase, strip
+    punctuation, collapse whitespace, trim) — shared by normalize_text
+    and curation.export_corpus so the exported corpus can never
+    silently diverge from the SQL-gated operator."""
+    x = pc.utf8_lower(text)
+    x = pc.replace_substring_regex(x, PUNCT_RE, "")
+    x = pc.replace_substring_regex(x, r"\s+", " ")
+    return pc.utf8_trim(x, characters=" ")
+
+
 def normalize_text(sf_dir: str) -> pa.Table:
     """Canonical text normalization (the pre-dedup cleanup pass):
     lowercase, strip punctuation, collapse whitespace runs to one
@@ -3042,10 +3053,7 @@ def normalize_text(sf_dir: str) -> pa.Table:
     twins.  One streaming pass, zero shuffles."""
 
     def norm(t: pa.Table) -> pa.Table:
-        x = pc.utf8_lower(t["text"])
-        x = pc.replace_substring_regex(x, PUNCT_RE, "")
-        x = pc.replace_substring_regex(x, r"\s+", " ")
-        x = pc.utf8_trim(x, characters=" ")
+        x = normalize_kernel(t["text"])
         return pa.table({
             "doc_id": t["doc_id"],
             "norm_text": x,
@@ -3317,30 +3325,16 @@ def source_quality_report(sf_dir: str) -> pd.DataFrame:
 
 
 def source_quality_report_sql() -> str:
-    stop_distinct = " + ".join(
-        f"(CASE WHEN len(regexp_extract_all(text, '\\b{w}\\b')) > 0 "
-        f"THEN 1 ELSE 0 END)" for w in STOPWORDS)
-    return rf"""
-        WITH m AS (SELECT source,
-                          len(regexp_extract_all(text, '\S+'))::BIGINT
-                              AS n_words,
-                          length(regexp_replace(text, '\s+', '', 'g'))::BIGINT
-                              AS n_word_chars,
-                          len(regexp_extract_all(text, '\b[0-9]+\b'))::BIGINT
-                              AS n_digit_words,
-                          ({stop_distinct})::BIGINT AS n_stop_distinct
-                   FROM documents),
-        f AS (SELECT source, n_words,
-                     CASE WHEN n_words BETWEEN 20 AND 80
-                           AND 3 * n_words <= n_word_chars
-                           AND n_word_chars <= 8 * n_words
-                           AND 5 * n_digit_words <= n_words
-                           AND n_stop_distinct >= 2
-                          THEN 1 ELSE 0 END AS keep
-              FROM m)
-        SELECT source, count(*)::BIGINT AS n_docs,
-               sum(keep)::BIGINT AS n_keep,
-               sum(n_words)::BIGINT AS sum_words,
-               sum(keep) / (count(*) * 1.0) AS keep_rate,
-               sum(n_words) / (count(*) * 1.0) AS mean_words
-        FROM f GROUP BY source ORDER BY source"""
+    # composed over gopher_filter_sql: the rule thresholds live in ONE
+    # SQL place, mirroring the _gopher_flag_arrays sharing on the
+    # Python side
+    return f"""
+        WITH g AS ({gopher_filter_sql()})
+        SELECT d.source, count(*)::BIGINT AS n_docs,
+               sum(CASE WHEN g.keep THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+               sum(g.n_words)::BIGINT AS sum_words,
+               sum(CASE WHEN g.keep THEN 1 ELSE 0 END)
+                   / (count(*) * 1.0) AS keep_rate,
+               sum(g.n_words) / (count(*) * 1.0) AS mean_words
+        FROM g JOIN documents d USING (doc_id)
+        GROUP BY d.source ORDER BY d.source"""
