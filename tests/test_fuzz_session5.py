@@ -39,10 +39,13 @@ def _random_corpus(rng, n_docs):
             ws = [WORDS[int(i)] for i in rng.integers(0, len(WORDS), n)]
             sep = [" ", "  ", "\t", "\n"][int(rng.integers(0, 4))]
             texts.append(sep.join(ws))
+    langs = ["en", "es", "de", "fr", "zh", "und"]
     return pa.table({
         "doc_id": pa.array(range(n_docs), type=pa.int64()),
         "text": pa.array(texts, type=pa.string()),
-        "source": pa.array([f"s{d % 5}" for d in range(n_docs)]),
+        "lang": pa.array([langs[d % len(langs)] for d in range(n_docs)]),
+        "source": pa.array([f"src{d % 5}" for d in range(n_docs)]),
+        "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
     })
 
 
@@ -59,10 +62,30 @@ def _norm(df):
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
-OPS = ["gopher_filter", "bpe_pair_counts", "sample_weighted",
-       "unigram_logprob", "mix_temperature", "normalize_text",
-       "corpus_novelty", "pii_scan", "hashed_tf",
-       "source_quality_report"]
+def _documents_only_ops() -> list[str]:
+    """Every SQL-gated query whose oracle touches ONLY the documents
+    table — all of them must hold on ANY corpus, so the whole set runs
+    under the randomized fuzz, not just the curated fixture."""
+    other = ["region", "nation", "customer", "supplier", " orders",
+             "lineitem", " events", "embeddings", "read_parquet", "seeds"]
+    out = []
+    for name, q in R.oracle_sql().items():
+        ql = q.lower()
+        if "documents" in ql and not any(t in ql for t in other):
+            out.append(name)
+    return sorted(out)
+
+
+OPS = _documents_only_ops()
+
+
+def test_fuzz_covers_the_session_ops():
+    for name in ["gopher_filter", "bpe_pair_counts", "sample_weighted",
+                 "unigram_logprob", "mix_temperature", "normalize_text",
+                 "corpus_novelty", "pii_scan", "hashed_tf",
+                 "source_quality_report", "export_corpus"]:
+        assert name in OPS, name
+    assert len(OPS) >= 50
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2, 3])

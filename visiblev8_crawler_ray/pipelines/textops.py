@@ -460,15 +460,19 @@ class SimHasher:
         bits = ((hashes[:, None] >> self._SHIFTS[None, :])
                 & np.uint64(1)).astype(np.int32)
         contrib = 2 * bits - 1
-        starts = np.searchsorted(parent, np.arange(n_docs))
         acc = np.zeros((n_docs, 64), dtype=np.int64)
         if len(parent):
-            sums = np.add.reduceat(contrib, starts, axis=0)
-            # docs with zero tokens share a reduceat slot with the next
-            # doc; mask them back to zero
-            has_tok = np.zeros(n_docs, dtype=bool)
-            has_tok[np.unique(parent)] = True
-            acc[has_tok] = sums[has_tok]
+            # prefix-sum differences: exact for every doc, including
+            # token-less ones anywhere in the batch (reduceat cannot
+            # express an empty trailing segment — it either crashes on
+            # start == len or silently truncates the preceding doc)
+            cs = np.concatenate(
+                [np.zeros((1, 64), dtype=np.int64),
+                 np.cumsum(contrib, axis=0, dtype=np.int64)])
+            doc_ids = np.arange(n_docs)
+            lo = np.searchsorted(parent, doc_ids, side="left")
+            hi = np.searchsorted(parent, doc_ids, side="right")
+            acc = cs[hi] - cs[lo]
         packed = ((acc > 0).astype(np.uint64)
                   @ (np.uint64(1) << self._SHIFTS)).astype(np.uint64)
         return pa.table({"doc_id": batch["doc_id"],
@@ -1006,6 +1010,8 @@ def decontaminate(sf_dir: str) -> pd.DataFrame:
         return pa.table({"ng": pc.unique(ng)})
 
     bench_df = ds.map_batches(bench_ngrams, batch_format="pyarrow").to_pandas()
+    if "ng" not in bench_df.columns:  # benchmark slice has no 5-gram
+        bench_df = pd.DataFrame({"ng": pd.Series([], dtype="object")})
     bench = pa.array(pd.unique(bench_df["ng"]), type=pa.string())
     bench_ref = ray.put(bench)
 
@@ -1302,6 +1308,8 @@ def curate_corpus(sf_dir: str) -> pd.DataFrame:
         return pa.table({"ng": pc.unique(ng)})
 
     bench_df = ds.map_batches(bench_ngrams, batch_format="pyarrow").to_pandas()
+    if "ng" not in bench_df.columns:  # benchmark slice has no 5-gram
+        bench_df = pd.DataFrame({"ng": pd.Series([], dtype="object")})
     bench_ref = ray.put(pa.array(pd.unique(bench_df["ng"]), type=pa.string()))
 
     def signals(t: pa.Table) -> pa.Table:
@@ -1864,6 +1872,9 @@ def bm25_topk(sf_dir: str, terms: tuple[str, ...] = BM25_QUERY,
     # to_pandas() already collects the pre-pruned B x k candidate rows;
     # no repartition needed before a driver-side final top-k
     cand = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    if "score_raw" not in cand.columns:  # no doc matched any query term
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
     cand = cand.sort_values(["score_raw", "doc_id"],
                             ascending=[False, True]).head(k)
     cand["score"] = round_half_away(cand.pop("score_raw").to_numpy(), 4)
@@ -2046,12 +2057,16 @@ def token_rarity(sf_dir: str) -> pd.DataFrame:
         sum_df = np.zeros(n, dtype=np.int64)
         np.add.at(sum_df, parent, dfs_sorted[ix])
         n_tok = np.bincount(parent, minlength=n).astype(np.int64)
-        # mirror of: round(sum_df*1.0/n_tokens, 4)
+        # token-less docs are EXCLUDED, mirroring the twin's inner join
+        # (a doc with no tokens has no rarity signal, not a 0 score)
+        has = n_tok > 0
         return pa.table({
-            "doc_id": t["doc_id"],
-            "n_tokens": pa.array(n_tok),
+            "doc_id": pa.array(t["doc_id"].to_numpy(
+                zero_copy_only=False)[has], type=pa.int64()),
+            "n_tokens": pa.array(n_tok[has]),
+            # mirror of: round(sum_df*1.0/n_tokens, 4)
             "mean_df": pa.array(round_half_away(
-                sum_df * 1.0 / n_tok, 4), type=pa.float64()),
+                sum_df[has] * 1.0 / n_tok[has], 4), type=pa.float64()),
         })
 
     out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
