@@ -901,12 +901,15 @@ def kmeans_step(sf_dir: str, k: int = 8) -> pd.DataFrame:
         _km_partial(seeds), batch_format="pyarrow").to_pandas()
     means, counts = _km_reduce(parts, k, seeds.shape[1])
     dim = seeds.shape[1]
-    return pd.DataFrame({
+    out = pd.DataFrame({
         "cluster": np.repeat(np.arange(k, dtype=np.int64), dim),
         "dim": np.tile(np.arange(dim, dtype=np.int64), k),
         "coord": means.reshape(-1),
         "n": np.repeat(counts, dim),
     })
+    # a cluster emptied by a tie (duplicate seed vectors) has no
+    # updated centroid — mirror the twin's GROUP BY, which emits no row
+    return out[out["n"] > 0].reset_index(drop=True)
 
 
 def _kmeans_centroids(sf_dir: str, k: int, iters: int) -> np.ndarray:
