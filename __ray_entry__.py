@@ -484,11 +484,18 @@ def oracle_sql() -> dict[str, str]:
     ad_path_pred = " OR ".join(
         f"starts_with({{path}}, '{p}')" for p in _abi.prefixes) or "FALSE"
     return {
+        # integer-cents sums (order-independent; float sums can straddle
+        # a round-2 boundary depending on accumulation order)
         "usage_rollup": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                         / 100.0, 2) AS sum_qty,
+                   round(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                         / 100.0, 2) AS sum_base_price,
+                   round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                             * (100 - CAST(round(l_discount * 100)
+                                           AS BIGINT)))
+                         / 10000.0, 2) AS sum_disc_price,
                    count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
         "event_type_stats": """

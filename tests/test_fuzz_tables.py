@@ -91,3 +91,83 @@ def test_embeddings_ops_fuzz_vs_duckdb(ray_session, tmp_path, seed):
 def test_events_ops_fuzz_vs_duckdb(ray_session, tmp_path, seed):
     rng = np.random.default_rng(300 + seed)
     _run(EV_OPS, "events", _random_events(rng), tmp_path)
+
+
+REL_OPS = ["anti_join_retry", "bloom_semi_join", "confidence_histogram",
+           "customer_value_label", "keyset_page", "lineitem_rollup",
+           "multi_origin_rollup", "orders_pivot", "orders_with_customer",
+           "sample_head", "shipping_priority", "top10_customers",
+           "usage_rollup"]
+
+
+def _random_relational(rng, n_cust=25, n_orders=120, n_lines=300):
+    base = np.datetime64("2024-01-01")
+    cust = pa.table({
+        "c_custkey": pa.array(range(n_cust), type=pa.int64()),
+        "c_name": pa.array([f"cust{i}" for i in range(n_cust)]),
+        "c_nationkey": pa.array(rng.integers(0, 5, n_cust).astype(np.int32)),
+        "c_acctbal": pa.array(np.round(rng.uniform(-100, 9000, n_cust), 2)),
+        "c_mktsegment": pa.array(
+            np.array(["AUTO", "BUILDING", "MACH"])[
+                rng.integers(0, 3, n_cust)]),
+    })
+    # some custkeys never order (anti-join) and some orderkeys carry
+    # no lineitems (semi-join misses)
+    orders = pa.table({
+        "o_orderkey": pa.array(range(n_orders), type=pa.int64()),
+        "o_custkey": pa.array(
+            rng.integers(0, n_cust + 5, n_orders).astype(np.int64)),
+        "o_orderstatus": pa.array(
+            np.array(["O", "F", "P"])[rng.integers(0, 3, n_orders)]),
+        "o_totalprice": pa.array(
+            np.round(rng.uniform(0, 600_000, n_orders), 2)),
+        "o_orderdate": pa.array(
+            (base + rng.integers(0, 300, n_orders)
+             * np.timedelta64(1, "D")).astype("datetime64[us]")),
+        "o_orderpriority": pa.array(
+            np.array(["1-URGENT", "2-HIGH", "3-MEDIUM"])[
+                rng.integers(0, 3, n_orders)]),
+    })
+    lines = pa.table({
+        "l_orderkey": pa.array(
+            rng.integers(0, n_orders, n_lines).astype(np.int64)),
+        "l_partkey": pa.array(rng.integers(0, 50, n_lines).astype(np.int64)),
+        "l_suppkey": pa.array(rng.integers(0, 10, n_lines).astype(np.int64)),
+        "l_linenumber": pa.array(
+            rng.integers(1, 7, n_lines).astype(np.int32)),
+        "l_quantity": pa.array(rng.integers(1, 50, n_lines).astype(float)),
+        "l_extendedprice": pa.array(
+            np.round(rng.uniform(10, 90_000, n_lines), 2)),
+        "l_discount": pa.array(
+            np.round(rng.uniform(0, 0.1, n_lines), 2)),
+        "l_tax": pa.array(np.round(rng.uniform(0, 0.08, n_lines), 2)),
+        "l_returnflag": pa.array(
+            np.array(["A", "N", "R"])[rng.integers(0, 3, n_lines)]),
+        "l_linestatus": pa.array(
+            np.array(["O", "F"])[rng.integers(0, 2, n_lines)]),
+        "l_shipdate": pa.array(
+            (base + rng.integers(0, 330, n_lines)
+             * np.timedelta64(1, "D")).astype("datetime64[us]")),
+    })
+    return {"customer": cust, "orders": orders, "lineitem": lines}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_relational_ops_fuzz_vs_duckdb(ray_session, tmp_path, seed):
+    rng = np.random.default_rng(400 + seed)
+    tables = _random_relational(rng)
+    con = duckdb.connect()
+    for name, tbl in tables.items():
+        pq.write_table(tbl, tmp_path / f"{name}.parquet")
+        con.sql(f"CREATE VIEW {name} AS SELECT * "
+                f"FROM '{tmp_path}/{name}.parquet'")
+    q, sql = R.queries(), R.oracle_sql()
+    for name in REL_OPS:
+        res = q[name](str(tmp_path))
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        odf = con.sql(sql[name]).df()
+        a, b = _norm(df), _norm(odf)
+        assert list(a.columns) == list(b.columns), name
+        assert len(a) == len(b), (name, len(a), len(b))
+        pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                      check_exact=True, obj=name)

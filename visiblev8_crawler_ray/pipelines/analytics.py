@@ -56,20 +56,42 @@ def usage_rollup(sf_dir: str) -> pa.Table:
                 "l_extendedprice", "l_discount"])
 
     def add_disc(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(t["l_extendedprice"],
-                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return t.append_column("disc_price", rev)
+        # integer-cents accumulation (the events_group_zscore idiom):
+        # prices/quantities are 2-decimal, discounts are basis points,
+        # so every partial sum is an int64 — order-independent across
+        # blocks, where a float sum can straddle a round-2 boundary
+        # depending on accumulation order (caught by the relational
+        # fuzz).  disc_price scale: cents x (100 - bp) = 10^-4 units.
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        qc = round_half_away(qty * 100.0, 0).astype(np.int64)
+        cents = round_half_away(price * 100.0, 0).astype(np.int64)
+        bp = round_half_away(disc * 100.0, 0).astype(np.int64)
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "qty_c": pa.array(qc),
+            "price_c": pa.array(cents),
+            "disc_u": pa.array(cents * (100 - bp)),
+            "l_quantity": t["l_quantity"],
+        })
 
     # two-phase combiner: no Ray shuffle for a |flags| x |status| key set
     out = two_phase_agg(
         ds.map_batches(add_disc, batch_format="pyarrow"),
         ["l_returnflag", "l_linestatus"],
-        [("l_quantity", "sum"), ("l_extendedprice", "sum"),
-         ("disc_price", "sum"), ("l_quantity", "count")],
+        [("qty_c", "sum"), ("price_c", "sum"),
+         ("disc_u", "sum"), ("l_quantity", "count")],
         ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
          "sum_disc_price", "count_order"],
     ).to_pandas()
-    return _round(out, {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2})
+    out["sum_qty"] = round_half_away(out["sum_qty"].to_numpy() / 100.0, 2)
+    out["sum_base_price"] = round_half_away(
+        out["sum_base_price"].to_numpy() / 100.0, 2)
+    out["sum_disc_price"] = round_half_away(
+        out["sum_disc_price"].to_numpy() / 10000.0, 2)
+    return out
 
 
 def event_type_stats(sf_dir: str) -> pa.Table:
@@ -242,7 +264,7 @@ def orders_with_customer(sf_dir: str) -> pa.Table:
     def join(t: pa.Table) -> pa.Table:
         ckeys, cnames = ray.get(cust_ref)
         idx = pc.index_in(t["o_custkey"], value_set=ckeys)
-        return pa.table(
+        out = pa.table(
             {
                 "o_orderkey": t["o_orderkey"],
                 "c_name": cnames.take(idx),
@@ -250,6 +272,9 @@ def orders_with_customer(sf_dir: str) -> pa.Table:
                     t["o_totalprice"].to_numpy(zero_copy_only=False), 2)),
             }
         )
+        # INNER-join semantics (the twin's JOIN): an order whose
+        # custkey has no dimension row is dropped, not null-named
+        return out.filter(pc.is_valid(idx))
 
     return (
         _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
@@ -354,6 +379,9 @@ def keyset_page(sf_dir: str) -> pa.Table:
         .limit(100)
         .to_pandas()
     )
+    if "o_orderkey" not in page.columns:  # keyset anchor past the table
+        page = pd.DataFrame({"o_orderkey": pd.Series([], dtype="int64"),
+                             "o_totalprice": pd.Series([], dtype="float64")})
     return _round(page, {"o_totalprice": 2})
 
 
@@ -1260,6 +1288,11 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
 
     cand = orders.union(lines).groupby("bucket").map_groups(
         per_bucket, batch_format="pandas").to_pandas()
+    if "revenue" not in cand.columns:  # no order survives the filters
+        cand = pd.DataFrame({"l_orderkey": pd.Series([], dtype="int64"),
+                             "revenue": pd.Series([], dtype="float64"),
+                             "o_orderdate":
+                                 pd.Series([], dtype="datetime64[us]")})
     cand = cand.sort_values(["revenue", "o_orderdate", "l_orderkey"],
                             ascending=[False, True, True])
     return cand.head(k).reset_index(drop=True)
