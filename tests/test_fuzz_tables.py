@@ -171,3 +171,71 @@ def test_relational_ops_fuzz_vs_duckdb(ray_session, tmp_path, seed):
         assert len(a) == len(b), (name, len(a), len(b))
         pd.testing.assert_frame_equal(a, b, check_dtype=False,
                                       check_exact=True, obj=name)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_two_hop_dimension_fuzz_vs_duckdb(ray_session, tmp_path, seed):
+    """supplier -> nation -> region two-hop lookup over random dims,
+    including a supplier pointing at a missing nation."""
+    rng = np.random.default_rng(500 + seed)
+    n_sup, n_nat, n_reg = 30, 6, 3
+    con = duckdb.connect()
+    tables = {
+        "supplier": pa.table({
+            "s_suppkey": pa.array(range(n_sup), type=pa.int64()),
+            "s_name": pa.array([f"sup{i}" for i in range(n_sup)]),
+            "s_nationkey": pa.array(
+                rng.integers(0, n_nat + 1, n_sup).astype(np.int32)),
+            "s_acctbal": pa.array(np.round(rng.uniform(0, 9000, n_sup), 2)),
+        }),
+        "nation": pa.table({
+            "n_nationkey": pa.array(range(n_nat), type=pa.int32()),
+            "n_name": pa.array([f"nat{i}" for i in range(n_nat)]),
+            "n_regionkey": pa.array(
+                rng.integers(0, n_reg, n_nat).astype(np.int32)),
+        }),
+        "region": pa.table({
+            "r_regionkey": pa.array(range(n_reg), type=pa.int32()),
+            "r_name": pa.array([f"reg{i}" for i in range(n_reg)]),
+        }),
+    }
+    for name, tbl in tables.items():
+        pq.write_table(tbl, tmp_path / f"{name}.parquet")
+        con.sql(f"CREATE VIEW {name} AS SELECT * "
+                f"FROM '{tmp_path}/{name}.parquet'")
+    q, sql = R.queries(), R.oracle_sql()
+    res = q["supplier_nation_region"](str(tmp_path))
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    odf = con.sql(sql["supplier_nation_region"]).df()
+    a, b = _norm(df), _norm(odf)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b), (len(a), len(b))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_hybrid_search_fuzz_vs_duckdb(ray_session, tmp_path, seed):
+    """BM25 + cosine RRF over joint random documents + embeddings."""
+    import tests.test_fuzz_session5 as F5
+
+    rng = np.random.default_rng(600 + seed)
+    docs = F5._random_corpus(rng, 60)
+    # make sure the BM25 query terms appear in some docs
+    texts = docs["text"].to_pylist()
+    for i in range(0, 60, 7):
+        texts[i] = texts[i] + " table scan merge vector"
+    docs = docs.set_column(1, "text", pa.array(texts, type=pa.string()))
+    emb = _random_embeddings(rng, n=60)
+    con = duckdb.connect()
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    pq.write_table(emb, tmp_path / "embeddings.parquet")
+    for name in ["documents", "embeddings"]:
+        con.sql(f"CREATE VIEW {name} AS SELECT * "
+                f"FROM '{tmp_path}/{name}.parquet'")
+    res = R.queries()["hybrid_search"](str(tmp_path))
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    odf = con.sql(R.oracle_sql()["hybrid_search"]).df()
+    a, b = _norm(df), _norm(odf)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b), (len(a), len(b))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)

@@ -340,7 +340,7 @@ def supplier_nation_region(sf_dir: str) -> pa.Table:
     def lookup(t: pa.Table) -> pa.Table:
         dim = ray.get(dims_ref)
         ix = pc.index_in(t["s_nationkey"].cast(pa.int64()), dim["key"])
-        return pa.table(
+        out = pa.table(
             {
                 "s_suppkey": t["s_suppkey"],
                 "s_name": t["s_name"],
@@ -348,6 +348,9 @@ def supplier_nation_region(sf_dir: str) -> pa.Table:
                 "r_name": pc.take(dim["r_name"], ix),
             }
         )
+        # INNER-join semantics: a supplier whose nationkey resolves to
+        # no dimension row is dropped, matching the twin's JOIN chain
+        return out.filter(pc.is_valid(ix))
 
     return (
         _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
