@@ -363,6 +363,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_kind_transitions": lambda sf: P.span_kind_transitions(
             _crawl(sf).docs()),
         "api_kgrams": lambda sf: P.api_kgrams(_crawl(sf).docs()),
+        "crawl_host_quality": lambda sf: P.crawl_host_quality(
+            _crawl(sf).docs(), _crawl(sf).crawl_log()),
         "media_text_ratio": lambda sf: P.media_text_ratio(_crawl(sf).docs()),
         "caption_pairs": lambda sf: P.caption_pairs(_crawl(sf).docs()),
         "reconstruct_docs": lambda sf: P.reconstruct_text(_crawl(sf).docs()),
@@ -1351,6 +1353,29 @@ def oracle_sql() -> dict[str, str]:
                        AS doc_text,
                    count(*) AS n_spans
             FROM sp GROUP BY doc_id""",
+        # crawl->curation bridge: per-host token/media rollup over the
+        # reconstructed training text (stages/parse.crawl_host_quality)
+        "crawl_host_quality": f"""
+            WITH sp AS {_sp},
+            r AS (SELECT doc_id,
+                         string_agg(CASE WHEN kind LIKE 'media/%'
+                                         THEN '<|' || kind || '|>'
+                                         ELSE text END, ' '
+                                    ORDER BY "offset") AS doc_text
+                  FROM sp GROUP BY doc_id),
+            t AS (SELECT doc_id,
+                         len(regexp_extract_all(doc_text, '\\S+'))::BIGINT
+                             AS n_tokens,
+                         len(regexp_extract_all(doc_text,
+                             '<\\|media/[a-z]+\\|>'))::BIGINT AS n_media
+                  FROM r),
+            j AS (SELECT t.*, l.host
+                  FROM t JOIN read_parquet('{_lg}') l USING (doc_id))
+            SELECT host, count(*)::BIGINT AS n_docs,
+                   sum(n_tokens)::BIGINT AS sum_tokens,
+                   sum(n_media)::BIGINT AS sum_media,
+                   sum(n_tokens) / (count(*) * 1.0) AS mean_tokens
+            FROM j GROUP BY host ORDER BY host""",
         "sample_per_group": """
             SELECT doc_id, source FROM documents
             QUALIFY row_number() OVER (

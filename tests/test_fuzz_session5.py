@@ -257,3 +257,23 @@ def test_api_kgrams_fuzz_vs_naive(ray_session, seed):
             want[">".join(kinds[i:i + 3])] += 1
     got_d = dict(zip(got["kgram"], got["n"]))
     assert got_d == dict(want)
+
+
+def test_api_kgrams_empty_corpus(ray_session):
+    """Docs shorter than k everywhere -> typed empty frame (the empty
+    branch had a latent missing-import crash before the module-level
+    pandas import)."""
+    import ray.data as rd
+    from visiblev8_crawler_ray.stages.parse import api_kgrams
+
+    SPAN_T = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                        ("media_ref", pa.string()), ("offset", pa.int32())])
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "spans": pa.array([
+            [{"kind": "get", "text": "t", "media_ref": "", "offset": 0}],
+            [],
+        ], type=pa.list_(SPAN_T)),
+    })
+    out = api_kgrams(rd.from_arrow(docs))
+    assert list(out.columns) == ["kgram", "n"] and len(out) == 0

@@ -20,6 +20,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -581,3 +582,61 @@ def api_kgrams(docs: rd.Dataset, k: int = 3, top: int = 30) -> pd.DataFrame:
     agg = agg.sort_values(["n", "kgram"],
                           ascending=[False, True]).head(top)
     return agg.reset_index(drop=True)
+
+
+def crawl_host_quality(docs: rd.Dataset, log: rd.Dataset) -> pd.DataFrame:
+    """Per-host training-text rollup over the CRAWL corpus: reconstruct
+    each interleaved doc (media spans -> placeholder tokens), count its
+    whitespace tokens and media placeholders, and roll both up per host
+    with the doc->host dimension from the crawl log — the bridge from
+    the crawl store to the training-data curation ops (which host
+    contributes how much text, at what media density).
+
+    Scale shape: reconstruction + counting is one streaming pass (RE2
+    kernels on the rendered text, identical to the export-based twin);
+    the doc->host map broadcasts as SORTED parallel arrays with a
+    vectorized searchsorted probe (at crawl scale, swap for a
+    hash-partitioned join on doc_id — the dedup_minhash co-group
+    shape); per-host partials are integer sketches, mean is ONE IEEE
+    division of identical ints."""
+    import ray
+
+    ldf = log.select_columns(["doc_id", "host"]).to_pandas()
+    order = np.argsort(ldf["doc_id"].to_numpy())
+    keys = ldf["doc_id"].to_numpy()[order]
+    hosts = ldf["host"].to_numpy()[order]
+    map_ref = ray.put((keys, hosts))
+
+    def stats(t: pa.Table) -> pa.Table:
+        keys, hosts = ray.get(map_ref)
+        text = t["doc_text"]
+        n_tok = pc.count_substring_regex(text, r"\S+").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_media = pc.count_substring_regex(
+            text, r"<\|media/[a-z]+\|>").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, ids)
+        pos = np.minimum(pos, len(keys) - 1)
+        hit = keys[pos] == ids
+        h = hosts[pos]
+        codes, uniq = pd.factorize(h[hit])
+        nd = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        st = np.zeros(len(uniq), dtype=np.int64)
+        sm = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(st, codes, n_tok[hit])
+        np.add.at(sm, codes, n_media[hit])
+        return pa.table({
+            "host": pa.array(uniq, type=pa.string()),
+            "n_docs": pa.array(nd),
+            "sum_tokens": pa.array(st),
+            "sum_media": pa.array(sm),
+        })
+
+    parts = reconstruct_text(docs).map_batches(
+        stats, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("host", as_index=False).agg(
+        n_docs=("n_docs", "sum"), sum_tokens=("sum_tokens", "sum"),
+        sum_media=("sum_media", "sum"))
+    agg["mean_tokens"] = agg["sum_tokens"] / (agg["n_docs"] * 1.0)
+    return agg.sort_values("host").reset_index(drop=True)
