@@ -16,15 +16,33 @@ import pytest
 sys.path.insert(0, "/root/repo")
 import __ray_entry__ as R  # noqa: E402
 
-EMB_OPS = ["embedding_centroids", "embedding_covariance",
-           "embedding_near_dup", "embedding_quantize", "kmeans_step",
-           "knn_brute", "near_dup_clusters", "semantic_dedup"]
-EV_OPS = ["distinct_users_salted", "event_type_stats",
-          "events_group_zscore", "events_hopping_window",
-          "events_late_drop", "events_props_parse",
-          "events_running_stats", "events_tumbling_window",
-          "events_value_band", "funnel_counts", "results_upsert",
-          "sessionize", "top_events_per_user", "value_quantiles"]
+def _ops_touching_only(table: str) -> list[str]:
+    """Auto-discover oracle_sql() entries whose SQL references ONLY the
+    given table — new single-table ops join the fuzz gate without a
+    hand-edit (the documents family's _documents_only_ops idiom)."""
+    all_tables = ["documents", "embeddings", " events", "lineitem",
+                  " orders", "customer", "supplier", "nation", "region",
+                  "read_parquet", "seeds", " part"]
+    out = []
+    for name, q in R.oracle_sql().items():
+        ql = q.lower()
+        used = [t for t in all_tables if t in ql]
+        if used == [table]:
+            out.append(name)
+    return sorted(out)
+
+
+EMB_OPS = _ops_touching_only("embeddings")
+EV_OPS = _ops_touching_only(" events")
+
+
+def test_table_fuzz_lists_track_the_registry():
+    """Known members must stay discovered; shrinkage means the
+    footprint heuristic broke, not that ops left the registry."""
+    assert {"embedding_covariance", "kmeans_step",
+            "knn_brute"} <= set(EMB_OPS) and len(EMB_OPS) >= 8
+    assert {"sessionize", "events_tumbling_window",
+            "funnel_counts"} <= set(EV_OPS) and len(EV_OPS) >= 14
 
 
 def _norm(df):
@@ -191,8 +209,9 @@ def test_two_hop_dimension_fuzz_vs_duckdb(ray_session, tmp_path, seed):
         "nation": pa.table({
             "n_nationkey": pa.array(range(n_nat), type=pa.int32()),
             "n_name": pa.array([f"nat{i}" for i in range(n_nat)]),
-            "n_regionkey": pa.array(
-                rng.integers(0, n_reg, n_nat).astype(np.int32)),
+            # last nation points at a MISSING region (second-hop orphan)
+            "n_regionkey": pa.array(np.r_[
+                rng.integers(0, n_reg, n_nat - 1), n_reg].astype(np.int32)),
         }),
         "region": pa.table({
             "r_regionkey": pa.array(range(n_reg), type=pa.int32()),

@@ -129,3 +129,13 @@ def arrow_from_pandas(df) -> pa.Table:
     conversion, the same rule read_parquet_clean applies at the read."""
     return pa.Table.from_pandas(
         df, preserve_index=False).replace_schema_metadata(None)
+
+
+def empty_frame(cols: dict[str, str]):
+    """One canonical typed-empty DataFrame builder — the guard for
+    Ray's to_pandas()/map_groups schema drop on all-empty outputs
+    ("new schema: ." warning).  ``cols`` maps column name -> pandas
+    dtype string."""
+    import pandas as pd
+
+    return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})

@@ -1011,7 +1011,8 @@ def decontaminate(sf_dir: str) -> pd.DataFrame:
 
     bench_df = ds.map_batches(bench_ngrams, batch_format="pyarrow").to_pandas()
     if "ng" not in bench_df.columns:  # benchmark slice has no 5-gram
-        bench_df = pd.DataFrame({"ng": pd.Series([], dtype="object")})
+        from ..functions.util import empty_frame
+        bench_df = empty_frame({"ng": "object"})
     bench = pa.array(pd.unique(bench_df["ng"]), type=pa.string())
     bench_ref = ray.put(bench)
 
@@ -1309,7 +1310,8 @@ def curate_corpus(sf_dir: str) -> pd.DataFrame:
 
     bench_df = ds.map_batches(bench_ngrams, batch_format="pyarrow").to_pandas()
     if "ng" not in bench_df.columns:  # benchmark slice has no 5-gram
-        bench_df = pd.DataFrame({"ng": pd.Series([], dtype="object")})
+        from ..functions.util import empty_frame
+        bench_df = empty_frame({"ng": "object"})
     bench_ref = ray.put(pa.array(pd.unique(bench_df["ng"]), type=pa.string()))
 
     def signals(t: pa.Table) -> pa.Table:
@@ -1873,8 +1875,8 @@ def bm25_topk(sf_dir: str, terms: tuple[str, ...] = BM25_QUERY,
     # no repartition needed before a driver-side final top-k
     cand = ds.map_batches(score, batch_format="pyarrow").to_pandas()
     if "score_raw" not in cand.columns:  # no doc matched any query term
-        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                             "score": pd.Series([], dtype="float64")})
+        from ..functions.util import empty_frame
+        return empty_frame({"doc_id": "int64", "score": "float64"})
     cand = cand.sort_values(["score_raw", "doc_id"],
                             ascending=[False, True]).head(k)
     cand["score"] = round_half_away(cand.pop("score_raw").to_numpy(), 4)
@@ -2929,8 +2931,8 @@ def unigram_logprob(sf_dir: str) -> pd.DataFrame:
              .groupby("tok").aggregate(Sum("cnt", alias_name="cnt"))
              .to_pandas())
     if "cnt" not in vocab.columns:  # all docs empty/whitespace-only
-        vocab = pd.DataFrame({"tok": pd.Series([], dtype="object"),
-                              "cnt": pd.Series([], dtype="int64")})
+        from ..functions.util import empty_frame
+        vocab = empty_frame({"tok": "object", "cnt": "int64"})
     total = int(vocab["cnt"].sum())
     lut = dict(zip(vocab["tok"], vocab["cnt"].astype(np.int64)))
     lut_ref = ray.put((lut, total))
@@ -3182,8 +3184,8 @@ def corpus_novelty(sf_dir: str, nparts: int = 16) -> pd.DataFrame:
            .groupby("bucket").map_groups(per_bucket, batch_format="pandas")
            .to_pandas())
     if "doc_id" not in out.columns:  # no incoming rows at all
-        out = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                            "novel": pd.Series([], dtype="bool")})
+        from ..functions.util import empty_frame
+        out = empty_frame({"doc_id": "int64", "novel": "bool"})
     return out.sort_values("doc_id").reset_index(drop=True)
 
 

@@ -601,7 +601,16 @@ def crawl_host_quality(docs: rd.Dataset, log: rd.Dataset) -> pd.DataFrame:
     division of identical ints."""
     import ray
 
+    from ..functions.util import empty_frame
+
+    empty = empty_frame({"host": "object", "n_docs": "int64",
+                         "sum_tokens": "int64", "sum_media": "int64",
+                         "mean_tokens": "float64"})
+    if log is None:
+        return empty
     ldf = log.select_columns(["doc_id", "host"]).to_pandas()
+    if len(ldf) == 0:
+        return empty
     order = np.argsort(ldf["doc_id"].to_numpy())
     keys = ldf["doc_id"].to_numpy()[order]
     hosts = ldf["host"].to_numpy()[order]
