@@ -257,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_band": A.events_value_band,
         "events_late_drop": A.events_late_drop,
         "events_running_stats": A.events_running_stats,
+        "events_rolling_window": A.events_rolling_window,
         "lineitem_rollup": A.lineitem_rollup,
         "orders_pivot": A.orders_pivot,
         # training-data text ops
@@ -328,6 +329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": T.normalize_text,
         "bpe_encode": T.bpe_encode,
         "corpus_novelty": T.corpus_novelty,
+        "dedup_paragraphs": T.dedup_paragraphs,
         "pii_scan": T.pii_scan,
         "hashed_tf": T.hashed_tf,
         "source_quality_report": T.source_quality_report,
@@ -804,6 +806,18 @@ def oracle_sql() -> dict[str, str]:
                        AS cum_cents
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+        # RANGE-interval trailing window (analytics.events_rolling_window):
+        # equal timestamps are peers, boundary inclusive, exact cents
+        "events_rolling_window": """
+            SELECT event_id, user_id, ts,
+                   CAST(count(*) OVER w AS BIGINT) AS w_cnt,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                        AS BIGINT) AS w_sum_cents
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING
+                         AND CURRENT ROW)
+            ORDER BY event_id""",
         "lineitem_rollup": """
             SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
                    coalesce(l_linestatus, 'ALL') AS l_linestatus,
@@ -986,6 +1000,10 @@ def oracle_sql() -> dict[str, str]:
         # vs committed (even) by exact content hash
         # (textops.corpus_novelty)
         "corpus_novelty": T.corpus_novelty_sql(),
+        # C4/MassiveText duplicate-span removal: global first-wins over
+        # disjoint 16-word blocks + per-doc rebuild
+        # (textops.dedup_paragraphs)
+        "dedup_paragraphs": T.dedup_paragraphs_sql(),
         # typed PII counts + ordered anonymization (textops.pii_scan)
         "pii_scan": T.pii_scan_sql(),
         # feature-hashing vectorizer, long form (textops.hashed_tf)

@@ -1037,6 +1037,49 @@ def events_running_stats(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def events_rolling_window(sf_dir: str,
+                          window_minutes: int = 10) -> pd.DataFrame:
+    """RANGE-interval rolling aggregate per user: for every event, the
+    count and exact-cents sum of that user's events in the trailing
+    ``window_minutes`` (boundary inclusive, equal timestamps are peers
+    — true RANGE semantics, unlike the ROWS-style
+    :func:`events_running_stats`).  The per-entity sliding-window shape
+    behind rate limiting / burst detection — the windowed-aggregate row
+    of SURVEY.md §2.9 the tumbling/hopping pair doesn't cover.
+
+    ONE hash shuffle on the partition key
+    (``groupby(user_id).map_groups``); the per-group kernel is fully
+    vectorized: sort by ts, two ``searchsorted`` sweeps give every
+    row's window edges at once (left edge = first ts >= ts-window,
+    right edge = past-the-peers), counts are edge differences and sums
+    are prefix-sum differences over integer cents (order-independent —
+    the events_group_zscore idiom, so the DuckDB window twin matches
+    bit-for-bit).  Never a global sort, never O(n x window) work."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    win_us = np.int64(window_minutes) * 60_000_000
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort").reset_index(drop=True)
+        us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        cents = round_half_away(
+            g["value"].to_numpy() * 100.0, 0).astype(np.int64)
+        lo = np.searchsorted(us, us - win_us, side="left")
+        hi = np.searchsorted(us, us, side="right")  # peers included
+        csum = np.concatenate(([0], np.cumsum(cents)))
+        return pd.DataFrame({
+            "event_id": g["event_id"],
+            "user_id": g["user_id"],
+            "ts": g["ts"],
+            "w_cnt": (hi - lo).astype(np.int64),
+            "w_sum_cents": csum[hi] - csum[lo],
+        })
+
+    return (
+        ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+
+
 def lineitem_rollup(sf_dir: str) -> pd.DataFrame:
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): the three grains
     (flag×status, flag, grand total) in one streaming pass.  The map

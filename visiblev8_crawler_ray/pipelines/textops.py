@@ -3355,3 +3355,162 @@ def source_quality_report_sql() -> str:
                sum(g.n_words) / (count(*) * 1.0) AS mean_words
         FROM g JOIN documents d USING (doc_id)
         GROUP BY d.source ORDER BY d.source"""
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicate-span removal (C4 / MassiveText paragraph dedup)
+# ---------------------------------------------------------------------------
+
+
+def _md5_low64(strings: np.ndarray) -> np.ndarray:
+    """Low 64 bits of md5 per string (digest bytes 8..16 little-endian)
+    — bit-identical to DuckDB ``md5_number_lower`` (the SimHasher /
+    corpus_novelty contract), returned as int64."""
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
+         for s in strings), dtype=np.uint64, count=len(strings)
+    ).view(np.int64)
+
+
+def dedup_paragraphs(sf_dir: str, block_words: int = 16,
+                     nparts: int = 16) -> pd.DataFrame:
+    """Cross-document duplicate-SPAN removal — the C4 "deduplicate
+    spans" / MassiveText paragraph-dedup pass: the corpus is segmented
+    into disjoint ``block_words``-token blocks (the paragraph proxy for
+    this unpunctuated corpus), every block that appeared earlier
+    ANYWHERE in the corpus is dropped, and each document is rebuilt
+    from its surviving blocks.  First-wins order is global
+    ``(doc_id, block_idx)``; docs with zero tokens are excluded on both
+    sides (no blocks to judge).
+
+    Complements ``dedup_exact`` (whole-doc) and ``dedup_minhash``
+    (whole-doc approximate): this is the sub-document exact tier that
+    strips boilerplate shared across otherwise-distinct pages.
+
+    Scale shape: the explode stage is fully vectorized (one arrow
+    tokenization; block paragraph strings rebuilt zero-copy from the
+    flat word buffer via ``ListArray.from_arrays`` + ``binary_join``);
+    first-wins resolves with ONE content-hash bucket shuffle (the
+    corpus_novelty / dedup_minhash co-partition pattern — never
+    ``Dataset.join``) packing ``(doc_id, block_idx)`` into one int64
+    ``pos`` so the per-bucket min is a single vectorized transform;
+    the rebuild is one more shuffle back to ``doc_id``.  Shuffle
+    volume is ~2x corpus bytes; at 100 TB the second shuffle can ship
+    only ``(doc_id, block_idx, kept)`` and re-derive block text from a
+    co-partitioned re-read of the source — documented trade, not
+    needed at bench scale."""
+    assert block_words > 0
+
+    def explode(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        lst = pc.split_pattern_regex(text, r"\s+")
+        flat = pc.list_flatten(lst)
+        vl = pc.list_value_length(lst).to_numpy(zero_copy_only=False)
+        parent = np.repeat(np.arange(t.num_rows), vl)
+        flat_np = flat.to_numpy(zero_copy_only=False)
+        mask = flat_np != ""
+        words = flat.filter(pa.array(mask))
+        cnt = np.bincount(parent[mask], minlength=t.num_rows)
+        nb = -(-cnt // block_words)          # ceil; 0 for empty docs
+        total_blocks = int(nb.sum())
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if total_blocks == 0:
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "block_idx": pa.array([], type=pa.int64()),
+                "para": pa.array([], type=pa.string()),
+                "pos": pa.array([], type=pa.int64()),
+                "bucket": pa.array([], type=pa.int64()),
+            })
+        bdoc = np.repeat(np.arange(t.num_rows), nb)
+        k = (np.arange(total_blocks, dtype=np.int64)
+             - np.repeat(np.concatenate(([0], np.cumsum(nb)))[:-1], nb))
+        wstart = np.concatenate(([0], np.cumsum(cnt)))[:-1]
+        starts = wstart[bdoc] + k * block_words
+        offsets = np.concatenate((starts, [int(cnt.sum())])).astype(np.int32)
+        para = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets), words), " ")
+        h = _md5_low64(para.to_numpy(zero_copy_only=False))
+        ids = doc_ids[bdoc]
+        # pos packs global first-wins order into ONE int64 (the crawl's
+        # _pack_firstwins idiom); assert the bound instead of wrapping
+        assert ids.min() >= 0 and ids.max() < (1 << 42), \
+            "doc_id overflows the (doc_id, block_idx) int64 pack"
+        assert k.max() < (1 << 20), \
+            f"doc has >= 2^20 blocks of {block_words} words"
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "block_idx": pa.array(k),
+            "para": para,
+            "pos": pa.array(ids * (1 << 20) + k),
+            "bucket": pa.array(
+                (h.view(np.uint64) % np.uint64(nparts)).astype(np.int64)),
+            "h": pa.array(h),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        kept = g["pos"].to_numpy() == g.groupby("h")["pos"].transform(
+            "min").to_numpy()
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+            "block_idx": g["block_idx"].to_numpy(dtype=np.int64),
+            "para": g["para"].to_numpy(),
+            "kept": kept,
+        })
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("block_idx")
+        kept = g["kept"].to_numpy()
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].iloc[:1].to_numpy(dtype=np.int64),
+            "n_blocks": np.array([len(g)], dtype=np.int64),
+            "n_kept": np.array([int(kept.sum())], dtype=np.int64),
+            "text_clean": [" ".join(g["para"].to_numpy()[kept])],
+        })
+
+    out = (_read_docs(sf_dir, ["doc_id", "text"])
+           .map_batches(explode, batch_format="pyarrow")
+           .groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+           .groupby("doc_id").map_groups(per_doc, batch_format="pandas")
+           .to_pandas())
+    if "doc_id" not in out.columns:      # corpus with zero tokens anywhere
+        from ..functions.util import empty_frame
+        out = empty_frame({"doc_id": "int64", "n_blocks": "int64",
+                           "n_kept": "int64", "text_clean": "object"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def dedup_paragraphs_sql(block_words: int = 16) -> str:
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+          FROM documents
+        ), nb AS (
+          SELECT doc_id, w,
+                 ((len(w) + {block_words - 1}) // {block_words})::BIGINT
+                     AS n_blocks
+          FROM toks WHERE len(w) > 0
+        ), blocks AS (
+          SELECT doc_id, unnest(generate_series(0, n_blocks - 1)) AS block_idx,
+                 w
+          FROM nb
+        ), paras AS (
+          SELECT doc_id, block_idx,
+                 array_to_string(
+                     w[(block_idx*{block_words} + 1):
+                       (block_idx*{block_words} + {block_words})],
+                     ' ') AS para
+          FROM blocks
+        ), ranked AS (
+          SELECT doc_id, block_idx, para,
+                 ROW_NUMBER() OVER (PARTITION BY md5_number_lower(para)
+                                    ORDER BY doc_id, block_idx) = 1 AS kept
+          FROM paras
+        )
+        SELECT doc_id, COUNT(*)::BIGINT AS n_blocks,
+               SUM(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+               COALESCE(string_agg(para, ' ' ORDER BY block_idx)
+                            FILTER (WHERE kept), '') AS text_clean
+        FROM ranked GROUP BY doc_id ORDER BY doc_id"""
