@@ -174,6 +174,12 @@ def _audio_features(sf_dir: str):
     return MM.audio_features(run.docs(), blob_dir)
 
 
+def _video_frames(sf_dir: str):
+    run = _crawl(sf_dir)
+    blob_dir = os.path.join(_store_root(sf_dir), "blobs")
+    return MM.video_frames(run.docs(), blob_dir)
+
+
 def _media_dedup(sf_dir: str):
     run = _crawl(sf_dir)
     blob_dir = os.path.join(_store_root(sf_dir), "blobs")
@@ -375,6 +381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spans_exploded": _spans_exploded,
         "media_features": _media_features,
         "audio_features": _audio_features,
+        "video_frames": _video_frames,
         "media_dedup": _media_dedup,
         "media_near_dup": _media_near_dup,
         "media_thumbnails": _media_thumbnails,

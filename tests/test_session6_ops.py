@@ -115,3 +115,54 @@ def test_events_rolling_window_hand_case(ray_session, tmp_path):
     odf = con.sql(R.oracle_sql()["events_rolling_window"]).df()
     pd.testing.assert_frame_equal(_norm(out), _norm(odf),
                                   check_dtype=False, check_exact=True)
+
+
+def test_video_codec_roundtrip_and_determinism():
+    from visiblev8_crawler_ray.functions.png import decode_png
+    from visiblev8_crawler_ray.functions.video import (
+        FRAME_H, FRAME_W, encode_frames, iter_frames, synth_video)
+
+    payload = synth_video("doc-abc")
+    assert payload == synth_video("doc-abc")          # idempotent rewrite
+    frames = list(iter_frames(payload))
+    assert 5 <= len(frames) <= 11
+    for i, fr in enumerate(frames):
+        px = decode_png(fr)
+        assert px.shape == (FRAME_H, FRAME_W, 3)
+    # frames drift: consecutive frames differ
+    assert frames[0] != frames[1]
+    # container round-trip is exact
+    assert list(iter_frames(encode_frames(frames))) == frames
+
+
+def test_video_frames_e2e(ray_session, tmp_path):
+    import shutil
+
+    from visiblev8_crawler_ray import synth
+    from visiblev8_crawler_ray.config import CrawlConfig
+    from visiblev8_crawler_ray.pipelines.multimodal import video_frames
+
+    from visiblev8_crawler_ray.pipelines.crawl import run_crawl
+
+    cfg = CrawlConfig(max_depth=0, max_waves=1, max_per_host_per_wave=100)
+    seeds = synth.seeds_table(np.arange(60), cfg)
+    root = str(tmp_path / "store")
+    shutil.rmtree(root, ignore_errors=True)
+    run = run_crawl(seeds, cfg, root, blob_artifacts=True)
+    docs = run.docs()
+    out = video_frames(docs, root + "/blobs", every_k=2, max_frames=4)
+    n_video = sum(
+        1 for spans in docs.to_pandas()["spans"]
+        for s in spans if s["kind"] == "media/video")
+    assert n_video > 0
+    # per video: min(max_frames, ceil(n_frames / every_k)) sampled rows
+    per = out.groupby("media_ref")
+    assert len(per) == n_video
+    for _, g in per:
+        nfr = int(g["n_frames"].iloc[0])
+        assert len(g) == min(4, -(-nfr // 2))
+        assert list(g["frame_idx"]) == list(range(0, 2 * len(g), 2))
+    assert (out["width"] == 8).all() and (out["height"] == 6).all()
+    assert ((out["px_mean"] > 0) & (out["px_mean"] < 255)).all()
+    again = video_frames(docs, root + "/blobs", every_k=2, max_frames=4)
+    assert out.equals(again)

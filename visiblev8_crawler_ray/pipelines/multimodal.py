@@ -505,26 +505,19 @@ def media_thumbnails(docs: rd.Dataset, blob_dir: str,
 
 
 def pack_frames(frames: list[bytes]) -> bytes:
-    """Stub container encode: u32-count header + u32-length-prefixed
-    frame payloads."""
-    import struct
+    """Container encode: u32-count header + u32-length-prefixed frame
+    payloads (delegates to the one codec copy in functions/video —
+    the synthetic web now emits real ``blob://<doc>/cap.vid`` captures
+    in this format, frames inside are genuine RGB8 PNGs)."""
+    from ..functions.video import encode_frames
 
-    out = [struct.pack(">I", len(frames))]
-    for f in frames:
-        out.append(struct.pack(">I", len(f)))
-        out.append(f)
-    return b"".join(out)
+    return encode_frames(frames)
 
 
 def _iter_frames(payload: bytes):
-    import struct
+    from ..functions.video import iter_frames
 
-    (n,) = struct.unpack_from(">I", payload, 0)
-    pos = 4
-    for _ in range(n):
-        (ln,) = struct.unpack_from(">I", payload, pos)
-        yield payload[pos + 4:pos + 4 + ln]
-        pos += 4 + ln
+    return iter_frames(payload)
 
 
 class FrameSampler:
@@ -635,6 +628,84 @@ def audio_features(docs: rd.Dataset, blob_dir: str) -> pd.DataFrame:
         concurrency=(2, max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)),
     ).to_pandas()
     return out.sort_values(["doc_id", "media_ref"]).reset_index(drop=True)
+
+
+class VideoFrameStats:
+    """Actor-pool video decode stage over REAL blob bytes: walks the
+    frame container (functions/video format), samples every ``every_k``-th
+    frame capped at ``max_frames``, and PNG-decodes each sampled frame
+    (the same stdlib inflate/unfilter path as MediaDecoder) into
+    per-frame dimension + mean-channel rows — the frame-sample +
+    feature step of the video modality.  One decoder per actor;
+    payloads are read task-side from the blob store."""
+
+    def __init__(self, blob_dir: str, every_k: int = 2,
+                 max_frames: int = 4):
+        self.blob_dir = blob_dir
+        self.every_k, self.max_frames = every_k, max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import os
+
+        from ..functions.png import decode_png
+        from ..functions.video import iter_frames
+
+        ids, refs, fidx, nfr, ws, hs, means = [], [], [], [], [], [], []
+        for did, ref in zip(batch["doc_id"].to_pylist(),
+                            batch["media_ref"].to_pylist()):
+            path = os.path.join(self.blob_dir, ref[len("blob://"):])
+            with open(path, "rb") as f:
+                payload = f.read()
+            frames = list(iter_frames(payload))
+            taken = 0
+            for i, fr in enumerate(frames):
+                if i % self.every_k:
+                    continue
+                if taken >= self.max_frames:
+                    break
+                taken += 1
+                px = decode_png(fr)
+                ids.append(did)
+                refs.append(ref)
+                fidx.append(i)
+                nfr.append(len(frames))
+                hs.append(px.shape[0])
+                ws.append(px.shape[1])
+                means.append(round(float(px.mean()), 4))
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.string()),
+            "media_ref": pa.array(refs, type=pa.string()),
+            "frame_idx": pa.array(fidx, type=pa.int32()),
+            "n_frames": pa.array(nfr, type=pa.int32()),
+            "width": pa.array(ws, type=pa.int32()),
+            "height": pa.array(hs, type=pa.int32()),
+            "px_mean": pa.array(means, type=pa.float64()),
+        })
+
+
+def video_frames(docs: rd.Dataset, blob_dir: str, every_k: int = 2,
+                 max_frames: int = 4) -> pd.DataFrame:
+    """Frame sampling + decode over the crawl's video captures: explode
+    -> filter kind == 'media/video' -> autoscaling actor pool walking
+    real container bytes and PNG-decoding the sampled frames.
+    Rows-only at the driver gate (frame features depend on blob bytes,
+    outside SQL's reach); exactness pinned by the container round-trip
+    + known-pixel unit tests, like audio_features."""
+    from ..stages.parse import explode_spans_batch
+
+    vids = docs.map_batches(
+        explode_spans_batch, batch_format="pyarrow").map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "media/video")),
+        batch_format="pyarrow")
+    out = vids.map_batches(
+        VideoFrameStats,
+        fn_constructor_kwargs={"blob_dir": blob_dir, "every_k": every_k,
+                               "max_frames": max_frames},
+        batch_format="pyarrow", batch_size=256,
+        concurrency=(2, max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)),
+    ).to_pandas()
+    return out.sort_values(["doc_id", "media_ref", "frame_idx"]) \
+        .reset_index(drop=True)
 
 
 def blob_audit(docs: rd.Dataset, blob_dir: str) -> "object":

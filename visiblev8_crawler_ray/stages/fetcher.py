@@ -227,6 +227,10 @@ class FetchWriter(Fetcher):
                 # REAL mono PCM16 WAV bytes (stdlib wave codec)
                 from ..functions.audio import encode_wav, synth_clip
                 payload = encode_wav(synth_clip(did))
+            elif name.endswith(".vid"):
+                # frame-container capture; frames are REAL RGB8 PNGs
+                from ..functions.video import synth_video
+                payload = synth_video(did)
             else:
                 payload = json.dumps({"log": {"doc": did}}).encode()
             tmp = path + ".tmp"

@@ -364,6 +364,11 @@ def make_spans_flat(canonical_url: str, host: str, path: str, wave: int,
     if h % 3 == 0:
         kinds.append("media/audio"); texts.append("")
         medias.append(f"blob://{did}/clip.wav")
+    # every fifth page: a frame-container video capture (fourth
+    # modality; real PNG frames via functions/video)
+    if h % 5 == 0:
+        kinds.append("media/video"); texts.append("")
+        medias.append(f"blob://{did}/cap.vid")
     return len(kinds) - start, links
 
 
@@ -429,7 +434,8 @@ def _segment_arange(counts: np.ndarray) -> np.ndarray:
 _KIND_VOCAB = ("isolate", "origin", "script", *_MODE_KINDS,
                *(f"trigger/{name}" for name, _ in TRIGGERS),
                "action/click", "action/nav",
-               "link", "media/screenshot", "media/har", "media/audio")
+               "link", "media/screenshot", "media/har", "media/audio",
+               "media/video")
 _KC_TRIG0 = 7
 _KC_CLICK = _KC_TRIG0 + len(TRIGGERS)
 _KC_NAV = _KC_CLICK + 1
@@ -437,6 +443,7 @@ _KC_LINK = _KC_NAV + 1
 _KC_SHOT = _KC_LINK + 1
 _KC_HAR = _KC_SHOT + 1
 _KC_AUD = _KC_HAR + 1
+_KC_VID = _KC_AUD + 1
 
 
 def fetch_rows_arrow(urls: list[str], hosts: list[str], paths: list[str],
@@ -505,8 +512,9 @@ def fetch_rows_arrow(urls: list[str], hosts: list[str], paths: list[str],
 
     # ---- per-URL span layout
     aud = (h % np.uint64(3) == 0)        # every third page: audio span
+    vid = (h % np.uint64(5) == 0)        # every fifth page: video span
     totals = (2 + n_scripts + total_api_u + trig_total + 2 * n_act + B + 2
-              + aud.astype(np.int64))
+              + aud.astype(np.int64) + vid.astype(np.int64))
     base = np.cumsum(totals) - totals
     grand = int(totals.sum())
     kind_code = np.empty(grand, dtype=np.int8)
@@ -644,6 +652,13 @@ def fetch_rows_arrow(urls: list[str], hosts: list[str], paths: list[str],
         kind_code[p_aud] = _KC_AUD
         t_pos.append(p_aud)
         t_part.append(pa.array([""] * len(aud_ix), type=pa.string()))
+    vid_ix = np.flatnonzero(vid)
+    if len(vid_ix):
+        # video follows the audio span when one is present on the page
+        p_vid = p_med[vid_ix] + 2 + aud[vid_ix].astype(np.int64)
+        kind_code[p_vid] = _KC_VID
+        t_pos.append(p_vid)
+        t_part.append(pa.array([""] * len(vid_ix), type=pa.string()))
 
     # text column: one inverse-permutation take interleaves the parts
     pos = np.concatenate(t_pos)
@@ -661,10 +676,14 @@ def fetch_rows_arrow(urls: list[str], hosts: list[str], paths: list[str],
     m_code[p_med + 1] = 1 + n + np.arange(n, dtype=np.int32)
     if len(aud_ix):
         m_code[p_aud] = 1 + 2 * n + np.arange(len(aud_ix), dtype=np.int32)
+    if len(vid_ix):
+        m_code[p_vid] = (1 + 2 * n + len(aud_ix)
+                         + np.arange(len(vid_ix), dtype=np.int32))
     m_vocab = pa.array(
         [""] + [f"blob://{d}/shot.png" for d in doc_ids]
         + [f"blob://{d}/har.json" for d in doc_ids]
-        + [f"blob://{doc_ids[i]}/clip.wav" for i in aud_ix])
+        + [f"blob://{doc_ids[i]}/clip.wav" for i in aud_ix]
+        + [f"blob://{doc_ids[i]}/cap.vid" for i in vid_ix])
     media_arr = pc.cast(
         pa.DictionaryArray.from_arrays(pa.array(m_code), m_vocab),
         pa.string())
