@@ -269,6 +269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data text ops
         "dedup_exact": T.dedup_exact,
         "dedup_minhash": T.dedup_minhash,
+        "minhash_signatures": T.minhash_signatures,
         "simhash_docs": T.simhash_docs,
         "simhash_near_dup": T.simhash_near_dup,
         "ngram_jaccard_pairs": T.ngram_jaccard_pairs,
@@ -1011,6 +1012,9 @@ def oracle_sql() -> dict[str, str]:
         # disjoint 16-word blocks + per-doc rebuild
         # (textops.dedup_paragraphs)
         "dedup_paragraphs": T.dedup_paragraphs_sql(),
+        # the dedup_minhash signature matrix, bit-exact under DuckDB
+        # HUGEINT arithmetic (textops.minhash_signatures)
+        "minhash_signatures": T.minhash_signatures_sql(),
         # typed PII counts + ordered anonymization (textops.pii_scan)
         "pii_scan": T.pii_scan_sql(),
         # feature-hashing vectorizer, long form (textops.hashed_tf)

@@ -3514,3 +3514,105 @@ def dedup_paragraphs_sql(block_words: int = 16) -> str:
                COALESCE(string_agg(para, ' ' ORDER BY block_idx)
                             FILTER (WHERE kept), '') AS text_clean
         FROM ranked GROUP BY doc_id ORDER BY doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures, SQL-gated (the dedup_minhash core under DuckDB)
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(sf_dir: str) -> pd.DataFrame:
+    """Long-form MinHash signature matrix (doc_id, hash_idx, sig) —
+    the exact per-doc signatures :func:`dedup_minhash` bands, exposed
+    as a directly SQL-gated query: every arithmetic step (md5 token
+    hash byte-swapped to the big-endian 61-bit id, int64-WRAPAROUND
+    3-shingle combine, distinct shingles, the 64 ``(a*sh+b) %% p``
+    permutations with numpy's signed-mod semantics) is reproduced in
+    HUGEINT arithmetic by :func:`minhash_signatures_sql`, shrinking the
+    near-dup family's no-oracle surface to just the banding/verify
+    plumbing (which the parity suites cover).
+
+    One streaming pass, zero shuffles; the hasher state (permutation
+    table + token-hash memo) ships serialized-once into tasks, the
+    dedup_minhash pattern."""
+    mh = MinHasher()
+
+    def sig(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n = t.num_rows
+        S = mh.batch_signatures(text, n)          # (n, 64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, MinHasher.N_HASHES)),
+            "hash_idx": pa.array(
+                np.tile(np.arange(MinHasher.N_HASHES, dtype=np.int64), n)),
+            "sig": pa.array(S.reshape(-1)),
+        })
+
+    out = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        sig, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["doc_id", "hash_idx"]).reset_index(drop=True)
+
+
+def minhash_signatures_sql() -> str:
+    """DuckDB twin GENERATED from the same MinHasher constants.
+
+    ``md5_number_upper`` returns the digest's first 8 bytes
+    LITTLE-endian while the engine's token id is BIG-endian — the
+    byte swap is spelled out as 8 HUGEINT mul/div terms; int64
+    wraparound is emulated as mod 2^64 with an explicit signed
+    reinterpretation before the final ``%% p`` (numpy's mod follows the
+    divisor's sign, hence the ``(x %% p + p) %% p``)."""
+    mh = MinHasher()
+    A, B, P = int(mh._SH_A), int(mh._SH_B), int(mh.p)
+    U64, S63 = 1 << 64, 1 << 63
+    hashes = ", ".join(
+        f"({i}, {int(a)}::HUGEINT, {int(b)}::HUGEINT)"
+        for i, (a, b) in enumerate(zip(mh.a, mh.b)))
+    m = "md5_number_upper(t)::HUGEINT"
+    bswap = " + ".join(
+        f"((({m} // {1 << (8 * i)}) % 256) * {1 << (8 * (7 - i))})"
+        for i in range(8))
+    return rf"""
+        WITH padded AS (
+          SELECT doc_id,
+                 list_concat(
+                     regexp_extract_all(text, '\S+'),
+                     list_slice(['','',''], 1,
+                                greatest(0, 3 - len(
+                                    regexp_extract_all(text, '\S+'))))) AS w
+          FROM documents
+        ), tok AS (
+          SELECT doc_id, unnest(w) AS t,
+                 unnest(generate_series(1, len(w))) AS pos
+          FROM padded
+        ), ids AS (
+          SELECT doc_id, pos, ({bswap}) // 8 AS id FROM tok
+        ), grams AS (
+          SELECT a.doc_id,
+                 ((a.id * {A} + b.id * {B} + c.id) % {U64}::HUGEINT
+                  + {U64}::HUGEINT) % {U64}::HUGEINT AS sh_u
+          FROM ids a
+          JOIN ids b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          JOIN ids c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        ), dsh AS (
+          SELECT DISTINCT doc_id, sh_u FROM grams
+        ), signed AS (
+          SELECT doc_id,
+                 CASE WHEN sh_u >= {S63}::HUGEINT
+                      THEN sh_u - {U64}::HUGEINT ELSE sh_u END AS sh
+          FROM dsh
+        ), perm AS (
+          SELECT s.doc_id, h.idx,
+                 ((CASE WHEN u >= {S63}::HUGEINT
+                        THEN u - {U64}::HUGEINT ELSE u END % {P}
+                   + {P}) % {P}) AS v
+          FROM signed s CROSS JOIN (VALUES {hashes}) h(idx, a, b),
+               LATERAL (SELECT ((h.a * s.sh + h.b) % {U64}::HUGEINT
+                                + {U64}::HUGEINT) % {U64}::HUGEINT AS u) x
+        )
+        SELECT doc_id, CAST(idx AS BIGINT) AS hash_idx,
+               CAST(min(v) AS BIGINT) AS sig
+        FROM perm GROUP BY doc_id, idx ORDER BY doc_id, hash_idx"""
