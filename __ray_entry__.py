@@ -1015,6 +1015,13 @@ def oracle_sql() -> dict[str, str]:
         # the dedup_minhash signature matrix, bit-exact under DuckDB
         # HUGEINT arithmetic (textops.minhash_signatures)
         "minhash_signatures": T.minhash_signatures_sql(),
+        # the FULL MinHash+LSH pipeline: signatures -> splitmix64 band
+        # chain -> candidate self-join -> exact-Jaccard verify, all
+        # recomputed bit-exact (textops.dedup_minhash_sql)
+        "dedup_minhash": T.dedup_minhash_sql(),
+        # the FULL count-min sketch state recomputed bit-exact
+        # (textops.token_cms_sql: splitmix64 emulated in HUGEINT)
+        "token_cms": T.token_cms_sql(),
         # typed PII counts + ordered anonymization (textops.pii_scan)
         "pii_scan": T.pii_scan_sql(),
         # feature-hashing vectorizer, long form (textops.hashed_tf)

@@ -3556,8 +3556,11 @@ def minhash_signatures(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["doc_id", "hash_idx"]).reset_index(drop=True)
 
 
-def minhash_signatures_sql() -> str:
-    """DuckDB twin GENERATED from the same MinHasher constants.
+def _minhash_base_cte() -> str:
+    """Shared CTE chain reproducing MinHasher's math under DuckDB —
+    GENERATED from the same MinHasher constants; ends with ``dsh``
+    (distinct (doc_id, sh_u) hashed 3-shingles) and ``perm``
+    (per-(doc, permutation) hash values).
 
     ``md5_number_upper`` returns the digest's first 8 bytes
     LITTLE-endian while the engine's token id is BIG-endian — the
@@ -3571,12 +3574,10 @@ def minhash_signatures_sql() -> str:
     hashes = ", ".join(
         f"({i}, {int(a)}::HUGEINT, {int(b)}::HUGEINT)"
         for i, (a, b) in enumerate(zip(mh.a, mh.b)))
-    m = "md5_number_upper(t)::HUGEINT"
     bswap = " + ".join(
-        f"((({m} // {1 << (8 * i)}) % 256) * {1 << (8 * (7 - i))})"
+        f"(((mu // {1 << (8 * i)}) % 256) * {1 << (8 * (7 - i))})"
         for i in range(8))
-    return rf"""
-        WITH padded AS (
+    return rf"""padded AS (
           SELECT doc_id,
                  list_concat(
                      regexp_extract_all(text, '\S+'),
@@ -3589,7 +3590,8 @@ def minhash_signatures_sql() -> str:
                  unnest(generate_series(1, len(w))) AS pos
           FROM padded
         ), ids AS (
-          SELECT doc_id, pos, ({bswap}) // 8 AS id FROM tok
+          SELECT doc_id, pos, ({bswap}) // 8 AS id
+          FROM tok, LATERAL (SELECT md5_number_upper(t)::HUGEINT AS mu) mh
         ), grams AS (
           SELECT a.doc_id,
                  ((a.id * {A} + b.id * {B} + c.id) % {U64}::HUGEINT
@@ -3597,7 +3599,7 @@ def minhash_signatures_sql() -> str:
           FROM ids a
           JOIN ids b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
           JOIN ids c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
-        ), dsh AS (
+        ), dsh AS MATERIALIZED (
           SELECT DISTINCT doc_id, sh_u FROM grams
         ), signed AS (
           SELECT doc_id,
@@ -3612,7 +3614,185 @@ def minhash_signatures_sql() -> str:
           FROM signed s CROSS JOIN (VALUES {hashes}) h(idx, a, b),
                LATERAL (SELECT ((h.a * s.sh + h.b) % {U64}::HUGEINT
                                 + {U64}::HUGEINT) % {U64}::HUGEINT AS u) x
-        )
+        )"""
+
+
+def minhash_signatures_sql() -> str:
+    return f"""
+        WITH {_minhash_base_cte()}
         SELECT doc_id, CAST(idx AS BIGINT) AS hash_idx,
                CAST(min(v) AS BIGINT) AS sig
         FROM perm GROUP BY doc_id, idx ORDER BY doc_id, hash_idx"""
+
+
+def _sql_mix64(col: str) -> str:
+    """Inline splitmix64 finalizer over an unsigned-u64 HUGEINT COLUMN
+    reference (keep ``col`` a short name — the expression duplicates it
+    ~32x).  Bit-identical to :meth:`MinHasher._mix64`."""
+    e = _sql_xshift(col, 30)
+    e = _sql_mulm(f"({e})", 0xBF58476D1CE4E5B9)
+    e = _sql_xshift(f"({e})", 27)
+    e = _sql_mulm(f"({e})", 0x94D049BB133111EB)
+    return _sql_xshift(f"({e})", 31)
+
+
+def dedup_minhash_sql(threshold: float = 0.5) -> str:
+    """Full DuckDB twin of :func:`dedup_minhash` — signatures (shared
+    base CTE), the 16-band splitmix64 chain over each band's 4 lanes,
+    candidate self-join on (band, band_hash), and the exact-Jaccard
+    verify over the SAME distinct hashed-shingle sets (one int division
+    -> round(x, 4) matches round_half_away bit-for-bit).  Upgrades the
+    flagship near-dup operator from rows-only to value-hash-gated.
+
+    The splitmix64 chain runs in native UBIGINT (xor / >> are native;
+    only the two mod-2^64 multiplies round-trip through HUGEINT, split
+    32/32 so INT128 cannot overflow), generated as THIN CTE layers —
+    one op per layer — instead of one giant nested expression: DuckDB
+    evaluates expression trees interpreted, so tree size is the cost."""
+    u64, u32 = 1 << 64, 1 << 32
+    c1, c2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mulmu(c: int) -> str:
+        return (f"CAST(((x::HUGEINT % {u32}) * {c}"
+                f" + ((x::HUGEINT // {u32}) * {c} % {u32}) * {u32})"
+                f" % {u64} AS UBIGINT)")
+
+    layers: list[str] = []
+    prev = "bw"
+    step = 0
+
+    def layer(expr: str, carry: list[str]) -> None:
+        nonlocal prev, step
+        cols = ", ".join(["doc_id", "band"] + carry)
+        layers.append(
+            f"m{step} AS (SELECT {cols}, {expr} AS x FROM {prev})")
+        prev = f"m{step}"
+        step += 1
+
+    carries = [["l1", "l2", "l3"], ["l2", "l3"], ["l3"], []]
+    for lane in range(4):
+        carry = carries[lane]
+        if lane == 0:
+            layer("l0::UBIGINT", carry)           # bh0 = 0; 0 xor l0 = l0
+        else:
+            layer(f"xor(x, l{lane}::UBIGINT)", carry)
+        layer("xor(x, x >> 30)", carry)
+        layer(mulmu(c1), carry)
+        layer("xor(x, x >> 27)", carry)
+        layer(mulmu(c2), carry)
+        layer("xor(x, x >> 31)", carry)
+    mix_layers = ",\n        ".join(layers)
+
+    return f"""
+        WITH {_minhash_base_cte()},
+        sigs AS MATERIALIZED (
+          SELECT doc_id, idx, min(v)::BIGINT AS sig
+          FROM perm GROUP BY doc_id, idx
+        ), bw AS (
+          SELECT doc_id, idx // 4 AS band,
+                 max(CASE WHEN idx % 4 = 0 THEN sig END) AS l0,
+                 max(CASE WHEN idx % 4 = 1 THEN sig END) AS l1,
+                 max(CASE WHEN idx % 4 = 2 THEN sig END) AS l2,
+                 max(CASE WHEN idx % 4 = 3 THEN sig END) AS l3
+          FROM sigs GROUP BY doc_id, idx // 4
+        ), {mix_layers},
+        bands AS MATERIALIZED (SELECT doc_id, band, x AS bh FROM {prev}),
+        cand AS MATERIALIZED (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        ), sizes AS (
+          SELECT doc_id, count(*)::BIGINT AS ns FROM dsh GROUP BY doc_id
+        ), inter AS (
+          SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS ni
+          FROM cand c
+          JOIN dsh x ON x.doc_id = c.doc_a
+          JOIN dsh y ON y.doc_id = c.doc_b AND y.sh_u = x.sh_u
+          GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT i.doc_a, i.doc_b,
+               round(i.ni / greatest(1, sa.ns + sb.ns - i.ni)::DOUBLE, 4)
+                   AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE round(i.ni / greatest(1, sa.ns + sb.ns - i.ni)::DOUBLE, 4)
+              >= {threshold}
+        ORDER BY i.doc_a, i.doc_b"""
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch, SQL-gated (exact sketch state under DuckDB HUGEINT)
+# ---------------------------------------------------------------------------
+
+
+def _sql_s2u(e: str) -> str:
+    """Signed int64 expression -> unsigned-mod-2^64 HUGEINT."""
+    return (f"(({e}) % 18446744073709551616::HUGEINT"
+            f" + 18446744073709551616::HUGEINT) % 18446744073709551616::HUGEINT")
+
+
+def _sql_u2s_bigint(e: str) -> str:
+    """Unsigned HUGEINT in [0, 2^64) -> the same bits as signed BIGINT."""
+    return (f"CAST(CASE WHEN ({e}) >= 9223372036854775808::HUGEINT"
+            f" THEN ({e}) - 18446744073709551616::HUGEINT"
+            f" ELSE ({e}) END AS BIGINT)")
+
+
+def _sql_xor64(a: str, b: str) -> str:
+    """Bitwise xor of two unsigned-u64 HUGEINT expressions."""
+    return _sql_s2u(
+        f"xor({_sql_u2s_bigint(a)}, {_sql_u2s_bigint(b)})::HUGEINT")
+
+
+def _sql_xshift(col: str, k: int) -> str:
+    """x ^= x >> k on an unsigned-u64 HUGEINT column."""
+    return _sql_xor64(col, f"({col}) // {1 << k}::HUGEINT")
+
+
+def _sql_mulm(col: str, c: int) -> str:
+    """x * c mod 2^64 — split 32/32 so INT128 never overflows."""
+    return (f"((({col}) % 4294967296::HUGEINT) * {c}::HUGEINT"
+            f" + ((({col}) // 4294967296::HUGEINT) * {c}::HUGEINT"
+            f" % 4294967296::HUGEINT) * 4294967296::HUGEINT)"
+            f" % 18446744073709551616::HUGEINT")
+
+
+def token_cms_sql(k: int = 25) -> str:
+    """DuckDB twin of :func:`token_cms` — the FULL sketch state is
+    recomputed exactly: token hash = ``md5_number_lower``, per-row
+    bucket = splitmix64(hash xor seed) %% W with the finalizer's two
+    64-bit multiplies and three xor-shifts emulated in HUGEINT
+    (mul split 32/32 so INT128 cannot overflow), cell counters summed
+    over the whole vocabulary, point query = min over the D cells.
+    Every value is an integer, so the match is bit-exact."""
+    seeds = ", ".join(f"({r}, {int(s)}::HUGEINT)"
+                      for r, s in enumerate(_CMS_SEEDS))
+    c1, c2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    return rf"""
+        WITH t AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS token
+                   FROM documents),
+        cnt AS (SELECT token, count(*)::BIGINT AS c FROM t GROUP BY token),
+        hh AS (SELECT token FROM cnt
+               WHERE c * {HH_K} > (SELECT count(*) FROM t)
+               ORDER BY c DESC, token LIMIT {k}),
+        b0 AS (SELECT token, c, r,
+                      {_sql_xor64("md5_number_lower(token)::HUGEINT",
+                                  "seed")} AS u
+               FROM cnt CROSS JOIN (VALUES {seeds}) s(r, seed)),
+        b1 AS (SELECT token, c, r, {_sql_xshift("u", 30)} AS u FROM b0),
+        b2 AS (SELECT token, c, r, {_sql_mulm("u", c1)} AS u FROM b1),
+        b3 AS (SELECT token, c, r, {_sql_xshift("u", 27)} AS u FROM b2),
+        b4 AS (SELECT token, c, r, {_sql_mulm("u", c2)} AS u FROM b3),
+        b5 AS (SELECT token, c, r,
+                      CAST(({_sql_xshift("u", 31)}) % {CMS_W} AS BIGINT)
+                          AS bucket
+               FROM b4),
+        cells AS (SELECT r, bucket, SUM(c)::BIGINT AS cell
+                  FROM b5 GROUP BY r, bucket)
+        SELECT b.token, CAST(min(cells.cell) AS BIGINT) AS est_count
+        FROM b5 b
+        JOIN hh USING (token)
+        JOIN cells ON b.r = cells.r AND b.bucket = cells.bucket
+        GROUP BY b.token
+        ORDER BY est_count DESC, b.token"""
