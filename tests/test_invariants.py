@@ -217,8 +217,14 @@ def test_media_decode_real_path(tmp_path):
         assert (row["width"], row["height"]) == (img.shape[1], img.shape[0])
         path = os.path.join(blob_dir, row["media_ref"][len("blob://"):])
         assert row["n_bytes"] == os.path.getsize(path)
-    hars = out[~out["media_ref"].str.endswith(".png")]
-    assert (hars["width"] == 0).all()
+    vids = out[out["media_ref"].str.endswith(".vid")]
+    if len(vids):  # video: dims of the first decoded frame
+        from visiblev8_crawler_ray.functions.video import FRAME_H, FRAME_W
+
+        assert (vids["width"] == FRAME_W).all()
+        assert (vids["height"] == FRAME_H).all()
+    flat = out[~out["media_ref"].str.contains(r"\.(?:png|vid)$")]
+    assert (flat["width"] == 0).all()  # HAR/WAV: no intrinsic dims
 
 
 def test_two_phase_agg_count_star_semantics():

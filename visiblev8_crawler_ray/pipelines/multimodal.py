@@ -88,6 +88,12 @@ class MediaDecoder:
 
             decode_wav(data)  # audio: validate real bytes, no dims
             return 0, 0, len(data)
+        if path.endswith(".vid"):
+            from ..functions.png import decode_png
+            from ..functions.video import iter_frames
+
+            first = decode_png(next(iter_frames(data)))
+            return first.shape[1], first.shape[0], len(data)
         json.loads(data)  # HAR: validate, no intrinsic dims
         return 0, 0, len(data)
 

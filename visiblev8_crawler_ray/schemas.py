@@ -44,6 +44,7 @@ SPAN_KINDS = (
     "media/screenshot",
     "media/har",
     "media/audio",
+    "media/video",
 )
 
 SPAN_STRUCT = pa.struct(
