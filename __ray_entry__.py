@@ -640,6 +640,9 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(value, 0.9) AS p90,
                    quantile_disc(value, 0.99) AS p99
             FROM events GROUP BY event_type""",
+        # the KMV quantile sketch state is deterministic (splitmix64
+        # priorities over unique event ids) -> exact DuckDB twin
+        "value_quantiles_sketch": A.value_quantiles_sketch_sql(),
         "sample_stratified": """
             SELECT doc_id, source FROM documents
             WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT

@@ -45,6 +45,21 @@ def test_sketch_rank_error_envelope(ray_session):
             assert abs(rank - q) <= tol, (r["event_type"], col, rank, q, tol)
 
 
+def test_sketch_sql_twin_with_sampling_active(ray_session):
+    """The DuckDB twin must match bit-exactly ALSO when groups exceed k
+    and the bottom-k trim is genuinely active (sf0.01; the in-repo
+    parametrized oracle test only covers the exact-degradation regime
+    at sf0.001)."""
+    import duckdb
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF_BIG}/events.parquet'")
+    approx = A.value_quantiles_sketch(SF_BIG, k=512)
+    oracle = con.sql(A.value_quantiles_sketch_sql(k=512)).df()
+    pd.testing.assert_frame_equal(
+        approx.reset_index(drop=True), oracle.reset_index(drop=True),
+        check_dtype=False, check_exact=True)
+
+
 def test_sketch_deterministic_vs_block_layout(ray_session):
     a = A.value_quantiles_sketch(SF_BIG)
     b = A.value_quantiles_sketch(SF_BIG)

@@ -849,6 +849,38 @@ def value_quantiles_sketch(sf_dir: str, k: int = 512) -> pd.DataFrame:
     return pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
 
 
+def value_quantiles_sketch_sql(k: int = 512) -> str:
+    """DuckDB twin of :func:`value_quantiles_sketch` — the KMV sample is
+    fully deterministic (priority = splitmix64 of the unique event_id,
+    a bijection, so no ties), so the sketch state is SQL-recomputable:
+    bottom-k by priority per group via ``row_number``, then the same
+    ``ceil(q*n)-1`` index rule over the sorted sample.  Every kept value
+    is selected, never recomputed, so the float match is exact."""
+    from .textops import _sql_mix64, _sql_s2u
+
+    qcols = ", ".join(
+        f"vs[least(n, CAST(ceil({q} * n) AS BIGINT))] AS p{int(q * 100)}"
+        for q in (0.5, 0.9, 0.99))
+    return f"""
+        WITH u AS (
+          SELECT event_type, value,
+                 {_sql_s2u('event_id::HUGEINT')} AS eu
+          FROM events
+        ), p AS (
+          SELECT event_type, value, {_sql_mix64('eu')} AS prio FROM u
+        ), samp AS (
+          SELECT event_type, value FROM p
+          QUALIFY row_number() OVER (PARTITION BY event_type
+                                     ORDER BY prio) <= {k}
+        ), agg AS (
+          SELECT event_type, list_sort(list(value)) AS vs,
+                 count(*)::BIGINT AS n
+          FROM samp GROUP BY event_type
+        )
+        SELECT event_type, {qcols}
+        FROM agg ORDER BY event_type"""
+
+
 # static value bands: pinned in code and mirrored verbatim in the
 # oracle's VALUES list (events.value spans ~0..500 by construction)
 VALUE_BANDS = [("b0", 0.0, 50.0), ("b1", 50.0, 100.0),
