@@ -1025,6 +1025,9 @@ def oracle_sql() -> dict[str, str]:
         # the FULL count-min sketch state recomputed bit-exact
         # (textops.token_cms_sql: splitmix64 emulated in HUGEINT)
         "token_cms": T.token_cms_sql(),
+        # the W-byte rolling polynomial hash recomputed from UTF-8
+        # bytes derived per code point (textops.winnow_fingerprint_sql)
+        "winnow_fingerprint": T.winnow_fingerprint_sql(),
         # typed PII counts + ordered anonymization (textops.pii_scan)
         "pii_scan": T.pii_scan_sql(),
         # feature-hashing vectorizer, long form (textops.hashed_tf)

@@ -3796,3 +3796,96 @@ def token_cms_sql(k: int = 25) -> str:
         JOIN cells ON b.r = cells.r AND b.bucket = cells.bucket
         GROUP BY b.token
         ORDER BY est_count DESC, b.token"""
+
+
+# ---------------------------------------------------------------------------
+# Rolling byte-hash family, SQL-gated (winnow_fingerprint / cdc_chunks)
+# ---------------------------------------------------------------------------
+
+
+def _utf8_bytes_cte() -> str:
+    """CTE chain: documents -> one row per UTF-8 BYTE of ``text``.
+
+    DuckDB exposes no byte accessor on BLOBs, so bytes are derived from
+    code points: ``string_split(text, '')`` splits per code point
+    (verified including combining marks), ``unicode()`` reads it, and
+    the UTF-8 encoding arithmetic (1-4 bytes per code point) runs as
+    integer CASE layers.  Ends with ``bytes(doc_id, bpos, bv)`` where
+    ``bpos`` is the 1-based byte position inside the doc — bit-exact
+    with the engines' ``encode()`` buffers.  Empty docs emit no rows
+    (callers route them to their short-doc fallback)."""
+    return """chars AS (
+          SELECT doc_id,
+                 unnest(string_split(text, '')) AS ch,
+                 unnest(generate_series(1, length(text))) AS cpos
+          FROM documents WHERE length(text) > 0
+        ), cps AS (
+          SELECT doc_id, cpos, unicode(ch) AS cp,
+                 CASE WHEN unicode(ch) < 128 THEN 1
+                      WHEN unicode(ch) < 2048 THEN 2
+                      WHEN unicode(ch) < 65536 THEN 3 ELSE 4 END AS nb
+          FROM chars
+        ), bytes_raw AS (
+          SELECT doc_id, cpos, i.bi AS bi,
+                 CASE WHEN nb = 1 THEN cp
+                      WHEN i.bi = nb THEN 128 + (cp & 63)
+                      WHEN i.bi = 1 THEN
+                           CASE nb WHEN 2 THEN 192 + (cp >> 6)
+                                   WHEN 3 THEN 224 + (cp >> 12)
+                                   ELSE 240 + (cp >> 18) END
+                      WHEN i.bi = 2 THEN 128 + ((cp >> (6 * (nb - 2))) & 63)
+                      ELSE 128 + ((cp >> 6) & 63)
+                 END AS bv
+          FROM cps CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS bi) i
+          WHERE i.bi <= nb
+        ), bytes AS MATERIALIZED (
+          SELECT doc_id, bv,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY cpos, bi) AS bpos
+          FROM bytes_raw
+        )"""
+
+
+def _rolling_window_cte(w: int = 16) -> str:
+    """CTE ``wh(doc_id, p, h)``: the W-byte rolling polynomial hash for
+    every window fully inside a doc (1-based start ``p``) — the exact
+    value ``winnow_fingerprint``/``cdc_chunks`` compute with their flat
+    W-lane numpy pass.  Each term < 2^43 and 16 terms < 2^47, so the
+    sum stays in BIGINT before the single ``% M``."""
+    B, M = 257, (1 << 31) - 1
+    pows = ", ".join(f"({j}, {pow(B, w - 1 - j, M)})" for j in range(w))
+    return f"""wh AS MATERIALIZED (
+          SELECT a.doc_id, a.bpos AS p,
+                 CAST(sum(b.bv::BIGINT * ps.c) % {M} AS BIGINT) AS h
+          FROM bytes a
+          JOIN bytes b ON b.doc_id = a.doc_id
+               AND b.bpos - a.bpos BETWEEN 0 AND {w - 1}
+          JOIN (VALUES {pows}) ps(j, c) ON ps.j = b.bpos - a.bpos
+          GROUP BY a.doc_id, a.bpos
+          HAVING count(*) = {w}
+        )"""
+
+
+def _sql_md5_first4_be(col: str) -> str:
+    """First 4 md5 digest bytes big-endian (the engines' short-doc
+    fallback ``int.from_bytes(md5(text)[:4], 'big')``) recovered from
+    ``md5_number_upper``'s little-endian first-8-bytes integer."""
+    mu = f"md5_number_upper({col})::HUGEINT"
+    return "CAST((" + " + ".join(
+        f"(({mu} // {1 << (8 * i)}) % 256) * {1 << (8 * (3 - i))}"
+        for i in range(4)) + ") AS BIGINT)"
+
+
+def winnow_fingerprint_sql(w: int = 16) -> str:
+    """DuckDB twin of :func:`winnow_fingerprint` — min in-doc W-byte
+    rolling hash, md5-first-4-bytes fallback for docs under W bytes.
+    Upgrades the fingerprint from rows-only to value-hash-gated."""
+    return f"""
+        WITH {_utf8_bytes_cte()}, {_rolling_window_cte(w)},
+        mins AS (SELECT doc_id, min(h) AS mh FROM wh GROUP BY doc_id)
+        SELECT d.doc_id,
+               CASE WHEN octet_length(encode(d.text)) >= {w} THEN m.mh
+                    ELSE {_sql_md5_first4_be('d.text')}
+               END AS min_rolling_hash
+        FROM documents d LEFT JOIN mins m USING (doc_id)
+        ORDER BY d.doc_id"""
