@@ -1028,6 +1028,9 @@ def oracle_sql() -> dict[str, str]:
         # the W-byte rolling polynomial hash recomputed from UTF-8
         # bytes derived per code point (textops.winnow_fingerprint_sql)
         "winnow_fingerprint": T.winnow_fingerprint_sql(),
+        # content-defined chunking: cut positions, extents and the
+        # md5-of-hex chunk digests recomputed byte-exactly
+        "cdc_chunks": T.cdc_chunks_sql(),
         # typed PII counts + ordered anonymization (textops.pii_scan)
         "pii_scan": T.pii_scan_sql(),
         # feature-hashing vectorizer, long form (textops.hashed_tf)

@@ -173,7 +173,8 @@ def _naive_cdc(texts, w=16, avg=64):
         cuts.append(len(raw))
         cuts = sorted(set(cuts))
         for ix, (a, b) in enumerate(zip(cuts[:-1], cuts[1:])):
-            rows.append((d, ix, b - a, hashlib.md5(raw[a:b]).hexdigest()))
+            rows.append((d, ix, b - a,
+                         hashlib.md5(raw[a:b].hex().encode()).hexdigest()))
     return rows
 
 

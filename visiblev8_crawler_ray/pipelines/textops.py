@@ -2121,8 +2121,14 @@ def cdc_chunks(sf_dir: str, w: int = 16, avg: int = 64) -> pd.DataFrame:
     not O(bytes) Python.  Pure per-doc map: zero shuffle; the dedup
     accounting downstream is a plain groupby(chunk_hash).
 
-    Non-SQL-expressible (rolling hash) — rows-only gate + fuzz vs a
-    naive reference (tests/test_retrieval_ops.py).
+    Chunk ids are md5 over the HEX ENCODING of the chunk bytes (not
+    the raw bytes): hex is injective so the fingerprint is
+    collision-equivalent, and it keeps the digest recomputable by the
+    DuckDB twin (:func:`cdc_chunks_sql`) — a cut may split a multi-byte
+    UTF-8 character and DuckDB's md5() only accepts VARCHAR, so the raw
+    split bytes could not be fed to it.  SQL-gated end to end
+    (boundaries + lengths + digests) plus fuzz vs a naive reference
+    (tests/test_retrieval_ops.py).
     """
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     B, M = 257, (1 << 31) - 1
@@ -2179,7 +2185,7 @@ def cdc_chunks(sf_dir: str, w: int = 16, avg: int = 64) -> pd.DataFrame:
         # a chunker emits nothing for empty input
         keep = chunk_end > chunk_start
         abs_start, abs_end = abs_start[keep], abs_end[keep]
-        digests = [hashlib.md5(raw[a:b]).hexdigest()
+        digests = [hashlib.md5(raw[a:b].hex().encode()).hexdigest()
                    for a, b in zip(abs_start, abs_end)]
         return pa.table({
             "doc_id": pa.array(doc_ids[chunk_doc[keep]], type=pa.int64()),
@@ -3874,6 +3880,45 @@ def _sql_md5_first4_be(col: str) -> str:
     return "CAST((" + " + ".join(
         f"(({mu} // {1 << (8 * i)}) % 256) * {1 << (8 * (3 - i))}"
         for i in range(4)) + ") AS BIGINT)"
+
+
+def cdc_chunks_sql(w: int = 16, avg: int = 64) -> str:
+    """DuckDB twin of :func:`cdc_chunks` — recomputes the rolling-hash
+    cut positions, chunk extents AND the per-chunk digest bit-exact.
+
+    Cuts fall after windows with ``h % avg == 0`` that start inside the
+    doc and whose cut is a proper split (``p - 1 + w < blen``); chunk
+    extents come from ``lead()`` over the cut set; the digest is
+    ``md5(lowercase-hex of the chunk's bytes)`` — exactly the engine's
+    ``md5(raw[a:b].hex())``, assembled with ``string_agg`` over the
+    per-byte CTE so cuts inside multi-byte UTF-8 characters reproduce
+    byte-exactly."""
+    return f"""
+        WITH {_utf8_bytes_cte()}, {_rolling_window_cte(w)},
+        dl AS (SELECT doc_id, octet_length(encode(text)) AS blen
+               FROM documents WHERE length(text) > 0),
+        cuts AS (
+          SELECT wh.doc_id, wh.p - 1 + {w} AS cs
+          FROM wh JOIN dl ON dl.doc_id = wh.doc_id
+          WHERE wh.h % {avg} = 0 AND wh.p - 1 + {w} < dl.blen
+        ),
+        chunks AS (
+          SELECT b.doc_id, b.cs,
+                 coalesce(lead(b.cs) OVER (PARTITION BY b.doc_id
+                                           ORDER BY b.cs), dl.blen) AS ce,
+                 row_number() OVER (PARTITION BY b.doc_id
+                                    ORDER BY b.cs) - 1 AS chunk_ix
+          FROM (SELECT doc_id, 0 AS cs FROM dl
+                UNION ALL SELECT doc_id, cs FROM cuts) b
+          JOIN dl ON dl.doc_id = b.doc_id
+        )
+        SELECT c.doc_id, c.chunk_ix, c.ce - c.cs AS length,
+               md5(string_agg(lower(lpad(to_hex(y.bv), 2, '0')), ''
+                              ORDER BY y.bpos)) AS chunk_hash
+        FROM chunks c JOIN bytes y ON y.doc_id = c.doc_id
+             AND y.bpos > c.cs AND y.bpos <= c.ce
+        GROUP BY c.doc_id, c.chunk_ix, c.cs, c.ce
+        ORDER BY c.doc_id, c.chunk_ix"""
 
 
 def winnow_fingerprint_sql(w: int = 16) -> str:
