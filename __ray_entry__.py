@@ -1025,6 +1025,9 @@ def oracle_sql() -> dict[str, str]:
         # the FULL count-min sketch state recomputed bit-exact
         # (textops.token_cms_sql: splitmix64 emulated in HUGEINT)
         "token_cms": T.token_cms_sql(),
+        # the FULL 4096-register HLL file + identical estimator
+        # (integer-exact harmonic sum; textops.distinct_tokens_hll_sql)
+        "distinct_tokens_hll": T.distinct_tokens_hll_sql(),
         # the W-byte rolling polynomial hash recomputed from UTF-8
         # bytes derived per code point (textops.winnow_fingerprint_sql)
         "winnow_fingerprint": T.winnow_fingerprint_sql(),

@@ -151,6 +151,26 @@ def test_hll_error_envelope(skew_dir):
     assert abs(est1 - exact) / exact < 0.05
 
 
+def test_hll_sql_twin_harmonic_branch(skew_dir):
+    """The curated sf fixtures have a ~31-token vocabulary, so the
+    driver gate only exercises the linear-counting branch; this pins
+    the HARMONIC branch (register file + integer-exact sum + final
+    division) bit-equal between the engine and the DuckDB twin."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as R
+
+    est = int(T.distinct_tokens_hll(skew_dir)["distinct_tokens_est"][0])
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * "
+            f"FROM read_parquet('{skew_dir}/documents.parquet')")
+    sql_est = int(con.sql(R.oracle_sql()["distinct_tokens_hll"])
+                  .df()["distinct_tokens_est"][0])
+    assert est == sql_est
+    assert est > 2.5 * 4096  # confirms the harmonic branch fired
+
+
 def test_chunk_docs_semantics(edge_dir):
     """Window arithmetic pinned by hand: empty doc yields no chunks;
     sub-window doc yields one short chunk; whitespace runs collapse."""

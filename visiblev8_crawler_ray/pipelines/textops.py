@@ -1478,15 +1478,15 @@ HLL_P = 12
 
 def _hll_registers(flat: pa.Array) -> np.ndarray:
     """Vectorized HyperLogLog register update for a flat token column:
-    one 64-bit hash pass (polars SipHash-based ``hash`` — a C kernel,
-    seeded for determinism), top-p bits route to a register, the
-    leading-zero rank of the rest comes from ``np.frexp`` on the
-    remaining 52 bits (exact: float64 holds 52-bit ints losslessly and
-    frexp reads the exponent field directly — no log rounding), and
-    ``np.maximum.at`` scatters the per-register max."""
-    import polars as pl
-
-    h = pl.from_arrow(flat).hash(seed=0).to_numpy().astype(np.uint64)
+    one 64-bit hash pass (md5-low64 per unique token via factorize —
+    the same hash ``token_cms``'s DuckDB twin recomputes with
+    ``md5_number_lower``, which is what makes the sketch SQL-gateable),
+    top-p bits route to a register, the leading-zero rank of the rest
+    comes from ``np.frexp`` on the remaining 52 bits (exact: float64
+    holds 52-bit ints losslessly and frexp reads the exponent field
+    directly — no log rounding), and ``np.maximum.at`` scatters the
+    per-register max."""
+    h = SimHasher()._token_hashes(flat)
     reg = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
     rest = h & np.uint64((1 << (64 - HLL_P)) - 1)
     # rank = (64-p) - floor(log2(rest)) for rest>0, else 64-p+1
@@ -1508,9 +1508,16 @@ def distinct_tokens_hll(sf_dir: str) -> pd.DataFrame:
     parallelism), and the driver applies the standard HLL estimator
     with the small-range linear-counting correction.
 
-    Approx-by-design (no SQL twin); the correctness gate is the
-    property test asserting the estimate lands within the published
-    ~1.6% error envelope of the exact distinct count
+    Approximate vs the TRUE count, but a deterministic function of the
+    corpus — so it is SQL-gated bit-exact: the DuckDB twin
+    (:func:`distinct_tokens_hll_sql`) rebuilds the full register file
+    from ``md5_number_lower`` and applies the identical estimator.  The
+    harmonic sum is kept as an exact integer (``sum 2**(53-rank)`` over
+    registers, ≤ 4096·2^53 — Python int here, HUGEINT there) so no
+    float accumulation order can diverge; the only float ops are the
+    final literal-for-literal identical expressions.  The accuracy gate
+    is the property test asserting the estimate lands within the
+    published ~1.6% error envelope of the exact distinct count
     (tests/test_textops_edges.py).  At 100 TB the per-block payload is
     a fixed 32 KB register array regardless of corpus size — the
     degenerate-shuffle shape that makes HLL the distinct-count of
@@ -1531,11 +1538,15 @@ def distinct_tokens_hll(sf_dir: str) -> pd.DataFrame:
 
     m = float(1 << HLL_P)
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    est = alpha * m * m / np.sum(np.exp2(-merged.astype(np.float64)))
-    zeros = int((merged == 0).sum())
+    # exact-integer harmonic sum: S = S_num / 2^53 with
+    # S_num = sum 2^(53-rank); rank <= 53 so terms are exact ints
+    counts = np.bincount(merged, minlength=54)
+    s_num = sum(int(c) << (53 - r) for r, c in enumerate(counts) if c)
+    est = alpha * m * m * float(1 << 53) / float(s_num)
+    zeros = int(counts[0])
     if est <= 2.5 * m and zeros:
-        est = m * np.log(m / zeros)  # linear counting, small range
-    return pd.DataFrame({"distinct_tokens_est": [int(round(est))]})
+        est = m * float(np.log(m / zeros))  # linear counting, small range
+    return pd.DataFrame({"distinct_tokens_est": [int(np.floor(est + 0.5))]})
 
 
 def sample_per_group(sf_dir: str, k: int = 5) -> pd.DataFrame:
@@ -3802,6 +3813,54 @@ def token_cms_sql(k: int = 25) -> str:
         JOIN cells ON b.r = cells.r AND b.bucket = cells.bucket
         GROUP BY b.token
         ORDER BY est_count DESC, b.token"""
+
+
+def distinct_tokens_hll_sql() -> str:
+    """DuckDB twin of :func:`distinct_tokens_hll` — rebuilds the FULL
+    4096-register HLL file and applies the identical estimator.
+
+    Token hash = ``md5_number_lower`` (the engine's md5-low64); the
+    leading-zero rank uses an exact power-of-two join instead of
+    ``log2`` (float log could round 2^52-1 up at the boundary); the
+    harmonic sum is a HUGEINT (``sum 2^(53-rank)``, max 2^65) so the
+    only float op is the final single division — the engine embeds the
+    numerator it computed, making the expression literal-for-literal
+    identical.  Linear-counting branch matches the engine's
+    ``m*ln(m/zeros)`` (1-ulp libm divergence is absorbed by the shared
+    ``floor(x+0.5)`` rounding)."""
+    m_i = 1 << HLL_P
+    m = float(m_i)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = alpha * m * m * float(1 << 53)
+    pows = ", ".join(f"({e}, {1 << (e - 1)}::BIGINT)" for e in range(1, 53))
+    pw2 = ", ".join(f"({k}, {1 << k}::HUGEINT)" for k in range(54))
+    return rf"""
+        WITH t AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS token
+                   FROM documents),
+        u AS (SELECT DISTINCT token FROM t),
+        rr AS (SELECT CAST(md5_number_lower(token)::HUGEINT
+                           // {1 << 52} AS BIGINT) AS reg,
+                      CAST(md5_number_lower(token)::HUGEINT
+                           % {1 << 52} AS BIGINT) AS rest
+               FROM u),
+        bl AS (SELECT rr.reg, rr.rest,
+                      53 - coalesce(max(p.e), 0) AS rank
+               FROM rr LEFT JOIN (VALUES {pows}) p(e, lo) ON p.lo <= rr.rest
+               GROUP BY rr.reg, rr.rest),
+        regs AS (SELECT reg, max(rank) AS r FROM bl GROUP BY reg),
+        fin AS (SELECT coalesce(sum(p2.v), 0::HUGEINT) AS sp,
+                       count(*) AS npres
+                FROM regs JOIN (VALUES {pw2}) p2(k, v) ON p2.k = 53 - regs.r),
+        calc AS (SELECT sp + ({m_i} - npres)::HUGEINT
+                          * {1 << 53}::HUGEINT AS s_num,
+                        {m_i} - npres AS zeros FROM fin),
+        e AS (SELECT CAST('{num!r}' AS DOUBLE) / CAST(s_num AS DOUBLE) AS e0,
+                     zeros FROM calc)
+        SELECT CAST(floor(CASE WHEN e0 <= {2.5 * m!r} AND zeros > 0
+                               THEN {m!r} * ln({m!r} / zeros)
+                               ELSE e0 END + 0.5) AS BIGINT)
+               AS distinct_tokens_est
+        FROM e"""
 
 
 # ---------------------------------------------------------------------------
