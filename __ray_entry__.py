@@ -1722,6 +1722,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, cosine FROM s
             QUALIFY row_number() OVER (PARTITION BY query_id
                                        ORDER BY cosine DESC, neighbor_id) <= 5""",
+        # quantized kNN recomputed end to end: normalize -> per-vector
+        # max-abs int8 quantize (engine-identical association:
+        # ((x/nrm)*127)/ma, half-away round) -> integer dot product
+        # (exact in DOUBLE: |dot| <= 127^2*dim < 2^53) -> rescale by
+        # (qs*xs)/127^2 -> round 4 -> top-k with neighbor_id tiebreak
+        "knn_int8": """
+            WITH n AS (SELECT vec_id, embedding,
+                              sqrt(list_sum(list_transform(embedding,
+                                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                              ))) AS nrm
+                       FROM embeddings),
+            xn AS (SELECT vec_id,
+                          list_transform(embedding,
+                              x -> CAST(x AS DOUBLE) / nrm) AS v
+                   FROM n),
+            ma AS (SELECT vec_id, v,
+                          list_max(list_transform(v, e -> abs(e))) AS mab
+                   FROM xn),
+            c AS (SELECT vec_id,
+                         list_transform(v, e -> CAST(round(
+                             (e * 127.0) / (CASE WHEN mab = 0 THEN 1.0
+                                            ELSE mab END)) AS BIGINT)) AS code,
+                         CASE WHEN mab = 0 THEN 1.0 ELSE mab END AS scale
+                  FROM ma),
+            s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                         round(list_inner_product(q.code, e.code)
+                               * ((q.scale * e.scale) / 16129.0), 4) AS cosine
+                  FROM c q, c e
+                  WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id)
+            SELECT query_id, neighbor_id, cosine FROM s
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) <= 5""",
         "near_dup_clusters": """
             WITH RECURSIVE pairs AS (
                 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b

@@ -647,8 +647,11 @@ def knn_int8(sf_dir: str, n_queries: int = 10, k: int = 5) -> pd.DataFrame:
     than float32); the per-batch kernel is an integer matmul
     (int8→int32 accumulate) with the float scales applied to the
     SCORES, not the codes — nothing is dequantized back to a float
-    matrix.  Approximate by design (quantization error ~1e-3 cosine);
-    gated by a recall floor against the exact path in tests.
+    matrix.  Approximate vs the exact-cosine path (quantization error
+    ~1e-3) but a deterministic function of the input, so it is
+    SQL-gated bit-exact: the DuckDB twin recomputes
+    normalize→quantize→integer-dot→rescale with engine-identical
+    association (the dot is exact in DOUBLE: |dot| ≤ 127²·dim ≪ 2^53).
     """
     import pandas as pd
 
