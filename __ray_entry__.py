@@ -885,6 +885,13 @@ def oracle_sql() -> dict[str, str]:
         # one Lloyd iteration from the k lowest vec_ids: rounded-L2
         # argmin (ties -> lowest seed), fixed-point per-cluster mean —
         # the SQL anchor for the iterative kmeans_clusters
+        # full Lloyd loop unrolled into chained CTE blocks (fixed
+        # iteration count + fixed-point means make each pass a pure
+        # function of the last; embeddings.kmeans_clusters_sql)
+        "kmeans_clusters": E.kmeans_clusters_sql(),
+        # unrolled Lloyd assignment + the semantic_dedup predicate
+        # over the LEARNED clusters (embeddings.semantic_dedup_kmeans_sql)
+        "semantic_dedup_kmeans": E.semantic_dedup_kmeans_sql(),
         "kmeans_step": """
             WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
                        FROM embeddings WHERE vec_id < 8),

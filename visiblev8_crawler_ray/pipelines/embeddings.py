@@ -765,8 +765,10 @@ def semantic_dedup_kmeans(sf_dir: str, threshold: float = 0.3, k: int = 8,
     closure; assignment fuses into the read ``map_batches`` (one matmul
     per batch — no n-row assignment table is ever joined), and the only
     shuffle is the groupby(cluster) the per-cluster pass needs anyway.
-    Iterative upstream -> no SQL twin; gated by a bit-for-bit
-    naive-reference parity test (same contract as kmeans_clusters)."""
+    SQL-gated end to end: the twin unrolls the Lloyd loop and applies
+    the semantic_dedup predicate over the learned clusters
+    (:func:`semantic_dedup_kmeans_sql`); a bit-for-bit naive-reference
+    parity test covers arbitrary parallelism."""
     from ..functions.util import read_parquet_clean
 
     cent = _kmeans_centroids(sf_dir, k, iters)
@@ -933,10 +935,13 @@ def kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 5) -> pd.DataFrame:
     """Full distributed Lloyd's: ``iters`` streaming passes, then one
     final assignment pass -> (vec_id, cluster, n_members).
 
-    Iterative (no SQL twin; :func:`kmeans_step` anchors the kernel under
-    the value-hash gate).  Every pass is block-invariant by the
-    fixed-point/rounding contract above, so the result is identical at
-    any parallelism — asserted by the naive-reference parity test.
+    Iterative, but with a fixed iteration count every pass is a pure
+    function of the last, so the DuckDB twin UNROLLS the loop
+    (:func:`kmeans_clusters_sql`) and the whole pipeline is value-hash
+    gated — the all-integer output plus the fixed-point/round-4
+    contract make the match exact.  Every pass is block-invariant, so
+    the result is identical at any parallelism — asserted by the
+    naive-reference parity test.
 
     At 10^10 vectors the driver state is k x dim int64 (the merged
     sketch) and each iteration moves k x dim x n_blocks rows — never the
@@ -958,6 +963,93 @@ def kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 5) -> pd.DataFrame:
     sizes = out.groupby("cluster")["vec_id"].size().rename("n_members")
     out = out.merge(sizes, on="cluster")
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def _kmeans_unrolled_ctes(k: int, iters: int, dim: int) -> str:
+    """CTE chain unrolling ``iters`` Lloyd passes — the DuckDB twin of
+    :func:`_kmeans_centroids`.  Iterative in the engine, but with a
+    FIXED iteration count and the fixed-point mean contract every pass
+    is a pure function of the previous one, so the loop unrolls into
+    ``iters`` chained CTE blocks (generated here, not handwritten).
+    Per pass: rounded-L2 argmin assignment (ties -> lowest cluster,
+    the kmeans_step convention), fixed-point int64 coordinate sums,
+    mean = (sum/n)/2^20 with the engine's association, empty clusters
+    carrying the previous centroid.  Ends with ``a{iters}`` =
+    (vec_id, cluster) — the final assignment over ``c{iters}``.
+    Cluster ids are the seed vec_ids (< k), which equal the engine's
+    0..k-1 ranks on the contiguous-id gate inputs."""
+    parts = [f"""c0 AS (SELECT vec_id AS cluster,
+                        CAST(embedding AS DOUBLE[]) AS ce
+                 FROM embeddings WHERE vec_id < {k})"""]
+    for i in range(iters + 1):
+        parts.append(f"""d{i} AS (
+              SELECT e.vec_id, c.cluster,
+                     round(list_distance(CAST(e.embedding AS DOUBLE[]),
+                                         c.ce), 4) AS dist
+              FROM embeddings e CROSS JOIN c{i} c),
+            a{i} AS (
+              SELECT vec_id, cluster FROM (
+                SELECT vec_id, cluster,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cluster) AS rn
+                FROM d{i}) WHERE rn = 1)""")
+        if i == iters:
+            break
+        parts.append(f"""s{i} AS (
+              SELECT a.cluster, u.i AS dim,
+                     sum(CAST(round(CAST(e.embedding[u.i + 1] AS DOUBLE)
+                                    * 1048576) AS BIGINT)) AS sfp,
+                     count(*) AS n
+              FROM a{i} a JOIN embeddings e USING (vec_id),
+                   UNNEST(generate_series(0, {dim - 1})) AS u(i)
+              GROUP BY a.cluster, u.i),
+            c{i + 1} AS (
+              SELECT cluster, list(coord ORDER BY dim) AS ce FROM (
+                SELECT pc.cluster, pd.i AS dim,
+                       CASE WHEN s.n IS NULL THEN pc.ce[pd.i + 1]
+                            ELSE (CAST(s.sfp AS DOUBLE) / s.n) / 1048576.0
+                       END AS coord
+                FROM c{i} pc
+                CROSS JOIN UNNEST(generate_series(0, {dim - 1})) AS pd(i)
+                LEFT JOIN s{i} s ON s.cluster = pc.cluster AND s.dim = pd.i)
+              GROUP BY cluster)""")
+    return ",\n            ".join(parts)
+
+
+def kmeans_clusters_sql(k: int = 8, iters: int = 5, dim: int = 64) -> str:
+    """DuckDB twin of :func:`kmeans_clusters` — the full Lloyd loop
+    unrolled (see :func:`_kmeans_unrolled_ctes`); the output is pure
+    integers (vec_id, cluster, n_members), so the fixed-point/round-4
+    contract makes the match exact, not approximate."""
+    return f"""
+        WITH {_kmeans_unrolled_ctes(k, iters, dim)}
+        SELECT vec_id, cluster,
+               count(*) OVER (PARTITION BY cluster) AS n_members
+        FROM a{iters} ORDER BY vec_id"""
+
+
+def semantic_dedup_kmeans_sql(threshold: float = 0.3, k: int = 8,
+                              iters: int = 3, dim: int = 64) -> str:
+    """DuckDB twin of :func:`semantic_dedup_kmeans` — the unrolled
+    Lloyd assignment feeds the same within-cluster SemDeDup predicate
+    as the ``semantic_dedup`` twin (keep iff no LOWER-id member of the
+    same learned cluster has round-4 cosine >= threshold; dup_of =
+    the smallest such lower id)."""
+    return f"""
+        WITH {_kmeans_unrolled_ctes(k, iters, dim)},
+        p AS (SELECT cb.vec_id AS vb, min(ca.vec_id) AS dup_of
+              FROM a{iters} ca
+              JOIN a{iters} cb ON ca.cluster = cb.cluster
+                              AND ca.vec_id < cb.vec_id
+              JOIN embeddings a ON a.vec_id = ca.vec_id
+              JOIN embeddings b ON b.vec_id = cb.vec_id
+              WHERE round(CAST(list_cosine_similarity(a.embedding,
+                          b.embedding) AS DOUBLE), 4) >= {threshold}
+              GROUP BY cb.vec_id)
+        SELECT e.vec_id, p.vb IS NULL AS kept,
+               coalesce(p.dup_of, -1) AS dup_of
+        FROM embeddings e LEFT JOIN p ON p.vb = e.vec_id
+        ORDER BY e.vec_id"""
 
 
 # ---------------------------------------------------------------------------
