@@ -1720,6 +1720,11 @@ def oracle_sql() -> dict[str, str]:
                                - round(CAST(x AS DOUBLE) * 127.0 / ma)
                                  * ma / 127.0, 2)))) END, 6) AS l2_err
             FROM m ORDER BY vec_id""",
+        # multi-table multi-probe LSH recomputed end to end: the seeded
+        # hyperplanes are algorithm constants serialized as literals
+        # (embeddings.ann_lsh_sql); approximate vs brute-force recall,
+        # but DETERMINISTIC output -> full value-hash gate
+        "ann_lsh": E.ann_lsh_sql(),
         "knn_brute": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe
                        FROM embeddings WHERE vec_id < 10),

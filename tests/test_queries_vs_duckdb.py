@@ -47,7 +47,7 @@ def test_query_matches_oracle(name, con):
 
 def test_rows_only_queries_run():
     q = R.queries()
-    for name in ["ann_lsh", "ann_ivf"]:
+    for name in ["ann_ivf"]:
         res = q[name](SF)
         df = res.to_pandas() if hasattr(res, "to_pandas") else res
         assert len(pd.DataFrame(df)) >= 0

@@ -235,6 +235,61 @@ def ann_lsh(sf_dir: str, n_queries: int = 10, k: int = 5,
     return cand.groupby("query_id").head(k).reset_index(drop=True)
 
 
+def ann_lsh_sql(n_queries: int = 10, k: int = 5, dim: int = 64,
+                n_planes: int = 4, n_tables: int = 3, seed: int = 42) -> str:
+    """DuckDB twin of :func:`ann_lsh` — the hyperplanes are SEEDED
+    ALGORITHM CONSTANTS (not data-derived), so they serialize into the
+    SQL as literals and the whole index is recomputable: sign bits from
+    the raw-embedding dot (normalization never changes a sign), home
+    bucket per table, Hamming-1 probe buckets for query ids, candidate
+    pairs = bucket co-membership over home+probe rows (exactly the
+    engine's per-bucket compare set), then the global per-query top-k
+    by (-round4 cosine, neighbor_id).  The engine's per-bucket running
+    top-k is a pure optimization — any global top-k member is also in
+    its own bucket's top-k — so the one-shot SQL ranking is identical.
+    Numeric contract shared with the knn_brute twin (round-4 cosine)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for t in range(n_tables):
+        planes = rng.standard_normal((dim, n_planes))
+        for b in range(n_planes):
+            w = ", ".join(repr(float(x)) for x in planes[:, b])
+            rows.append(f"({t}, {b}, [{w}])")
+    stride = 1 << n_planes
+    return f"""
+        WITH pl(t, b, w) AS (VALUES {", ".join(rows)}),
+        d AS (SELECT e.vec_id, pl.t, pl.b,
+                     sum(CAST(e.embedding[u.i + 1] AS DOUBLE)
+                         * pl.w[u.i + 1]) AS dot
+              FROM embeddings e CROSS JOIN pl,
+                   UNNEST(generate_series(0, {dim - 1})) AS u(i)
+              GROUP BY e.vec_id, pl.t, pl.b),
+        hb AS (SELECT vec_id, t,
+                      CAST(sum(CASE WHEN dot > 0 THEN 1 << b ELSE 0 END)
+                           + t * {stride} AS BIGINT) AS bucket
+               FROM d GROUP BY vec_id, t),
+        rws AS (SELECT vec_id, bucket FROM hb
+                UNION ALL
+                SELECT vec_id, xor(bucket, CAST(1 << u.b AS BIGINT))
+                FROM hb CROSS JOIN
+                     UNNEST(generate_series(0, {n_planes - 1})) AS u(b)
+                WHERE vec_id < {n_queries}),
+        cand AS (SELECT DISTINCT q.vec_id AS query_id,
+                                 m.vec_id AS neighbor_id
+                 FROM rws q JOIN rws m USING (bucket)
+                 WHERE q.vec_id < {n_queries} AND m.vec_id <> q.vec_id),
+        sc AS (SELECT c.query_id, c.neighbor_id,
+                      round(CAST(list_cosine_similarity(
+                          a.embedding, b.embedding) AS DOUBLE), 4) AS cosine
+               FROM cand c
+               JOIN embeddings a ON a.vec_id = c.query_id
+               JOIN embeddings b ON b.vec_id = c.neighbor_id)
+        SELECT query_id, neighbor_id, cosine FROM sc
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) <= {k}
+        ORDER BY query_id, cosine DESC, neighbor_id"""
+
+
 def _ivf_centroids(sf_dir: str, n_lists: int, sample_rows: int = 512,
                    iters: int = 8, seed: int = 7) -> np.ndarray:
     """Deterministic spherical k-means coarse quantizer.
