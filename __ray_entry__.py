@@ -471,6 +471,7 @@ def oracle_sql() -> dict[str, str]:
             _store_root(_ORACLE_SF), "export", "crawl_log.parquet")
     _sp = (f"(SELECT doc_id, unnest(spans, recursive := true) "
            f"FROM read_parquet('{_exp}'))")
+    _bd = os.path.join(_store_root(_ORACLE_SF), "blobs")
     _hdr = "'^g=[a-z_]+;p=-?\\d+;'"
     _usage_kinds = "('get', 'set', 'call', 'new')"
     _mode = ("CASE kind WHEN 'get' THEN 'g' WHEN 'set' THEN 's' "
@@ -1409,6 +1410,38 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_spans
             FROM sp GROUP BY doc_id""",
         # crawl->curation bridge: per-host token/media rollup over the
+        # store-integrity audit recomputed end to end: span-table refs
+        # vs the artifact files themselves via DuckDB's read_blob glob
+        # (multimodal.blob_audit; existence, sizes, orphan listing all
+        # re-derived from disk — nothing taken from the engine)
+        "blob_audit": f"""
+            WITH sp AS {_sp},
+            refs AS (SELECT media_ref, count(*) AS n
+                     FROM sp WHERE kind LIKE 'media/%'
+                     GROUP BY media_ref),
+            fls AS (SELECT substr(filename, {len(_bd) + 2}) AS rel, size
+                    FROM read_blob('{_bd}/**/*')),
+            j AS (SELECT r.media_ref, r.n, f.rel IS NOT NULL AS resolved
+                  FROM refs r
+                  LEFT JOIN fls f ON f.rel = substr(r.media_ref, 8))
+            SELECT
+              CAST(coalesce((SELECT sum(n) FROM j), 0) AS BIGINT)
+                  AS refs_total,
+              CAST((SELECT count(*) FROM j) AS BIGINT) AS refs_distinct,
+              CAST(coalesce((SELECT sum(CASE WHEN resolved THEN 1 ELSE 0
+                                        END) FROM j), 0) AS BIGINT)
+                  AS refs_resolved,
+              CAST((SELECT count(*) FROM j)
+                   - coalesce((SELECT sum(CASE WHEN resolved THEN 1 ELSE 0
+                                          END) FROM j), 0) AS BIGINT)
+                  AS refs_missing,
+              CAST((SELECT count(*) FROM fls) AS BIGINT) AS files_total,
+              CAST((SELECT count(*) FROM fls f
+                    WHERE f.rel NOT IN (SELECT substr(media_ref, 8)
+                                        FROM refs)) AS BIGINT)
+                  AS files_orphaned,
+              CAST(coalesce((SELECT sum(size) FROM fls), 0) AS BIGINT)
+                  AS bytes_total""",
         # reconstructed training text (stages/parse.crawl_host_quality)
         "crawl_host_quality": f"""
             WITH sp AS {_sp},
