@@ -1410,6 +1410,51 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_spans
             FROM sp GROUP BY doc_id""",
         # crawl->curation bridge: per-host token/media rollup over the
+        # audio features recomputed end to end FROM THE WAV BYTES:
+        # read_blob -> hex -> little-endian int16 PCM samples via
+        # generate_series, then integer-exact sum(x*x)/max/zero-cross
+        # aggregates (all partials < 2^53, so float order is moot) and
+        # the engine's exact rounding contract (multimodal.AudioFeatures)
+        "audio_features": f"""
+            WITH sp AS {_sp},
+            a AS (SELECT doc_id, media_ref FROM sp
+                  WHERE kind = 'media/audio'),
+            f AS (SELECT substr(filename, {len(_bd) + 2}) AS rel,
+                         size, to_hex(content) AS h
+                  FROM read_blob('{_bd}/**/*.wav')),
+            j AS (SELECT a.doc_id, a.media_ref, f.h,
+                         ('0x' || substr(f.h, 55, 2) || substr(f.h, 53, 2)
+                               || substr(f.h, 51, 2) || substr(f.h, 49, 2)
+                         )::BIGINT AS sample_rate,
+                         CAST((f.size - 44) // 2 AS BIGINT) AS n_samples
+                  FROM a JOIN f ON f.rel = substr(a.media_ref, 8)),
+            s0 AS (SELECT j.media_ref, u.i,
+                          ('0x' || substr(j.h, 91 + 4 * u.i, 2)
+                                || substr(j.h, 89 + 4 * u.i, 2)
+                          )::BIGINT AS v
+                   FROM j, UNNEST(generate_series(
+                       0, CAST(j.n_samples AS INT) - 1)) AS u(i)),
+            s AS (SELECT media_ref, i,
+                         CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS x
+                  FROM s0),
+            lg AS (SELECT *, lag(x) OVER (PARTITION BY media_ref
+                                          ORDER BY i) AS prev FROM s),
+            st AS (SELECT media_ref,
+                          CAST(sum(x * x) AS BIGINT) AS ss,
+                          CAST(max(abs(x)) AS BIGINT) AS mx,
+                          count(*) AS n,
+                          sum(CASE WHEN prev IS NOT NULL
+                                    AND ((x < 0) <> (prev < 0))
+                                   THEN 1 ELSE 0 END) AS zc
+                   FROM lg GROUP BY media_ref)
+            SELECT j.doc_id, j.media_ref, j.n_samples, j.sample_rate,
+                   round(j.n_samples * 1000.0 / j.sample_rate, 3)
+                       AS duration_ms,
+                   round(sqrt(st.ss * 1.0 / st.n) / 32768.0, 6) AS rms,
+                   round(st.zc * 1.0 / (st.n - 1), 6) AS zcr,
+                   round(st.mx / 32768.0, 6) AS peak
+            FROM j JOIN st USING (media_ref)
+            ORDER BY j.doc_id, j.media_ref""",
         # store-integrity audit recomputed end to end: span-table refs
         # vs the artifact files themselves via DuckDB's read_blob glob
         # (multimodal.blob_audit; existence, sizes, orphan listing all

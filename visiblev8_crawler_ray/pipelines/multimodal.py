@@ -596,6 +596,11 @@ class AudioFeatures:
         return len(x), rate, rms, zcr, peak
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.util import round_half_away
+
+        # round_half_away (not Python's banker round): the repo-wide
+        # numeric contract shared with the DuckDB twins — PCM-derived
+        # dyadic fractions DO land on exact .5 ties
         rows = [self._feats(r) for r in batch["media_ref"].to_pylist()]
         return pa.table({
             "doc_id": batch["doc_id"],
@@ -603,13 +608,13 @@ class AudioFeatures:
             "n_samples": pa.array([r[0] for r in rows], type=pa.int64()),
             "sample_rate": pa.array([r[1] for r in rows], type=pa.int64()),
             "duration_ms": pa.array(
-                [round(r[0] * 1000.0 / r[1], 3) for r in rows],
-                type=pa.float64()),
-            "rms": pa.array([round(r[2], 6) for r in rows],
+                [float(round_half_away(r[0] * 1000.0 / r[1], 3))
+                 for r in rows], type=pa.float64()),
+            "rms": pa.array([float(round_half_away(r[2], 6)) for r in rows],
                             type=pa.float64()),
-            "zcr": pa.array([round(r[3], 6) for r in rows],
+            "zcr": pa.array([float(round_half_away(r[3], 6)) for r in rows],
                             type=pa.float64()),
-            "peak": pa.array([round(r[4], 6) for r in rows],
+            "peak": pa.array([float(round_half_away(r[4], 6)) for r in rows],
                              type=pa.float64()),
         })
 
@@ -618,9 +623,12 @@ def audio_features(docs: rd.Dataset, blob_dir: str) -> pd.DataFrame:
     """Audio feature extraction over the crawl's interleaved docs: the
     third modality of the brief (image decode and video frame-sampling
     are the siblings).  Explode -> filter kind == 'media/audio' ->
-    autoscaling actor pool decoding real WAV bytes.  Rows-only at the
-    driver gate (features depend on blob bytes, outside SQL's reach);
-    exactness pinned by the codec round-trip + known-signal unit tests.
+    autoscaling actor pool decoding real WAV bytes.  SQL-gated end to
+    end: the DuckDB twin re-parses the PCM16 samples from the blob
+    bytes (read_blob -> hex -> little-endian int16) and recomputes
+    every aggregate — integer partials stay under 2^53, so the match
+    is exact, not approximate; the codec round-trip + known-signal
+    unit tests pin the decode itself.
     """
     from ..stages.parse import explode_spans_batch
 
