@@ -973,6 +973,13 @@ def oracle_sql() -> dict[str, str]:
         # BPE merge-selection statistic: adjacent char pairs inside
         # whitespace tokens, deterministic (cnt DESC, pair) boundary
         # (textops.bpe_pair_counts)
+        # full BPE training loop unrolled into materialized CTE rounds
+        # (fixed merge count -> each round a pure function of the last;
+        # textops.bpe_merges_sql), integer counts -> exact match
+        "bpe_merges": T.bpe_merges_sql(),
+        # the unrolled trainer's final symbol state re-derives each
+        # doc's encoded length (textops.bpe_encode_sql)
+        "bpe_encode": T.bpe_encode_sql(),
         "bpe_pair_counts": r"""
             WITH toks AS (SELECT unnest(regexp_extract_all(text, '\S+'))
                               AS tok

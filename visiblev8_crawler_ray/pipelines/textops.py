@@ -3156,6 +3156,106 @@ def bpe_encode(sf_dir: str, n_merges: int = 8) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _bpe_unrolled_ctes(n_merges: int) -> str:
+    """CTE chain unrolling ``n_merges`` BPE training rounds — the
+    DuckDB twin of :func:`bpe_merges`'s loop.  Iterative in the engine,
+    but with a FIXED round count each round is a pure function of the
+    previous state, so the loop unrolls (the kmeans_clusters pattern).
+
+    State ``s{{i}}`` is the long form (word, freq, pos, sym) of the
+    unique-word symbol table.  Per round: adjacent-pair counts via
+    ``lead`` (OVERLAPPING occurrences, exactly the engine's adjacency
+    mask), argmax with the (cnt DESC, left, right) tie-break (UTF-8
+    byte order == code-point order, so the string comparison matches
+    Python's), then the greedy left-to-right apply: for left != right
+    matched positions are never adjacent and all merge; for
+    left == right the gaps-and-islands trick keeps the even offsets
+    within each run of consecutive matches — bit-for-bit the
+    ``_apply_merge_inplace`` semantics.  Ends with ``s{n_merges}``
+    plus one winner CTE ``w{{i}}`` per round."""
+    parts = ["""tok AS MATERIALIZED (SELECT unnest(regexp_extract_all(text, '\\S+'))
+                            AS word FROM documents),
+            wf AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq
+                   FROM tok GROUP BY word),
+            s0 AS MATERIALIZED (SELECT word, freq, u.i AS pos,
+                          substr(word, u.i + 1, 1) AS sym
+                   FROM wf, UNNEST(generate_series(
+                       0, length(word) - 1)) AS u(i))"""]
+    for i in range(n_merges):
+        parts.append(f"""q{i} AS MATERIALIZED (
+              SELECT word, freq, pos, sym,
+                     row_number() OVER (PARTITION BY word
+                                        ORDER BY pos) AS rk,
+                     lead(sym) OVER (PARTITION BY word
+                                     ORDER BY pos) AS nxt
+              FROM s{i}),
+            w{i} AS MATERIALIZED (
+              SELECT sym AS l, nxt AS r, CAST(sum(freq) AS BIGINT) AS cnt
+              FROM q{i} WHERE nxt IS NOT NULL
+              GROUP BY sym, nxt
+              ORDER BY cnt DESC, l, r LIMIT 1),
+            m{i} AS MATERIALIZED (
+              SELECT q.word, q.rk,
+                     q.rk - row_number() OVER (PARTITION BY q.word
+                                               ORDER BY q.rk) AS grp
+              FROM q{i} q JOIN w{i} w ON q.sym = w.l AND q.nxt = w.r),
+            g{i} AS MATERIALIZED (
+              SELECT word, rk FROM (
+                SELECT word, rk,
+                       rk - min(rk) OVER (PARTITION BY word, grp) AS off
+                FROM m{i}) WHERE off % 2 = 0),
+            s{i + 1} AS MATERIALIZED (
+              SELECT q.word, q.freq, q.pos,
+                     CASE WHEN gl.rk IS NOT NULL
+                          THEN q.sym || q.nxt ELSE q.sym END AS sym
+              FROM q{i} q
+              LEFT JOIN g{i} gl ON gl.word = q.word AND gl.rk = q.rk
+              LEFT JOIN g{i} gp ON gp.word = q.word AND gp.rk = q.rk - 1
+              WHERE gp.rk IS NULL)""")
+    return ",\n            ".join(parts)
+
+
+def bpe_merges_sql(n_merges: int = 8) -> str:
+    """DuckDB twin of :func:`bpe_merges` — the full training loop
+    unrolled (:func:`_bpe_unrolled_ctes`); output is (iter, left,
+    right, cnt) per round, integer counts -> exact match.  A round
+    whose state has no adjacent pairs left emits NO row, mirroring the
+    engine's early break (and the emptiness propagates forward)."""
+    rounds = "\n            UNION ALL ".join(
+        f'SELECT {i} AS iter, l AS "left", r AS "right", cnt FROM w{i}'
+        for i in range(n_merges))
+    return f"""
+        WITH {_bpe_unrolled_ctes(n_merges)}
+        SELECT * FROM ({rounds}) ORDER BY iter"""
+
+
+def bpe_encode_sql(n_merges: int = 8) -> str:
+    """DuckDB twin of :func:`bpe_encode` — the unrolled trainer's FINAL
+    symbol state gives each unique word's encoded length; per-doc sums
+    re-derive (n_chars, n_syms, compression) with the engine's exact
+    integer/round-6 contract."""
+    return f"""
+        WITH {_bpe_unrolled_ctes(n_merges)},
+        wsym AS (SELECT word, CAST(count(*) AS BIGINT) AS n_syms
+                 FROM s{n_merges} GROUP BY word),
+        dtok AS (SELECT d.doc_id, u.t AS word
+                 FROM documents d,
+                      UNNEST(regexp_extract_all(d.text, '\\S+')) AS u(t)),
+        dagg AS (SELECT dt.doc_id,
+                        CAST(sum(length(dt.word)) AS BIGINT) AS n_chars,
+                        CAST(sum(ws.n_syms) AS BIGINT) AS n_syms
+                 FROM dtok dt JOIN wsym ws USING (word)
+                 GROUP BY dt.doc_id)
+        SELECT d.doc_id,
+               coalesce(a.n_chars, 0) AS n_chars,
+               coalesce(a.n_syms, 0) AS n_syms,
+               round(coalesce(a.n_syms, 0) * 1.0
+                     / greatest(coalesce(a.n_chars, 0), 1), 6)
+                   AS compression
+        FROM documents d LEFT JOIN dagg a USING (doc_id)
+        ORDER BY d.doc_id"""
+
+
 def corpus_novelty(sf_dir: str, nparts: int = 16) -> pd.DataFrame:
     """Incremental-ingestion dedup: treat docs with even doc_id as the
     COMMITTED corpus and odd doc_id as the INCOMING batch; flag each
