@@ -1810,6 +1810,10 @@ def oracle_sql() -> dict[str, str]:
         # (embeddings.ann_lsh_sql); approximate vs brute-force recall,
         # but DETERMINISTIC output -> full value-hash gate
         "ann_lsh": E.ann_lsh_sql(),
+        # IVF recomputed end to end: the fixed-point spherical-kmeans
+        # trainer unrolls into integer CTE rounds (embeddings.ann_ivf_sql)
+        # -> approximate-by-design recall, deterministic output
+        "ann_ivf": E.ann_ivf_sql(),
         "knn_brute": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe
                        FROM embeddings WHERE vec_id < 10),

@@ -61,6 +61,20 @@ def test_ann_lsh_param_fuzz(ray_session, tmp_path, seed, n_queries, k):
            f"ann_lsh q={n_queries} k={k}")
 
 
+@pytest.mark.parametrize("seed,n_queries,k,n_lists,n_probe",
+                         [(0, 4, 3, 8, 3), (1, 9, 5, 12, 5)])
+def test_ann_ivf_param_fuzz(ray_session, tmp_path, seed, n_queries, k,
+                            n_lists, n_probe):
+    rng = np.random.default_rng(750 + seed)
+    pq.write_table(_random_embeddings(rng), tmp_path / "embeddings.parquet")
+    got = E.ann_ivf(str(tmp_path), n_queries=n_queries, k=k,
+                    n_lists=n_lists, n_probe=n_probe)
+    _check(got, _con(tmp_path),
+           E.ann_ivf_sql(n_queries=n_queries, k=k, n_lists=n_lists,
+                         n_probe=n_probe),
+           f"ann_ivf q={n_queries} k={k} L={n_lists} p={n_probe}")
+
+
 @pytest.mark.parametrize("seed,k,iters", [(0, 3, 1), (1, 6, 3)])
 def test_kmeans_clusters_param_fuzz(ray_session, tmp_path, seed, k, iters):
     rng = np.random.default_rng(800 + seed)

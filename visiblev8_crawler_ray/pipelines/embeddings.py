@@ -290,15 +290,57 @@ def ann_lsh_sql(n_queries: int = 10, k: int = 5, dim: int = 64,
         ORDER BY query_id, cosine DESC, neighbor_id"""
 
 
+IVF_FP = 65536.0  # 2^16: unit-vector fixed point (power of two -> the
+                  # *2^16 scaling is EXACT, so fl(x/nrm)*2^16 ==
+                  # fl(x*2^16/nrm) and the DuckDB twin matches bit-wise)
+
+
+def _quantize_unit(mat: np.ndarray) -> np.ndarray:
+    """Unit-normalize then quantize to 2^16 fixed point (int64).
+
+    All downstream trainer arithmetic is INTEGER (dots <= 2^47,
+    norms^2 <= 2^56 — exact in int64 and in the int->double cast), so
+    the spherical k-means below is order-free and SQL-unrollable; the
+    only cross-engine float exposure is this one normalization (the
+    knn_int8 contract: one norm + one division on identical doubles).
+    """
+    from ..functions.util import round_half_away
+
+    return round_half_away(_normalize(mat) * IVF_FP, 0).astype(np.int64)
+
+
+def _ivf_assign_fp(q: np.ndarray, S: np.ndarray) -> np.ndarray:
+    """Nearest-list assignment on fixed-point data: val = round4 of
+    (integer dot) / sqrt(integer ||S||^2); ties -> lowest list id
+    (np.argmax first-wins == the twin's row_number ORDER BY val DESC,
+    list_id)."""
+    dot = (q @ S.T).astype(np.float64)          # exact: |dot| <= 2^47
+    ss = np.einsum("ij,ij->i", S, S).astype(np.float64)  # <= 2^56
+    val = round_half_away(dot / np.sqrt(ss), 4)
+    return np.argmax(val, axis=1)
+
+
+def _ivf_probe_fp(q: np.ndarray, S: np.ndarray, n_probe: int) -> np.ndarray:
+    """Top-``n_probe`` lists per query by the same round-4 value;
+    stable argsort keeps ties on the lowest list id."""
+    dot = (q @ S.T).astype(np.float64)
+    ss = np.einsum("ij,ij->i", S, S).astype(np.float64)
+    val = round_half_away(dot / np.sqrt(ss), 4)
+    return np.argsort(-val, axis=1, kind="stable")[:, :n_probe]
+
+
 def _ivf_centroids(sf_dir: str, n_lists: int, sample_rows: int = 512,
-                   iters: int = 8, seed: int = 7) -> np.ndarray:
-    """Deterministic spherical k-means coarse quantizer.
+                   iters: int = 8) -> np.ndarray:
+    """Deterministic spherical k-means coarse quantizer, FIXED-POINT
+    (int64 sum-vector centroids; cosine-to-centroid = intdot/sqrt(intss)
+    rounded to 4).
 
     Trains on the ``sample_rows`` lowest vec_ids (a fixed, reproducible
     sample — at 100 TB this is a driver-side constant-size step; the
-    train sample never grows with the corpus).  Seeded init + fixed
-    iteration count keeps the index identical across runs and
-    parallelism levels."""
+    train sample never grows with the corpus).  Lowest-id init + fixed
+    iteration count + integer accumulators keep the index identical
+    across runs, parallelism levels AND the DuckDB twin (ann_ivf_sql
+    unrolls this exact loop — the kmeans_clusters pattern)."""
     ds = _read_emb(sf_dir).map_batches(
         lambda t: t.filter(pa.compute.less(t["vec_id"], sample_rows)),
         batch_format="pyarrow",
@@ -306,20 +348,16 @@ def _ivf_centroids(sf_dir: str, n_lists: int, sample_rows: int = 512,
     tbl = pa.concat_tables(
         ds.iter_batches(batch_format="pyarrow", batch_size=8192))
     ids, mat = _to_matrix(tbl)
-    mat = _normalize(mat[np.argsort(ids)])
-    n_lists = min(n_lists, len(mat))
-    rng = np.random.default_rng(seed)
-    cent = mat[rng.choice(len(mat), size=n_lists, replace=False)].copy()
+    q = _quantize_unit(mat[np.argsort(ids)])
+    n_lists = min(n_lists, len(q))
+    S = q[:n_lists].copy()    # init: the n_lists lowest vec_ids
     for _ in range(iters):
-        assign = np.argmax(mat @ cent.T, axis=1)
+        assign = _ivf_assign_fp(q, S)
         for c in range(n_lists):
-            sel = mat[assign == c]
+            sel = q[assign == c]
             if len(sel):
-                v = sel.sum(axis=0)
-                nv = np.linalg.norm(v)
-                if nv > 0:
-                    cent[c] = v / nv
-    return cent
+                S[c] = sel.sum(axis=0)   # exact int64; empty keeps prev
+    return S
 
 
 def ann_ivf(sf_dir: str, n_queries: int = 10, k: int = 5,
@@ -347,13 +385,13 @@ def ann_ivf(sf_dir: str, n_queries: int = 10, k: int = 5,
     cent = _ivf_centroids(sf_dir, n_lists)
     qids, qmat = _query_matrix(sf_dir, n_queries)
     qn = _normalize(qmat)
-    probe = np.argsort(-(qn @ cent.T), axis=1)[:, :n_probe]
+    probe = _ivf_probe_fp(_quantize_unit(qmat), cent, n_probe)
     state = ray.put((cent, qids, qn, probe))
 
     def assign(t: pa.Table) -> pa.Table:
         cent, _, _, _ = ray.get(state)
         _, mat = _to_matrix(t)
-        lists = np.argmax(_normalize(mat) @ cent.T, axis=1)
+        lists = _ivf_assign_fp(_quantize_unit(mat), cent)
         return pa.table({
             "vec_id": t["vec_id"],
             "list_id": pa.array(lists.astype(np.int64)),
@@ -399,6 +437,116 @@ def ann_ivf(sf_dir: str, n_queries: int = 10, k: int = 5,
     cand = cand.sort_values(["query_id", "cosine", "neighbor_id"],
                             ascending=[True, False, True])
     return cand.groupby("query_id").head(k).reset_index(drop=True)
+
+
+def _ivf_unrolled_ctes(n_lists: int, sample_rows: int, iters: int,
+                       dim: int) -> str:
+    """CTE chain unrolling the fixed-point IVF trainer — the DuckDB
+    twin of :func:`_ivf_centroids`.  All trainer arithmetic is integer
+    (quantized unit vectors at 2^16; dots <= 2^47, ||S||^2 <= 2^56), so
+    every pass is order-free and bit-equal across engines; the round-4
+    (dot / sqrt(ss)) value with the lowest-list tie-break is the one
+    float contract, shared with the engine's ``_ivf_assign_fp``.
+    Assumes vec_ids are contiguous from 0 (the gate corpora), matching
+    the engine's lowest-id init.  Ends with ``c{iters}`` (the trained
+    sum-vector centroids) and ``nq`` (every vector's quantized form)."""
+    parts = [f"""emb AS MATERIALIZED (
+              SELECT vec_id, embedding,
+                     sqrt(list_sum(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                         AS nrm
+              FROM embeddings),
+            nq AS MATERIALIZED (
+              SELECT e.vec_id, u.i AS dim,
+                     CAST(round(CAST(e.embedding[u.i + 1] AS DOUBLE)
+                                * 65536.0 / e.nrm) AS BIGINT) AS qv
+              FROM emb e,
+                   UNNEST(generate_series(0, {dim - 1})) AS u(i)),
+            c0 AS MATERIALIZED (
+              SELECT vec_id AS list_id, dim, qv AS sv
+              FROM nq WHERE vec_id < {n_lists})"""]
+    for t in range(iters):
+        parts.append(f"""d{t} AS MATERIALIZED (
+              SELECT n.vec_id, c.list_id,
+                     CAST(sum(n.qv * c.sv) AS BIGINT) AS dot
+              FROM nq n JOIN c{t} c USING (dim)
+              WHERE n.vec_id < {sample_rows}
+              GROUP BY n.vec_id, c.list_id),
+            ss{t} AS MATERIALIZED (
+              SELECT list_id, CAST(sum(sv * sv) AS BIGINT) AS ss
+              FROM c{t} GROUP BY list_id),
+            a{t} AS MATERIALIZED (
+              SELECT vec_id, list_id FROM (
+                SELECT d.vec_id, d.list_id,
+                       row_number() OVER (PARTITION BY d.vec_id
+                         ORDER BY round(CAST(d.dot AS DOUBLE)
+                                  / sqrt(CAST(s.ss AS DOUBLE)), 4) DESC,
+                                  d.list_id) AS rn
+                FROM d{t} d JOIN ss{t} s USING (list_id)) WHERE rn = 1),
+            u{t} AS MATERIALIZED (
+              SELECT a.list_id, n.dim, CAST(sum(n.qv) AS BIGINT) AS sv
+              FROM a{t} a JOIN nq n USING (vec_id)
+              GROUP BY a.list_id, n.dim),
+            c{t + 1} AS MATERIALIZED (
+              SELECT c.list_id, c.dim, coalesce(u.sv, c.sv) AS sv
+              FROM c{t} c LEFT JOIN u{t} u
+                   ON u.list_id = c.list_id AND u.dim = c.dim)""")
+    return ",\n            ".join(parts)
+
+
+def ann_ivf_sql(n_queries: int = 10, k: int = 5, n_lists: int = 16,
+                n_probe: int = 6, sample_rows: int = 512, iters: int = 8,
+                dim: int = 64) -> str:
+    """DuckDB twin of :func:`ann_ivf` — the fixed-point trainer unrolled
+    (:func:`_ivf_unrolled_ctes`), then: final nearest-list assignment of
+    EVERY vector, per-query top-``n_probe`` probe lists (same round-4
+    value, lowest-list ties), candidates = query x probed-list members,
+    exact rerank by round-4 cosine with the neighbor_id tie-break (the
+    knn_brute numeric contract).  Approximate vs brute force by design,
+    DETERMINISTIC output -> full value-hash gate."""
+    F = iters
+    return f"""
+        WITH {_ivf_unrolled_ctes(n_lists, sample_rows, iters, dim)},
+        dF AS MATERIALIZED (
+          SELECT n.vec_id, c.list_id,
+                 CAST(sum(n.qv * c.sv) AS BIGINT) AS dot
+          FROM nq n JOIN c{F} c USING (dim)
+          GROUP BY n.vec_id, c.list_id),
+        ssF AS MATERIALIZED (
+          SELECT list_id, CAST(sum(sv * sv) AS BIGINT) AS ss
+          FROM c{F} GROUP BY list_id),
+        vF AS MATERIALIZED (
+          SELECT d.vec_id, d.list_id,
+                 round(CAST(d.dot AS DOUBLE)
+                       / sqrt(CAST(s.ss AS DOUBLE)), 4) AS val
+          FROM dF d JOIN ssF s USING (list_id)),
+        aF AS MATERIALIZED (
+          SELECT vec_id, list_id FROM (
+            SELECT vec_id, list_id,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY val DESC, list_id) AS rn
+            FROM vF) WHERE rn = 1),
+        pr AS (
+          SELECT vec_id AS query_id, list_id FROM (
+            SELECT vec_id, list_id,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY val DESC, list_id) AS rn
+            FROM vF WHERE vec_id < {n_queries}) WHERE rn <= {n_probe}),
+        cand AS (
+          SELECT DISTINCT p.query_id, m.vec_id AS neighbor_id
+          FROM pr p JOIN aF m USING (list_id)
+          WHERE m.vec_id <> p.query_id),
+        sc AS (
+          SELECT c.query_id, c.neighbor_id,
+                 round(CAST(list_cosine_similarity(
+                     a.embedding, b.embedding) AS DOUBLE), 4) AS cosine
+          FROM cand c
+          JOIN embeddings a ON a.vec_id = c.query_id
+          JOIN embeddings b ON b.vec_id = c.neighbor_id)
+        SELECT query_id, neighbor_id, cosine FROM sc
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) <= {k}
+        ORDER BY query_id, cosine DESC, neighbor_id"""
 
 
 _EMPTY_PAIRS = {"vec_a": pd.Series([], dtype="int64"),
