@@ -84,6 +84,17 @@ def test_kmeans_clusters_param_fuzz(ray_session, tmp_path, seed, k, iters):
            f"kmeans k={k} iters={iters}")
 
 
+def test_kmeans_scale_path_parity(ray_session, tmp_path):
+    """The fused-small driver loop and the distributed sketch merge are
+    behaviorally identical (block-invariance of the fixed-point
+    contract) — the multi_origin_rollup force_scale pattern."""
+    rng = np.random.default_rng(850)
+    pq.write_table(_random_embeddings(rng), tmp_path / "embeddings.parquet")
+    a = E.kmeans_clusters(str(tmp_path), k=5, iters=3)
+    b = E.kmeans_clusters(str(tmp_path), k=5, iters=3, force_scale=True)
+    pd.testing.assert_frame_equal(_norm(a), _norm(b), check_exact=True)
+
+
 @pytest.mark.parametrize("seed,thr,k,iters", [(0, 0.2, 4, 2), (1, 0.5, 5, 1)])
 def test_semantic_dedup_kmeans_param_fuzz(ray_session, tmp_path, seed,
                                           thr, k, iters):

@@ -1120,10 +1120,29 @@ def kmeans_step(sf_dir: str, k: int = 8) -> pd.DataFrame:
     return out[out["n"] > 0].reset_index(drop=True)
 
 
-def _kmeans_centroids(sf_dir: str, k: int, iters: int) -> np.ndarray:
-    """``iters`` distributed Lloyd passes from the deterministic seeds;
-    empty clusters keep their previous centroid (the standard
-    convention).  Driver state is the k x dim merged sketch only."""
+KMEANS_SMALL_ROWS = 200_000  # fused-small threshold (the crawl's
+                             # small-wave precedent): below it the Lloyd
+                             # loop costs iters x Ray-execution fixed
+                             # cost on a corpus one task could hold
+
+
+def _kmeans_centroids(sf_dir: str, k: int, iters: int,
+                      force_scale: bool = False) -> np.ndarray:
+    """``iters`` Lloyd passes from the deterministic seeds; empty
+    clusters keep their previous centroid (the standard convention).
+    Driver state is the k x dim merged sketch only.
+
+    Adaptive small/scale split (behaviorally invisible — every pass is
+    block-invariant by the fixed-point contract, so one-block driver
+    iteration == the distributed sketch merge bit-for-bit, asserted by
+    ``test_kmeans_scale_path_parity``): when the parquet footer says the
+    corpus is small, ONE collected table feeds the seeds AND all
+    ``iters`` passes (2 + iters Ray executions -> 1); at scale each
+    pass streams the corpus through ``_km_partial`` and only the
+    k x dim sketch moves."""
+    tbl = _small_emb_table(sf_dir) if not force_scale else None
+    if tbl is not None:
+        return _kmeans_centroids_from_table(tbl, k, iters)
     _, cent = _query_matrix(sf_dir, k)
     dim = cent.shape[1]
     for _ in range(iters):
@@ -1134,7 +1153,39 @@ def _kmeans_centroids(sf_dir: str, k: int, iters: int) -> np.ndarray:
     return cent
 
 
-def kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 5) -> pd.DataFrame:
+def _kmeans_centroids_from_table(tbl: pa.Table, k: int,
+                                 iters: int) -> np.ndarray:
+    """The fused-small Lloyd loop over one collected table — identical
+    to the distributed path by block-invariance (same kernels, one
+    block)."""
+    ids, mat = _to_matrix(tbl)
+    # seeds exactly as _query_matrix: rows with vec_id < k, id order
+    qsel = np.flatnonzero(ids < k)
+    cent = mat[qsel[np.argsort(ids[qsel])]]
+    dim = cent.shape[1]
+    for _ in range(iters):
+        parts = _km_partial(cent)(tbl).to_pandas()
+        means, counts = _km_reduce(parts, k, dim)
+        cent = np.where((counts > 0)[:, None], means, cent)
+    return cent
+
+
+def _small_emb_table(sf_dir: str) -> pa.Table | None:
+    """The collected embeddings table when the parquet footer says the
+    corpus fits the fused-small path, else None (scale: stream, never
+    collect).  Footer-count first — no read is issued to decide."""
+    import pyarrow.parquet as _pq
+
+    n_rows = _pq.read_metadata(
+        os.path.join(sf_dir, "embeddings.parquet")).num_rows
+    if n_rows > KMEANS_SMALL_ROWS:
+        return None
+    return pa.concat_tables(_read_emb(sf_dir).iter_batches(
+        batch_format="pyarrow", batch_size=65536))
+
+
+def kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 5,
+                    force_scale: bool = False) -> pd.DataFrame:
     """Full distributed Lloyd's: ``iters`` streaming passes, then one
     final assignment pass -> (vec_id, cluster, n_members).
 
@@ -1149,20 +1200,34 @@ def kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 5) -> pd.DataFrame:
     At 10^10 vectors the driver state is k x dim int64 (the merged
     sketch) and each iteration moves k x dim x n_blocks rows — never the
     corpus; int64 headroom: |v| <= 1 quantized at 2^20 over 10^10 rows
-    peaks at ~2^53.3 per cell, within int64."""
-    cent = _kmeans_centroids(sf_dir, k, iters)
-    state = ray.put(cent)
+    peaks at ~2^53.3 per cell, within int64.
 
-    def final(t: pa.Table) -> pa.Table:
-        ids, mat = _to_matrix(t)
-        return pa.table({
-            "vec_id": pa.array(ids.astype(np.int64)),
-            "cluster": pa.array(_km_assign(mat, ray.get(state))
-                                .astype(np.int64)),
+    Fused-small path (one Ray execution total): the same collected
+    table feeds seeds, the Lloyd loop AND the final assignment —
+    bit-identical to the distributed path by block-invariance
+    (``test_kmeans_scale_path_parity``)."""
+    tbl = _small_emb_table(sf_dir) if not force_scale else None
+    if tbl is not None:
+        cent = _kmeans_centroids_from_table(tbl, k, iters)
+        ids, mat = _to_matrix(tbl)
+        out = pd.DataFrame({
+            "vec_id": ids.astype(np.int64),
+            "cluster": _km_assign(mat, cent).astype(np.int64),
         })
+    else:
+        cent = _kmeans_centroids(sf_dir, k, iters, force_scale=force_scale)
+        state = ray.put(cent)
 
-    out = _read_emb(sf_dir).map_batches(
-        final, batch_format="pyarrow").to_pandas()
+        def final(t: pa.Table) -> pa.Table:
+            ids, mat = _to_matrix(t)
+            return pa.table({
+                "vec_id": pa.array(ids.astype(np.int64)),
+                "cluster": pa.array(_km_assign(mat, ray.get(state))
+                                    .astype(np.int64)),
+            })
+
+        out = _read_emb(sf_dir).map_batches(
+            final, batch_format="pyarrow").to_pandas()
     sizes = out.groupby("cluster")["vec_id"].size().rename("n_members")
     out = out.merge(sizes, on="cluster")
     return out.sort_values("vec_id").reset_index(drop=True)
