@@ -186,6 +186,10 @@ def run_bench() -> dict:
     timed("dsir_sample", lambda: T.dsir_sample(sf_dir))
     timed("unigram_logprob", lambda: T.unigram_logprob(sf_dir))
     timed("hashed_tf", lambda: T.hashed_tf(sf_dir))
+    # ANN + tokenizer-training family (added round 3, sixth continuation)
+    timed("ann_lsh", lambda: E.ann_lsh(sf_dir))
+    timed("ann_ivf", lambda: E.ann_ivf(sf_dir))
+    timed("bpe_merges", lambda: T.bpe_merges(sf_dir))
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -84,6 +84,17 @@ def test_kmeans_clusters_param_fuzz(ray_session, tmp_path, seed, k, iters):
            f"kmeans k={k} iters={iters}")
 
 
+def test_bpe_scale_path_parity(ray_session):
+    """Fused-small vs distributed BPE round loop — identical by
+    block-invariance."""
+    from visiblev8_crawler_ray.pipelines import textops as T
+
+    sf = "/root/testdata/sf0.001"
+    a = T.bpe_merges(sf, n_merges=4)
+    b = T.bpe_merges(sf, n_merges=4, force_scale=True)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
 def test_kmeans_scale_path_parity(ray_session, tmp_path):
     """The fused-small driver loop and the distributed sketch merge are
     behaviorally identical (block-invariance of the fixed-point

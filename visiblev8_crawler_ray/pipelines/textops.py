@@ -2720,7 +2720,8 @@ def bpe_pair_counts(sf_dir: str, k: int = 50) -> pd.DataFrame:
     return agg.reset_index(drop=True)
 
 
-def bpe_merges(sf_dir: str, n_merges: int = 8) -> pd.DataFrame:
+def bpe_merges(sf_dir: str, n_merges: int = 8,
+               force_scale: bool = False) -> pd.DataFrame:
     """Iterative BPE training: learn ``n_merges`` merge rules over the
     corpus (symbols start as characters; each round merges the
     most-frequent adjacent symbol pair, ties -> lexicographically
@@ -2823,16 +2824,34 @@ def bpe_merges(sf_dir: str, n_merges: int = 8) -> pd.DataFrame:
                 "syms": combined.take(pa.array(inv)),
             })
 
-    # vocabulary-sized after the first combine; groupby is the one shuffle
-    cur = (ds.map_batches(word_rows, batch_format="pyarrow")
-           .groupby("word").aggregate(Sum("freq", alias_name="freq"))
+    # vocabulary-sized after the first combine; the word-frequency merge
+    # is the repo-standard two-phase combiner (per-block arrow group_by
+    # partials, coalesce, final group_by — none of Ray's per-shuffle
+    # fixed cost; at 10^8+ vocab switch final_blocks up or revert to
+    # groupby(num_partitions=...), the documented threshold)
+    from ..functions.util import two_phase_agg
+
+    cur = (two_phase_agg(ds.map_batches(word_rows, batch_format="pyarrow"),
+                         ["word"], [("freq", "sum")], ["word", "freq"])
            .map_batches(init_syms, batch_format="pyarrow")
            .materialize())
 
+    # fused-small path (the kmeans_clusters precedent): below the
+    # threshold the round loop costs 2 x n_merges Ray executions on a
+    # vocab one task could hold — collect ONCE and run the SAME kernels
+    # driver-side (block-invariant: pair partials sum identically and
+    # ApplyMerge is per-row; test_bpe_scale_path_parity).  At 100 TB the
+    # vocab (10^7-10^8 words) stays distributed and each round streams.
+    tbl = None
+    if not force_scale and cur.count() <= 2_000_000:
+        tbl = pa.concat_tables(cur.iter_batches(
+            batch_format="pyarrow", batch_size=1 << 20))
+
     merges = []
     for it in range(n_merges):
-        parts = cur.map_batches(
-            pair_partials, batch_format="pyarrow").to_pandas()
+        parts = (pair_partials(tbl).to_pandas() if tbl is not None
+                 else cur.map_batches(
+                     pair_partials, batch_format="pyarrow").to_pandas())
         if parts.empty:
             break
         agg = parts.groupby(["left", "right"], as_index=False)["cnt"].sum()
@@ -2841,8 +2860,11 @@ def bpe_merges(sf_dir: str, n_merges: int = 8) -> pd.DataFrame:
         left, right, cnt = str(best["left"]), str(best["right"]), \
             int(best["cnt"])
         merges.append((it, left, right, cnt))
-        cur = cur.map_batches(ApplyMerge(left, right),
-                              batch_format="pyarrow").materialize()
+        if tbl is not None:
+            tbl = ApplyMerge(left, right)(tbl)
+        else:
+            cur = cur.map_batches(ApplyMerge(left, right),
+                                  batch_format="pyarrow").materialize()
     return pd.DataFrame(merges, columns=["iter", "left", "right", "cnt"])
 
 
