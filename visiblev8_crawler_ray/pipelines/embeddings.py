@@ -348,7 +348,9 @@ def _ivf_centroids(sf_dir: str, n_lists: int, sample_rows: int = 512,
     tbl = pa.concat_tables(
         ds.iter_batches(batch_format="pyarrow", batch_size=8192))
     ids, mat = _to_matrix(tbl)
-    q = _quantize_unit(mat[np.argsort(ids)])
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    q = _quantize_unit(mat)
     n_lists = min(n_lists, len(q))
     S = q[:n_lists].copy()    # init: the n_lists lowest vec_ids
     for _ in range(iters):
@@ -357,7 +359,7 @@ def _ivf_centroids(sf_dir: str, n_lists: int, sample_rows: int = 512,
             sel = q[assign == c]
             if len(sel):
                 S[c] = sel.sum(axis=0)   # exact int64; empty keeps prev
-    return S
+    return S, ids, mat
 
 
 def ann_ivf(sf_dir: str, n_queries: int = 10, k: int = 5,
@@ -382,8 +384,14 @@ def ann_ivf(sf_dir: str, n_queries: int = 10, k: int = 5,
     -> recall 0.80 touching ~38% of vectors; 4 probes -> 0.58 at 25%.
     Real embedding corpora cluster far more sharply, pushing the same
     probe budget toward recall 1."""
-    cent = _ivf_centroids(sf_dir, n_lists)
-    qids, qmat = _query_matrix(sf_dir, n_queries)
+    # queries (vec_id < n_queries) are a prefix of the id-sorted train
+    # sample, so the sample collect doubles as the query read (one
+    # fewer Ray execution; exact same rows as _query_matrix)
+    cent, sids, smat = _ivf_centroids(sf_dir, n_lists)
+    assert n_queries <= 512, \
+        "query ids must lie inside the train-sample prefix (vec_id < 512)"
+    qsel = sids < n_queries
+    qids, qmat = sids[qsel], smat[qsel]
     qn = _normalize(qmat)
     probe = _ivf_probe_fp(_quantize_unit(qmat), cent, n_probe)
     state = ray.put((cent, qids, qn, probe))
