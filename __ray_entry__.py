@@ -391,6 +391,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_edges": lambda sf: G.host_edges(_crawl(sf).crawl_log(), QCFG),
         "host_pagerank": lambda sf: G.host_pagerank(
             _crawl(sf).crawl_log(), QCFG),
+        "host_components": lambda sf: G.host_components(
+            _crawl(sf).crawl_log(), QCFG),
     }
     return q
 
@@ -1662,6 +1664,9 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_lg}') WHERE status = 'ok'""",
         "host_edges": G.host_edges_sql(_lg, QCFG),
         "host_pagerank": G.host_pagerank_sql(_lg, QCFG),
+        # weakly-connected components: fixed synchronous min-label
+        # rounds unrolled (graph.host_components_sql)
+        "host_components": G.host_components_sql(_lg, QCFG),
         "url_status": f"""
             SELECT url, url_key, status, wave, seq, doc_id, n_spans,
                    CASE WHEN status = 'ok'

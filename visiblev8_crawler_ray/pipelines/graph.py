@@ -183,3 +183,83 @@ def host_pagerank_sql(log_path: str, cfg: CrawlConfig,
                 GROUP BY e.dst_host) c ON c.host = nd.host)"""
     sql += f"\n        SELECT host, score FROM it{iters} ORDER BY host"
     return sql
+
+
+CC_ROUNDS = 8  # fixed min-label rounds; converged when >= graph diameter
+
+
+def host_components(log: rd.Dataset, cfg: CrawlConfig,
+                    rounds: int = CC_ROUNDS) -> pd.DataFrame:
+    """Weakly-connected components of the host graph by ``rounds`` of
+    synchronous min-label propagation — the crawl-scope partitioner
+    (which host clusters a crawl actually explores; components are the
+    natural unit for per-tenant sharding and frontier isolation).
+
+    Label_0(v) = v; each round label'(v) = min(label(v), min over
+    UNDIRECTED neighbors u of label(u)) — the update is synchronous
+    (reads only the previous round), so the result is a pure function
+    of the edge set and the round count, independent of edge order and
+    parallelism, and bit-equal to the unrolled SQL twin.  A fixed round
+    count >= the graph diameter is exact convergence; the operator is
+    DEFINED as the ``rounds``-step fixpoint either way (the kmeans /
+    pagerank fixed-iteration contract).
+
+    Scale shape: identical to :func:`host_pagerank` — distributed edge
+    rollup (exchange O(distinct edges/block)), then the label iteration
+    over the host-sized table (10^7-10^8 rows at a 10^10-URL crawl):
+    driver numpy here, hash-partitioned min-join per round at scale
+    (documented fallback, same arithmetic)."""
+    edges = host_edges(log, cfg)
+    hosts = sorted(set(edges["src_host"]) | set(edges["dst_host"]))
+    n = len(hosts)
+    if n == 0:
+        return pd.DataFrame({"host": [], "component": [], "n_members": []})
+    hidx = {h: i for i, h in enumerate(hosts)}
+    src = edges["src_host"].map(hidx).to_numpy()
+    dst = edges["dst_host"].map(hidx).to_numpy()
+    # hosts is sorted, so integer rank order == lexicographic order and
+    # integer min-propagation == string min-propagation
+    lab = np.arange(n, dtype=np.int64)
+    for _ in range(rounds):
+        upd = lab.copy()
+        np.minimum.at(upd, dst, lab[src])   # reads PREVIOUS labels only
+        np.minimum.at(upd, src, lab[dst])
+        lab = upd
+    out = pd.DataFrame({"host": hosts,
+                        "component": np.array(hosts, dtype=object)[lab]})
+    sizes = out.groupby("component")["host"].size().rename("n_members")
+    out = out.merge(sizes, on="component")
+    out["n_members"] = out["n_members"].astype("int64")
+    return out.sort_values("host").reset_index(drop=True)
+
+
+def host_components_sql(log_path: str, cfg: CrawlConfig,
+                        rounds: int = CC_ROUNDS) -> str:
+    """Unrolled DuckDB twin of :func:`host_components`: the same edge
+    recomputation as :func:`host_edges_sql`, an undirected neighbor
+    list, and ``rounds`` materialized min-label CTE blocks (string
+    ``least``/``min`` == the engine's sorted-rank integer min)."""
+    body = host_edges_sql(log_path, cfg).rsplit("ORDER BY", 1)[0]
+    sql = f"""
+        WITH e_raw AS MATERIALIZED ({body}),
+        nodes AS MATERIALIZED (SELECT DISTINCT host FROM (
+            SELECT src_host AS host FROM e_raw
+            UNION SELECT dst_host FROM e_raw)),
+        nb AS MATERIALIZED (
+            SELECT src_host AS host, dst_host AS nbr FROM e_raw
+            UNION ALL SELECT dst_host, src_host FROM e_raw),
+        l0 AS MATERIALIZED (SELECT host, host AS lab FROM nodes)"""
+    for i in range(1, rounds + 1):
+        sql += f""",
+        l{i} AS MATERIALIZED (
+            SELECT l.host,
+                   least(l.lab, coalesce(min(ln.lab), l.lab)) AS lab
+            FROM l{i - 1} l
+            LEFT JOIN nb ON nb.host = l.host
+            LEFT JOIN l{i - 1} ln ON ln.host = nb.nbr
+            GROUP BY l.host, l.lab)"""
+    sql += f"""
+        SELECT host, lab AS component,
+               count(*) OVER (PARTITION BY lab) AS n_members
+        FROM l{rounds} ORDER BY host"""
+    return sql
