@@ -326,6 +326,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": E.kmeans_clusters,
         "semantic_dedup_kmeans": E.semantic_dedup_kmeans,
         "dup_substring_fraction": T.dup_substring_fraction,
+        "strip_dup_substrings": T.strip_dup_substrings,
+        "source_overlap": T.source_overlap,
+        "customer_orders_full": A.customer_orders_full,
         "dsir_sample": T.dsir_sample,
         "gopher_filter": T.gopher_filter,
         "bpe_pair_counts": T.bpe_pair_counts,
@@ -969,6 +972,25 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(n.n_tokens, 1), 6) AS dup_frac
             FROM n LEFT JOIN ng USING (doc_id) LEFT JOIN cov USING (doc_id)
             ORDER BY n.doc_id""",
+        # ExactSubstr REMOVAL: same dup-shingle detection, covered
+        # positions unnested, kept tokens re-joined in position order
+        # (textops.strip_dup_substrings)
+        "strip_dup_substrings": T.strip_dup_substrings_sql(),
+        # cross-source shingle-overlap matrix: distinct (source, gram
+        # hash) self-joined on the hash (textops.source_overlap)
+        "source_overlap": T.source_overlap_sql(),
+        # FULL OUTER customers <-> orders rollup — zero-order customers
+        # and orphan order custkeys both survive
+        # (analytics.customer_orders_full)
+        "customer_orders_full": """
+            SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+                   c.c_name,
+                   count(o.o_custkey)::BIGINT AS n_orders,
+                   coalesce(sum(CAST(round(o.o_totalprice * 100)
+                                     AS BIGINT)), 0) AS total_cents
+            FROM customer c FULL OUTER JOIN orders o
+                 ON c.c_custkey = o.o_custkey
+            GROUP BY 1, 2 ORDER BY 1""",
         # Gopher-rule quality bundle: every flag an integer predicate
         # (textops.gopher_filter)
         "gopher_filter": T.gopher_filter_sql(),

@@ -1581,3 +1581,76 @@ def url_templates(sf_dir: str, min_n: int = 2) -> pd.DataFrame:
     out = out[out["n"] >= min_n]
     out["n"] = out["n"].astype(np.int64)
     return out.sort_values(["host", "template"]).reset_index(drop=True)
+
+
+def customer_orders_full(sf_dir: str, nbuckets: int = 8) -> pd.DataFrame:
+    """FULL OUTER join customers <-> orders with a per-customer rollup —
+    the join kind the inventory lacked (J2/J3 cover inner/left): every
+    customer appears even with zero orders, and orphan order custkeys
+    (FK violations — the import-audit case) appear with a NULL name.
+
+    Scale shape: orders pre-aggregate per custkey INSIDE map_batches
+    (two-phase combiner — the shuffle payload is customer-sized, not
+    order-sized), then both sides meet in a hash-partitioned bucketed
+    co-group on the splitmix64-mixed key (the shipping_priority
+    pattern; a broadcast would be wrong here because BOTH sides must
+    survive the join).  Money is exact integer cents."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def order_part(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        cents = round_half_away(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        part = (pa.table({"custkey": pa.array(ck),
+                          "n_orders": pa.array(
+                              np.ones(len(ck), dtype=np.int64)),
+                          "total_cents": pa.array(cents)})
+                .group_by(["custkey"])
+                .aggregate([("n_orders", "sum"), ("total_cents", "sum")])
+                .rename_columns(["custkey", "n_orders", "total_cents"]))
+        key = part["custkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(_bucket_of(key, nbuckets)),
+            "custkey": part["custkey"],
+            "c_name": pa.nulls(part.num_rows, type=pa.string()),
+            "n_orders": part["n_orders"],
+            "total_cents": part["total_cents"],
+            "side": pa.array(np.zeros(part.num_rows, dtype=np.int8)),
+        })
+
+    def cust_part(t: pa.Table) -> pa.Table:
+        key = t["c_custkey"].to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        return pa.table({
+            "bucket": pa.array(_bucket_of(key, nbuckets)),
+            "custkey": t["c_custkey"],
+            "c_name": t["c_name"],
+            "n_orders": pa.array(np.zeros(n, dtype=np.int64)),
+            "total_cents": pa.array(np.zeros(n, dtype=np.int64)),
+            "side": pa.array(np.ones(n, dtype=np.int8)),
+        })
+
+    o_side = orders.map_batches(order_part, batch_format="pyarrow")
+    c_side = _read(sf_dir, "customer", ["c_custkey", "c_name"]) \
+        .map_batches(cust_part, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[g["side"] == 1][["custkey", "c_name"]]
+        o = (g[g["side"] == 0]
+             .groupby("custkey", as_index=False)[["n_orders", "total_cents"]]
+             .sum())
+        m = c.merge(o, on="custkey", how="outer")
+        m["custkey"] = m["custkey"].astype(np.int64)
+        m["n_orders"] = m["n_orders"].fillna(0).astype(np.int64)
+        m["total_cents"] = m["total_cents"].fillna(0).astype(np.int64)
+        return m[["custkey", "c_name", "n_orders", "total_cents"]]
+
+    out = (o_side.union(c_side)
+           .groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+           .to_pandas())
+    if "custkey" not in out.columns:
+        from ..functions.util import empty_frame
+        return empty_frame({"custkey": "int64", "c_name": "object",
+                            "n_orders": "int64", "total_cents": "int64"})
+    return out.sort_values("custkey").reset_index(drop=True)

@@ -4115,3 +4115,263 @@ def winnow_fingerprint_sql(w: int = 16) -> str:
                END AS min_rolling_hash
         FROM documents d LEFT JOIN mins m USING (doc_id)
         ORDER BY d.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr REMOVAL + cross-source shingle overlap
+# ---------------------------------------------------------------------------
+
+
+def strip_dup_substrings(sf_dir: str, k: int = 8,
+                         nparts: int = 32) -> rd.Dataset:
+    """ExactSubstr REMOVAL (Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better"): drop every token covered by a
+    k-token shingle that occurs >= 2 times anywhere in the corpus and
+    rebuild the remaining text — the destructive sibling of
+    :func:`dup_substring_fraction` (which only measures coverage).
+    Output per doc: ``n_tokens``, ``n_kept`` and the whitespace-
+    normalized ``clean_text`` of the surviving tokens.
+
+    Scale shape: duplicate detection is the same ONE bucketed shuffle
+    as dup_substring_fraction (every occurrence of a shingle hash
+    co-locates in its ``h %% nparts`` group, so the per-group count is
+    globally exact); the rebuild co-partitions the surviving dup starts
+    with the doc text by ``doc_id %% nparts`` (ONE union + bucket
+    shuffle, the corpus_novelty pattern — never a ``Dataset.join``).
+    Interval removal is a vectorized delta-cumsum over the group's flat
+    token array; the string rebuild is one arrow ``binary_join`` per
+    group.  No driver materialization — the result stays a Dataset."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    grams = ds.map_batches(_GramRows(k), batch_format="pyarrow")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        hs = t["h"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array((hs.view(np.uint64)
+                                % np.uint64(nparts)).astype(np.int64)))
+
+    def dup_rows(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("h")["h"].transform("size")
+        d = g.loc[c >= 2, ["doc_id", "start"]]
+        did = d["doc_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "bucket": (did % np.int64(nparts)),
+            "doc_id": did,
+            "start": d["start"].to_numpy(dtype=np.int64),
+            "text": np.full(len(did), "", dtype=object),
+        })
+
+    dup_starts = (grams.map_batches(add_bucket, batch_format="pyarrow")
+                  .groupby("bucket")
+                  .map_groups(dup_rows, batch_format="pandas"))
+
+    def doc_rows(g: pd.DataFrame) -> pd.DataFrame:
+        did = g["doc_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "bucket": did % np.int64(nparts),
+            "doc_id": did,
+            "start": np.full(len(did), -1, dtype=np.int64),
+            "text": g["text"].to_numpy(dtype=object),
+        })
+
+    docs_tagged = ds.map_batches(doc_rows, batch_format="pandas")
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        docs_g = g[g["start"] < 0]
+        if docs_g.empty:  # bucket held only dup starts (impossible if
+            return pd.DataFrame({  # doc buckets cover all ids; typed)
+                "doc_id": np.empty(0, np.int64),
+                "n_tokens": np.empty(0, np.int64),
+                "n_kept": np.empty(0, np.int64),
+                "clean_text": np.empty(0, object)})
+        texts = pa.array(docs_g["text"].to_numpy(dtype=object),
+                         type=pa.string())
+        toks = pc.split_pattern_regex(texts, r"\s+")
+        flat_a = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        ne = pc.not_equal(flat_a, "")
+        nem = ne.to_numpy(zero_copy_only=False)
+        flat = flat_a.filter(ne)
+        parent = parent[nem]
+        n_doc = len(docs_g)
+        n_tok = np.zeros(n_doc, dtype=np.int64)
+        if len(parent):
+            np.add.at(n_tok, parent, 1)
+        base = np.zeros(n_doc + 1, dtype=np.int64)
+        base[1:] = np.cumsum(n_tok)
+        total = int(base[-1])
+        ids = docs_g["doc_id"].to_numpy(dtype=np.int64)
+        row_of = pd.Series(np.arange(n_doc, dtype=np.int64), index=ids)
+        srows = g[g["start"] >= 0]
+        covered = np.zeros(total, dtype=bool)
+        if len(srows):
+            di = row_of.loc[srows["doc_id"].to_numpy(dtype=np.int64)] \
+                .to_numpy(dtype=np.int64)
+            st = srows["start"].to_numpy(dtype=np.int64)
+            gp = base[di] + st
+            end = np.minimum(gp + k, base[di + 1])
+            delta = np.zeros(total + 1, dtype=np.int64)
+            np.add.at(delta, gp, 1)
+            np.add.at(delta, end, -1)
+            covered = np.cumsum(delta[:-1]) > 0
+        keep = ~covered
+        kept_flat = flat.filter(pa.array(keep))
+        keep_parent = parent[keep]
+        n_kept = np.zeros(n_doc, dtype=np.int64)
+        if len(keep_parent):
+            np.add.at(n_kept, keep_parent, 1)
+        offs = np.zeros(n_doc + 1, dtype=np.int32)
+        offs[1:] = np.cumsum(n_kept).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offs), kept_flat)
+        clean = pc.binary_join(
+            lists, " ").to_numpy(zero_copy_only=False).astype(object)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "n_tokens": n_tok,
+            "n_kept": n_kept,
+            "clean_text": clean,
+        })
+
+    return (dup_starts.union(docs_tagged)
+            .groupby("bucket").map_groups(rebuild, batch_format="pandas"))
+
+
+def strip_dup_substrings_sql(k: int = 8) -> str:
+    """DuckDB twin of :func:`strip_dup_substrings` — same shingle hash
+    (``md5_number_lower`` of the space-joined gram, matching _GramRows'
+    md5-low64), covered positions re-derived by interval unnest, kept
+    tokens re-joined in position order."""
+    return f"""
+        WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+                   FROM documents),
+        n AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens FROM t),
+        g AS (SELECT doc_id, CAST(i.i AS BIGINT) AS start,
+                     md5_number_lower(
+                         array_to_string(toks[i.i + 1 : i.i + {k}], ' '))
+                         AS h
+              FROM t, UNNEST(range(0, greatest(len(toks) - {k - 1}, 0)))
+                   AS i(i)),
+        dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+        ds AS (SELECT g.doc_id, g.start FROM g JOIN dup USING (h)),
+        covpos AS (SELECT DISTINCT ds.doc_id, i.i AS pos
+                   FROM ds, UNNEST(range(ds.start, ds.start + {k}))
+                        AS i(i)),
+        tok AS (SELECT doc_id, CAST(i.i AS BIGINT) AS pos,
+                       toks[CAST(i.i AS INT) + 1] AS tok
+                FROM t, UNNEST(range(0, len(toks))) AS i(i)),
+        kept AS (SELECT tok.doc_id, tok.pos, tok.tok
+                 FROM tok LEFT JOIN covpos
+                   ON covpos.doc_id = tok.doc_id AND covpos.pos = tok.pos
+                 WHERE covpos.pos IS NULL),
+        kc AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+                      string_agg(tok, ' ' ORDER BY pos) AS clean_text
+               FROM kept GROUP BY doc_id)
+        SELECT n.doc_id, n.n_tokens,
+               coalesce(kc.n_kept, 0) AS n_kept,
+               coalesce(kc.clean_text, '') AS clean_text
+        FROM n LEFT JOIN kc USING (doc_id)
+        ORDER BY n.doc_id"""
+
+
+class _SourceGrams:
+    """Batch-local distinct (source, shingle-hash) rows: factorize the
+    source column, reuse :class:`_GramRows` (memoized md5-low64 grams)
+    with the codes standing in for doc ids, then dedupe per batch."""
+
+    def __init__(self, k: int, nparts: int):
+        self.nparts = nparts
+        self._grams = _GramRows(k)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        codes, uniq = pd.factorize(src.to_numpy(zero_copy_only=False))
+        g = self._grams(pa.table({
+            "doc_id": pa.array(codes.astype(np.int64)),
+            "text": t["text"]}))
+        df = pd.DataFrame({
+            "c": g["doc_id"].to_numpy(zero_copy_only=False),
+            "h": g["h"].to_numpy(zero_copy_only=False),
+        }).drop_duplicates()
+        hs = df["h"].to_numpy(dtype=np.int64)
+        return pa.table({
+            "source": pa.array(uniq[df["c"].to_numpy()], type=pa.string()),
+            "h": pa.array(hs),
+            "bucket": pa.array((hs.view(np.uint64)
+                                % np.uint64(self.nparts)).astype(np.int64)),
+        })
+
+
+def source_overlap(sf_dir: str, k: int = 8,
+                   nparts: int = 32) -> pd.DataFrame:
+    """Cross-source contamination matrix: for every pair of corpus
+    sources, the number of DISTINCT k-token shingles present in both —
+    the overlap statistic behind train/eval leakage audits and source-
+    mixing decisions (counterpart of :func:`decontaminate`, which gates
+    docs against ONE benchmark set).
+
+    Scale shape: per-batch distinct (source, shingle-hash) rows (the
+    batch combiner bounds the payload at |sources| x distinct-grams per
+    block), then ONE bucketed shuffle on the hash — every occurrence of
+    a shingle co-locates, so the per-shingle distinct source set is
+    globally exact in its group.  Pairs explode vectorized per distinct
+    set size (the pmi_cooccurrence triu trick) and only
+    |sources|^2-bounded partials leave the groups."""
+    ds = _read_docs(sf_dir, ["source", "text"])
+    rows = ds.map_batches(_SourceGrams(k, nparts), batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["source", "h"]).sort_values(["h", "source"])
+        sizes = d.groupby("h", sort=True).size().to_numpy()
+        src = d["source"].to_numpy()
+        starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+        ia, ib = [], []
+        for c in np.unique(sizes):
+            if c < 2:
+                continue
+            ii, jj = np.triu_indices(int(c), k=1)
+            base = starts[sizes == c][:, None]
+            ia.append((base + ii[None, :]).ravel())
+            ib.append((base + jj[None, :]).ravel())
+        if not ia:
+            return pd.DataFrame({
+                "source_a": np.empty(0, object),
+                "source_b": np.empty(0, object),
+                "n_shared": np.empty(0, np.int64)})
+        a = src[np.concatenate(ia)]
+        b = src[np.concatenate(ib)]
+        out = (pd.DataFrame({"source_a": a, "source_b": b})
+               .groupby(["source_a", "source_b"], as_index=False)
+               .size().rename(columns={"size": "n_shared"}))
+        out["n_shared"] = out["n_shared"].astype(np.int64)
+        return out
+
+    part = rows.groupby("bucket").map_groups(
+        pairs, batch_format="pandas").to_pandas()
+    if "source_a" not in part.columns:
+        from ..functions.util import empty_frame
+        return empty_frame({"source_a": "object", "source_b": "object",
+                            "n_shared": "int64"})
+    out = (part.groupby(["source_a", "source_b"], as_index=False)
+           ["n_shared"].sum())
+    out["n_shared"] = out["n_shared"].astype(np.int64)
+    return out.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
+def source_overlap_sql(k: int = 8) -> str:
+    """DuckDB twin of :func:`source_overlap`: distinct (source, gram
+    hash) pairs self-joined on the hash with source_a < source_b."""
+    return f"""
+        WITH t AS (SELECT source, regexp_extract_all(text, '\\S+') AS toks
+                   FROM documents),
+        g AS (SELECT DISTINCT source,
+                     md5_number_lower(
+                         array_to_string(toks[i.i + 1 : i.i + {k}], ' '))
+                         AS h
+              FROM t, UNNEST(range(0, greatest(len(toks) - {k - 1}, 0)))
+                   AS i(i))
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*)::BIGINT AS n_shared
+        FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2 ORDER BY 1, 2"""
