@@ -378,6 +378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_quality": lambda sf: P.crawl_host_quality(
             _crawl(sf).docs(), _crawl(sf).crawl_log()),
         "media_text_ratio": lambda sf: P.media_text_ratio(_crawl(sf).docs()),
+        "link_stats": lambda sf: P.link_stats(_crawl(sf).docs()),
         "caption_pairs": lambda sf: P.caption_pairs(_crawl(sf).docs()),
         "reconstruct_docs": lambda sf: P.reconstruct_text(_crawl(sf).docs()),
         "doc_feature_summary": _doc_feature_summary,
@@ -1411,6 +1412,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_media AS BIGINT) AS n_media_spans,
                    round(n_media * 1.0 / greatest(n_total, 1), 4) AS media_frac
             FROM c""",
+        # per-doc outlink fan-out over the spans export: page host from
+        # the first origin span, link hosts via the same RE2
+        # (stages/parse.link_stats)
+        "link_stats": f"""
+            WITH sp AS {_sp},
+            o AS (SELECT doc_id,
+                         regexp_replace(text, '^[a-z]+://([^/]+).*$',
+                                        '\\1') AS h,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY "offset") AS rn
+                  FROM sp WHERE kind = 'origin'),
+            ph AS (SELECT doc_id, h AS page_host FROM o WHERE rn = 1),
+            l AS (SELECT doc_id, text AS u,
+                         regexp_replace(text, '^[a-z]+://([^/]+).*$',
+                                        '\\1') AS lh
+                  FROM sp WHERE kind = 'link'),
+            agg AS (SELECT l.doc_id, count(*)::BIGINT AS n_links,
+                           count(DISTINCT u)::BIGINT AS n_distinct_links,
+                           sum(CASE WHEN lh <> coalesce(ph.page_host, '')
+                                    THEN 1 ELSE 0 END)::BIGINT AS n_offsite
+                    FROM l LEFT JOIN ph USING (doc_id) GROUP BY l.doc_id)
+            SELECT d.doc_id, coalesce(ph.page_host, '') AS page_host,
+                   coalesce(agg.n_links, 0) AS n_links,
+                   coalesce(agg.n_distinct_links, 0) AS n_distinct_links,
+                   coalesce(agg.n_offsite, 0) AS n_offsite
+            FROM (SELECT DISTINCT doc_id FROM sp) d
+            LEFT JOIN ph USING (doc_id)
+            LEFT JOIN agg USING (doc_id)
+            ORDER BY d.doc_id""",
         # mirrors MediaDecoder._decode_stub: h = big-endian first 8 md5
         # bytes of the ref; (width, height, n_bytes) are h-derived
         "caption_pairs": f"""

@@ -105,3 +105,30 @@ def test_customer_orders_full_outer_semantics(ray_session, tmp_path):
     assert out["total_cents"].tolist() == [3001, 0, 0, 500]
     assert out["c_name"].tolist()[:3] == ["alice", "bob", "carol"]
     assert pd.isna(out["c_name"].iloc[3])
+
+
+def test_link_stats_constructed_doc(ray_session):
+    import ray.data as rd
+    from visiblev8_crawler_ray.stages.parse import link_stats
+
+    def span(kind, text, off):
+        return {"kind": kind, "text": text, "media_ref": "", "offset": off}
+
+    docs = rd.from_items([
+        {"doc_id": "d0", "spans": [
+            span("isolate", "0x0001", 0),
+            span("origin", "http://a.example", 1),
+            span("link", "http://a.example/x", 2),
+            span("link", "http://a.example/x", 3),   # duplicate URL
+            span("link", "http://b.example/y", 4),   # offsite
+        ]},
+        {"doc_id": "d1", "spans": [
+            span("origin", "https://c.example", 0),
+        ]},
+    ])
+    out = (link_stats(docs).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["page_host"].tolist() == ["a.example", "c.example"]
+    assert out["n_links"].tolist() == [3, 0]
+    assert out["n_distinct_links"].tolist() == [2, 0]
+    assert out["n_offsite"].tolist() == [1, 0]

@@ -649,3 +649,58 @@ def crawl_host_quality(docs: rd.Dataset, log: rd.Dataset) -> pd.DataFrame:
         sum_media=("sum_media", "sum"))
     agg["mean_tokens"] = agg["sum_tokens"] / (agg["n_docs"] * 1.0)
     return agg.sort_values("host").reset_index(drop=True)
+
+
+def link_stats(docs: rd.Dataset) -> rd.Dataset:
+    """Per-doc outlink profile over the interleaved trace: total links,
+    distinct link URLs, and offsite links (target host != the page's
+    origin host) — the fan-out statistics a frontier scheduler
+    prioritizes by (SURVEY §4.2 frontier expansion; the reference's
+    crawler collects exactly these hrefs before enqueueing,
+    crawler.js:556-622).
+
+    Pure per-doc map, no shuffle at any scale: docs are whole rows, the
+    origin host comes from the doc's own ``origin`` span and the link
+    hosts from one vectorized RE2 extract over the flat span text."""
+    host_re = r"^[a-z]+://([^/]+)"
+
+    def fn(batch: pa.Table) -> pa.Table:
+        spans, doc_ids = _spans_of(batch)
+        flat = spans.flatten()
+        parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+        kind = flat.field("kind")
+        text = flat.field("text")
+        n_docs = batch.num_rows
+        is_origin = pc.equal(kind, "origin").to_numpy(zero_copy_only=False)
+        o_host = pc.replace_substring_regex(
+            text.filter(pa.array(is_origin)), host_re + r".*$", r"\1"
+        ).to_numpy(zero_copy_only=False)
+        page_host = np.full(n_docs, "", dtype=object)
+        # first origin span wins (reverse assignment keeps the first)
+        op = parent[is_origin]
+        page_host[op[::-1]] = o_host[::-1]
+        is_link = pc.equal(kind, "link").to_numpy(zero_copy_only=False)
+        lp = parent[is_link]
+        lurls = text.filter(pa.array(is_link))
+        lhost = pc.replace_substring_regex(
+            lurls, host_re + r".*$", r"\1").to_numpy(zero_copy_only=False)
+        n_links = np.bincount(lp, minlength=n_docs).astype(np.int64)
+        dd = pd.DataFrame({
+            "p": lp, "u": lurls.to_numpy(zero_copy_only=False)
+        }).drop_duplicates()
+        n_distinct = np.zeros(n_docs, dtype=np.int64)
+        if len(dd):
+            np.add.at(n_distinct, dd["p"].to_numpy(), 1)
+        offsite = lhost != np.asarray(page_host, dtype=object)[lp]
+        n_offsite = np.zeros(n_docs, dtype=np.int64)
+        if len(lp):
+            np.add.at(n_offsite, lp[offsite], 1)
+        return pa.table({
+            "doc_id": doc_ids,
+            "page_host": pa.array(page_host, type=pa.string()),
+            "n_links": pa.array(n_links),
+            "n_distinct_links": pa.array(n_distinct),
+            "n_offsite": pa.array(n_offsite),
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow")
