@@ -264,6 +264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_late_drop": A.events_late_drop,
         "events_running_stats": A.events_running_stats,
         "events_rolling_window": A.events_rolling_window,
+        "daily_new_users": A.daily_new_users,
         "lineitem_rollup": A.lineitem_rollup,
         "orders_pivot": A.orders_pivot,
         # training-data text ops
@@ -335,6 +336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": T.bpe_merges,
         "sample_weighted": T.sample_weighted,
         "unigram_logprob": T.unigram_logprob,
+        "bigram_logprob": T.bigram_logprob,
         "mix_temperature": T.mix_temperature,
         "normalize_text": T.normalize_text,
         "bpe_encode": T.bpe_encode,
@@ -824,6 +826,20 @@ def oracle_sql() -> dict[str, str]:
                        AS cum_cents
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+        # per-day volume + first-seen users + cumulative curve
+        # (analytics.daily_new_users)
+        "daily_new_users": """
+            WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events
+                       GROUP BY 1),
+            d AS (SELECT date_trunc('day', first_ts) AS day,
+                         count(*)::BIGINT AS n_new_users FROM f GROUP BY 1),
+            e AS (SELECT date_trunc('day', ts) AS day,
+                         count(*)::BIGINT AS n_events FROM events GROUP BY 1)
+            SELECT e.day, e.n_events,
+                   coalesce(d.n_new_users, 0) AS n_new_users,
+                   CAST(sum(coalesce(d.n_new_users, 0))
+                        OVER (ORDER BY e.day) AS BIGINT) AS cum_new_users
+            FROM e LEFT JOIN d USING (day) ORDER BY e.day""",
         # RANGE-interval trailing window (analytics.events_rolling_window):
         # equal timestamps are peers, boundary inclusive, exact cents
         "events_rolling_window": """
@@ -1017,6 +1033,9 @@ def oracle_sql() -> dict[str, str]:
         # an identical double, round-6 before ordering
         # (textops.sample_weighted)
         "sample_weighted": T.sample_weighted_sql(),
+        # bigram conditional-LM filter: same quantization contract one
+        # order up (textops.bigram_logprob)
+        "bigram_logprob": T.bigram_logprob_sql(),
         # perplexity-proxy filter: per-distinct-token ln quantized to
         # int64 at 2^20 (order-independent integer doc sums), avg is one
         # IEEE division of identical ints (textops.unigram_logprob)

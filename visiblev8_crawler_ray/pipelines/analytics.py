@@ -1654,3 +1654,45 @@ def customer_orders_full(sf_dir: str, nbuckets: int = 8) -> pd.DataFrame:
         return empty_frame({"custkey": "int64", "c_name": "object",
                             "n_orders": "int64", "total_cents": "int64"})
     return out.sort_values("custkey").reset_index(drop=True)
+
+
+def daily_new_users(sf_dir: str) -> pd.DataFrame:
+    """Per-day event volume, FIRST-seen user count and the cumulative
+    new-user curve — the classic incremental-ingestion accounting shape
+    (the crawl's urlseen first_wave rollup applied to the events
+    stream): "new" = the user's first-ever event lands on that day.
+
+    Scale shape: per-user first timestamp is a two-phase MIN combiner
+    (shuffle payload = users, not events); day rollups are two-phase
+    counts (day-sized); the cumulative sum runs driver-side over the
+    handful of day rows.  Nothing event-sized ever leaves the map
+    stages."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    firsts = two_phase_agg(
+        ds, ["user_id"], [("ts", "min")], ["user_id", "first_ts"])
+
+    def day_of_first(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["first_ts"], unit="day")
+        return pa.table({"day": day,
+                         "p_n": pa.array(np.ones(t.num_rows, np.int64))})
+
+    new_per_day = two_phase_agg(
+        firsts.map_batches(day_of_first, batch_format="pyarrow"),
+        ["day"], [("p_n", "sum")], ["day", "n_new_users"]).to_pandas()
+
+    def day_of_event(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        return pa.table({"day": day,
+                         "p_n": pa.array(np.ones(t.num_rows, np.int64))})
+
+    events_per_day = two_phase_agg(
+        ds.map_batches(day_of_event, batch_format="pyarrow"),
+        ["day"], [("p_n", "sum")], ["day", "n_events"]).to_pandas()
+
+    out = events_per_day.merge(new_per_day, on="day", how="left")
+    out["n_new_users"] = out["n_new_users"].fillna(0).astype(np.int64)
+    out["n_events"] = out["n_events"].astype(np.int64)
+    out = out.sort_values("day").reset_index(drop=True)
+    out["cum_new_users"] = out["n_new_users"].cumsum().astype(np.int64)
+    return out[["day", "n_events", "n_new_users", "cum_new_users"]]

@@ -4375,3 +4375,126 @@ def source_overlap_sql(k: int = 8) -> str:
                count(*)::BIGINT AS n_shared
         FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
         GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def bigram_logprob(sf_dir: str) -> pd.DataFrame:
+    """Per-document average add-one-smoothed BIGRAM log-probability
+    under the corpus' own conditional distribution — the higher-order
+    perplexity filter next to :func:`unigram_logprob` (CCNet trains a
+    5-gram LM; a corpus-trained bigram is the same signal one order
+    up from the unigram proxy): ``p(b|a) = (c(a,b)+1) / (c(a)+V)``
+    with ``c(a)`` = occurrences of ``a`` as a left context and ``V``
+    the corpus distinct-token count.
+
+    Parity contract (the unigram op's fixed-point-sum idiom): each
+    DISTINCT bigram's ``ln p`` is quantized to int64 at 2^20 with
+    half-away rounding, per-doc accumulation is an integer sum
+    (order-independent), ``avg_logprob`` is ONE IEEE division.
+
+    Scale shape: pass 1 = bigram rollup + vocab rollup (two shuffles,
+    pair-/vocab-sized); context counts derive from the pair table
+    driver-side (pairs are vocab^2-bounded and the synthetic vocab is
+    small — at web scale both rollups stay shuffles and the q-table
+    broadcast switches to the hash-partitioned join path, the
+    tfidf_top_term pattern); pass 2 is one streaming pass with a
+    per-batch distinct-bigram lookup."""
+    from ..functions.util import round_half_away
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def big_partial(t: pa.Table) -> pa.Table:
+        flat, parent = _flat_tokens(t["text"])
+        bg, _ = _ngrams(flat, parent, 2)
+        if len(bg) == 0:
+            return pa.table({"big": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64())})
+        codes, uniq = pd.factorize(bg.to_numpy(zero_copy_only=False))
+        return pa.table({
+            "big": pa.array(uniq, type=pa.string()),
+            "cnt": pa.array(np.bincount(codes, minlength=len(uniq))
+                            .astype(np.int64)),
+        })
+
+    pairs = (ds.map_batches(big_partial, batch_format="pyarrow")
+             .groupby("big").aggregate(Sum("cnt", alias_name="cnt"))
+             .to_pandas())
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        flat, _ = _flat_tokens(t["text"])
+        u = pd.unique(flat.to_numpy(zero_copy_only=False))
+        return pa.table({"tok": pa.array(u, type=pa.string())})
+
+    vocab = (ds.map_batches(tok_partial, batch_format="pyarrow")
+             .groupby("tok").aggregate(Count("tok", alias_name="n"))
+             .to_pandas())
+    V = int(len(vocab))
+
+    S = 1 << 20
+    if len(pairs) and "big" in pairs.columns:
+        ctx = pairs["big"].str.split(" ", n=1).str[0]
+        ca = pairs.groupby(ctx)["cnt"].transform("sum").to_numpy(
+            dtype=np.int64)
+        cab = pairs["cnt"].to_numpy(dtype=np.int64)
+        ql = round_half_away(
+            np.log((cab + 1.0) / (ca + float(V))) * S, 0).astype(np.int64)
+        lut = dict(zip(pairs["big"], ql))
+    else:
+        lut = {}
+    lut_ref = ray.put(lut)
+
+    def score(t: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        flat, parent = _flat_tokens(t["text"])
+        bg, bparent = _ngrams(flat, parent, 2)
+        n = t.num_rows
+        nb = np.zeros(n, dtype=np.int64)
+        sum_q = np.zeros(n, dtype=np.int64)
+        if len(bg):
+            codes, uniq = pd.factorize(bg.to_numpy(zero_copy_only=False))
+            qs = np.fromiter((lut[u] for u in uniq), dtype=np.int64,
+                             count=len(uniq))
+            np.add.at(nb, bparent, 1)
+            np.add.at(sum_q, bparent, qs[codes])
+        avg = sum_q / (np.maximum(nb, 1) * float(S))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_bigrams": pa.array(nb),
+            "sum_q": pa.array(sum_q),
+            "avg_logprob": pa.array(avg, type=pa.float64()),
+        })
+
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def bigram_logprob_sql() -> str:
+    """DuckDB twin of :func:`bigram_logprob` — bigram/context/vocab
+    rollups recomputed from the corpus, the same ln quantization."""
+    return r"""
+        WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+                   FROM documents),
+        bg AS (SELECT doc_id,
+                      toks[CAST(i.i AS INT)] || ' '
+                          || toks[CAST(i.i AS INT) + 1] AS big,
+                      toks[CAST(i.i AS INT)] AS ctx
+               FROM t, UNNEST(range(1, len(toks))) AS i(i)),
+        cb AS (SELECT big, ctx, count(*)::BIGINT AS cab FROM bg
+               GROUP BY 1, 2),
+        cc AS (SELECT ctx, count(*)::BIGINT AS ca FROM bg GROUP BY 1),
+        v AS (SELECT count(DISTINCT tok)::BIGINT AS nv
+              FROM (SELECT unnest(toks) AS tok FROM t)),
+        q AS (SELECT cb.big,
+                     CAST(round(ln((cb.cab + 1.0)
+                                   / (cc.ca + (SELECT nv FROM v)))
+                                * 1048576) AS BIGINT) AS ql
+              FROM cb JOIN cc USING (ctx)),
+        per AS (SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
+                       sum(q.ql)::BIGINT AS sum_q
+                FROM bg JOIN q USING (big) GROUP BY 1)
+        SELECT d.doc_id, coalesce(per.n_bigrams, 0) AS n_bigrams,
+               coalesce(per.sum_q, 0) AS sum_q,
+               coalesce(per.sum_q, 0)
+                   / (greatest(coalesce(per.n_bigrams, 0), 1)
+                      * 1048576.0) AS avg_logprob
+        FROM documents d LEFT JOIN per USING (doc_id)
+        ORDER BY d.doc_id"""
