@@ -344,6 +344,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_paragraphs": T.dedup_paragraphs,
         "pii_scan": T.pii_scan,
         "hashed_tf": T.hashed_tf,
+        "hash_embed": T.hash_embed,
+        "url_path_rollup": lambda sf: A.url_path_rollup(
+            _crawl(sf).crawl_log()),
         "source_quality_report": T.source_quality_report,
         "export_corpus": _export_corpus,
         "embedding_covariance": E.embedding_covariance,
@@ -1097,6 +1100,20 @@ def oracle_sql() -> dict[str, str]:
         "pii_scan": T.pii_scan_sql(),
         # feature-hashing vectorizer, long form (textops.hashed_tf)
         "hashed_tf": T.hashed_tf_sql(),
+        # hashed-TF x fixed integer projection (textops.hash_embed);
+        # the weight matrix is an algorithm constant serialized inline
+        "hash_embed": T.hash_embed_sql(),
+        # crawl accounting by path hierarchy over the log export
+        # (analytics.url_path_rollup)
+        "url_path_rollup": f"""
+            SELECT host,
+                   coalesce(regexp_extract(url,
+                       '^[a-z]+://[^/]+/([^/?#]+)', 1), '') AS seg1,
+                   count(*)::BIGINT AS n_urls,
+                   sum(CASE WHEN status = 'ok' THEN 1 ELSE 0 END)::BIGINT
+                       AS n_ok
+            FROM read_parquet('{_lg}')
+            GROUP BY 1, 2 ORDER BY 1, 2""",
         # per-source corpus health rollup (textops.source_quality_report)
         "source_quality_report": T.source_quality_report_sql(),
         # resumable export gate: per-partition keep counts

@@ -132,3 +132,46 @@ def test_link_stats_constructed_doc(ray_session):
     assert out["n_links"].tolist() == [3, 0]
     assert out["n_distinct_links"].tolist() == [2, 0]
     assert out["n_offsite"].tolist() == [1, 0]
+
+
+def test_hash_embed_exactness(ray_session, tmp_path):
+    # components must equal the naive integer reference: tf per md5
+    # bucket x the deterministic weight matrix
+    import hashlib
+    sf = _write_docs(tmp_path, ["alpha beta alpha", "", "gamma"])
+    out = (T.hash_embed(str(tmp_path)).sort_values("doc_id")
+           .reset_index(drop=True))
+    W = T._hash_embed_weights(32, 8)
+
+    def emb(text):
+        v = np.zeros(8, dtype=np.int64)
+        n = 0
+        for tok in text.split():
+            b = int.from_bytes(
+                hashlib.md5(tok.encode()).digest()[8:], "little") % 32
+            v += W[b]
+            n += 1
+        return n, v
+
+    for i, text in enumerate(["alpha beta alpha", "", "gamma"]):
+        n, v = emb(text)
+        assert out.loc[i, "n_tokens"] == n
+        got = out.loc[i, [f"e{j}" for j in range(8)]].to_numpy(np.int64)
+        assert (got == v).all(), (i, got, v)
+
+
+def test_url_path_rollup_constructed_log(ray_session):
+    import ray.data as rd
+    from visiblev8_crawler_ray.pipelines.analytics import url_path_rollup
+
+    log = rd.from_items([
+        {"host": "a", "url": "http://a/x/1", "status": "ok"},
+        {"host": "a", "url": "http://a/x/2", "status": "failed"},
+        {"host": "a", "url": "http://a/y", "status": "ok"},
+        {"host": "a", "url": "http://a", "status": "ok"},        # root
+        {"host": "b", "url": "http://b/x?q=1", "status": "ok"},
+    ])
+    out = url_path_rollup(log)
+    assert out.values.tolist() == [
+        ["a", "", 1, 1], ["a", "x", 2, 1], ["a", "y", 1, 1],
+        ["b", "x", 1, 1]]

@@ -1696,3 +1696,33 @@ def daily_new_users(sf_dir: str) -> pd.DataFrame:
     out = out.sort_values("day").reset_index(drop=True)
     out["cum_new_users"] = out["n_new_users"].cumsum().astype(np.int64)
     return out[["day", "n_events", "n_new_users", "cum_new_users"]]
+
+
+def url_path_rollup(log: rd.Dataset) -> pd.DataFrame:
+    """Crawl accounting by URL-path hierarchy: per (host, first path
+    segment), URLs crawled and fetch successes — the directory-level
+    budget view a crawl operator reads to spot trap subtrees
+    (url_templates' sibling at the hierarchy grain; the reference eyes
+    the same shape through its per-domain status SQL,
+    production_classifier.py:439-447).
+
+    One vectorized RE2 extract + the shuffle-free two-phase combiner
+    (key set = hosts x first-segments, small by construction)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        seg = pc.extract_regex(
+            t["url"], r"^[a-z]+://[^/]+/(?P<seg>[^/?#]+)")
+        seg1 = pc.fill_null(pc.struct_field(seg, "seg"), "")
+        ok = pc.equal(t["status"], "ok").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "host": t["host"],
+            "seg1": seg1,
+            "p_n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "p_ok": pa.array(ok.astype(np.int64)),
+        })
+
+    out = two_phase_agg(
+        log.map_batches(fn, batch_format="pyarrow"),
+        ["host", "seg1"], [("p_n", "sum"), ("p_ok", "sum")],
+        ["host", "seg1", "n_urls", "n_ok"]).to_pandas()
+    return out.sort_values(["host", "seg1"]).reset_index(drop=True)

@@ -4498,3 +4498,86 @@ def bigram_logprob_sql() -> str:
                       * 1048576.0) AS avg_logprob
         FROM documents d LEFT JOIN per USING (doc_id)
         ORDER BY d.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# In-engine doc embeddings: hashed TF x fixed integer projection
+# ---------------------------------------------------------------------------
+
+
+def _hash_embed_weights(k: int, d: int) -> np.ndarray:
+    """Deterministic small-integer projection matrix: w[b, j] =
+    (splitmix64(b*d + j) % 7) - 3 in [-3, 3] — an algorithm constant
+    (like ann_lsh's seeded hyperplanes), so the SQL twin serializes the
+    same ints as literals."""
+    ids = np.arange(k * d, dtype=np.uint64)
+    w = (MinHasher._mix64(ids) % np.uint64(7)).astype(np.int64) - 3
+    return w.reshape(k, d)
+
+
+def hash_embed(sf_dir: str, k: int = 32, d: int = 8) -> pd.DataFrame:
+    """In-engine document embeddings without a model: hashed term
+    frequencies (the :func:`hashed_tf` buckets) projected through a
+    FIXED deterministic integer matrix — the classic hashing-trick +
+    random-projection representation a pipeline uses for cheap
+    clustering/dedup when no learned encoder is available (and the
+    upstream feed for knn/kmeans-style ops when embeddings.parquet
+    isn't given).
+
+    Exactness: tf counts and projection weights are integers, so each
+    component is an exact int64 sum (|e_j| <= 3 * n_tokens — no float
+    order anywhere).  One streaming pass, zero shuffles: per batch a
+    dense (docs x k) count matrix and ONE integer matmul."""
+    W = _hash_embed_weights(k, d)
+
+    class _Embed(_DsirBuckets):
+        def __init__(self):
+            super().__init__(k)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            parent, buck = self.buckets(t["text"])
+            n = t.num_rows
+            counts = np.zeros((n, k), dtype=np.int64)
+            if len(parent):
+                np.add.at(counts, (parent, buck), 1)
+            emb = counts @ W  # (n, d) exact int64
+            cols = {"doc_id": t["doc_id"],
+                    "n_tokens": pa.array(counts.sum(axis=1))}
+            for j in range(d):
+                cols[f"e{j}"] = pa.array(emb[:, j])
+            return pa.table(cols)
+
+    out = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _Embed(), batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def hash_embed_sql(k: int = 32, d: int = 8) -> str:
+    """DuckDB twin of :func:`hash_embed`: the same hashed-TF buckets
+    (md5_number_lower %% k) joined to the serialized weight constants,
+    pivoted to wide integer components."""
+    W = _hash_embed_weights(k, d)
+    vals = ", ".join(
+        f"({b}, {j}, {int(W[b, j])})" for b in range(k) for j in range(d))
+    comps = ",\n               ".join(
+        f"coalesce(sum(CASE WHEN w.j = {j} THEN tf.tf * w.wt END), 0)"
+        f"::BIGINT AS e{j}" for j in range(d))
+    return rf"""
+        WITH toks AS (SELECT doc_id,
+                             unnest(regexp_extract_all(text, '\S+')) AS tok
+                      FROM documents),
+        tf AS (SELECT doc_id,
+                      CAST(md5_number_lower(tok) % {k} AS BIGINT) AS bucket,
+                      count(*)::BIGINT AS tf
+               FROM toks GROUP BY 1, 2),
+        nt AS (SELECT doc_id, sum(tf)::BIGINT AS n_tokens FROM tf
+               GROUP BY 1),
+        w(bucket, j, wt) AS (VALUES {vals})
+        SELECT d.doc_id, coalesce(nt.n_tokens, 0) AS n_tokens,
+               {comps}
+        FROM documents d
+        LEFT JOIN nt USING (doc_id)
+        LEFT JOIN tf ON tf.doc_id = d.doc_id
+        LEFT JOIN w ON w.bucket = tf.bucket
+        GROUP BY d.doc_id, nt.n_tokens
+        ORDER BY d.doc_id"""
