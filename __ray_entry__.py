@@ -337,6 +337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_weighted": T.sample_weighted,
         "unigram_logprob": T.unigram_logprob,
         "bigram_logprob": T.bigram_logprob,
+        "token_entropy": T.token_entropy,
         "mix_temperature": T.mix_temperature,
         "normalize_text": T.normalize_text,
         "bpe_encode": T.bpe_encode,
@@ -1064,6 +1065,9 @@ def oracle_sql() -> dict[str, str]:
                        AS avg_logprob
             FROM documents d LEFT JOIN per p USING (doc_id)
             ORDER BY d.doc_id""",
+        # per-doc unigram Shannon entropy, same fixed-point-ln idiom
+        # (textops.token_entropy)
+        "token_entropy": T.token_entropy_sql(),
         # temperature-scaled source mixture: IEEE-exact sqrt weights +
         # integer largest-remainder allocation (textops.mix_temperature)
         "mix_temperature": T.mix_temperature_sql(),

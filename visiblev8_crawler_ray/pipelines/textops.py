@@ -3005,6 +3005,93 @@ def unigram_logprob(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def token_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-document Shannon entropy of the doc's own unigram
+    distribution — the token-diversity curation signal (entropy 0 =
+    one token repeated; low entropy = template/boilerplate; it
+    complements :func:`repetition_stats`, which looks at the top
+    duplicated word/bigram, and :func:`unigram_logprob`, which scores
+    against the CORPUS distribution rather than the doc's own).
+
+    Parity contract (the fixed-point-ln idiom of unigram_logprob):
+    ``H = ln(n) - (1/n) * sum_t c_t * ln(c_t)`` over the doc's distinct
+    tokens, with every ``ln(k)`` quantized to int64 at 2^20 scale with
+    half-away rounding (= DuckDB ``round(ln(k) * 1048576)``).  The
+    per-doc accumulator ``entropy_q = n*lnq(n) - sum c_t*lnq(c_t)`` is
+    pure integer arithmetic (n <= 10^4 tokens/doc, lnq <= 2^25 =>
+    well inside int64), and ``entropy`` is ONE IEEE division of
+    identical ints: ``entropy_q / (n * 1048576.0)``.
+
+    Scale shape: a pure per-doc map — zero shuffles, no corpus state;
+    tokenization is the shared flat RE2 kernel and the (doc, token)
+    counting is one ``np.unique`` over a packed int64 key per batch.
+    """
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    S = 1 << 20
+
+    def ent(t: pa.Table) -> pa.Table:
+        flat, parent = _flat_tokens(t["text"])
+        n = t.num_rows
+        ntok = np.zeros(n, dtype=np.int64)
+        ndist = np.zeros(n, dtype=np.int64)
+        sum_q = np.zeros(n, dtype=np.int64)
+        if len(flat):
+            codes, uniq = pd.factorize(flat.to_numpy(zero_copy_only=False))
+            np.add.at(ntok, parent, 1)
+            # distinct (doc, token) pairs via one packed-key unique
+            key = parent * np.int64(len(uniq)) + codes
+            pair_key, pair_cnt = np.unique(key, return_counts=True)
+            pair_doc = (pair_key // np.int64(len(uniq))).astype(np.int64)
+            lp = np.log(pair_cnt.astype(np.float64)) * S
+            ql = np.floor(lp + 0.5).astype(np.int64)  # ln(c) >= 0
+            np.add.at(ndist, pair_doc, 1)
+            np.add.at(sum_q, pair_doc, pair_cnt * ql)
+        lpn = np.log(np.maximum(ntok, 1).astype(np.float64)) * S
+        qn = np.floor(lpn + 0.5).astype(np.int64)
+        entropy_q = ntok * qn - sum_q
+        entropy = entropy_q / (np.maximum(ntok, 1) * float(S))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(ntok),
+            "n_distinct": pa.array(ndist),
+            "entropy_q": pa.array(entropy_q),
+            "entropy": pa.array(entropy, type=pa.float64()),
+        })
+
+    out = ds.map_batches(ent, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def token_entropy_sql() -> str:
+    return r"""
+        WITH toks AS (SELECT doc_id,
+                             unnest(regexp_extract_all(text, '\S+')) AS tok
+                      FROM documents),
+        vc AS (SELECT doc_id, tok, count(*)::BIGINT AS cnt
+               FROM toks GROUP BY doc_id, tok),
+        per AS (SELECT doc_id,
+                       sum(cnt)::BIGINT AS n_tokens,
+                       count(*)::BIGINT AS n_distinct,
+                       sum(cnt * CAST(round(ln(cnt) * 1048576) AS BIGINT)
+                           )::BIGINT AS sum_q
+                FROM vc GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+               coalesce(p.n_distinct, 0)::BIGINT AS n_distinct,
+               (coalesce(p.n_tokens, 0)
+                * CAST(round(ln(greatest(coalesce(p.n_tokens, 0), 1))
+                             * 1048576) AS BIGINT)
+                - coalesce(p.sum_q, 0))::BIGINT AS entropy_q,
+               (coalesce(p.n_tokens, 0)
+                * CAST(round(ln(greatest(coalesce(p.n_tokens, 0), 1))
+                             * 1048576) AS BIGINT)
+                - coalesce(p.sum_q, 0))
+                   / (greatest(coalesce(p.n_tokens, 0), 1) * 1048576.0)
+                   AS entropy
+        FROM documents d LEFT JOIN per p USING (doc_id)
+        ORDER BY d.doc_id"""
+
+
 # ---------------------------------------------------------------------------
 # Temperature-scaled source mixing (the multilingual-LM sampling rule:
 # p_i proportional to n_i^alpha, alpha = 0.5) + text normalization
