@@ -266,6 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_window": A.events_rolling_window,
         "daily_new_users": A.daily_new_users,
         "lineitem_rollup": A.lineitem_rollup,
+        "group_corr": A.group_corr,
         "orders_pivot": A.orders_pivot,
         # training-data text ops
         "dedup_exact": T.dedup_exact,
@@ -862,6 +863,9 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+        # per-group CORR / REGR_SLOPE / REGR_INTERCEPT from exact int64
+        # moments, mirrored float trees (analytics.group_corr)
+        "group_corr": A.group_corr_sql(),
         "orders_pivot": """
             SELECT o_orderpriority,
                    CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,

@@ -112,7 +112,8 @@ def test_events_ops_fuzz_vs_duckdb(ray_session, tmp_path, seed):
 
 
 REL_OPS = ["anti_join_retry", "bloom_semi_join", "confidence_histogram",
-           "customer_orders_full", "customer_value_label", "keyset_page",
+           "customer_orders_full", "customer_value_label", "group_corr",
+           "keyset_page",
            "lineitem_rollup", "multi_origin_rollup", "orders_pivot",
            "orders_with_customer", "sample_head", "shipping_priority",
            "top10_customers", "usage_rollup"]

@@ -17,6 +17,7 @@ Conventions:
 
 from __future__ import annotations
 
+import math
 import os
 
 import numpy as np
@@ -1143,6 +1144,123 @@ def lineitem_rollup(sf_dir: str) -> pd.DataFrame:
         ["l_returnflag", "l_linestatus", "n", "sum_qty"],
     ).to_pandas()
     return _round(out, {"sum_qty": 4})
+
+
+def group_corr(sf_dir: str) -> pd.DataFrame:
+    """Per-group Pearson correlation + least-squares regression of
+    extendedprice on quantity — the statistical-aggregate family
+    (CORR / REGR_SLOPE / REGR_INTERCEPT) the reference approximates
+    with pandas ``describe()``/ratio math in its reporting scripts
+    (production_classifier.py:428-447, classify.py:504-530).
+
+    Parity contract: x = round(l_quantity), y = round(l_extendedprice)
+    (half-away, = DuckDB ``round()``), and the five group moments
+    (n, Σx, Σy, Σx², Σxy, Σy²) are EXACT int64 partials, so the final
+    statistics are pure functions of identical integers; the float
+    trees are mirrored term-for-term against the SQL twin
+    (``cov/ (sqrt(varx)*sqrt(vary))``, one conversion per operand —
+    BIGINT→DOUBLE is correctly rounded on both sides, HUGEINT→DOUBLE
+    is NOT, so every cast value is asserted to fit int64).
+
+    Int64 headroom (disclosed): y ≤ 1.05e5 ⇒ Σy² ≈ 1.1e10/row and
+    vary_num = n·Σy² − (Σy)² stays < 2^63 to ~2×10^4 rows/group at
+    these magnitudes (asserted); at 100-TB group sizes the Σy² moment
+    takes the hi/lo int64 split (the embedding_covariance idiom) and
+    the driver math is already arbitrary-precision Python int.
+
+    Scale shape: one streaming pass of derived-moment columns, the
+    two-phase combiner (exchange = groups-sized sketch), and driver
+    math over |groups| rows — zero shuffles.
+    """
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_shipdate",
+                "l_quantity", "l_extendedprice"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].to_numpy(zero_copy_only=False)
+        p = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        x = (np.sign(q) * np.floor(np.abs(q) + 0.5)).astype(np.int64)
+        y = (np.sign(p) * np.floor(np.abs(p) + 0.5)).astype(np.int64)
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "ship_year": pc.year(t["l_shipdate"]).cast(pa.int64()),
+            "x": pa.array(x), "y": pa.array(y),
+            "xx": pa.array(x * x), "xy": pa.array(x * y),
+            "yy": pa.array(y * y),
+        })
+
+    g = two_phase_agg(
+        ds.map_batches(moments, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus", "ship_year"],
+        [("x", "count"), ("x", "sum"), ("y", "sum"),
+         ("xx", "sum"), ("xy", "sum"), ("yy", "sum")],
+        ["l_returnflag", "l_linestatus", "ship_year",
+         "n", "sum_x", "sum_y", "sxx", "sxy", "syy"],
+    ).to_pandas()
+
+    corr = np.empty(len(g)); slope = np.empty(len(g)); icpt = np.empty(len(g))
+    for i, r in enumerate(g.itertuples()):
+        # arbitrary-precision driver math from the exact int64 moments
+        n, sx, sy = int(r.n), int(r.sum_x), int(r.sum_y)
+        cov = n * int(r.sxy) - sx * sy
+        vx = n * int(r.sxx) - sx * sx
+        vy = n * int(r.syy) - sy * sy
+        assert max(abs(cov), abs(vx), abs(vy)) < 1 << 63, "widen the split"
+        if vx == 0:
+            corr[i], slope[i], icpt[i] = 0.0, 0.0, float(sy) / n
+        else:
+            s = float(cov) / float(vx)
+            slope[i] = s
+            icpt[i] = (float(sy) - s * float(sx)) / n
+            corr[i] = (0.0 if vy == 0 else
+                       float(cov) / (math.sqrt(float(vx)) * math.sqrt(float(vy))))
+    g["corr_qty_price"] = corr
+    g["slope_price_qty"] = slope
+    g["intercept_price_qty"] = icpt
+    return (g.sort_values(["l_returnflag", "l_linestatus", "ship_year"])
+            .reset_index(drop=True))
+
+
+def group_corr_sql() -> str:
+    return r"""
+        WITH b AS (SELECT l_returnflag, l_linestatus,
+                          year(l_shipdate)::BIGINT AS ship_year,
+                          CAST(round(l_quantity) AS BIGINT) AS x,
+                          CAST(round(l_extendedprice) AS BIGINT) AS y
+                   FROM lineitem),
+        g AS (SELECT l_returnflag, l_linestatus, ship_year,
+                     count(*)::BIGINT AS n,
+                     sum(x)::BIGINT AS sum_x, sum(y)::BIGINT AS sum_y,
+                     sum(x*x)::BIGINT AS sxx, sum(x*y)::BIGINT AS sxy,
+                     sum(y*y)::BIGINT AS syy
+              FROM b GROUP BY l_returnflag, l_linestatus, ship_year),
+        f AS (SELECT *,
+                     CAST(n::HUGEINT * sxy - sum_x::HUGEINT * sum_y
+                          AS BIGINT) AS cov_num,
+                     CAST(n::HUGEINT * sxx - sum_x::HUGEINT * sum_x
+                          AS BIGINT) AS varx_num,
+                     CAST(n::HUGEINT * syy - sum_y::HUGEINT * sum_y
+                          AS BIGINT) AS vary_num
+              FROM g)
+        SELECT l_returnflag, l_linestatus, ship_year, n, sum_x, sum_y,
+               sxx, sxy, syy,
+               CASE WHEN varx_num = 0 OR vary_num = 0 THEN 0.0
+                    ELSE CAST(cov_num AS DOUBLE)
+                         / (sqrt(CAST(varx_num AS DOUBLE))
+                            * sqrt(CAST(vary_num AS DOUBLE)))
+               END AS corr_qty_price,
+               CASE WHEN varx_num = 0 THEN 0.0
+                    ELSE CAST(cov_num AS DOUBLE) / CAST(varx_num AS DOUBLE)
+               END AS slope_price_qty,
+               CASE WHEN varx_num = 0
+                    THEN CAST(sum_y AS DOUBLE) / n
+                    ELSE (CAST(sum_y AS DOUBLE)
+                          - (CAST(cov_num AS DOUBLE)
+                             / CAST(varx_num AS DOUBLE))
+                            * CAST(sum_x AS DOUBLE)) / n
+               END AS intercept_price_qty
+        FROM f ORDER BY l_returnflag, l_linestatus, ship_year"""
 
 
 def orders_pivot(sf_dir: str) -> pd.DataFrame:
