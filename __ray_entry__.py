@@ -268,6 +268,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_rollup": A.lineitem_rollup,
         "group_corr": A.group_corr,
         "orders_pivot": A.orders_pivot,
+        "user_type_runs": A.user_type_runs,
+        "group_mode": A.group_mode,
+        "zorder_extents": A.zorder_extents,
         # training-data text ops
         "dedup_exact": T.dedup_exact,
         "dedup_minhash": T.dedup_minhash,
@@ -866,6 +869,11 @@ def oracle_sql() -> dict[str, str]:
         # per-group CORR / REGR_SLOPE / REGR_INTERCEPT from exact int64
         # moments, mirrored float trees (analytics.group_corr)
         "group_corr": A.group_corr_sql(),
+        # gaps-and-islands change history, per-group mode, Morton
+        # zone-map extents (analytics.py, eighth continuation)
+        "user_type_runs": A.user_type_runs_sql(),
+        "group_mode": A.group_mode_sql(),
+        "zorder_extents": A.zorder_extents_sql(),
         "orders_pivot": """
             SELECT o_orderpriority,
                    CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,

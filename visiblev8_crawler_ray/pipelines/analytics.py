@@ -1844,3 +1844,203 @@ def url_path_rollup(log: rd.Dataset) -> pd.DataFrame:
         ["host", "seg1"], [("p_n", "sum"), ("p_ok", "sum")],
         ["host", "seg1", "n_urls", "n_ok"]).to_pandas()
     return out.sort_values(["host", "seg1"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Change-history / mode / data-layout operators (round-3 eighth continuation)
+
+
+def user_type_runs(sf_dir: str) -> pd.DataFrame:
+    """Gaps-and-islands (SCD2-style change history): per user, collapse
+    consecutive runs of the same ``event_type`` along (ts, event_id)
+    order into one interval row (run_idx, type, start, end, length) —
+    the change-tracking shape the reference's latest-result upsert
+    implies over recrawls (production_classifier.py:480-489 keeps only
+    the newest state; this keeps the full validity history).
+
+    Partitioning: ONE hash shuffle on ``user_id``
+    (``groupby(user_id).map_groups``); the per-group kernel is a
+    numpy lexsort + boundary flatnonzero — no per-row Python, memory
+    O(events-per-user).  At 100 TB users are the natural partition key
+    and per-user history is small; a hot synthetic user would be salted
+    by (user_id, day) first, as ``distinct_users_salted`` demonstrates."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["event_id"].to_numpy(), g["ts"].to_numpy()))
+        et = g["event_type"].to_numpy()[order]
+        ts = g["ts"].to_numpy()[order]
+        brk = np.ones(len(et), dtype=np.int64)
+        brk[1:] = (et[1:] != et[:-1]).astype(np.int64)
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], len(et)] - 1
+        return pd.DataFrame({
+            "user_id": np.full(len(starts), g["user_id"].iloc[0],
+                               dtype=np.int64),
+            "run_idx": np.arange(1, len(starts) + 1, dtype=np.int64),
+            "event_type": et[starts],
+            "run_start": ts[starts],
+            "run_end": ts[ends],
+            "run_len": (ends - starts + 1).astype(np.int64),
+        })
+
+    return (ds.groupby("user_id")
+            .map_groups(per_user, batch_format="pandas").to_pandas())
+
+
+def user_type_runs_sql() -> str:
+    return """
+        WITH s AS (
+          SELECT user_id, event_type, ts, event_id,
+                 CASE WHEN lag(event_type) OVER w
+                           IS DISTINCT FROM event_type
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), g AS (
+          SELECT *, sum(brk) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS run_idx
+          FROM s
+        )
+        SELECT user_id, run_idx::BIGINT AS run_idx,
+               min(event_type) AS event_type,
+               min(ts) AS run_start, max(ts) AS run_end,
+               count(*)::BIGINT AS run_len
+        FROM g GROUP BY user_id, run_idx
+        ORDER BY user_id, run_idx"""
+
+
+def group_mode(sf_dir: str) -> pd.DataFrame:
+    """Per-group MODE with a deterministic tie-break (highest count,
+    then lexicographically smallest value): each block emits partial
+    (user, type) counts (combiner), ONE shuffle on ``user_id``
+    co-locates a user's partials, and the per-group kernel sums + takes
+    the argmax — the per-key payload entering the shuffle is
+    O(distinct types per user per block), never raw rows.  The modal
+    label per entity is the reference's majority-vote rollup shape
+    (multiple classifier results per script -> one label)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["user_id", "event_type"]).aggregate(
+            [("event_type", "count")]
+        ).rename_columns(["user_id", "event_type", "n"])
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("event_type")["n"].sum()
+        order = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))
+        return pd.DataFrame({
+            "user_id": [np.int64(g["user_id"].iloc[0])],
+            "mode_event_type": [order[0][0]],
+            "n": [np.int64(order[0][1])],
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("user_id")
+            .map_groups(pick, batch_format="pandas").to_pandas())
+
+
+def group_mode_sql() -> str:
+    return """
+        WITH c AS (
+          SELECT user_id, event_type, count(*)::BIGINT AS n
+          FROM events GROUP BY user_id, event_type
+        )
+        SELECT user_id, event_type AS mode_event_type, n
+        FROM c
+        QUALIFY row_number() OVER (PARTITION BY user_id
+                                   ORDER BY n DESC, event_type) = 1
+        ORDER BY user_id"""
+
+
+#: z-order grid resolution (bits per axis) and block prefix bits —
+#: pinned so the SQL twin serializes the same constants.
+ZORDER_BITS = 8
+ZORDER_PREFIX_BITS = 6
+
+
+def zorder_extents(sf_dir: str) -> pd.DataFrame:
+    """Z-order (Morton) data layout: map (l_partkey, l_suppkey) onto an
+    ``2^8 x 2^8`` grid, interleave the axis bits into a Morton key, and
+    block rows by the key's top 6 bits — the space-filling-curve
+    clustering a 100-TB lakehouse uses so multi-column range predicates
+    prune blocks (each block is a quad-tree cell: BOTH axes' min/max
+    extents are tight, unlike a single-column sort where the second
+    axis spans the full domain).  Per block: row count + per-axis
+    min/max — the exact zone-map a reader consults.
+
+    Blocking by key PREFIX (range partition) instead of NTILE means no
+    global row numbering and no sort: one vectorized map computes the
+    block id and the shuffle-free two-phase combiner rolls up 64 cells.
+    Axis scale factors derive from per-axis maxima (one cheap
+    partial+final max pass, broadcast as scalars)."""
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    bits, pfx = ZORDER_BITS, ZORDER_PREFIX_BITS
+    grid = 1 << bits
+    def pmax(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "max_p": pa.array([pc.max(t["l_partkey"]).as_py()],
+                              type=pa.int64()),
+            "max_s": pa.array([pc.max(t["l_suppkey"]).as_py()],
+                              type=pa.int64()),
+        })
+
+    mx = ds.map_batches(pmax, batch_format="pyarrow").aggregate(
+        Max("max_p", alias_name="max_p"), Max("max_s", alias_name="max_s"))
+    max_p, max_s = int(mx["max_p"]), int(mx["max_s"])
+
+    def cells(t: pa.Table) -> pa.Table:
+        p = t["l_partkey"].to_numpy(zero_copy_only=False)
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        x = (p * grid) // (max_p + 1)
+        y = (s * grid) // (max_s + 1)
+        m = np.zeros(len(x), dtype=np.int64)
+        for i in range(bits):
+            m |= ((x >> i) & 1) << (2 * i + 1)
+            m |= ((y >> i) & 1) << (2 * i)
+        return pa.table({
+            "block_id": pa.array(m >> (2 * bits - pfx)),
+            "l_partkey": t["l_partkey"],
+            "l_suppkey": t["l_suppkey"],
+            "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        })
+
+    out = two_phase_agg(
+        ds.map_batches(cells, batch_format="pyarrow"),
+        ["block_id"],
+        [("one", "sum"), ("l_partkey", "min"), ("l_partkey", "max"),
+         ("l_suppkey", "min"), ("l_suppkey", "max")],
+        ["block_id", "n", "min_part", "max_part", "min_supp", "max_supp"],
+    ).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("block_id").reset_index(drop=True)
+
+
+def zorder_extents_sql() -> str:
+    bits, pfx = ZORDER_BITS, ZORDER_PREFIX_BITS
+    grid = 1 << bits
+    terms = " + ".join(
+        f"(((x >> {i}) & 1) << {2 * i + 1}) + (((y >> {i}) & 1) << {2 * i})"
+        for i in range(bits))
+    return f"""
+        WITH mx AS (
+          SELECT max(l_partkey) AS max_p, max(l_suppkey) AS max_s
+          FROM lineitem
+        ), xy AS (
+          SELECT l_partkey, l_suppkey,
+                 (l_partkey * {grid}) // (max_p + 1) AS x,
+                 (l_suppkey * {grid}) // (max_s + 1) AS y
+          FROM lineitem, mx
+        ), m AS (
+          SELECT l_partkey, l_suppkey,
+                 ({terms}) >> {2 * bits - pfx} AS block_id
+          FROM xy
+        )
+        SELECT block_id::BIGINT AS block_id, count(*)::BIGINT AS n,
+               min(l_partkey)::BIGINT AS min_part,
+               max(l_partkey)::BIGINT AS max_part,
+               min(l_suppkey)::BIGINT AS min_supp,
+               max(l_suppkey)::BIGINT AS max_supp
+        FROM m GROUP BY block_id ORDER BY block_id"""
