@@ -271,6 +271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_type_runs": A.user_type_runs,
         "group_mode": A.group_mode,
         "zorder_extents": A.zorder_extents,
+        "column_profile": A.column_profile,
         # training-data text ops
         "dedup_exact": T.dedup_exact,
         "dedup_minhash": T.dedup_minhash,
@@ -874,6 +875,7 @@ def oracle_sql() -> dict[str, str]:
         "user_type_runs": A.user_type_runs_sql(),
         "group_mode": A.group_mode_sql(),
         "zorder_extents": A.zorder_extents_sql(),
+        "column_profile": A.column_profile_sql(),
         "orders_pivot": """
             SELECT o_orderpriority,
                    CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,

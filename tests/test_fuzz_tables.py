@@ -116,7 +116,8 @@ REL_OPS = ["anti_join_retry", "bloom_semi_join", "confidence_histogram",
            "keyset_page",
            "lineitem_rollup", "multi_origin_rollup", "orders_pivot",
            "orders_with_customer", "sample_head", "shipping_priority",
-           "top10_customers", "usage_rollup", "zorder_extents"]
+           "top10_customers", "usage_rollup", "zorder_extents",
+           "column_profile"]
 
 
 def _random_relational(rng, n_cust=25, n_orders=120, n_lines=300):

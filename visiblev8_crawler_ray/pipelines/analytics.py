@@ -2044,3 +2044,133 @@ def zorder_extents_sql() -> str:
                min(l_suppkey)::BIGINT AS min_supp,
                max(l_suppkey)::BIGINT AS max_supp
         FROM m GROUP BY block_id ORDER BY block_id"""
+
+
+#: columns profiled by ``column_profile`` — pinned (and mirrored in the
+#: SQL twin) because the oracle string is static while table schemas
+#: are stable across scale factors.
+PROFILE_COLUMNS = [
+    ("o_orderkey", "num"), ("o_custkey", "num"),
+    ("o_orderstatus", "str"), ("o_totalprice", "num"),
+    ("o_orderdate", "ts"), ("o_orderpriority", "str"),
+]
+
+
+def column_profile(sf_dir: str) -> pd.DataFrame:
+    """Table profiler (DuckDB SUMMARIZE / Spark describe analog): per
+    column of ``orders`` — row count, null count, EXACT distinct count,
+    numeric min/max.  The engine-completeness op every data platform
+    ships for schema drift and data-quality checks.
+
+    One scan, two narrow partial streams:
+    - stats: per-block (n, n_null, min, max) scalars per column — the
+      shuffle-free partial+final pattern;
+    - distincts: per-block ``pc.unique`` per column in LONG form
+      (column, injective value string) — repr() for floats round-trips,
+      so string equality == value equality and the count is exact, not
+      sketched.  Blocks' unique sets merge in one coalesce + final
+      unique; payload is O(distinct values), never O(rows).
+    At 100 TB a column whose distinct set no longer fits one merge task
+    switches to the hash-partitioned distinct (``groupby(column, v)``)
+    or the HLL sketch (``distinct_tokens_hll``) — the exact long-form
+    baseline here is what those approximations are gated against."""
+    cols = [c for c, _ in PROFILE_COLUMNS]
+    kinds = dict(PROFILE_COLUMNS)
+    ds = _read(sf_dir, "orders", cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        names, ns, nulls, mins, maxs, dvals = [], [], [], [], [], []
+        for c in cols:
+            col = t[c]
+            names.append(c)
+            ns.append(t.num_rows)
+            nulls.append(col.null_count)
+            if kinds[c] == "num":
+                mins.append(float(pc.min(col).as_py()))
+                maxs.append(float(pc.max(col).as_py()))
+            else:
+                mins.append(None)
+                maxs.append(None)
+            u = pc.unique(pc.drop_null(col.combine_chunks()))
+            if kinds[c] == "str":
+                vs = u.to_pylist()
+            elif kinds[c] == "ts":
+                vs = [str(x) for x in u.cast(pa.int64()).to_pylist()]
+            else:
+                vs = [repr(x) for x in u.to_pylist()]
+            dvals.append(vs)
+        stats = pa.table({
+            "column": pa.array(names), "n": pa.array(ns, type=pa.int64()),
+            "n_null": pa.array(nulls, type=pa.int64()),
+            "min_num": pa.array(mins, type=pa.float64()),
+            "max_num": pa.array(maxs, type=pa.float64()),
+        })
+        long = pa.table({
+            "column": pa.array(
+                [c for c, vs in zip(names, dvals) for _ in vs]),
+            "v": pa.array([v for vs in dvals for v in vs],
+                          type=pa.string()),
+        })
+        # one output stream: tag the two shapes and split at the end
+        return pa.table({
+            "column": pa.concat_arrays(
+                [stats["column"].combine_chunks(),
+                 long["column"].combine_chunks()]),
+            "v": pa.concat_arrays(
+                [pa.nulls(len(names), pa.string()),
+                 long["v"].combine_chunks()]),
+            "n": pa.concat_arrays(
+                [stats["n"].combine_chunks(),
+                 pa.nulls(long.num_rows, pa.int64())]),
+            "n_null": pa.concat_arrays(
+                [stats["n_null"].combine_chunks(),
+                 pa.nulls(long.num_rows, pa.int64())]),
+            "min_num": pa.concat_arrays(
+                [stats["min_num"].combine_chunks(),
+                 pa.nulls(long.num_rows, pa.float64())]),
+            "max_num": pa.concat_arrays(
+                [stats["max_num"].combine_chunks(),
+                 pa.nulls(long.num_rows, pa.float64())]),
+        })
+
+    def final(t: pa.Table) -> pa.Table:
+        stats = t.filter(pc.is_valid(t["n"]))
+        agg = stats.group_by("column").aggregate(
+            [("n", "sum"), ("n_null", "sum"),
+             ("min_num", "min"), ("max_num", "max")])
+        uniq = (t.filter(pc.is_valid(t["v"]))
+                 .group_by(["column"])
+                 .aggregate([("v", "count_distinct")]))
+        out = agg.join(uniq, "column").rename_columns(
+            ["column", "n_rows", "n_null", "min_num", "max_num",
+             "n_distinct"])
+        return out
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .repartition(1)
+           .map_batches(final, batch_format="pyarrow")
+           .to_pandas())
+    for c in ["n_rows", "n_null", "n_distinct"]:
+        out[c] = out[c].astype("int64")
+    out = out[["column", "n_rows", "n_null", "n_distinct",
+               "min_num", "max_num"]]
+    out = _round(out, {"min_num": 4, "max_num": 4})
+    out.loc[out["min_num"].isna(), "min_num"] = None
+    return out.sort_values("column").reset_index(drop=True)
+
+
+def column_profile_sql() -> str:
+    parts = []
+    for c, kind in PROFILE_COLUMNS:
+        if kind == "num":
+            mn, mx = (f"round(min({c})::DOUBLE, 4)",
+                      f"round(max({c})::DOUBLE, 4)")
+        else:
+            mn = mx = "CAST(NULL AS DOUBLE)"
+        parts.append(f"""
+          SELECT '{c}' AS "column", count(*)::BIGINT AS n_rows,
+                 (count(*) - count({c}))::BIGINT AS n_null,
+                 count(DISTINCT {c})::BIGINT AS n_distinct,
+                 {mn} AS min_num, {mx} AS max_num
+          FROM orders""")
+    return " UNION ALL ".join(parts) + ' ORDER BY "column"'
