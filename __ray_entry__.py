@@ -311,6 +311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": T.bm25_topk,
         "pmi_cooccurrence": T.pmi_cooccurrence,
         "prefix_dup_pairs": T.prefix_dup_pairs,
+        "hamming_pairs": T.hamming_pairs,
         "events_group_zscore": A.events_group_zscore,
         "funnel_counts": A.funnel_counts,
         "url_templates": A.url_templates,
@@ -876,6 +877,9 @@ def oracle_sql() -> dict[str, str]:
         "group_mode": A.group_mode_sql(),
         "zorder_extents": A.zorder_extents_sql(),
         "column_profile": A.column_profile_sql(),
+        # PassJoin-style Hamming similarity self-join; per-position
+        # substr twin (DuckDB hamming() is byte-based — unicode-unsafe)
+        "hamming_pairs": T.hamming_pairs_sql(),
         "orders_pivot": """
             SELECT o_orderpriority,
                    CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,

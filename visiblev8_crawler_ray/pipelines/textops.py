@@ -4668,3 +4668,114 @@ def hash_embed_sql(k: int = 32, d: int = 8) -> str:
         LEFT JOIN w ON w.bucket = tf.bucket
         GROUP BY d.doc_id, nt.n_tokens
         ORDER BY d.doc_id"""
+
+
+#: hamming_pairs key geometry — pinned; the SQL twin serializes the
+#: same constants.  KEY_LEN must be SEGS * (KEY_LEN // SEGS).
+HAM_KEY_LEN = 24
+HAM_K = 3
+HAM_SEGS = HAM_K + 1  # pigeonhole: <=K mismatches leave >=1 segment intact
+
+
+def hamming_pairs(sf_dir: str) -> pd.DataFrame:
+    """Similarity self-join under Hamming distance (record linkage /
+    PassJoin-style): pairs of docs whose fixed-width key (first 24
+    codepoints, space-padded) differ in at most ``HAM_K`` positions.
+
+    Exact blocking by pigeonhole: split the key into ``K+1`` disjoint
+    segments — any pair within distance K agrees EXACTLY on >=1 segment,
+    so emitting each doc once per (segment_idx, segment_value) and
+    verifying inside the group finds every qualifying pair with zero
+    false negatives.  A pair matching several segments is emitted only
+    by its FIRST agreeing segment (PassJoin's dedup rule) — no second
+    dedup shuffle.  The in-group verify is one UCS4 codepoint-matrix
+    broadcast (n x n x 24 equality), so it is codepoint-exact against
+    the SQL twin's per-position ``substr`` comparisons (DuckDB's
+    ``hamming()`` is byte-based and rejects unequal byte lengths on
+    unicode — the twin avoids it deliberately).
+
+    Skew: a hot segment value (e.g. the all-spaces segment of empty
+    docs) concentrates O(B^2) verify work; at web scale the standard
+    remedies are position-extended segment keys (PassJoin's shift
+    filter) or the crawl's hot-key salting — documented, not needed at
+    sandbox block sizes."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    seg_len = HAM_KEY_LEN // HAM_SEGS
+
+    def keyed(t: pa.Table) -> pa.Table:
+        key = pc.utf8_rpad(
+            pc.utf8_slice_codeunits(
+                pc.fill_null(t["text"], ""), 0, HAM_KEY_LEN),
+            HAM_KEY_LEN, " ")
+        n = t.num_rows
+        segs, idxs, keys, ids = [], [], [], []
+        for s in range(HAM_SEGS):
+            segs.append(pc.utf8_slice_codeunits(
+                key, s * seg_len, (s + 1) * seg_len))
+            idxs.append(pa.array(np.full(n, s, dtype=np.int64)))
+            keys.append(key.combine_chunks() if isinstance(
+                key, pa.ChunkedArray) else key)
+            ids.append(t["doc_id"].combine_chunks() if isinstance(
+                t["doc_id"], pa.ChunkedArray) else t["doc_id"])
+        return pa.table({
+            "seg_idx": pa.concat_arrays(idxs),
+            "seg": pa.concat_arrays(
+                [s.combine_chunks() if isinstance(s, pa.ChunkedArray)
+                 else s for s in segs]),
+            "doc_id": pa.concat_arrays(ids),
+            "key": pa.concat_arrays(keys),
+        })
+
+    def verify(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table({"a": pa.array([], type=pa.int64()),
+                          "b": pa.array([], type=pa.int64()),
+                          "dist": pa.array([], type=pa.int64())})
+        n = len(g)
+        if n < 2:
+            return empty
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        mat = np.array(g["key"].tolist(), dtype=f"<U{HAM_KEY_LEN}")
+        cp = mat.view(np.uint32).reshape(n, HAM_KEY_LEN)
+        diff = cp[:, None, :] != cp[None, :, :]
+        dist = diff.sum(axis=2)
+        seg_eq = ~diff.reshape(n, n, HAM_SEGS, seg_len).any(axis=3)
+        s = int(g["seg_idx"].iloc[0])
+        keep = dist <= HAM_K
+        if s > 0:
+            keep &= ~seg_eq[:, :, :s].any(axis=2)
+        ii, jj = np.triu_indices(n, k=1)
+        m = keep[ii, jj]
+        if not m.any():
+            return empty
+        return pa.table({"a": pa.array(ids[ii[m]]),
+                         "b": pa.array(ids[jj[m]]),
+                         "dist": pa.array(dist[ii[m], jj[m]].astype(
+                             np.int64))})
+
+    out = (ds.map_batches(keyed, batch_format="pyarrow")
+           .groupby(["seg_idx", "seg"])
+           .map_groups(verify, batch_format="pandas")
+           .to_pandas())
+    if "a" not in out.columns:
+        out = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                            "b": pd.Series([], dtype=np.int64),
+                            "dist": pd.Series([], dtype=np.int64)})
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def hamming_pairs_sql() -> str:
+    terms = " + ".join(
+        f"CASE WHEN substr(a.key, {i}, 1) <> substr(b.key, {i}, 1) "
+        f"THEN 1 ELSE 0 END" for i in range(1, HAM_KEY_LEN + 1))
+    return f"""
+        WITH k AS (
+          SELECT doc_id,
+                 rpad(substr(coalesce(text, ''), 1, {HAM_KEY_LEN}),
+                      {HAM_KEY_LEN}, ' ') AS key
+          FROM documents
+        )
+        SELECT a.doc_id AS a, b.doc_id AS b, ({terms})::BIGINT AS dist
+        FROM k a JOIN k b ON a.doc_id < b.doc_id
+        WHERE ({terms}) <= {HAM_K}
+        ORDER BY a, b"""
