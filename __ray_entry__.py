@@ -312,6 +312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_cooccurrence": T.pmi_cooccurrence,
         "prefix_dup_pairs": T.prefix_dup_pairs,
         "hamming_pairs": T.hamming_pairs,
+        "near_dup_triangles": T.near_dup_triangles,
         "events_group_zscore": A.events_group_zscore,
         "funnel_counts": A.funnel_counts,
         "url_templates": A.url_templates,
@@ -880,6 +881,7 @@ def oracle_sql() -> dict[str, str]:
         # PassJoin-style Hamming similarity self-join; per-position
         # substr twin (DuckDB hamming() is byte-based — unicode-unsafe)
         "hamming_pairs": T.hamming_pairs_sql(),
+        "near_dup_triangles": T.near_dup_triangles_sql(),
         "orders_pivot": """
             SELECT o_orderpriority,
                    CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,

@@ -4764,18 +4764,112 @@ def hamming_pairs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
-def hamming_pairs_sql() -> str:
+def _hamming_pairs_cte() -> str:
+    """Shared pair CTE for :func:`hamming_pairs_sql` and the triangle
+    twin — per-position ``substr`` comparisons (codepoint-exact)."""
     terms = " + ".join(
         f"CASE WHEN substr(a.key, {i}, 1) <> substr(b.key, {i}, 1) "
         f"THEN 1 ELSE 0 END" for i in range(1, HAM_KEY_LEN + 1))
-    return f"""
-        WITH k AS (
+    return f"""k AS (
           SELECT doc_id,
                  rpad(substr(coalesce(text, ''), 1, {HAM_KEY_LEN}),
                       {HAM_KEY_LEN}, ' ') AS key
           FROM documents
-        )
-        SELECT a.doc_id AS a, b.doc_id AS b, ({terms})::BIGINT AS dist
-        FROM k a JOIN k b ON a.doc_id < b.doc_id
-        WHERE ({terms}) <= {HAM_K}
-        ORDER BY a, b"""
+        ), hp AS (
+          SELECT a.doc_id AS a, b.doc_id AS b, ({terms})::BIGINT AS dist
+          FROM k a JOIN k b ON a.doc_id < b.doc_id
+          WHERE ({terms}) <= {HAM_K}
+        )"""
+
+
+def hamming_pairs_sql() -> str:
+    return (f"WITH {_hamming_pairs_cte()} "
+            f"SELECT a, b, dist FROM hp ORDER BY a, b")
+
+
+def near_dup_triangles(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
+    """Triangle enumeration over the near-dup graph (ordered wedge
+    join, the Cohen MapReduce scheme): each triangle {a<b<c} is found
+    exactly once — wedges open at their minimum vertex (one groupby on
+    the edge's lower endpoint; combos of its sorted neighbors), then
+    wedges meet the edge set in a hash-partitioned bucketed co-group on
+    the (x, y) closing key.  Triangles of near-duplicates are dup
+    CLUSTERS the pairwise view undercounts — the curation signal for
+    template farms.
+
+    Scale notes: wedge fan-out at a hub vertex is O(deg^2) — the
+    documented skew risk; production systems cap or degree-order first
+    (here edges already orient low->high so the apex is always the
+    minimum).  The closing join ships O(wedges + edges), never the doc
+    texts."""
+    pairs = hamming_pairs(sf_dir)[["a", "b"]]
+    if len(pairs) == 0:
+        return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                             "b": pd.Series([], dtype=np.int64),
+                             "c": pd.Series([], dtype=np.int64)})
+    eds = rd.from_pandas(pairs)
+    mix = MinHasher._mix64
+
+    def _bucket(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        return ((mix(x.astype(np.uint64))
+                 ^ mix(y.astype(np.uint64) + np.uint64(0x9E3779B9)))
+                % np.uint64(n_buckets)).astype(np.int64)
+
+    def wedges(g: pd.DataFrame) -> pa.Table:
+        bs = np.sort(g["b"].to_numpy(dtype=np.int64))
+        if len(bs) < 2:
+            return pa.table({"x": pa.array([], type=pa.int64()),
+                             "y": pa.array([], type=pa.int64()),
+                             "apex": pa.array([], type=pa.int64()),
+                             "side": pa.array([], type=pa.int8()),
+                             "jbucket": pa.array([], type=pa.int64())})
+        ii, jj = np.triu_indices(len(bs), k=1)
+        x, y = bs[ii], bs[jj]
+        return pa.table({
+            "x": pa.array(x), "y": pa.array(y),
+            "apex": pa.array(np.full(len(x), g["a"].iloc[0],
+                                     dtype=np.int64)),
+            "side": pa.array(np.zeros(len(x), dtype=np.int8)),
+            "jbucket": pa.array(_bucket(x, y)),
+        })
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        x = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "x": pa.array(x), "y": pa.array(y),
+            "apex": pa.nulls(len(x), type=pa.int64()),
+            "side": pa.array(np.ones(len(x), dtype=np.int8)),
+            "jbucket": pa.array(_bucket(x, y)),
+        })
+
+    def close(g: pd.DataFrame) -> pa.Table:
+        w = g[g["side"] == 0]
+        e = g[g["side"] == 1][["x", "y"]]
+        m = w.merge(e, on=["x", "y"], how="inner")
+        return pa.table({
+            "a": pa.array(m["apex"].to_numpy(dtype=np.int64)),
+            "b": pa.array(m["x"].to_numpy(dtype=np.int64)),
+            "c": pa.array(m["y"].to_numpy(dtype=np.int64)),
+        })
+
+    wed = eds.groupby("a").map_groups(wedges, batch_format="pandas")
+    tagged = eds.map_batches(tag_edges, batch_format="pyarrow")
+    out = (wed.union(tagged)
+           .groupby("jbucket").map_groups(close, batch_format="pandas")
+           .to_pandas())
+    if "a" not in out.columns:
+        out = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                            "b": pd.Series([], dtype=np.int64),
+                            "c": pd.Series([], dtype=np.int64)})
+    return out.sort_values(["a", "b", "c"]).reset_index(drop=True)
+
+
+def near_dup_triangles_sql() -> str:
+    return f"""
+        WITH {_hamming_pairs_cte()}
+        SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        FROM hp e1
+        JOIN hp e2 ON e2.a = e1.b
+        JOIN hp e3 ON e3.a = e1.a AND e3.b = e2.b
+        ORDER BY a, b, c"""
