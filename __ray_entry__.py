@@ -180,6 +180,12 @@ def _video_frames(sf_dir: str):
     return MM.video_frames(run.docs(), blob_dir)
 
 
+def _video_frame_index(sf_dir: str):
+    run = _crawl(sf_dir)
+    blob_dir = os.path.join(_store_root(sf_dir), "blobs")
+    return MM.video_frame_index(run.docs(), blob_dir)
+
+
 def _media_dedup(sf_dir: str):
     run = _crawl(sf_dir)
     blob_dir = os.path.join(_store_root(sf_dir), "blobs")
@@ -272,6 +278,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_mode": A.group_mode,
         "zorder_extents": A.zorder_extents,
         "column_profile": A.column_profile,
+        "url_edit_pairs": A.url_edit_pairs,
+        "orders_skyline": A.orders_skyline,
+        "session_interval_join": A.session_interval_join,
         # training-data text ops
         "dedup_exact": T.dedup_exact,
         "dedup_minhash": T.dedup_minhash,
@@ -400,6 +409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _media_features,
         "audio_features": _audio_features,
         "video_frames": _video_frames,
+        "video_frame_index": _video_frame_index,
         "media_dedup": _media_dedup,
         "media_near_dup": _media_near_dup,
         "media_thumbnails": _media_thumbnails,
@@ -878,6 +888,9 @@ def oracle_sql() -> dict[str, str]:
         "group_mode": A.group_mode_sql(),
         "zorder_extents": A.zorder_extents_sql(),
         "column_profile": A.column_profile_sql(),
+        "url_edit_pairs": _seed_cte() + A.url_edit_pairs_sql(),
+        "orders_skyline": A.orders_skyline_sql(),
+        "session_interval_join": A.session_interval_join_sql(),
         # PassJoin-style Hamming similarity self-join; per-position
         # substr twin (DuckDB hamming() is byte-based — unicode-unsafe)
         "hamming_pairs": T.hamming_pairs_sql(),
@@ -1576,6 +1589,41 @@ def oracle_sql() -> dict[str, str]:
                    round(st.mx / 32768.0, 6) AS peak
             FROM j JOIN st USING (media_ref)
             ORDER BY j.doc_id, j.media_ref""",
+        # video frame-manifest index recomputed end to end FROM THE
+        # CONTAINER BYTES: read_blob -> to_hex, then a recursive CTE
+        # walks the u32-count / u32-length-prefix layout
+        # (functions/video.encode_frames) over the hex string — each
+        # step decodes the next frame's length and advances the
+        # cursor; offsets, lengths and the md5-of-uppercase-hex
+        # fingerprint all re-derived from disk
+        # (multimodal.FrameIndexer)
+        "video_frame_index": f"""
+            WITH RECURSIVE sp AS {_sp},
+            v AS (SELECT doc_id, media_ref FROM sp
+                  WHERE kind = 'media/video'),
+            hx AS (SELECT substr(filename, {len(_bd) + 2}) AS rel,
+                          to_hex(content) AS h,
+                          ('0x' || substr(to_hex(content), 1, 8))::BIGINT
+                              AS n_frames
+                   FROM read_blob('{_bd}/**/*.vid')),
+            walk(rel, idx, hpos, hlen) AS (
+              SELECT rel, 0, 9, 2 * ('0x' || substr(h, 9, 8))::BIGINT
+              FROM hx WHERE n_frames > 0
+              UNION ALL
+              SELECT w.rel, w.idx + 1, w.hpos + 8 + w.hlen,
+                     2 * ('0x' || substr(hx.h, w.hpos + 8 + w.hlen, 8)
+                         )::BIGINT
+              FROM walk w JOIN hx USING (rel)
+              WHERE w.idx + 1 < hx.n_frames),
+            m AS (SELECT w.rel, CAST(w.idx AS INT) AS frame_idx,
+                         CAST((w.hpos + 7) // 2 + 1 AS BIGINT) AS byte_off,
+                         CAST(w.hlen // 2 AS BIGINT) AS n_bytes,
+                         md5(substr(hx.h, w.hpos + 8, w.hlen)) AS frame_md5
+                  FROM walk w JOIN hx USING (rel))
+            SELECT v.doc_id, v.media_ref, m.frame_idx, m.byte_off,
+                   m.n_bytes, m.frame_md5
+            FROM v JOIN m ON m.rel = substr(v.media_ref, 8)
+            ORDER BY v.doc_id, v.media_ref, m.frame_idx""",
         # store-integrity audit recomputed end to end: span-table refs
         # vs the artifact files themselves via DuckDB's read_blob glob
         # (multimodal.blob_audit; existence, sizes, orphan listing all

@@ -190,6 +190,9 @@ def run_bench() -> dict:
     timed("ann_lsh", lambda: E.ann_lsh(sf_dir))
     timed("ann_ivf", lambda: E.ann_ivf(sf_dir))
     timed("bpe_merges", lambda: T.bpe_merges(sf_dir))
+    # similarity-join family (added round 3, eighth continuation)
+    timed("hamming_pairs", lambda: T.hamming_pairs(sf_dir))
+    timed("url_edit_pairs", lambda: A.url_edit_pairs(sf_dir))
 
     total = round(sum(timings.values()), 3)
     result = {

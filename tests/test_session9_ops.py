@@ -77,3 +77,104 @@ def test_group_corr_hand_cases(ray_session, tmp_path):
     assert out.loc["R", "slope_price_qty"] == 0.0
     assert out.loc["R", "intercept_price_qty"] == 8.0
     assert out["ship_year"].tolist() == [1995] * 3
+
+
+def test_edit_pairs_hand_cases(ray_session):
+    import ray.data as rd
+
+    urls = ["abc",    # substitution partner of 'abd'
+            "abd",
+            "ab",     # deletion partner of abc / abd / acb
+            "abcd",   # insertion partner of abc and abd
+            "acb",    # transposition of abc -> distance 2, NOT a pair
+            "xyz"]    # isolated
+    ds = rd.from_arrow(pa.table({"url": pa.array(urls)}))
+    out = A.edit_pairs_dataset(ds).to_pandas()
+    got = sorted(map(tuple, out[["a", "b"]].to_numpy()))
+    assert got == [("ab", "abc"), ("ab", "abd"), ("ab", "acb"),
+                   ("abc", "abcd"), ("abc", "abd"), ("abcd", "abd")]
+    assert ("abc", "acb") not in got  # transposition = distance 2
+
+
+def test_edit_pairs_fuzz_vs_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    rng = np.random.default_rng(97)
+    alpha = list("ab0/")
+    pool = {"".join(rng.choice(alpha, size=rng.integers(1, 9)))
+            for _ in range(160)}
+    urls = sorted(pool)
+    ds = rd.from_arrow(pa.table({"url": pa.array(urls)}))
+    out = A.edit_pairs_dataset(ds).to_pandas()
+    got = sorted(map(tuple, out[["a", "b"]].to_numpy()))
+    con = duckdb.connect()
+    con.register("u", pd.DataFrame({"url": urls}))
+    exp = con.sql("""
+        SELECT x.url AS a, y.url AS b FROM u x JOIN u y
+        ON x.url < y.url WHERE levenshtein(x.url, y.url) = 1
+        ORDER BY a, b""").fetchall()
+    assert got == [tuple(r) for r in exp]
+    assert len(got) > 50  # the alphabet is tight enough to make pairs
+
+
+def test_frame_indexer_roundtrip(tmp_path):
+    from visiblev8_crawler_ray.functions.video import encode_frames
+    from visiblev8_crawler_ray.pipelines.multimodal import FrameIndexer
+
+    frames = [b"A", b"frame-two", b"", b"zz" * 50]
+    payload = encode_frames(frames)
+    blob = tmp_path / "d1"
+    blob.mkdir()
+    (blob / "cap.vid").write_bytes(payload)
+    idx = FrameIndexer(str(tmp_path))
+    out = idx(pa.table({
+        "doc_id": pa.array(["d1"]),
+        "media_ref": pa.array(["blob://d1/cap.vid"]),
+    })).to_pandas()
+    assert out["frame_idx"].tolist() == [0, 1, 2, 3]
+    assert out["n_bytes"].tolist() == [len(f) for f in frames]
+    # byte_off is 1-based: slicing the container there recovers each frame
+    for _, r in out.iterrows():
+        lo = int(r["byte_off"]) - 1
+        assert payload[lo:lo + int(r["n_bytes"])] == frames[r["frame_idx"]]
+
+
+def test_skyline_mask_hand_cases():
+    # (price, date): 9@2 dominates 5@3; 9@2 vs 9@2 duplicates both stay;
+    # 9@5 dominated by 9@2 (same price, earlier date); 12@9 stays (top
+    # price); 5@1 stays (earliest date); 4@1 dominated by 5@1.
+    price = np.array([9.0, 5.0, 9.0, 9.0, 12.0, 5.0, 4.0])
+    date = np.array([2, 3, 2, 5, 9, 1, 1], dtype=np.int64)
+    mask = A._skyline_mask(price, date)
+    assert mask.tolist() == [True, False, True, False, True, True, False]
+
+
+def test_orders_skyline_two_phase_invariant(ray_session, tmp_path):
+    """Union-of-block-skylines must re-reduce to the exact frontier:
+    force many tiny blocks and compare against the single-pass mask."""
+    import duckdb
+    import pyarrow.parquet as pq2
+
+    rng = np.random.default_rng(11)
+    n = 400
+    price = np.round(rng.uniform(0, 100, n), 2)
+    price[50:60] = price[40]          # planted same-price ties
+    days = rng.integers(0, 50, n)
+    t = pa.table({
+        "o_orderkey": pa.array(range(n), type=pa.int64()),
+        "o_custkey": pa.array(np.zeros(n, dtype=np.int64)),
+        "o_orderstatus": pa.array(["O"] * n),
+        "o_totalprice": pa.array(price),
+        "o_orderdate": pa.array(
+            (np.datetime64("2024-01-01") + days).astype("datetime64[us]")),
+        "o_orderpriority": pa.array(["1-URGENT"] * n),
+    })
+    pq2.write_table(t, tmp_path / "orders.parquet")
+    out = A.orders_skyline(str(tmp_path))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * "
+            f"FROM '{tmp_path}/orders.parquet'")
+    import __ray_entry__ as R
+    exp = con.sql(R.oracle_sql()["orders_skyline"]).df()
+    assert out["o_orderkey"].tolist() == exp["o_orderkey"].tolist()

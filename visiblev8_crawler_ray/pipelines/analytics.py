@@ -2174,3 +2174,386 @@ def column_profile_sql() -> str:
                  {mn} AS min_num, {mx} AS max_num
           FROM orders""")
     return " UNION ALL ".join(parts) + ' ORDER BY "column"'
+
+
+#: guard for the deletion-neighborhood fan-out (variants per key =
+#: len+1); seed URLs are bounded well under this by construction.
+EDIT_MAXLEN = 128
+
+
+def url_edit_pairs(sf_dir: str) -> pd.DataFrame:
+    """Similarity self-join under EDIT distance (Levenshtein <= 1) over
+    the distinct seed-URL strings — the record-linkage / typo-variant
+    join (one-digit page drift, dropped or doubled characters) that the
+    Hamming join (`textops.hamming_pairs`) cannot express because
+    insertions and deletions shift every later position.
+
+    Exact blocking by DELETION NEIGHBORHOOD (Mor-Fraenkel / FastSS):
+    ``lev(u, v) <= 1`` implies u and v share a member of
+    ``{s} ∪ {s with one char deleted}`` — substitution: delete the
+    differing position from both; insertion/deletion: the shorter
+    string itself; equality: the identity variant — so bucketing by
+    variant has ZERO false negatives and the exact verify runs inside
+    buckets.  The in-bucket verify is fully vectorized: same-length
+    pairs qualify iff their codepoint-matrix Hamming distance <= 1;
+    length±1 pairs iff common-prefix + common-suffix covers the
+    shorter string.  A pair can agree on several variants, so one
+    further first-wins groupby over the (a, b) PAIR keys (pair-sized,
+    never corpus-sized) makes the output distinct.
+
+    Scale shape: the fan-out is sum(len+1) variant rows over the
+    DISTINCT url vocabulary — the standard scalable ED-join layout
+    (neighborhood generation), one hash shuffle on the variant key +
+    one pair-sized dedup shuffle.  Hot variants (a mass of URLs one
+    deletion from each other) concentrate verify work exactly like
+    hamming_pairs' hot segments — same documented salting remedy.
+    """
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        urls = synth.derive_seed_urls(ids, DEFAULT_CONFIG)
+        return pa.table({"url": pa.array(urls, type=pa.string())})
+
+    distinct = two_phase_agg(
+        docs.map_batches(derive, batch_format="pyarrow"),
+        ["url"], [("url", "count")], ["url", "n"],
+    ).drop_columns(["n"])
+    out = edit_pairs_dataset(distinct).to_pandas()
+    if "a" not in out.columns:
+        out = pd.DataFrame({"a": pd.Series([], dtype=object),
+                            "b": pd.Series([], dtype=object)})
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def edit_pairs_dataset(distinct: rd.Dataset) -> rd.Dataset:
+    """Core ED<=1 self-join kernel over a Dataset with one DISTINCT
+    string column ``url`` (see :func:`url_edit_pairs` for the blocking
+    scheme and scale notes); returns a (a, b) pair Dataset."""
+
+    def variants(t: pa.Table) -> pa.Table:
+        s = pd.Series(t["url"].to_pandas())
+        if s.str.len().max() and s.str.len().max() > EDIT_MAXLEN:
+            raise ValueError("url exceeds EDIT_MAXLEN variant guard")
+        out_var, out_url = [s.copy()], [s]  # d=0: identity variant
+        maxlen = int(s.str.len().max() or 0)
+        for d in range(maxlen):  # vectorized across ALL rows per d
+            m = s.str.len() > d
+            sub = s[m]
+            out_var.append(sub.str[:d] + sub.str[d + 1:])
+            out_url.append(sub)
+        return pa.table({
+            "var": pa.array(pd.concat(out_var).to_numpy(dtype=object),
+                            type=pa.string()),
+            "url": pa.array(pd.concat(out_url).to_numpy(dtype=object),
+                            type=pa.string()),
+        })
+
+    def verify(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table({"a": pa.array([], type=pa.string()),
+                          "b": pa.array([], type=pa.string())})
+        n = len(g)
+        if n < 2:
+            return empty
+        urls = np.sort(g["url"].to_numpy(dtype=object))
+        lens = np.array([len(u) for u in urls], dtype=np.int64)
+        L = int(lens.max())
+        A = np.array(urls, dtype=f"<U{L}").view(np.uint32).reshape(n, L)
+        # right-aligned reverse: R[i, k] = codepoint lens[i]-1-k (0-pad)
+        R = np.zeros_like(A)
+        for i in range(n):  # n = bucket size (small by construction)
+            R[i, :lens[i]] = A[i, :lens[i]][::-1]
+        eq_a = A[:, None, :] == A[None, :, :]
+        eq_r = R[:, None, :] == R[None, :, :]
+        minlen = np.minimum(lens[:, None], lens[None, :])
+        cp = np.minimum(np.cumprod(eq_a, axis=2).sum(axis=2), minlen)
+        cs = np.minimum(np.cumprod(eq_r, axis=2).sum(axis=2), minlen)
+        ham = (~eq_a).sum(axis=2)
+        ldiff = np.abs(lens[:, None] - lens[None, :])
+        keep = ((ldiff == 0) & (ham == 1)) | \
+               ((ldiff == 1) & (cp + cs >= minlen))
+        ii, jj = np.triu_indices(n, k=1)
+        m = keep[ii, jj]
+        if not m.any():
+            return empty
+        return pa.table({"a": pa.array(urls[ii[m]], type=pa.string()),
+                         "b": pa.array(urls[jj[m]], type=pa.string())})
+
+    pairs = (distinct.map_batches(variants, batch_format="pyarrow")
+             .groupby("var")
+             .map_groups(verify, batch_format="pandas"))
+    return two_phase_agg(
+        pairs, ["a", "b"], [("a", "count")], ["a", "b", "n"],
+    ).drop_columns(["n"])
+
+
+def url_edit_pairs_sql() -> str:
+    """DuckDB twin: same deletion-neighborhood blocking (correlated
+    generate_series), then an exact ``levenshtein`` verify — DuckDB's
+    levenshtein is BYTE-based, which equals codepoint distance here
+    because seed URLs are ASCII by construction (asserted by the
+    engine's UCS4 matrix agreeing with it in the gate).  Returns the
+    clause AFTER the caller's seeds CTE (compose with _seed_cte())."""
+    return """
+        , u AS (SELECT DISTINCT url FROM seeds),
+        v AS (SELECT url, CASE WHEN d = 0 THEN url
+                   ELSE substr(url, 1, d - 1) || substr(url, d + 1)
+              END AS var
+              FROM u, UNNEST(generate_series(0, length(url))) AS g(d)),
+        p AS (SELECT DISTINCT x.url AS a, y.url AS b
+              FROM v x JOIN v y ON x.var = y.var AND x.url < y.url
+              WHERE levenshtein(x.url, y.url) = 1)
+        SELECT a, b FROM p ORDER BY a, b"""
+
+
+def _skyline_mask(price: np.ndarray, date: np.ndarray) -> np.ndarray:
+    """Boolean mask of the (max price, min date) Pareto frontier.
+    ``a`` dominates ``b`` iff a.price >= b.price, a.date <= b.date and
+    at least one is strict; duplicate points do not dominate each
+    other.  O(n log n) vectorized: per distinct price the min date,
+    a running min over strictly-higher prices, then two compares."""
+    uniq, inv = np.unique(-price, return_inverse=True)  # asc = price desc
+    k = len(uniq)
+    mnd = np.full(k, np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(mnd, inv, date)
+    run = np.minimum.accumulate(mnd)
+    # min date among STRICTLY higher prices (shift by one price group)
+    mn_higher = np.concatenate(
+        ([np.iinfo(np.int64).max], run[:-1]))[inv]
+    return (mn_higher > date) & (mnd[inv] == date)
+
+
+def orders_skyline(sf_dir: str) -> pd.DataFrame:
+    """Skyline (Pareto frontier) over orders: the orders no other order
+    beats on BOTH axes — higher price AND earlier date (the classic
+    multi-criteria shortlist: best-value-earliest; same shape as
+    cheapest-nearest hotel or smallest-loss/largest-scale checkpoint
+    selection over a training-run table).
+
+    Distributed two-phase: dominance is transitive, so the skyline of a
+    union is contained in the union of per-block skylines — each block
+    reduces to its local frontier (vectorized O(n log n) mask, no n^2),
+    the survivors coalesce (frontier-sized, ~log n for random data, so
+    the final pass is control-sized), and one exact re-scan finishes.
+    Comparisons run on the raw parquet doubles/timestamps — identical
+    values on both engines, no arithmetic, so exactness is free."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def local(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        price = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        date = t["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return t.filter(pa.array(_skyline_mask(price, date)))
+
+    out = (ds.map_batches(local, batch_format="pyarrow")
+           .repartition(1)
+           .map_batches(local, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def orders_skyline_sql() -> str:
+    """Window twin: per distinct price the min date, a running min over
+    strictly-higher prices — dominated iff an earlier date exists at a
+    higher price, or a strictly earlier one at the same price."""
+    return """
+        WITH pr AS (SELECT o_totalprice AS p, min(o_orderdate) AS mnd
+                    FROM orders GROUP BY 1),
+        r AS (SELECT p, mnd,
+                     min(mnd) OVER (ORDER BY p DESC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS mnh
+              FROM pr)
+        SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
+        FROM orders o JOIN r ON o.o_totalprice = r.p
+        WHERE (r.mnh IS NULL OR r.mnh > o.o_orderdate)
+          AND r.mnd = o.o_orderdate
+        ORDER BY o.o_orderkey"""
+
+
+#: interval-join constants, pinned so the SQL twin serializes the same
+SESSION_GAP_MIN = 720
+SESSION_BUILD_TYPES = ("click", "view")
+SESSION_PROBE_TYPES = ("error", "purchase")
+
+
+def session_interval_join(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
+    """Point-in-INTERVAL join (the general range join `events_asof_order`
+    and the aligned windows cannot express): per-user session intervals
+    are built from click/view activity (12-hour inactivity gap), then
+    every error/purchase event joins the session interval CONTAINING
+    its timestamp — the attribution join (which browsing session did
+    this failure/conversion land in).  Sessions with no hits drop
+    (inner semantics); probes outside any interval drop.
+
+    Plan: intervals per user via groupby(user).map_groups (the
+    sessionize kernel, emitting [min ts, max ts] per run); both sides
+    tag ``bucket = mix64(user) % B`` and ONE co-group shuffle lands a
+    user's intervals and probes together (disjoint intervals per user,
+    so containment = as-of on the start bound + one end-bound check —
+    the asof kernel's composite running-max, fully vectorized); hits
+    reduce through the two-phase combiner keyed by (user, s_start).
+    Scale: per-bucket cost O(rows log rows); hot users are single
+    keys — the documented salting remedy applies unchanged."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type", "value"])
+
+    def build_side(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["event_type"], value_set=pa.array(
+            SESSION_BUILD_TYPES)))
+
+    def probe_side(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["event_type"], value_set=pa.array(
+            SESSION_PROBE_TYPES)))
+
+    gap_us = np.int64(SESSION_GAP_MIN * 60 * 1_000_000)
+
+    def intervals(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]")
+                     .astype(np.int64))
+        brk = np.flatnonzero(np.diff(ts) > gap_us) + 1
+        starts = ts[np.r_[0, brk]]
+        ends = ts[np.r_[brk - 1, len(ts) - 1]]
+        return pd.DataFrame({
+            "user_id": np.full(len(starts), g["user_id"].iloc[0],
+                               dtype=np.int64),
+            "s_start": starts, "s_end": ends,
+        })
+
+    iv = (ev.map_batches(build_side, batch_format="pyarrow")
+          .groupby("user_id")
+          .map_groups(intervals, batch_format="pandas"))
+
+    def tag_iv(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        n = len(u)
+        return pa.table({
+            "bucket": pa.array(_bucket_of(u, n_buckets)),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+            "user_id": t["user_id"],
+            "ts": t["s_start"],
+            "s_end": t["s_end"],
+            "is_error": pa.nulls(n, pa.int8()),
+            "value_c": pa.nulls(n, pa.int64()),
+        })
+
+    def tag_probe(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        n = len(u)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(_bucket_of(u, n_buckets)),
+            "side": pa.array(np.ones(n, dtype=np.int8)),
+            "user_id": t["user_id"],
+            "ts": t["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+            "s_end": pa.nulls(n, pa.int64()),
+            "is_error": pa.array(pc.equal(t["event_type"], "error")
+                                 .to_numpy(zero_copy_only=False)
+                                 .astype(np.int8)),
+            "value_c": pa.array(round_half_away(val * 100.0, 0)
+                                .astype(np.int64)),
+        })
+
+    tagged = iv.map_batches(tag_iv, batch_format="pyarrow").union(
+        ev.map_batches(probe_side, batch_format="pyarrow")
+        .map_batches(tag_probe, batch_format="pyarrow"))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], type=pa.int64()),
+            "s_start": pa.array([], type=pa.int64()),
+            "s_end": pa.array([], type=pa.int64()),
+            "h": pa.array([], type=pa.int64()),
+            "e": pa.array([], type=pa.int64()),
+            "v": pa.array([], type=pa.int64()),
+        })
+        side = t["side"].to_numpy(zero_copy_only=False)
+        if (side == 0).sum() == 0 or (side == 1).sum() == 0:
+            return empty
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        send = np.where(side == 0,
+                        t["s_end"].to_numpy(zero_copy_only=False), 0
+                        ).astype(np.int64)
+        n = len(side)
+        _, kr = np.unique(u, return_inverse=True)
+        # intervals (side 0) before probes at equal ts: start == probe
+        # ts counts as contained
+        order = np.lexsort((side, ts, kr))
+        side_s, kr_s = side[order], kr[order]
+        pos = np.arange(n, dtype=np.int64)
+        val = np.where(side_s == 0, pos, np.int64(-1))
+        base = kr_s.astype(np.int64) * np.int64(n + 2)
+        best = np.maximum.accumulate(base + val) - base
+        psel = side_s == 1
+        match = best[psel]          # merged-order position of interval
+        ok = match >= 0
+        iv_orig = order[match[ok]]  # original row of the matched interval
+        p_orig = order[np.flatnonzero(psel)[ok]]
+        same_user = u[iv_orig] == u[p_orig]
+        contained = ts[p_orig] <= send[iv_orig]
+        m = same_user & contained
+        if not m.any():
+            return empty
+        io, po = iv_orig[m], p_orig[m]
+        return pa.table({
+            "user_id": pa.array(u[po]),
+            "s_start": pa.array(ts[io]),
+            "s_end": pa.array(send[io]),
+            "h": pa.array(np.ones(m.sum(), dtype=np.int64)),
+            "e": pa.array(t["is_error"].to_numpy(zero_copy_only=False)
+                          [po].astype(np.int64)),
+            "v": pa.array(t["value_c"].to_numpy(zero_copy_only=False)
+                          [po].astype(np.int64)),
+        })
+
+    hits = tagged.groupby("bucket").map_groups(
+        per_bucket, batch_format="pyarrow")
+    out = two_phase_agg(
+        hits, ["user_id", "s_start", "s_end"],
+        [("h", "sum"), ("e", "sum"), ("v", "sum")],
+        ["user_id", "s_start", "s_end", "n_hits", "n_errors",
+         "sum_value_c"],
+    ).to_pandas()
+    if "user_id" not in out.columns:
+        out = pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                            for c in ("user_id", "s_start", "s_end",
+                                      "n_hits", "n_errors",
+                                      "sum_value_c")})
+    for c in ("s_start", "s_end"):
+        out[c] = pd.to_datetime(out[c], unit="us")
+    return out.sort_values(["user_id", "s_start"]).reset_index(drop=True)
+
+
+def session_interval_join_sql() -> str:
+    build = ", ".join(f"'{t}'" for t in SESSION_BUILD_TYPES)
+    probe = ", ".join(f"'{t}'" for t in SESSION_PROBE_TYPES)
+    return f"""
+        WITH c AS (SELECT user_id, ts FROM events
+                   WHERE event_type IN ({build})),
+        d AS (SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts)
+                          > INTERVAL {SESSION_GAP_MIN} MINUTE
+                          THEN 1 ELSE 0 END AS brk
+              FROM c),
+        s AS (SELECT user_id, ts,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM d),
+        iv AS (SELECT user_id, sid, min(ts) AS s_start, max(ts) AS s_end
+               FROM s GROUP BY 1, 2),
+        p AS (SELECT user_id, ts, value, event_type FROM events
+              WHERE event_type IN ({probe}))
+        SELECT iv.user_id, iv.s_start, iv.s_end,
+               count(*)::BIGINT AS n_hits,
+               sum(CASE WHEN p.event_type = 'error' THEN 1 ELSE 0
+                   END)::BIGINT AS n_errors,
+               sum(CAST(round(p.value * 100) AS BIGINT))::BIGINT
+                   AS sum_value_c
+        FROM iv JOIN p ON p.user_id = iv.user_id
+                      AND p.ts >= iv.s_start AND p.ts <= iv.s_end
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2"""

@@ -722,6 +722,84 @@ def video_frames(docs: rd.Dataset, blob_dir: str, every_k: int = 2,
         .reset_index(drop=True)
 
 
+class FrameIndexer:
+    """Actor-pool container-walk stage over REAL video blob bytes: NO
+    pixel decode — just the u32-count / u32-length-prefix walk
+    (functions/video format), emitting one manifest row per frame:
+    1-based byte offset, payload length, and a payload fingerprint
+    (md5 of the uppercase-hex encoding, the form DuckDB's ``md5``
+    can recompute — it only accepts VARCHAR).  This is the seek index
+    a frame-decode fleet plans range reads over before touching
+    pixels; unlike the decoded stats in :class:`VideoFrameStats`,
+    every column is byte-recomputable by the SQL twin (``read_blob``
+    -> ``to_hex`` -> recursive-CTE walk), so the whole explode ->
+    filter -> actor-pool -> manifest path is hash-gated."""
+
+    def __init__(self, blob_dir: str):
+        self.blob_dir = blob_dir
+
+    def _walk(self, ref: str):
+        import os
+        import struct
+
+        path = os.path.join(self.blob_dir, ref[len("blob://"):])
+        with open(path, "rb") as f:
+            data = f.read()
+        (n,) = struct.unpack_from(">I", data, 0)
+        pos = 4
+        for i in range(n):
+            (ln,) = struct.unpack_from(">I", data, pos)
+            payload = data[pos + 4:pos + 4 + ln]
+            yield i, pos + 4 + 1, ln, hashlib.md5(
+                payload.hex().upper().encode()).hexdigest()
+            pos += 4 + ln
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, refs, fidx, offs, lens, digs = [], [], [], [], [], []
+        for did, ref in zip(batch["doc_id"].to_pylist(),
+                            batch["media_ref"].to_pylist()):
+            for i, off, ln, dig in self._walk(ref):
+                ids.append(did)
+                refs.append(ref)
+                fidx.append(i)
+                offs.append(off)
+                lens.append(ln)
+                digs.append(dig)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.string()),
+            "media_ref": pa.array(refs, type=pa.string()),
+            "frame_idx": pa.array(fidx, type=pa.int32()),
+            "byte_off": pa.array(offs, type=pa.int64()),
+            "n_bytes": pa.array(lens, type=pa.int64()),
+            "frame_md5": pa.array(digs, type=pa.string()),
+        })
+
+
+def video_frame_index(docs: rd.Dataset, blob_dir: str) -> pd.DataFrame:
+    """Frame-manifest index over the crawl's video captures: explode ->
+    filter kind == 'media/video' -> autoscaling actor pool walking the
+    container headers only (no pixel decode) -> one row per frame with
+    its byte extent and payload fingerprint.  The manifest a video
+    pipeline materializes once so later decode stages can range-read
+    individual frames instead of re-walking whole containers.
+    SQL-gated end to end: the DuckDB twin re-walks the same container
+    bytes with a recursive CTE over ``to_hex(read_blob(...))`` and
+    recomputes offsets, lengths and fingerprints exactly."""
+    from ..stages.parse import explode_spans_batch
+
+    vids = docs.map_batches(
+        explode_spans_batch, batch_format="pyarrow").map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "media/video")),
+        batch_format="pyarrow")
+    out = vids.map_batches(
+        FrameIndexer, fn_constructor_kwargs={"blob_dir": blob_dir},
+        batch_format="pyarrow", batch_size=1024,
+        concurrency=(2, max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)),
+    ).to_pandas()
+    return out.sort_values(["doc_id", "media_ref", "frame_idx"]) \
+        .reset_index(drop=True)
+
+
 def blob_audit(docs: rd.Dataset, blob_dir: str) -> "object":
     """Store-integrity audit: reconcile the span tables' ``blob://``
     references against the artifact files on disk — the consistency
