@@ -281,6 +281,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_edit_pairs": A.url_edit_pairs,
         "orders_skyline": A.orders_skyline,
         "session_interval_join": A.session_interval_join,
+        "basket_pairs": A.basket_pairs,
+        "cohort_retention": A.cohort_retention,
         # training-data text ops
         "dedup_exact": T.dedup_exact,
         "dedup_minhash": T.dedup_minhash,
@@ -891,6 +893,8 @@ def oracle_sql() -> dict[str, str]:
         "url_edit_pairs": _seed_cte() + A.url_edit_pairs_sql(),
         "orders_skyline": A.orders_skyline_sql(),
         "session_interval_join": A.session_interval_join_sql(),
+        "basket_pairs": A.basket_pairs_sql(),
+        "cohort_retention": A.cohort_retention_sql(),
         # PassJoin-style Hamming similarity self-join; per-position
         # substr twin (DuckDB hamming() is byte-based — unicode-unsafe)
         "hamming_pairs": T.hamming_pairs_sql(),

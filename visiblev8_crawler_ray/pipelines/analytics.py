@@ -2557,3 +2557,150 @@ def session_interval_join_sql() -> str:
                       AND p.ts >= iv.s_start AND p.ts <= iv.s_end
         GROUP BY 1, 2, 3
         ORDER BY 1, 2"""
+
+
+#: minimum co-occurrence support for basket_pairs (pinned in the twin)
+BASKET_MIN_SUPPORT = 2
+
+
+def basket_pairs(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
+    """Market-basket pair mining over lineitem: for every pair of parts
+    appearing together in an order, the number of such orders (support
+    >= 2 kept) — the association-rule / co-occurrence primitive (the
+    same shape mines co-cited scripts or co-loaded third parties from
+    the crawl's per-doc origin sets).
+
+    Plan: per-order distinct parts co-locate with ONE co-group shuffle
+    on ``mix64(orderkey) % B``; the per-bucket kernel enumerates
+    within-order pairs FULLY vectorized (offset arithmetic — no
+    per-order Python: a_idx = repeat(row, remaining-in-segment),
+    b_idx = a_idx + running offset + 1) and pre-reduces to bucket-local
+    (a, b, n) partials, so the final combiner's payload is distinct
+    pairs, not pair instances.  Pair fan-out is sum k_i*(k_i-1)/2 —
+    quadratic in BASKET size, not in table size; a pathological mega
+    basket is the documented skew (cap k or sample within the order,
+    the standard Apriori remedy)."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        d = t.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+        okey = d["l_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(_bucket_of(okey, n_buckets)),
+            "okey": d["l_orderkey"], "part": d["l_partkey"]})
+
+    def pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table({"part_a": pa.array([], type=pa.int64()),
+                          "part_b": pa.array([], type=pa.int64()),
+                          "pn": pa.array([], type=pa.int64())})
+        if t.num_rows < 2:
+            return empty
+        okey = t["okey"].to_numpy(zero_copy_only=False)
+        part = t["part"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((part, okey))
+        okey, part = okey[order], part[order]
+        # drop duplicate (order, part) rows straddling input blocks
+        keep = np.r_[True, (okey[1:] != okey[:-1]) | (part[1:] != part[:-1])]
+        okey, part = okey[keep], part[keep]
+        n = len(okey)
+        seg_end = np.r_[np.flatnonzero(okey[1:] != okey[:-1]) + 1, n]
+        ends = np.repeat(seg_end, np.diff(np.r_[0, seg_end]))
+        rem = ends - np.arange(n) - 1          # partners after each row
+        total = int(rem.sum())
+        if total == 0:
+            return empty
+        a_idx = np.repeat(np.arange(n), rem)
+        off = np.arange(total) - np.repeat(np.cumsum(rem) - rem, rem)
+        b_idx = a_idx + off + 1
+        return (pa.table({"part_a": pa.array(part[a_idx]),
+                          "part_b": pa.array(part[b_idx]),
+                          "pn": pa.array(np.ones(total, dtype=np.int64))})
+                .group_by(["part_a", "part_b"]).aggregate([("pn", "sum")])
+                .rename_columns(["part_a", "part_b", "pn"]))
+
+    out = two_phase_agg(
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket").map_groups(pairs, batch_format="pyarrow"),
+        ["part_a", "part_b"], [("pn", "sum")],
+        ["part_a", "part_b", "n_orders"],
+    ).to_pandas()
+    out = out[out["n_orders"] >= BASKET_MIN_SUPPORT]
+    return out.sort_values(["part_a", "part_b"]).reset_index(drop=True)
+
+
+def basket_pairs_sql() -> str:
+    return f"""
+        WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*)::BIGINT AS n_orders
+        FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= {BASKET_MIN_SUPPORT}
+        ORDER BY 1, 2"""
+
+
+def cohort_retention(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
+    """Cohort retention matrix: users cohorted by FIRST-seen day, and
+    for each (cohort, day-offset) the count of cohort users active that
+    many days later — the engagement-decay rollup every analytics
+    stack derives from an events stream (daily_new_users gives the
+    diagonal; this is the full triangle).
+
+    Scale shape: events reduce block-locally to distinct (user, day)
+    partials, ONE co-group shuffle on ``mix64(user) % B`` lands each
+    user's days together (payload = user-days, not events), the
+    per-bucket kernel is a segmented running MIN (cohort) + offset
+    emit, and (cohort, offset) counts finish in the two-phase
+    combiner — user-distinctness per cell is free because (user, day)
+    rows are already distinct."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        d = pa.table({"user_id": t["user_id"], "day": day}) \
+            .group_by(["user_id", "day"]).aggregate([])
+        u = d["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(_bucket_of(u, n_buckets)),
+            "user_id": d["user_id"],
+            "day": d["day"]})
+
+    def offsets(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"cohort": pa.array([], pa.timestamp("us")),
+                             "day_offset": pa.array([], pa.int64()),
+                             "pn": pa.array([], pa.int64())})
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        day = t["day"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, u))
+        u, day = u[order], day[order]
+        keep = np.r_[True, (u[1:] != u[:-1]) | (day[1:] != day[:-1])]
+        u, day = u[keep], day[keep]
+        starts = np.r_[0, np.flatnonzero(u[1:] != u[:-1]) + 1]
+        sizes = np.diff(np.r_[starts, len(u)])
+        cohort = np.repeat(day[starts], sizes)      # per-user min day
+        off = (day - cohort) // np.int64(86_400_000_000)
+        return pa.table({
+            "cohort": pa.array(cohort).cast(pa.timestamp("us")),
+            "day_offset": pa.array(off),
+            "pn": pa.array(np.ones(len(u), dtype=np.int64))})
+
+    out = two_phase_agg(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket").map_groups(offsets, batch_format="pyarrow"),
+        ["cohort", "day_offset"], [("pn", "sum")],
+        ["cohort", "day_offset", "n_users"],
+    ).to_pandas()
+    return out.sort_values(["cohort", "day_offset"]).reset_index(drop=True)
+
+
+def cohort_retention_sql() -> str:
+    return """
+        WITH ud AS (SELECT DISTINCT user_id,
+                           date_trunc('day', ts) AS day FROM events),
+        f AS (SELECT user_id, min(day) AS cohort FROM ud GROUP BY 1)
+        SELECT f.cohort,
+               date_diff('day', f.cohort, ud.day)::BIGINT AS day_offset,
+               count(*)::BIGINT AS n_users
+        FROM ud JOIN f USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2"""
