@@ -283,6 +283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_interval_join": A.session_interval_join,
         "basket_pairs": A.basket_pairs,
         "cohort_retention": A.cohort_retention,
+        "events_band_pairs": A.events_band_pairs,
         # training-data text ops
         "dedup_exact": T.dedup_exact,
         "dedup_minhash": T.dedup_minhash,
@@ -895,6 +896,7 @@ def oracle_sql() -> dict[str, str]:
         "session_interval_join": A.session_interval_join_sql(),
         "basket_pairs": A.basket_pairs_sql(),
         "cohort_retention": A.cohort_retention_sql(),
+        "events_band_pairs": A.events_band_pairs_sql(),
         # PassJoin-style Hamming similarity self-join; per-position
         # substr twin (DuckDB hamming() is byte-based — unicode-unsafe)
         "hamming_pairs": T.hamming_pairs_sql(),

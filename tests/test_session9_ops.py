@@ -178,3 +178,56 @@ def test_orders_skyline_two_phase_invariant(ray_session, tmp_path):
     import __ray_entry__ as R
     exp = con.sql(R.oracle_sql()["orders_skyline"]).df()
     assert out["o_orderkey"].tolist() == exp["o_orderkey"].tolist()
+
+
+def test_band_pairs_fuzz_vs_duckdb(ray_session, tmp_path):
+    """Randomized values with planted exact ties, eps-boundary gaps and
+    a dense clique; brute-force DuckDB twin on the same parquet."""
+    import duckdb
+    import pyarrow.parquet as pq2
+    import __ray_entry__ as R
+
+    rng = np.random.default_rng(23)
+    n = 600
+    val = np.round(rng.uniform(0, 6, n), 3)
+    val[10:14] = 1.2345                       # exact-tie clique
+    val[20] = 2.0
+    val[21] = 2.0 + A.BAND_EPS                # exactly eps apart
+    val[22] = np.nextafter(2.0 + A.BAND_EPS, np.inf)  # just outside
+    t = pa.table({
+        "event_id": pa.array(range(n), type=pa.int64()),
+        "ts": pa.array(
+            (np.datetime64("2024-01-01") +
+             rng.integers(0, 10_000, n)).astype("datetime64[us]")),
+        "user_id": pa.array(rng.integers(0, 9, n).astype(np.int64)),
+        "event_type": pa.array(
+            np.array(["x", "y"])[rng.integers(0, 2, n)]),
+        "value": pa.array(val),
+        "props": pa.array(['{"k": 1}'] * n),
+    })
+    pq2.write_table(t, tmp_path / "events.parquet")
+    out = A.events_band_pairs(str(tmp_path))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * "
+            f"FROM '{tmp_path}/events.parquet'")
+    exp = con.sql(R.oracle_sql()["events_band_pairs"]).df()
+    assert len(out) == len(exp) and len(out) > 6
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True),
+        check_dtype=False, check_exact=True)
+
+
+def test_skyline_mask_vs_bruteforce_fuzz():
+    """Independent check (the SQL twin shares the window formulation):
+    O(n^2) dominance scan on random data with planted ties/dups."""
+    rng = np.random.default_rng(5)
+    for _ in range(20):
+        n = int(rng.integers(2, 60))
+        price = np.round(rng.uniform(0, 10, n), 1)   # many exact ties
+        date = rng.integers(0, 8, n).astype(np.int64)
+        mask = A._skyline_mask(price, date)
+        for i in range(n):
+            dominated = bool(np.any(
+                (price >= price[i]) & (date <= date[i])
+                & ((price > price[i]) | (date < date[i]))))
+            assert mask[i] == (not dominated), (i, price[i], date[i])

@@ -2744,3 +2744,145 @@ def cohort_retention_sql() -> str:
                count(*)::BIGINT AS n_users
         FROM ud JOIN f USING (user_id)
         GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+#: band-join radius (pinned in the SQL twin)
+BAND_EPS = 0.05
+
+
+def events_band_pairs(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
+    """BAND self-join (|value_a - value_b| <= eps within an event
+    type): the numeric non-equi join — near-identical transaction
+    amounts, duplicate sensor readings, price-collision detection —
+    that completes the join family next to the equi, anti, semi, as-of
+    and interval joins.
+
+    Exact blocking by ``2*eps``-width bins: ``bin = floor(value /
+    (2*eps))`` — a qualifying pair's quotient gap is <= 0.5, so it
+    spans at most adjacent bins EVEN under float division rounding
+    (an eps-width bin would make the guarantee ride on the last ulp of
+    the quotient).  Each row lands once in its HOME bin and once as a
+    GHOST in ``bin + 1``, and every pair is verified in exactly ONE
+    group (home x home and ghost x home pairs only; ghost x ghost —
+    both from the lower bin — is skipped, which is precisely what
+    kills double counting; no dedup shuffle).  One co-group shuffle on
+    (type, bin) % B; the in-group verify is a sorted ``searchsorted``
+    window sweep for candidates plus the EXACT final predicate
+    ``v_hi - v_lo <= eps`` — the identical IEEE subtraction DuckDB's
+    ``abs(x.value - y.value)`` performs (IEEE sub is antisymmetric),
+    so the gate compares bit-equal decisions.
+    Pair fan-out is bounded by value DENSITY per eps-window — the
+    documented skew: a spike of identical values makes a quadratic
+    clique (cap or pre-aggregate duplicates at web scale)."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        b = np.floor(v / (2 * BAND_EPS)).astype(np.int64)
+        ghost_bin = b + 1
+        ty = t["event_type"].combine_chunks() if isinstance(
+            t["event_type"], pa.ChunkedArray) else t["event_type"]
+        eid = t["event_id"].combine_chunks() if isinstance(
+            t["event_id"], pa.ChunkedArray) else t["event_id"]
+        tys = pa.concat_arrays([ty, ty])
+        # bucket on (type, bin): mix the bin with the type's first byte
+        # (types are few; without the mix all of one type's bins could
+        # land one aggregator)
+        tcode = np.concatenate([
+            np.frombuffer(
+                np.array([x[0] if x else "\0" for x in ty.to_pylist()],
+                         dtype="<U1").tobytes(), dtype=np.uint32),
+        ] * 2).astype(np.int64)
+        bins = np.concatenate([b, ghost_bin])
+        return pa.table({
+            "bucket": pa.array(_bucket_of(bins * 131 + tcode, n_buckets)),
+            "event_type": tys,
+            "bin": pa.array(bins),
+            "ghost": pa.array(np.r_[np.zeros(len(b), dtype=np.int8),
+                                    np.ones(len(b), dtype=np.int8)]),
+            "event_id": pa.concat_arrays([eid, eid]),
+            "value": pa.concat_arrays([t["value"].combine_chunks()
+                                       if isinstance(t["value"],
+                                                     pa.ChunkedArray)
+                                       else t["value"]] * 2),
+        })
+
+    def verify(t: pa.Table) -> pa.Table:
+        empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                          "a": pa.array([], type=pa.int64()),
+                          "b": pa.array([], type=pa.int64())})
+        if t.num_rows < 2:
+            return empty
+        ty = t["event_type"].to_numpy(zero_copy_only=False)
+        bn = t["bin"].to_numpy(zero_copy_only=False)
+        gh = t["ghost"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        # segment by (type, bin); within a segment sweep by value
+        order = np.lexsort((val, bn, ty))
+        ty, bn, gh, eid, val = (x[order] for x in (ty, bn, gh, eid, val))
+        seg = np.r_[True, (ty[1:] != ty[:-1]) | (bn[1:] != bn[:-1])]
+        seg_id = np.cumsum(seg) - 1
+        outs_a, outs_b, outs_t = [], [], []
+        starts = np.flatnonzero(seg)
+        ends = np.r_[starts[1:], len(ty)]
+        for s0, s1 in zip(starts, ends):
+            v = val[s0:s1]
+            g = gh[s0:s1]
+            ids = eid[s0:s1]
+            k = s1 - s0
+            if k < 2 or not (g == 0).any():
+                continue
+            # candidate window (half-ulp slack; the exact predicate
+            # below decides), each row against later rows
+            hi = np.searchsorted(
+                v, np.nextafter(v + BAND_EPS, np.inf), side="right")
+            cnt = hi - np.arange(k) - 1
+            tot = int(cnt.sum())
+            if tot == 0:
+                continue
+            ai = np.repeat(np.arange(k), cnt)
+            off = np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            bi = ai + off + 1
+            # the EXACT band predicate (v sorted, so hi - lo == |diff|)
+            m = (v[bi] - v[ai]) <= BAND_EPS
+            # keep home x home and home x ghost; drop ghost x ghost
+            m &= ~(g[ai].astype(bool) & g[bi].astype(bool))
+            # defensive: an event never meets itself in one group
+            m &= ids[ai] != ids[bi]
+            if not m.any():
+                continue
+            lo = np.minimum(ids[ai[m]], ids[bi[m]])
+            hi2 = np.maximum(ids[ai[m]], ids[bi[m]])
+            outs_a.append(lo)
+            outs_b.append(hi2)
+            outs_t.append(ty[s0:s1][ai[m]])
+        if not outs_a:
+            return empty
+        return pa.table({
+            "event_type": pa.array(np.concatenate(outs_t),
+                                   type=pa.string()),
+            "a": pa.array(np.concatenate(outs_a)),
+            "b": pa.array(np.concatenate(outs_b))})
+
+    out = two_phase_agg(
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket").map_groups(verify, batch_format="pyarrow"),
+        ["event_type", "a", "b"], [("a", "count")],
+        ["event_type", "a", "b", "n"],
+    ).drop_columns(["n"]).to_pandas()
+    if "a" not in out.columns:
+        out = pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                            "a": pd.Series([], dtype=np.int64),
+                            "b": pd.Series([], dtype=np.int64)})
+    return out.sort_values(["event_type", "a", "b"]).reset_index(drop=True)
+
+
+def events_band_pairs_sql() -> str:
+    return f"""
+        SELECT x.event_type, x.event_id AS a, y.event_id AS b
+        FROM events x JOIN events y
+          ON x.event_type = y.event_type
+         AND x.event_id < y.event_id
+         AND abs(x.value - y.value) <= {BAND_EPS}
+        ORDER BY 1, 2, 3"""
