@@ -284,6 +284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_pairs": A.basket_pairs,
         "cohort_retention": A.cohort_retention,
         "events_band_pairs": A.events_band_pairs,
+        "lineitem_unpivot": A.lineitem_unpivot,
         # training-data text ops
         "dedup_exact": T.dedup_exact,
         "dedup_minhash": T.dedup_minhash,
@@ -897,6 +898,7 @@ def oracle_sql() -> dict[str, str]:
         "basket_pairs": A.basket_pairs_sql(),
         "cohort_retention": A.cohort_retention_sql(),
         "events_band_pairs": A.events_band_pairs_sql(),
+        "lineitem_unpivot": A.lineitem_unpivot_sql(),
         # PassJoin-style Hamming similarity self-join; per-position
         # substr twin (DuckDB hamming() is byte-based — unicode-unsafe)
         "hamming_pairs": T.hamming_pairs_sql(),

@@ -117,7 +117,8 @@ REL_OPS = ["anti_join_retry", "bloom_semi_join", "confidence_histogram",
            "lineitem_rollup", "multi_origin_rollup", "orders_pivot",
            "orders_with_customer", "sample_head", "shipping_priority",
            "top10_customers", "usage_rollup", "zorder_extents",
-           "column_profile", "orders_skyline", "basket_pairs"]
+           "column_profile", "orders_skyline", "basket_pairs",
+           "lineitem_unpivot"]
 
 
 def _random_relational(rng, n_cust=25, n_orders=120, n_lines=300):

@@ -2778,6 +2778,19 @@ def events_band_pairs(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
 
     def tag(t: pa.Table) -> pa.Table:
         v = t["value"].to_numpy(zero_copy_only=False)
+        # adjacency needs the quotient's ulp << 1 (else eps-apart values
+        # can land bins apart) and the int64 cast must not overflow —
+        # both hold while |v| / (2*eps) < 2^52; NaN/inf rows can never
+        # qualify (IEEE comparisons are false, same as the SQL twin)
+        # and are dropped before binning
+        finite = np.isfinite(v)
+        if not finite.all():
+            t = t.filter(pa.array(finite))
+            v = v[finite]
+        if len(v) and np.abs(v).max() / (2 * BAND_EPS) >= float(1 << 52):
+            raise ValueError("value magnitude exceeds the band-join "
+                             "binning domain (|v|/(2*eps) must stay "
+                             "below 2^52)")
         b = np.floor(v / (2 * BAND_EPS)).astype(np.int64)
         ghost_bin = b + 1
         ty = t["event_type"].combine_chunks() if isinstance(
@@ -2886,3 +2899,61 @@ def events_band_pairs_sql() -> str:
          AND x.event_id < y.event_id
          AND abs(x.value - y.value) <= {BAND_EPS}
         ORDER BY 1, 2, 3"""
+
+
+#: unpivot measure columns + key-range bound (pinned in the twin)
+UNPIVOT_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+UNPIVOT_MAX_ORDERKEY = 2000
+
+
+def lineitem_unpivot(sf_dir: str) -> pd.DataFrame:
+    """UNPIVOT (wide -> long melt) of lineitem's measure columns: each
+    row fans out to one (order, line, measure, value) row per measure —
+    the reshaping inverse of `orders_pivot` and the long format feature
+    stores and metric tables ingest.
+
+    Scale shape: a pure flat map — no shuffle, no state; column pruning
+    happens AT THE READ (only the key + measure columns leave storage)
+    and the key-range predicate bounds the driver-gate result the same
+    way `keyset_page` does.  The fan-out is x|measures| by
+    construction; at 100 TB the long table streams straight to a
+    partitioned sink."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", *UNPIVOT_MEASURES])
+
+    def melt(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["l_orderkey"], UNPIVOT_MAX_ORDERKEY))
+        n = t.num_rows
+        ok = t["l_orderkey"].combine_chunks() if isinstance(
+            t["l_orderkey"], pa.ChunkedArray) else t["l_orderkey"]
+        ln = t["l_linenumber"].cast(pa.int64())
+        ln = ln.combine_chunks() if isinstance(
+            ln, pa.ChunkedArray) else ln
+        vals, meas = [], []
+        for m in UNPIVOT_MEASURES:
+            c = t[m].cast(pa.float64())
+            vals.append(c.combine_chunks() if isinstance(
+                c, pa.ChunkedArray) else c)
+            meas.append(pa.array(np.full(n, m, dtype=object),
+                                 type=pa.string()))
+        k = len(UNPIVOT_MEASURES)
+        return pa.table({
+            "l_orderkey": pa.concat_arrays([ok] * k),
+            "l_linenumber": pa.concat_arrays([ln] * k),
+            "measure": pa.concat_arrays(meas),
+            "value": pa.concat_arrays(vals),
+        })
+
+    out = ds.map_batches(melt, batch_format="pyarrow").to_pandas()
+    return out.sort_values(
+        ["l_orderkey", "l_linenumber", "measure"]).reset_index(drop=True)
+
+
+def lineitem_unpivot_sql() -> str:
+    parts = [
+        f"""SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+                   '{m}' AS measure, {m}::DOUBLE AS value
+            FROM lineitem WHERE l_orderkey < {UNPIVOT_MAX_ORDERKEY}"""
+        for m in UNPIVOT_MEASURES]
+    return (" UNION ALL ".join(parts)
+            + " ORDER BY l_orderkey, l_linenumber, measure")
