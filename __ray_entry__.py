@@ -424,6 +424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _crawl(sf).crawl_log(), QCFG),
         "host_components": lambda sf: G.host_components(
             _crawl(sf).crawl_log(), QCFG),
+        "host_bfs": lambda sf: G.host_bfs(_crawl(sf).crawl_log(), QCFG),
     }
     return q
 
@@ -709,8 +710,10 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id""",
         "pack_sequences": """
             SELECT doc_id, doc_id // 64 AS part,
-                   (sum(n_chars) OVER w - n_chars) // 4096 AS bin,
-                   (sum(n_chars) OVER w - n_chars) % 4096 AS bin_offset
+                   CAST((sum(n_chars) OVER w - n_chars) // 4096
+                        AS BIGINT) AS bin,
+                   CAST((sum(n_chars) OVER w - n_chars) % 4096
+                        AS BIGINT) AS bin_offset
             FROM documents
             WINDOW w AS (PARTITION BY doc_id // 64 ORDER BY doc_id
                          ROWS UNBOUNDED PRECEDING)
@@ -1048,8 +1051,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
                    c.c_name,
                    count(o.o_custkey)::BIGINT AS n_orders,
-                   coalesce(sum(CAST(round(o.o_totalprice * 100)
-                                     AS BIGINT)), 0) AS total_cents
+                   CAST(coalesce(sum(CAST(round(o.o_totalprice * 100)
+                                          AS BIGINT)), 0)
+                        AS BIGINT) AS total_cents
             FROM customer c FULL OUTER JOIN orders o
                  ON c.c_custkey = o.o_custkey
             GROUP BY 1, 2 ORDER BY 1""",
@@ -1835,6 +1839,7 @@ def oracle_sql() -> dict[str, str]:
         # weakly-connected components: fixed synchronous min-label
         # rounds unrolled (graph.host_components_sql)
         "host_components": G.host_components_sql(_lg, QCFG),
+        "host_bfs": G.host_bfs_sql(_lg, QCFG),
         "url_status": f"""
             SELECT url, url_key, status, wave, seq, doc_id, n_spans,
                    CASE WHEN status = 'ok'

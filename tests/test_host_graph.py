@@ -132,3 +132,33 @@ def test_host_components_vs_sql_twin(ray_session, tmp_path):
     a = got.sort_values("host").reset_index(drop=True)
     b = odf.sort_values("host").reset_index(drop=True)[a.columns]
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
+def test_host_bfs_matches_networkx_style_reference(ray_session):
+    """BFS distances on the fake log graph must equal a dict-queue BFS
+    from the lexicographically smallest host; unreached hosts NULL."""
+    from collections import deque
+
+    log = _fake_log()
+    edges = G.host_edges(rd.from_arrow(log), CFG)
+    adj = {}
+    for r in edges.itertuples():
+        adj.setdefault(r.src_host, set()).add(r.dst_host)
+        adj.setdefault(r.dst_host, set()).add(r.src_host)
+    src = min(adj)
+    ref = {src: 0}
+    q = deque([src])
+    while q:
+        v = q.popleft()
+        for u in sorted(adj[v]):
+            if u not in ref:
+                ref[u] = ref[v] + 1
+                q.append(u)
+    out = G.host_bfs(rd.from_arrow(log), CFG)
+    got = {r.host: (None if pd.isna(r.dist) else int(r.dist))
+           for r in out.itertuples()}
+    assert set(got) == set(adj)
+    for h in adj:
+        assert got[h] == ref.get(h), h
+    assert got[src] == 0 and max(v for v in got.values()
+                                 if v is not None) >= 1

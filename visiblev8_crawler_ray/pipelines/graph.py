@@ -263,3 +263,83 @@ def host_components_sql(log_path: str, cfg: CrawlConfig,
                count(*) OVER (PARTITION BY lab) AS n_members
         FROM l{rounds} ORDER BY host"""
     return sql
+
+
+BFS_ROUNDS = 8      # fixed frontier rounds; exact when >= eccentricity
+BFS_INF = 1 << 30   # unreached sentinel inside the iteration
+
+
+def host_bfs(log: rd.Dataset, cfg: CrawlConfig,
+             rounds: int = BFS_ROUNDS) -> pd.DataFrame:
+    """Min-hop BFS distances over the (undirected) host graph from the
+    lexicographically smallest host — the reachability / blast-radius
+    query (how many link hops from an origin to every other host a
+    crawl touched), the third fixed-iteration graph operator next to
+    pagerank and components.
+
+    Synchronous relaxation: ``dist_0(src) = 0``, else INF; each round
+    ``dist'(v) = min(dist(v), 1 + min over neighbors u of dist(u))`` —
+    reads only the previous round, so the result is a pure function of
+    the edge set and round count (the kmeans/pagerank/components
+    fixed-iteration contract; ``rounds`` >= the source eccentricity is
+    exact BFS).  Unreached hosts report NULL.
+
+    Scale shape: identical to host_components — distributed edge
+    rollup, then the per-round relaxation over the host-sized table
+    (driver numpy here; hash-partitioned min-join per round at scale,
+    same arithmetic, documented fallback)."""
+    edges = host_edges(log, cfg)
+    hosts = sorted(set(edges["src_host"]) | set(edges["dst_host"]))
+    n = len(hosts)
+    if n == 0:
+        return pd.DataFrame({"host": [], "dist": []})
+    hidx = {h: i for i, h in enumerate(hosts)}
+    src = edges["src_host"].map(hidx).to_numpy()
+    dst = edges["dst_host"].map(hidx).to_numpy()
+    dist = np.full(n, BFS_INF, dtype=np.int64)
+    dist[0] = 0                      # hosts[0] == min(host)
+    for _ in range(rounds):
+        upd = dist.copy()
+        np.minimum.at(upd, dst, dist[src] + 1)  # previous round only
+        np.minimum.at(upd, src, dist[dst] + 1)
+        dist = upd
+    out = pd.DataFrame({"host": hosts, "dist": dist})
+    out["dist"] = out["dist"].where(out["dist"] < BFS_INF).astype("Int64")
+    return out.sort_values("host").reset_index(drop=True)
+
+
+def host_bfs_sql(log_path: str, cfg: CrawlConfig,
+                 rounds: int = BFS_ROUNDS) -> str:
+    """Unrolled DuckDB twin of :func:`host_bfs`: the shared edge
+    recomputation, an undirected neighbor list, and ``rounds``
+    materialized relaxation blocks (INF carried as a plain BIGINT
+    sentinel, NULLed in the projection)."""
+    body = host_edges_sql(log_path, cfg).rsplit("ORDER BY", 1)[0]
+    sql = f"""
+        WITH e_raw AS MATERIALIZED ({body}),
+        nodes AS MATERIALIZED (SELECT DISTINCT host FROM (
+            SELECT src_host AS host FROM e_raw
+            UNION SELECT dst_host FROM e_raw)),
+        nb AS MATERIALIZED (
+            SELECT src_host AS host, dst_host AS nbr FROM e_raw
+            UNION ALL SELECT dst_host, src_host FROM e_raw),
+        d0 AS MATERIALIZED (
+            SELECT host,
+                   CASE WHEN host = (SELECT min(host) FROM nodes)
+                        THEN 0 ELSE {BFS_INF} END AS dist
+            FROM nodes)"""
+    for i in range(1, rounds + 1):
+        sql += f""",
+        d{i} AS MATERIALIZED (
+            SELECT d.host,
+                   least(d.dist,
+                         coalesce(min(dn.dist) + 1, d.dist)) AS dist
+            FROM d{i - 1} d
+            LEFT JOIN nb ON nb.host = d.host
+            LEFT JOIN d{i - 1} dn ON dn.host = nb.nbr
+            GROUP BY d.host, d.dist)"""
+    sql += f"""
+        SELECT host,
+               CASE WHEN dist < {BFS_INF} THEN dist END AS dist
+        FROM d{rounds} ORDER BY host"""
+    return sql
