@@ -372,6 +372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_corpus": _export_corpus,
         "embedding_covariance": E.embedding_covariance,
         "embedding_pca": E.embedding_pca,
+        "embedding_top_eigvec": E.embedding_top_eigvec,
         # classification pipeline (M9/T3/A5/A7/S12/T4)
         "classify_documents": CL.classify_documents,
         "classify_documents_artifact": CL.classify_documents_artifact,
@@ -1178,6 +1179,10 @@ def oracle_sql() -> dict[str, str]:
         # exact embedding covariance from 2^16 fixed-point integer
         # partials (embeddings.embedding_covariance; the PCA anchor)
         "embedding_covariance": E.embedding_covariance_sql(),
+        # dominant eigenvector by integer power iteration, unrolled
+        # into fixed matvec/renormalize rounds — every step int64, so
+        # the twin is bit-exact (embeddings.embedding_top_eigvec)
+        "embedding_top_eigvec": E.embedding_top_eigvec_sql(),
         "redact_terms": r"""
             SELECT doc_id,
                    len(regexp_extract_all(text, '\b(spark|window)\b'))::BIGINT

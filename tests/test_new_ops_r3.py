@@ -548,3 +548,39 @@ def test_embedding_pca_matches_naive_and_block_invariant(ray_session,
     (tmp_path / "embeddings.parquet").symlink_to(d)
     got7 = embedding_pca(str(tmp_path), k=4)
     pd.testing.assert_frame_equal(got7, got)
+
+
+def test_embedding_top_eigvec_direction_and_invariance(ray_session, tmp_path):
+    """The fixed-round integer power iteration must (a) land within
+    cosine 0.95 of LAPACK's leading eigenvector of the same integer
+    second-moment matrix, (b) be invariant to input block layout, and
+    (c) renormalize into the documented fixed-point band."""
+    import pyarrow.parquet as pq
+
+    from visiblev8_crawler_ray.pipelines.embeddings import (
+        _cov_partials, embedding_top_eigvec)
+
+    SF = "/root/testdata/sf0.001"
+    got = embedding_top_eigvec(SF)
+    agg = _cov_partials(SF)
+    dim = int(agg["i"].max()) + 1
+    P = np.zeros((dim, dim))
+    P[agg["i"], agg["j"]] = agg["pp"]
+    w, v = np.linalg.eigh(P)
+    lead = v[:, -1]
+    mine = got["v"].to_numpy().astype(float)
+    mine /= np.linalg.norm(mine)
+    assert abs(float(mine @ lead)) >= 0.95
+    # fixed-point band: max |v| in [2^20, 2^21)
+    m = int(np.abs(got["v"].to_numpy()).max())
+    assert (1 << 20) <= m < (1 << 21)
+
+    full = pq.read_table(f"{SF}/embeddings.parquet")
+    d = tmp_path / "emb5"
+    d.mkdir()
+    step = max(1, full.num_rows // 5)
+    for i, lo in enumerate(range(0, full.num_rows, step)):
+        pq.write_table(full.slice(lo, step), d / f"p{i}.parquet")
+    (tmp_path / "embeddings.parquet").symlink_to(d)
+    got5 = embedding_top_eigvec(str(tmp_path))
+    pd.testing.assert_frame_equal(got5, got)

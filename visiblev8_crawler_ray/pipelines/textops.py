@@ -595,6 +595,11 @@ def simhash_near_dup(sf_dir: str, max_ham: int = 3) -> pd.DataFrame:
     nparts = 16
 
     def pair_bucket(t: pa.Table) -> pa.Table:
+        # blocks arriving from the pandas map_groups carry the pandas
+        # schema-metadata blob, whose nested dict breaks hash(Schema) in
+        # the next shuffle's reduce tasks (Ray's "Failed to hash the
+        # schemas" warning + lost dedup fast path) — strip it here
+        t = t.replace_schema_metadata(None)
         a = t["doc_a"].to_numpy(zero_copy_only=False)
         b = t["doc_b"].to_numpy(zero_copy_only=False)
         return t.append_column(

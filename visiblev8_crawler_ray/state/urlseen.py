@@ -413,6 +413,17 @@ class SeenShard:
         # (the crawl path) — snapshot() is the exact accessor
         return len(self.keys) + sum(n for *_x, n in self._runs)
 
+    def stats(self) -> dict:
+        """Spill-tier observability (bench --seen-stress): memory-tier
+        key count, spilled run count/keys, and lifetime run writes
+        (compactions = run_seq - len(runs) when runs were merged)."""
+        return {
+            "mem_keys": int(len(self.keys)),
+            "n_runs": len(self._runs),
+            "run_keys": int(sum(n for *_x, n in self._runs)),
+            "runs_written": int(self._run_seq),
+        }
+
 
 def routing_hash(keys: np.ndarray) -> np.ndarray:
     """uint64 routing/bloom hash = first 16 hex chars of the key,
