@@ -285,6 +285,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": A.cohort_retention,
         "events_band_pairs": A.events_band_pairs,
         "lineitem_unpivot": A.lineitem_unpivot,
+        "local_supplier_volume": A.local_supplier_volume,
+        "promo_revenue_share": A.promo_revenue_share,
+        "late_priority_counts": A.late_priority_counts,
+        "small_quantity_revenue": A.small_quantity_revenue,
+        "idle_rich_customers": A.idle_rich_customers,
         # training-data text ops
         "dedup_exact": T.dedup_exact,
         "dedup_minhash": T.dedup_minhash,
@@ -903,6 +908,11 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": A.cohort_retention_sql(),
         "events_band_pairs": A.events_band_pairs_sql(),
         "lineitem_unpivot": A.lineitem_unpivot_sql(),
+        "local_supplier_volume": A.local_supplier_volume_sql(),
+        "promo_revenue_share": A.promo_revenue_share_sql(),
+        "late_priority_counts": A.late_priority_counts_sql(),
+        "small_quantity_revenue": A.small_quantity_revenue_sql(),
+        "idle_rich_customers": A.idle_rich_customers_sql(),
         # PassJoin-style Hamming similarity self-join; per-position
         # substr twin (DuckDB hamming() is byte-based — unicode-unsafe)
         "hamming_pairs": T.hamming_pairs_sql(),

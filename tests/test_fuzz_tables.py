@@ -118,7 +118,8 @@ REL_OPS = ["anti_join_retry", "bloom_semi_join", "confidence_histogram",
            "orders_with_customer", "sample_head", "shipping_priority",
            "top10_customers", "usage_rollup", "zorder_extents",
            "column_profile", "orders_skyline", "basket_pairs",
-           "lineitem_unpivot"]
+           "lineitem_unpivot", "small_quantity_revenue",
+           "late_priority_counts", "idle_rich_customers"]
 
 
 def _random_relational(rng, n_cust=25, n_orders=120, n_lines=300):
@@ -261,3 +262,71 @@ def test_hybrid_search_fuzz_vs_duckdb(ray_session, tmp_path, seed):
     assert list(a.columns) == list(b.columns)
     assert len(a) == len(b), (len(a), len(b))
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_tpch_composites_fuzz_vs_duckdb(ray_session, tmp_path, seed):
+    """Q5/Q14-shape composites over a full random 7-table schema
+    (random region membership, FK orphans in custkey/suppkey/partkey,
+    date windows inside the generated range so the joins are
+    non-trivial)."""
+    from visiblev8_crawler_ray.pipelines import analytics as A
+
+    rng = np.random.default_rng(700 + seed)
+    tables = _random_relational(rng)
+    n_nat, n_sup, n_part = 5, 10, 50
+    tables["region"] = pa.table({
+        "r_regionkey": pa.array(range(3), type=pa.int32()),
+        "r_name": pa.array(["ALPHA", "BETA", "GAMMA"]),
+    })
+    tables["nation"] = pa.table({
+        "n_nationkey": pa.array(range(n_nat), type=pa.int32()),
+        "n_name": pa.array([f"NAT{i}" for i in range(n_nat)]),
+        "n_regionkey": pa.array(
+            rng.integers(0, 3, n_nat).astype(np.int32)),
+    })
+    tables["supplier"] = pa.table({
+        "s_suppkey": pa.array(range(n_sup), type=pa.int64()),
+        "s_name": pa.array([f"sup{i}" for i in range(n_sup)]),
+        "s_nationkey": pa.array(
+            rng.integers(0, n_nat, n_sup).astype(np.int32)),
+        "s_acctbal": pa.array(np.round(rng.uniform(0, 9000, n_sup), 2)),
+    })
+    tables["part"] = pa.table({
+        "p_partkey": pa.array(range(n_part), type=pa.int64()),
+        "p_name": pa.array([f"part{i}" for i in range(n_part)]),
+        "p_brand": pa.array([f"B{i % 4}" for i in range(n_part)]),
+        "p_type": pa.array(
+            np.array(["PROMO", "STANDARD", "ECONOMY"])[
+                rng.integers(0, 3, n_part)]),
+        "p_size": pa.array(rng.integers(1, 50, n_part).astype(np.int32)),
+        "p_retailprice": pa.array(
+            np.round(rng.uniform(100, 2000, n_part), 2)),
+    })
+    con = duckdb.connect()
+    for name, tbl in tables.items():
+        pq.write_table(tbl, tmp_path / f"{name}.parquet")
+        con.sql(f"CREATE VIEW {name} AS SELECT * "
+                f"FROM '{tmp_path}/{name}.parquet'")
+    cases = [
+        (A.local_supplier_volume(
+            str(tmp_path), region="ALPHA",
+            date_lo="2024-01-01", date_hi="2024-08-01"),
+         A.local_supplier_volume_sql(
+             region="ALPHA", date_lo="2024-01-01", date_hi="2024-08-01")),
+        (A.promo_revenue_share(
+            str(tmp_path), month_lo="2024-02-01", month_hi="2024-07-01"),
+         A.promo_revenue_share_sql(
+             month_lo="2024-02-01", month_hi="2024-07-01")),
+        (A.idle_rich_customers(str(tmp_path), since="2024-06-01"),
+         A.idle_rich_customers_sql(since="2024-06-01")),
+        (A.late_priority_counts(str(tmp_path), grace_days=30),
+         A.late_priority_counts_sql(grace_days=30)),
+    ]
+    for df, sql in cases:
+        odf = con.sql(sql).df()
+        a, b = _norm(df), _norm(odf)
+        assert list(a.columns) == list(b.columns)
+        assert len(a) == len(b), (sql[:80], len(a), len(b))
+        pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                      check_exact=True)

@@ -2957,3 +2957,504 @@ def lineitem_unpivot_sql() -> str:
         for m in UNPIVOT_MEASURES]
     return (" UNION ALL ".join(parts)
             + " ORDER BY l_orderkey, l_linenumber, measure")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shape multi-join composites (tenth continuation).  The reference's
+# reporting layer chains the same primitives — dimension lookups, fact-fact
+# joins, EXISTS probes, correlated thresholds (production_classifier.py:
+# 428-491) — these five pin the classic composite shapes end to end.  All
+# money/quantity arithmetic is integer-exact (cents / basis-point units,
+# testdata prices are exact cents and discounts exact percents) so the sums
+# are order-independent and the single final division mirrors the SQL twin
+# IEEE-op for IEEE-op.
+# ---------------------------------------------------------------------------
+
+def _cents(arr: "pa.Array | pa.ChunkedArray") -> np.ndarray:
+    """Exact int64 cents from a dollars double column (values are exact
+    cents in the testdata; round() only clears the *100 float noise)."""
+    v = arr.to_numpy(zero_copy_only=False)
+    return round_half_away(v * 100.0, 0).astype(np.int64)
+
+
+def local_supplier_volume(sf_dir: str, region: str = "ASIA",
+                          date_lo: str = "1996-01-01",
+                          date_hi: str = "1997-01-01",
+                          n_buckets: int = 8) -> pd.DataFrame:
+    """TPC-H Q5 shape: region -> nation -> (customer, supplier) dims +
+    orders |x| lineitem fact-fact join, keeping only lineitems whose
+    supplier nation equals the ordering customer's nation; revenue per
+    nation.
+
+    Scale shape: the four dimension tables broadcast as sorted-key
+    probe arrays (``ray.put`` once); orders and lineitem each stream
+    one pass — orders resolve custkey->nation and emit
+    (bucket(orderkey), orderkey, nation); lineitem resolves
+    suppkey->nation, pre-aggregates revenue per (orderkey, nation)
+    PER BLOCK, and the only all-to-all is the bucketed co-group on
+    orderkey (payload already combiner-reduced).  Per-nation partial
+    sums leave each bucket; the driver adds |nations| x |buckets|
+    rows.  At 100 TB customer/supplier outgrow broadcast: swap the
+    probe for the hash-partitioned join on custkey/suppkey (the
+    dedup_minhash co-group idiom) — same bucket kernel after that.
+
+    Revenue unit: basis points x cents — rev_e4 = cents(price) x
+    (100 - pct(discount)) summed as int64 (headroom: ~1.05e9/row,
+    asserted < 2^53 per nation so the BIGINT->DOUBLE cast is exact on
+    both sides); ONE division by 1e4 per output row."""
+    lo = np.datetime64(date_lo, "us").astype(np.int64)
+    hi = np.datetime64(date_hi, "us").astype(np.int64)
+
+    nat = _read(sf_dir, "nation").to_pandas()
+    reg = _read(sf_dir, "region").to_pandas()
+    rkeys = set(reg[reg.r_name == region].r_regionkey)
+    nat = nat[nat.n_regionkey.isin(rkeys)]
+    nkey_to_name = dict(zip(nat.n_nationkey.astype(np.int64), nat.n_name))
+    nkeys = np.array(sorted(nkey_to_name), dtype=np.int64)
+
+    def _dim_map(table: str, key: str, nk: str) -> tuple[np.ndarray, np.ndarray]:
+        """(sorted keys, aligned nationkeys) restricted to the region."""
+        ks, ns = [], []
+        for b in _read(sf_dir, table, [key, nk]).iter_batches(
+                batch_format="pyarrow", batch_size=65536):
+            k = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+            n = b[nk].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = np.isin(n, nkeys)
+            ks.append(k[m]); ns.append(n[m])
+        k = np.concatenate(ks) if ks else np.empty(0, np.int64)
+        n = np.concatenate(ns) if ns else np.empty(0, np.int64)
+        o = np.argsort(k, kind="stable")
+        return k[o], n[o]
+
+    cust_ref = ray.put(_dim_map("customer", "c_custkey", "c_nationkey"))
+    supp_ref = ray.put(_dim_map("supplier", "s_suppkey", "s_nationkey"))
+
+    def _probe(keys: np.ndarray, vals: np.ndarray,
+               q: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(hit mask, nationkey per hit-position) via searchsorted."""
+        if len(keys) == 0:
+            return np.zeros(len(q), bool), np.empty(0, np.int64)
+        ix = np.searchsorted(keys, q)
+        ix[ix >= len(keys)] = 0
+        hit = keys[ix] == q
+        return hit, vals[ix[hit]]
+
+    def orders_side(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        keys, vals = ray.get(cust_ref)
+        hit, nk = _probe(keys, vals, ck)
+        keep = hit & (od >= lo) & (od < hi)
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False)[keep]
+        # nk is aligned to hit positions; re-probe on the kept subset
+        _, nk = _probe(keys, vals, ck[keep])
+        return pa.table({
+            "orderkey": pa.array(ok),
+            "nation": pa.array(nk),
+            "rev_e4": pa.array(np.zeros(len(ok), np.int64)),
+            "side": pa.array(np.ones(len(ok), np.int8)),
+            "bucket": pa.array(_bucket_of(ok, n_buckets)),
+        })
+
+    def lines_side(t: pa.Table) -> pa.Table:
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        keys, vals = ray.get(supp_ref)
+        hit, nk = _probe(keys, vals, sk)
+        sub = t.filter(pa.array(hit))
+        rev = _cents(sub["l_extendedprice"]) * (
+            100 - round_half_away(
+                sub["l_discount"].to_numpy(zero_copy_only=False) * 100.0,
+                0).astype(np.int64))
+        part = pa.table({
+            "orderkey": sub["l_orderkey"],
+            "nation": pa.array(nk),
+            "rev_e4": pa.array(rev),
+        }).group_by(["orderkey", "nation"]).aggregate([("rev_e4", "sum")]) \
+          .rename_columns(["orderkey", "nation", "rev_e4"])
+        ok = part["orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "orderkey": part["orderkey"],
+            "nation": part["nation"],
+            "rev_e4": part["rev_e4"],
+            "side": pa.array(np.zeros(part.num_rows, np.int8)),
+            "bucket": pa.array(_bucket_of(ok, n_buckets)),
+        })
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(orders_side, batch_format="pyarrow")
+    lines = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_suppkey", "l_extendedprice",
+                   "l_discount"]) \
+        .map_batches(lines_side, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 1][["orderkey", "nation"]]
+        l = g[g["side"] == 0].groupby(["orderkey", "nation"],
+                                      as_index=False)["rev_e4"].sum()
+        m = l.merge(o, on=["orderkey", "nation"])  # same-nation join
+        if m.empty:
+            return pd.DataFrame({"nation": pd.Series([], dtype="int64"),
+                                 "rev_e4": pd.Series([], dtype="int64")})
+        return m.groupby("nation", as_index=False)["rev_e4"].sum()
+
+    parts = orders.union(lines).groupby("bucket").map_groups(
+        per_bucket, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"n_name": pd.Series([], dtype=object),
+                             "revenue": pd.Series([], dtype="float64")})
+    fin = parts.groupby("nation", as_index=False)["rev_e4"].sum()
+    assert int(fin["rev_e4"].abs().max()) < (1 << 53)  # exact as double
+    out = pd.DataFrame({
+        "n_name": fin["nation"].map(
+            {k: v for k, v in nkey_to_name.items()}),
+        "revenue": round_half_away(
+            fin["rev_e4"].to_numpy().astype(np.float64) / 10000.0, 2),
+    })
+    return out.sort_values(["revenue", "n_name"],
+                           ascending=[False, True]).reset_index(drop=True)
+
+
+def local_supplier_volume_sql(region: str = "ASIA",
+                              date_lo: str = "1996-01-01",
+                              date_hi: str = "1997-01-01") -> str:
+    return f"""
+        SELECT n_name,
+               round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                     AS BIGINT) / 10000.0, 2) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+                     AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = '{region}'
+          AND o_orderdate >= TIMESTAMP '{date_lo}'
+          AND o_orderdate <  TIMESTAMP '{date_hi}'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name"""
+
+
+def promo_revenue_share(sf_dir: str, month_lo: str = "1997-03-01",
+                        month_hi: str = "1997-04-01") -> pd.DataFrame:
+    """TPC-H Q14 shape: share of one month's revenue from PROMO-type
+    parts — lineitem |x| part with a conditional/total sum ratio.
+
+    Scale shape: part collapses to a broadcast (sorted partkeys,
+    promo bitmap) probe — the fact table streams ONE pass emitting a
+    2-int sketch per block (promo_e4, total_e4), combined driver-side;
+    zero shuffles.  Integer-exact sums; the 100*p/t ratio is the only
+    float arithmetic and mirrors the twin op-for-op."""
+    lo = np.datetime64(month_lo, "us").astype(np.int64)
+    hi = np.datetime64(month_hi, "us").astype(np.int64)
+
+    pk, promo = [], []
+    for b in _read(sf_dir, "part", ["p_partkey", "p_type"]).iter_batches(
+            batch_format="pyarrow", batch_size=65536):
+        pk.append(b["p_partkey"].to_numpy(zero_copy_only=False))
+        promo.append(b["p_type"].to_numpy(zero_copy_only=False) == "PROMO")
+    keys = np.concatenate(pk) if pk else np.empty(0, np.int64)
+    flag = np.concatenate(promo) if promo else np.empty(0, bool)
+    o = np.argsort(keys, kind="stable")
+    dim_ref = ray.put((keys[o], flag[o]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        sub = t.filter(pa.array((sd >= lo) & (sd < hi)))
+        rev = _cents(sub["l_extendedprice"]) * (
+            100 - round_half_away(
+                sub["l_discount"].to_numpy(zero_copy_only=False) * 100.0,
+                0).astype(np.int64))
+        keys, flag = ray.get(dim_ref)
+        q = sub["l_partkey"].to_numpy(zero_copy_only=False)
+        if len(keys):
+            ix = np.searchsorted(keys, q)
+            ix[ix >= len(keys)] = 0
+            isp = (keys[ix] == q) & flag[ix]
+        else:
+            isp = np.zeros(len(q), bool)
+        return pa.table({
+            "promo_e4": pa.array([int(rev[isp].sum())]),
+            "total_e4": pa.array([int(rev.sum())]),
+        })
+
+    parts = _read(sf_dir, "lineitem",
+                  ["l_partkey", "l_extendedprice", "l_discount",
+                   "l_shipdate"]) \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    p = int(parts["promo_e4"].sum())
+    t = int(parts["total_e4"].sum())
+    assert t < (1 << 53) and p < (1 << 53)
+    share = round_half_away(np.array([100.0 * p / t]), 4)[0] if t else None
+    return pd.DataFrame({
+        "promo_share": pd.array([share], dtype="float64"),
+        "promo_revenue": round_half_away(
+            np.array([p / 10000.0]), 2),
+        "total_revenue": round_half_away(
+            np.array([t / 10000.0]), 2),
+    })
+
+
+def promo_revenue_share_sql(month_lo: str = "1997-03-01",
+                            month_hi: str = "1997-04-01") -> str:
+    rev = ("CAST(round(l_extendedprice * 100) AS BIGINT)"
+           " * (100 - CAST(round(l_discount * 100) AS BIGINT))")
+    return f"""
+        SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                           THEN {rev} ELSE 0 END) AS BIGINT)
+                     / CAST(sum({rev}) AS BIGINT), 4) AS promo_share,
+               round(CAST(sum(CASE WHEN p_type = 'PROMO'
+                                   THEN {rev} ELSE 0 END) AS BIGINT)
+                     / 10000.0, 2) AS promo_revenue,
+               round(CAST(sum({rev}) AS BIGINT) / 10000.0, 2)
+                   AS total_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '{month_lo}'
+          AND l_shipdate <  TIMESTAMP '{month_hi}'"""
+
+
+def late_priority_counts(sf_dir: str, grace_days: int = 90,
+                         n_buckets: int = 8) -> pd.DataFrame:
+    """TPC-H Q4 shape: orders having EXISTS(lineitem shipped more than
+    ``grace_days`` after the order date), counted per order priority —
+    the fact-fact EXISTS probe.
+
+    Scale shape: lineitem pre-combines to max(l_shipdate) per orderkey
+    PER BLOCK (the EXISTS predicate only needs the max); both sides
+    meet in ONE bucketed co-group on orderkey; per-priority counts
+    leave each bucket (|priorities| x |buckets| rows to the driver).
+    Everything is int64 timestamp/count arithmetic — no floats."""
+    grace_us = np.int64(grace_days) * 86_400_000_000
+
+    def orders_side(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        return pa.table({
+            "orderkey": t["o_orderkey"],
+            "ts": pa.array(od),
+            "priority": t["o_orderpriority"],
+            "side": pa.array(np.ones(len(ok), np.int8)),
+            "bucket": pa.array(_bucket_of(ok, n_buckets)),
+        })
+
+    def lines_side(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        part = pa.table({
+            "orderkey": t["l_orderkey"],
+            "ts": pa.array(sd),
+        }).group_by(["orderkey"]).aggregate([("ts", "max")]) \
+          .rename_columns(["orderkey", "ts"])
+        ok = part["orderkey"].to_numpy(zero_copy_only=False)
+        n = part.num_rows
+        return pa.table({
+            "orderkey": part["orderkey"],
+            "ts": part["ts"],
+            "priority": pa.nulls(n, type=pa.string()),
+            "side": pa.array(np.zeros(n, np.int8)),
+            "bucket": pa.array(_bucket_of(ok, n_buckets)),
+        })
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"]) \
+        .map_batches(orders_side, batch_format="pyarrow")
+    lines = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]) \
+        .map_batches(lines_side, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 1]
+        l = g[g["side"] == 0].groupby("orderkey", as_index=False)[
+            "ts"].max().rename(columns={"ts": "max_sd"})
+        m = o.merge(l, on="orderkey")
+        late = m[m["max_sd"] > m["ts"] + grace_us]
+        out = late.groupby("priority", as_index=False).size() \
+                  .rename(columns={"size": "n_late"})
+        return out[["priority", "n_late"]]
+
+    parts = orders.union(lines).groupby("bucket").map_groups(
+        per_bucket, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"o_orderpriority": pd.Series([], dtype=object),
+                             "n_late": pd.Series([], dtype="int64")})
+    fin = parts.groupby("priority", as_index=False)["n_late"].sum()
+    fin.columns = ["o_orderpriority", "n_late"]
+    return fin.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def late_priority_counts_sql(grace_days: int = 90) -> str:
+    return f"""
+        SELECT o_orderpriority, count(*) AS n_late
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate
+                                         + INTERVAL {grace_days} DAY)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority"""
+
+
+def small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    20% of their part's average quantity — the correlated-scalar-
+    subquery threshold, decorrelated into two streaming passes.
+
+    Pass 1: per-part (sum_qty, cnt) via the two-phase combiner (the
+    exchange is part-sized).  Pass 2: broadcast the sorted part stats
+    and re-stream lineitem; the threshold ``qty < 0.2 * sum/cnt`` is
+    evaluated EXACTLY in integers as ``5 * qty * cnt < sum_qty``
+    (quantities are integral) — no float division anywhere; per-block
+    2-int partials (cents, n) combine driver-side."""
+    stats = two_phase_agg(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+        .map_batches(lambda t: pa.table({
+            "l_partkey": t["l_partkey"],
+            "qty": pa.array(round_half_away(
+                t["l_quantity"].to_numpy(zero_copy_only=False), 0)
+                .astype(np.int64)),
+        }), batch_format="pyarrow"),
+        ["l_partkey"], [("qty", "sum"), ("qty", "count")],
+        ["l_partkey", "sum_qty", "cnt"],
+    ).to_pandas()
+    keys = stats["l_partkey"].to_numpy()
+    o = np.argsort(keys, kind="stable")
+    dim_ref = ray.put((keys[o],
+                       stats["sum_qty"].to_numpy()[o].astype(np.int64),
+                       stats["cnt"].to_numpy()[o].astype(np.int64)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, sq, cnt = ray.get(dim_ref)
+        q = round_half_away(
+            t["l_quantity"].to_numpy(zero_copy_only=False), 0) \
+            .astype(np.int64)
+        pkq = t["l_partkey"].to_numpy(zero_copy_only=False)
+        ix = np.searchsorted(keys, pkq)  # every part key exists (pass 1)
+        keep = 5 * q * cnt[ix] < sq[ix]
+        cents = _cents(t["l_extendedprice"])[keep]
+        return pa.table({
+            "cents": pa.array([int(cents.sum())]),
+            "n": pa.array([int(keep.sum())]),
+        })
+
+    parts = _read(sf_dir, "lineitem",
+                  ["l_partkey", "l_quantity", "l_extendedprice"]) \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    cents, n = int(parts["cents"].sum()), int(parts["n"].sum())
+    assert cents < (1 << 53)
+    return pd.DataFrame({
+        "n_lines": pd.array([n], dtype="int64"),
+        "total_revenue": round_half_away(np.array([cents / 100.0]), 2),
+    })
+
+
+def small_quantity_revenue_sql() -> str:
+    return """
+        WITH ps AS (
+            SELECT l_partkey,
+                   sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+                   count(*) AS cnt
+            FROM lineitem GROUP BY l_partkey)
+        SELECT count(*) AS n_lines,
+               round(CAST(coalesce(
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)), 0)
+                   AS BIGINT) / 100.0, 2) AS total_revenue
+        FROM lineitem JOIN ps USING (l_partkey)
+        WHERE 5 * CAST(round(l_quantity) AS BIGINT) * cnt < sum_qty"""
+
+
+def idle_rich_customers(sf_dir: str,
+                        since: str = "1999-01-01") -> pd.DataFrame:
+    """TPC-H Q22 shape: customers with above-average (positive) account
+    balance and NO orders since ``since``, rolled up per nation —
+    scalar-subquery threshold + anti-join in one operator (the date
+    restriction keeps the anti-join side non-trivial on a corpus where
+    every customer has SOME order).
+
+    Scale shape: pass 1 streams customer into a 2-int sketch
+    (n_positive, sum_cents); pass 2 pre-combines orders to per-block
+    DISTINCT custkeys and collects the union (customer-keyed, i.e.
+    dimension-sized; at 100 TB swap for the bucketed co-group
+    anti-join — anti_join_retry's pattern); pass 3 re-streams customer
+    with both broadcasts, comparing ``cents * n > sum`` exactly in
+    integers, and pre-combines (nation, n, cents) per block."""
+    def bal_sketch(t: pa.Table) -> pa.Table:
+        cents = _cents(t["c_acctbal"])
+        pos = cents[cents > 0]
+        return pa.table({"n": pa.array([len(pos)]),
+                         "s": pa.array([int(pos.sum())])})
+
+    sk = _read(sf_dir, "customer", ["c_acctbal"]) \
+        .map_batches(bal_sketch, batch_format="pyarrow").to_pandas()
+    n_pos, s_pos = int(sk["n"].sum()), int(sk["s"].sum())
+
+    cut = np.datetime64(since, "us").astype(np.int64)
+
+    def recent_keys(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        return pa.table(
+            {"k": pc.unique(t.filter(pa.array(od >= cut))["o_custkey"])})
+
+    have = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]) \
+        .map_batches(recent_keys, batch_format="pyarrow") \
+        .to_pandas()
+    have_ref = ray.put(np.sort(have["k"].unique().astype(np.int64)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t["c_acctbal"])
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False)
+        hk = ray.get(have_ref)
+        if len(hk):
+            ix = np.searchsorted(hk, ck)
+            ix[ix >= len(hk)] = 0
+            no_orders = hk[ix] != ck
+        else:
+            no_orders = np.ones(len(ck), bool)
+        keep = (cents > 0) & (cents * n_pos > s_pos) & no_orders
+        sub = pa.table({
+            "c_nationkey": t["c_nationkey"].cast(pa.int64()),
+            "cents": pa.array(cents),
+        }).filter(pa.array(keep))
+        return sub.group_by(["c_nationkey"]).aggregate(
+            [("cents", "count"), ("cents", "sum")]) \
+            .rename_columns(["c_nationkey", "n_cust", "cents"])
+
+    parts = _read(sf_dir, "customer",
+                  ["c_custkey", "c_nationkey", "c_acctbal"]) \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"c_nationkey": pd.Series([], dtype="int64"),
+                             "n_cust": pd.Series([], dtype="int64"),
+                             "total_bal": pd.Series([], dtype="float64")})
+    fin = parts.groupby("c_nationkey", as_index=False).agg(
+        n_cust=("n_cust", "sum"), cents=("cents", "sum"))
+    return pd.DataFrame({
+        "c_nationkey": fin["c_nationkey"].astype(np.int64),
+        "n_cust": fin["n_cust"].astype(np.int64),
+        "total_bal": round_half_away(
+            fin["cents"].to_numpy().astype(np.float64) / 100.0, 2),
+    }).sort_values("c_nationkey").reset_index(drop=True)
+
+
+def idle_rich_customers_sql(since: str = "1999-01-01") -> str:
+    return f"""
+        WITH avgb AS (
+            SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS s,
+                   count(*) AS n
+            FROM customer WHERE c_acctbal > 0)
+        SELECT c_nationkey::BIGINT AS c_nationkey,
+               count(*) AS n_cust,
+               round(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                     AS BIGINT) / 100.0, 2) AS total_bal
+        FROM customer, avgb
+        WHERE c_acctbal > 0
+          AND CAST(round(c_acctbal * 100) AS BIGINT) * n > s
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '{since}')
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey"""
