@@ -204,6 +204,8 @@ def run_bench() -> dict:
     # similarity-join family (added round 3, eighth continuation)
     timed("hamming_pairs", lambda: T.hamming_pairs(sf_dir))
     timed("url_edit_pairs", lambda: A.url_edit_pairs(sf_dir))
+    timed("local_supplier_volume", lambda: A.local_supplier_volume(sf_dir))
+    timed("late_priority_counts", lambda: A.late_priority_counts(sf_dir))
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -330,3 +330,43 @@ def test_tpch_composites_fuzz_vs_duckdb(ray_session, tmp_path, seed):
         assert len(a) == len(b), (sql[:80], len(a), len(b))
         pd.testing.assert_frame_equal(a, b, check_dtype=False,
                                       check_exact=True)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_cogroup_joins_under_hot_key_skew(ray_session, tmp_path, seed):
+    """Hot-KEY stress for the bucketed co-group join family: ~40% of
+    lineitems land on ONE orderkey and ~40% of orders on ONE custkey.
+    _bucket_of cannot split a single key — the guarantee under skew is
+    per-BUCKET memory bounded by the hottest key's payload (which the
+    per-bucket pandas kernel holds once), and bit-exact results."""
+    from visiblev8_crawler_ray.pipelines import analytics as A
+
+    rng = np.random.default_rng(800 + seed)
+    tables = _random_relational(rng, n_cust=20, n_orders=100, n_lines=400)
+    lines, orders = tables["lineitem"], tables["orders"]
+    hot_ok = lines["l_orderkey"].to_numpy(zero_copy_only=False).copy()
+    hot_ok[: len(hot_ok) * 2 // 5] = 7          # one order, 160 lineitems
+    tables["lineitem"] = lines.set_column(
+        0, "l_orderkey", pa.array(hot_ok, type=pa.int64()))
+    hot_ck = orders["o_custkey"].to_numpy(zero_copy_only=False).copy()
+    hot_ck[: len(hot_ck) * 2 // 5] = 3          # one customer, 40 orders
+    tables["orders"] = orders.set_column(
+        1, "o_custkey", pa.array(hot_ck, type=pa.int64()))
+
+    con = duckdb.connect()
+    for name, tbl in tables.items():
+        pq.write_table(tbl, tmp_path / f"{name}.parquet")
+        con.sql(f"CREATE VIEW {name} AS SELECT * "
+                f"FROM '{tmp_path}/{name}.parquet'")
+    q, sql = R.queries(), R.oracle_sql()
+    for name in ["shipping_priority", "late_priority_counts",
+                 "customer_orders_full", "orders_with_customer",
+                 "small_quantity_revenue"]:
+        res = q[name](str(tmp_path))
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        odf = con.sql(sql[name]).df()
+        a, b = _norm(df), _norm(odf)
+        assert list(a.columns) == list(b.columns), name
+        assert len(a) == len(b), (name, len(a), len(b))
+        pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                      check_exact=True, obj=name)
