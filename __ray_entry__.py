@@ -290,6 +290,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_priority_counts": A.late_priority_counts,
         "small_quantity_revenue": A.small_quantity_revenue,
         "idle_rich_customers": A.idle_rich_customers,
+        "pricing_summary": A.pricing_summary,
+        "customer_order_histogram": A.customer_order_histogram,
+        "orders_cube": A.orders_cube,
         # training-data text ops
         "dedup_exact": T.dedup_exact,
         "dedup_minhash": T.dedup_minhash,
@@ -913,6 +916,9 @@ def oracle_sql() -> dict[str, str]:
         "late_priority_counts": A.late_priority_counts_sql(),
         "small_quantity_revenue": A.small_quantity_revenue_sql(),
         "idle_rich_customers": A.idle_rich_customers_sql(),
+        "pricing_summary": A.pricing_summary_sql(),
+        "customer_order_histogram": A.customer_order_histogram_sql(),
+        "orders_cube": A.orders_cube_sql(),
         # PassJoin-style Hamming similarity self-join; per-position
         # substr twin (DuckDB hamming() is byte-based — unicode-unsafe)
         "hamming_pairs": T.hamming_pairs_sql(),

@@ -119,7 +119,8 @@ REL_OPS = ["anti_join_retry", "bloom_semi_join", "confidence_histogram",
            "top10_customers", "usage_rollup", "zorder_extents",
            "column_profile", "orders_skyline", "basket_pairs",
            "lineitem_unpivot", "small_quantity_revenue",
-           "late_priority_counts", "idle_rich_customers"]
+           "late_priority_counts", "idle_rich_customers",
+           "pricing_summary", "customer_order_histogram", "orders_cube"]
 
 
 def _random_relational(rng, n_cust=25, n_orders=120, n_lines=300):
@@ -322,6 +323,8 @@ def test_tpch_composites_fuzz_vs_duckdb(ray_session, tmp_path, seed):
          A.idle_rich_customers_sql(since="2024-06-01")),
         (A.late_priority_counts(str(tmp_path), grace_days=30),
          A.late_priority_counts_sql(grace_days=30)),
+        (A.pricing_summary(str(tmp_path), cutoff="2024-09-01"),
+         A.pricing_summary_sql(cutoff="2024-09-01")),
     ]
     for df, sql in cases:
         odf = con.sql(sql).df()

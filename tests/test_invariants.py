@@ -356,3 +356,75 @@ def test_media_near_dup_perceptual(tmp_path):
     assert pairs.iloc[0]["ref_a"] == "blob://1/shot.png"
     assert pairs.iloc[0]["ref_b"] == "blob://2/shot.png"
     assert pairs.iloc[0]["hamming"] <= 3
+
+
+def test_fetch_writer_replay_idempotent(tmp_path):
+    """Ray task-retry contract for the side-writing fetch stage: a full
+    replay of the SAME batch (retry after a crash that may have left a
+    half-written .tmp and/or already-renamed part files) must converge
+    to the identical file set, identical parquet contents and identical
+    blob bytes — never duplicates (deterministic part names + tmp+rename
+    is the mechanism; this pins it)."""
+    import hashlib
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from visiblev8_crawler_ray import synth
+    from visiblev8_crawler_ray.functions import urls as U
+    from visiblev8_crawler_ray.stages.fetcher import FetchWriter
+
+    cfg = CrawlConfig(max_depth=0, max_waves=1)
+    seeds = synth.seeds_table(np.arange(24), cfg)
+    c = U.canonicalize(seeds["url"])
+    keep = c["valid"].to_numpy(zero_copy_only=False)
+    urls = c["canonical_url"].to_numpy(zero_copy_only=False)[keep]
+    hosts = c["host"].to_numpy(zero_copy_only=False)[keep]
+    paths = c["path"].to_numpy(zero_copy_only=False)[keep]
+    n = len(urls)
+    batch = pa.table({
+        "url": pa.array(urls, type=pa.string()),
+        "host": pa.array(hosts, type=pa.string()),
+        "path": pa.array(paths, type=pa.string()),
+        "wave": pa.array(np.zeros(n, np.int32)),
+        "seq": pa.array(np.arange(n, dtype=np.int64)),
+    })
+
+    out_dir = str(tmp_path / "fetch"); os.makedirs(out_dir)
+    blob_dir = str(tmp_path / "blobs"); os.makedirs(blob_dir)
+
+    def snapshot():
+        files = {}
+        for root, _, names in os.walk(tmp_path):
+            for f in names:
+                p = os.path.join(root, f)
+                with open(p, "rb") as fh:
+                    files[os.path.relpath(p, tmp_path)] = \
+                        hashlib.md5(fh.read()).hexdigest()
+        return files
+
+    w = FetchWriter(cfg, out_dir, blob_dir=blob_dir)
+    out1 = w(batch)
+    snap1 = snapshot()
+    parts1 = sorted(f for f in snap1 if f.endswith(".parquet"))
+    assert len(parts1) == 1 and parts1[0].startswith("fetch/part-s")
+
+    # crash debris: a half-written temp from a killed attempt
+    stray = os.path.join(out_dir, ".tmp-deadbeef")
+    with open(stray, "wb") as f:
+        f.write(b"partial garbage")
+    # replay the WHOLE batch (a Ray retry re-runs the task verbatim)
+    out2 = w(batch)
+    snap2 = {k: v for k, v in snapshot().items()
+             if not k.endswith(".tmp-deadbeef")}
+    assert out1.equals(out2)  # writer returns control columns only
+    assert snap1 == snap2  # same names, same bytes — no duplicates
+
+    # read-back ignores debris: only part-*.parquet is data
+    datafiles = [f for f in os.listdir(out_dir)
+                 if f.startswith("part-") and f.endswith(".parquet")]
+    assert len(datafiles) == 1
+    tbl = pq.read_table(os.path.join(out_dir, datafiles[0]))
+    assert tbl.num_rows == n

@@ -3458,3 +3458,233 @@ def idle_rich_customers_sql(since: str = "1999-01-01") -> str:
                             AND o_orderdate >= TIMESTAMP '{since}')
         GROUP BY c_nationkey
         ORDER BY c_nationkey"""
+
+
+def pricing_summary(sf_dir: str, cutoff: str = "1998-09-01") -> pd.DataFrame:
+    """TPC-H Q1 shape: the full pricing-summary report per
+    (returnflag, linestatus) — qty/price/discounted/charged sums,
+    three averages and a row count over lineitems shipped before
+    ``cutoff``.
+
+    All four sums are EXACT integers in scaled units (qty; cents;
+    cents x basis points; cents x bp x (100+tax pct), i.e. 1e-6
+    dollars — per-row magnitude <= ~2.1e11, headroom asserted < 2^53
+    per group so BIGINT->DOUBLE is exact on both sides).  The
+    averages are single divisions of those integers.  Scale shape:
+    one streaming pass + the two-phase combiner; exchange payload =
+    |flags x statuses| rows of 6 integers."""
+    cut = np.datetime64(cutoff, "us").astype(np.int64)
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_shipdate",
+                "l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        sub = t.filter(pa.array(sd < cut))
+        qty = round_half_away(
+            sub["l_quantity"].to_numpy(zero_copy_only=False), 0) \
+            .astype(np.int64)
+        cents = _cents(sub["l_extendedprice"])
+        dpct = round_half_away(
+            sub["l_discount"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        tpct = round_half_away(
+            sub["l_tax"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        disc_e4 = cents * (100 - dpct)
+        return pa.table({
+            "l_returnflag": sub["l_returnflag"],
+            "l_linestatus": sub["l_linestatus"],
+            "qty": pa.array(qty),
+            "cents": pa.array(cents),
+            "disc_e4": pa.array(disc_e4),
+            "charge_e6": pa.array(disc_e4 * (100 + tpct)),
+            "dpct": pa.array(dpct),
+        })
+
+    out = two_phase_agg(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        [("qty", "sum"), ("cents", "sum"), ("disc_e4", "sum"),
+         ("charge_e6", "sum"), ("dpct", "sum"), ("qty", "count")],
+        ["l_returnflag", "l_linestatus", "sum_qty", "cents", "disc_e4",
+         "charge_e6", "dpct", "n"],
+    ).to_pandas()
+    if out.empty or "cents" not in out.columns:  # filter kept no rows
+        return pd.DataFrame({
+            "l_returnflag": pd.Series([], dtype=object),
+            "l_linestatus": pd.Series([], dtype=object),
+            "sum_qty": pd.Series([], dtype="int64"),
+            "sum_base_price": pd.Series([], dtype="float64"),
+            "sum_disc_price": pd.Series([], dtype="float64"),
+            "sum_charge": pd.Series([], dtype="float64"),
+            "avg_qty": pd.Series([], dtype="float64"),
+            "avg_price": pd.Series([], dtype="float64"),
+            "avg_disc": pd.Series([], dtype="float64"),
+            "count_order": pd.Series([], dtype="int64"),
+        })
+    assert (out[["cents", "disc_e4", "charge_e6"]].to_numpy()
+            < float(1 << 53)).all()
+    n = out["n"].to_numpy().astype(np.float64)
+    res = pd.DataFrame({
+        "l_returnflag": out["l_returnflag"],
+        "l_linestatus": out["l_linestatus"],
+        "sum_qty": out["sum_qty"].astype(np.int64),
+        "sum_base_price": round_half_away(
+            out["cents"].to_numpy().astype(np.float64) / 100.0, 2),
+        "sum_disc_price": round_half_away(
+            out["disc_e4"].to_numpy().astype(np.float64) / 10000.0, 2),
+        "sum_charge": round_half_away(
+            out["charge_e6"].to_numpy().astype(np.float64) / 1e6, 2),
+        "avg_qty": round_half_away(
+            out["sum_qty"].to_numpy().astype(np.float64) / n, 4),
+        "avg_price": round_half_away(
+            out["cents"].to_numpy().astype(np.float64) / 100.0 / n, 4),
+        "avg_disc": round_half_away(
+            out["dpct"].to_numpy().astype(np.float64) / 100.0 / n, 6),
+        "count_order": out["n"].astype(np.int64),
+    })
+    return res.sort_values(
+        ["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def pricing_summary_sql(cutoff: str = "1998-09-01") -> str:
+    cents = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    dpct = "CAST(round(l_discount * 100) AS BIGINT)"
+    tpct = "CAST(round(l_tax * 100) AS BIGINT)"
+    return f"""
+        SELECT l_returnflag, l_linestatus,
+               sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+               round(CAST(sum({cents}) AS BIGINT) / 100.0, 2)
+                   AS sum_base_price,
+               round(CAST(sum({cents} * (100 - {dpct})) AS BIGINT)
+                     / 10000.0, 2) AS sum_disc_price,
+               round(CAST(sum({cents} * (100 - {dpct}) * (100 + {tpct}))
+                     AS BIGINT) / 1000000.0, 2) AS sum_charge,
+               round(CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                     AS BIGINT) / CAST(count(*) AS DOUBLE), 4) AS avg_qty,
+               round(CAST(sum({cents}) AS BIGINT) / 100.0
+                     / CAST(count(*) AS DOUBLE), 4) AS avg_price,
+               round(CAST(sum({dpct}) AS BIGINT) / 100.0
+                     / CAST(count(*) AS DOUBLE), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '{cutoff}'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""
+
+
+def customer_order_histogram(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13 shape: distribution of customers by how many orders
+    they placed — LEFT JOIN + double aggregation, INCLUDING the
+    zero-order bucket (the row-count-of-a-rollup pattern no single
+    groupby expresses).
+
+    Scale shape: orders pre-combine to per-custkey counts (two-phase;
+    exchange = |customers| rows), the zero bucket is |customers| -
+    |custkeys with orders| (two scalar streams, no join at all —
+    orphan o_custkeys are EXCLUDED by the inner probe against the
+    customer key set, mirroring Q13's join direction), then a tiny
+    driver histogram over the count table."""
+    ckeys = []
+    for b in _read(sf_dir, "customer", ["c_custkey"]).iter_batches(
+            batch_format="pyarrow", batch_size=65536):
+        ckeys.append(b["c_custkey"].to_numpy(zero_copy_only=False))
+    ck = np.sort(np.concatenate(ckeys)) if ckeys else np.empty(0, np.int64)
+    ck_ref = ray.put(ck)
+
+    def keep_known(t: pa.Table) -> pa.Table:
+        keys = ray.get(ck_ref)
+        q = t["o_custkey"].to_numpy(zero_copy_only=False)
+        if len(keys):
+            ix = np.searchsorted(keys, q)
+            ix[ix >= len(keys)] = 0
+            m = keys[ix] == q
+        else:
+            m = np.zeros(len(q), bool)
+        return t.filter(pa.array(m))
+
+    per_cust = two_phase_agg(
+        _read(sf_dir, "orders", ["o_custkey"])
+        .map_batches(keep_known, batch_format="pyarrow"),
+        ["o_custkey"], [("o_custkey", "count")],
+        ["o_custkey", "c_count"],
+    ).to_pandas()
+    hist = per_cust.groupby("c_count", as_index=False).size() \
+        .rename(columns={"size": "custdist"})
+    zero = len(ck) - len(per_cust)
+    if zero > 0:
+        hist = pd.concat([hist, pd.DataFrame(
+            {"c_count": [0], "custdist": [zero]})], ignore_index=True)
+    hist["c_count"] = hist["c_count"].astype(np.int64)
+    hist["custdist"] = hist["custdist"].astype(np.int64)
+    return hist.sort_values(
+        ["custdist", "c_count"], ascending=[False, False]) \
+        .reset_index(drop=True)
+
+
+def customer_order_histogram_sql() -> str:
+    return """
+        SELECT c_count, count(*) AS custdist
+        FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey) cc
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC"""
+
+
+def orders_cube(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE(o_orderstatus, o_orderpriority): all FOUR grains
+    (status×priority, status, priority, grand total) in one streaming
+    pass — completes the grouping-sets family next to
+    ``lineitem_rollup``'s ROLLUP (which lacks the priority-only grain).
+    The map stage fans each row to its 4 grain keys ('ALL' sentinel in
+    rolled positions; the real domains never contain it) and the cube
+    is the shuffle-free two-phase combiner — a map-side ×4, exchange
+    payload O(|statuses|·|priorities|)."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def fan(t: pa.Table) -> pa.Table:
+        st = t["o_orderstatus"].combine_chunks()
+        pr = t["o_orderpriority"].combine_chunks()
+        cents = pa.array(_cents(t["o_totalprice"]))
+        alls = pa.array(np.full(t.num_rows, "ALL", dtype=object),
+                        type=pa.string())
+        return pa.table({
+            "o_orderstatus": pa.concat_arrays(
+                [st, st, alls, alls]),
+            "o_orderpriority": pa.concat_arrays(
+                [pr, alls, pr, alls]),
+            "cents": pa.concat_arrays([cents] * 4),
+        })
+
+    out = two_phase_agg(
+        ds.map_batches(fan, batch_format="pyarrow"),
+        ["o_orderstatus", "o_orderpriority"],
+        [("cents", "count"), ("cents", "sum")],
+        ["o_orderstatus", "o_orderpriority", "n", "cents"],
+    ).to_pandas()
+    assert (out["cents"].to_numpy() < float(1 << 53)).all()
+    res = pd.DataFrame({
+        "o_orderstatus": out["o_orderstatus"],
+        "o_orderpriority": out["o_orderpriority"],
+        "n": out["n"].astype(np.int64),
+        "total_price": round_half_away(
+            out["cents"].to_numpy().astype(np.float64) / 100.0, 2),
+    })
+    return res.sort_values(
+        ["o_orderstatus", "o_orderpriority"]).reset_index(drop=True)
+
+
+def orders_cube_sql() -> str:
+    return """
+        SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+               coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+               count(*) AS n,
+               round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) / 100.0, 2) AS total_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus, o_orderpriority"""
