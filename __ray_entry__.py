@@ -293,6 +293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": A.pricing_summary,
         "customer_order_histogram": A.customer_order_histogram,
         "orders_cube": A.orders_cube,
+        "distinct_users_hll": A.distinct_users_hll,
         # training-data text ops
         "dedup_exact": T.dedup_exact,
         "dedup_minhash": T.dedup_minhash,
@@ -919,6 +920,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": A.pricing_summary_sql(),
         "customer_order_histogram": A.customer_order_histogram_sql(),
         "orders_cube": A.orders_cube_sql(),
+        "distinct_users_hll": A.distinct_users_hll_sql(),
         # PassJoin-style Hamming similarity self-join; per-position
         # substr twin (DuckDB hamming() is byte-based — unicode-unsafe)
         "hamming_pairs": T.hamming_pairs_sql(),

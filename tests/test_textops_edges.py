@@ -281,3 +281,20 @@ def test_dup_substring_fraction_edges(ray_session, tmp_path):
     short.to_parquet(tmp_path / "documents.parquet")
     s = dup_substring_fraction(str(tmp_path), k=k)
     assert s.loc[0, "n_dup_grams"] == 0 and s.loc[0, "n_tokens"] == 3
+
+
+def test_distinct_users_hll_accuracy(ray_session):
+    """Grouped HLL estimates must land inside the published error
+    envelope of the exact per-type distinct counts (~1.04/sqrt(4096) ≈
+    1.6%; gate at 5% for small-cardinality linear-counting wobble)."""
+    from visiblev8_crawler_ray.pipelines import analytics as A
+
+    sf = "/root/testdata/sf0.01"
+    est = A.distinct_users_hll(sf).set_index("event_type")[
+        "distinct_users_est"]
+    exact = A.distinct_users_salted(sf).set_index("event_type")[
+        "n_users"]
+    assert set(est.index) == set(exact.index)
+    for ty in exact.index:
+        e, x = int(est[ty]), int(exact[ty])
+        assert abs(e - x) <= max(2, 0.05 * x), (ty, e, x)

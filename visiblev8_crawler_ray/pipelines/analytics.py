@@ -3688,3 +3688,107 @@ def orders_cube_sql() -> str:
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
         ORDER BY o_orderstatus, o_orderpriority"""
+
+
+def distinct_users_hll(sf_dir: str) -> pd.DataFrame:
+    """Approximate count(DISTINCT user_id) PER event_type via grouped
+    HyperLogLog — the mergeable-sketch form of the exact
+    :func:`distinct_users_salted`.  Where salting still shuffles
+    O(distinct keys) rows, the grouped sketch's exchange is a FIXED
+    |types| x 4096-register payload per block regardless of corpus
+    size — the shape that wins when the distinct cardinality itself is
+    huge (register merge = elementwise max, order- and
+    partition-independent, so the estimate is deterministic at any
+    parallelism).
+
+    Approximate by design but a deterministic function of the table —
+    SQL-gated bit-exact like ``distinct_tokens_hll``: hash =
+    md5-low64 of the DECIMAL STRING of user_id (DuckDB
+    ``md5_number_lower(CAST(user_id AS VARCHAR))``), identical
+    estimator arithmetic (exact-integer harmonic sum, single final
+    division).  Accuracy vs the exact counts is property-gated in
+    tests (HLL's ~1.6% envelope at p=12)."""
+    from .textops import HLL_P, _hll_estimate, _hll_registers
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        uid = pc.cast(t["user_id"], pa.string())
+        if isinstance(uid, pa.ChunkedArray):
+            uid = uid.combine_chunks()
+        types, regs = [], []
+        for ty in np.unique(et):
+            mask = et == ty
+            types.append(ty)
+            regs.append(_hll_registers(uid.filter(pa.array(mask))))
+        return pa.table({
+            "event_type": pa.array(types, type=pa.string()),
+            "regs": pa.array(regs),
+        })
+
+    merged: dict[str, np.ndarray] = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=256):
+        ets = b["event_type"].to_pylist()
+        arr = b["regs"].combine_chunks()
+        stack = arr.flatten().to_numpy(zero_copy_only=False) \
+            .reshape(len(arr), 1 << HLL_P)
+        for ty, row in zip(ets, stack):
+            if ty in merged:
+                np.maximum(merged[ty], row, out=merged[ty])
+            else:
+                merged[ty] = row.copy()
+    out = pd.DataFrame({
+        "event_type": sorted(merged),
+        "distinct_users_est": [
+            _hll_estimate(merged[t]) for t in sorted(merged)],
+    })
+    out["distinct_users_est"] = out["distinct_users_est"].astype(np.int64)
+    return out
+
+
+def distinct_users_hll_sql() -> str:
+    """Grouped DuckDB twin of :func:`distinct_users_hll` — the
+    ``distinct_tokens_hll`` register rebuild with every CTE keyed by
+    event_type."""
+    from .textops import HLL_P
+
+    m_i = 1 << HLL_P
+    m = float(m_i)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = alpha * m * m * float(1 << 53)
+    pows = ", ".join(f"({e}, {1 << (e - 1)}::BIGINT)" for e in range(1, 53))
+    pw2 = ", ".join(f"({k}, {1 << k}::HUGEINT)" for k in range(54))
+    return rf"""
+        WITH u AS (SELECT DISTINCT event_type,
+                          CAST(user_id AS VARCHAR) AS tok FROM events),
+        rr AS (SELECT event_type,
+                      CAST(md5_number_lower(tok)::HUGEINT
+                           // {1 << 52} AS BIGINT) AS reg,
+                      CAST(md5_number_lower(tok)::HUGEINT
+                           % {1 << 52} AS BIGINT) AS rest
+               FROM u),
+        bl AS (SELECT rr.event_type, rr.reg, rr.rest,
+                      53 - coalesce(max(p.e), 0) AS rank
+               FROM rr LEFT JOIN (VALUES {pows}) p(e, lo) ON p.lo <= rr.rest
+               GROUP BY rr.event_type, rr.reg, rr.rest),
+        regs AS (SELECT event_type, reg, max(rank) AS r FROM bl
+                 GROUP BY event_type, reg),
+        fin AS (SELECT event_type, coalesce(sum(p2.v), 0::HUGEINT) AS sp,
+                       count(*) AS npres
+                FROM regs JOIN (VALUES {pw2}) p2(k, v) ON p2.k = 53 - regs.r
+                GROUP BY event_type),
+        calc AS (SELECT event_type,
+                        sp + ({m_i} - npres)::HUGEINT
+                           * {1 << 53}::HUGEINT AS s_num,
+                        {m_i} - npres AS zeros FROM fin),
+        e AS (SELECT event_type,
+                     CAST('{num!r}' AS DOUBLE) / CAST(s_num AS DOUBLE) AS e0,
+                     zeros FROM calc)
+        SELECT event_type,
+               CAST(floor(CASE WHEN e0 <= {2.5 * m!r} AND zeros > 0
+                               THEN {m!r} * ln({m!r} / zeros)
+                               ELSE e0 END + 0.5) AS BIGINT)
+               AS distinct_users_est
+        FROM e ORDER BY event_type"""

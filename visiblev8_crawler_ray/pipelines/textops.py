@@ -1541,17 +1541,24 @@ def distinct_tokens_hll(sf_dir: str) -> pd.DataFrame:
             .reshape(len(arr), 1 << HLL_P)
         np.maximum(merged, stack.max(axis=0), out=merged)
 
+    return pd.DataFrame({"distinct_tokens_est": [_hll_estimate(merged)]})
+
+
+def _hll_estimate(merged: np.ndarray) -> int:
+    """Standard HLL estimator over a merged register file, float-safe:
+    the harmonic sum is the exact integer ``sum 2^(53-rank)`` (rank <=
+    53 so terms are exact), the only float ops are the final division
+    and the linear-counting ``m*ln(m/zeros)`` branch — both mirrored
+    literal-for-literal by the SQL twins."""
     m = float(1 << HLL_P)
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    # exact-integer harmonic sum: S = S_num / 2^53 with
-    # S_num = sum 2^(53-rank); rank <= 53 so terms are exact ints
     counts = np.bincount(merged, minlength=54)
     s_num = sum(int(c) << (53 - r) for r, c in enumerate(counts) if c)
     est = alpha * m * m * float(1 << 53) / float(s_num)
     zeros = int(counts[0])
     if est <= 2.5 * m and zeros:
         est = m * float(np.log(m / zeros))  # linear counting, small range
-    return pd.DataFrame({"distinct_tokens_est": [int(np.floor(est + 0.5))]})
+    return int(np.floor(est + 0.5))
 
 
 def sample_per_group(sf_dir: str, k: int = 5) -> pd.DataFrame:
