@@ -293,6 +293,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": A.pricing_summary,
         "customer_order_histogram": A.customer_order_histogram,
         "orders_cube": A.orders_cube,
+        "big_order_customers": A.big_order_customers,
+        "min_cost_supplier": A.min_cost_supplier,
+        "part_revenue_share": A.part_revenue_share,
+        "sole_return_supplier": A.sole_return_supplier,
+        "supplier_part_variety": A.supplier_part_variety,
         "distinct_users_hll": A.distinct_users_hll,
         # training-data text ops
         "dedup_exact": T.dedup_exact,
@@ -920,6 +925,11 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": A.pricing_summary_sql(),
         "customer_order_histogram": A.customer_order_histogram_sql(),
         "orders_cube": A.orders_cube_sql(),
+        "big_order_customers": A.big_order_customers_sql(),
+        "min_cost_supplier": A.min_cost_supplier_sql(),
+        "part_revenue_share": A.part_revenue_share_sql(),
+        "sole_return_supplier": A.sole_return_supplier_sql(),
+        "supplier_part_variety": A.supplier_part_variety_sql(),
         "distinct_users_hll": A.distinct_users_hll_sql(),
         # PassJoin-style Hamming similarity self-join; per-position
         # substr twin (DuckDB hamming() is byte-based — unicode-unsafe)

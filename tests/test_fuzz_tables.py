@@ -120,7 +120,8 @@ REL_OPS = ["anti_join_retry", "bloom_semi_join", "confidence_histogram",
            "column_profile", "orders_skyline", "basket_pairs",
            "lineitem_unpivot", "small_quantity_revenue",
            "late_priority_counts", "idle_rich_customers",
-           "pricing_summary", "customer_order_histogram", "orders_cube"]
+           "pricing_summary", "customer_order_histogram", "orders_cube",
+           "big_order_customers", "part_revenue_share"]
 
 
 def _random_relational(rng, n_cust=25, n_orders=120, n_lines=300):
@@ -291,7 +292,8 @@ def test_tpch_composites_fuzz_vs_duckdb(ray_session, tmp_path, seed):
         "s_name": pa.array([f"sup{i}" for i in range(n_sup)]),
         "s_nationkey": pa.array(
             rng.integers(0, n_nat, n_sup).astype(np.int32)),
-        "s_acctbal": pa.array(np.round(rng.uniform(0, 9000, n_sup), 2)),
+        # negative balances feed supplier_part_variety's NOT-IN set
+        "s_acctbal": pa.array(np.round(rng.uniform(-500, 9000, n_sup), 2)),
     })
     tables["part"] = pa.table({
         "p_partkey": pa.array(range(n_part), type=pa.int64()),
@@ -325,6 +327,12 @@ def test_tpch_composites_fuzz_vs_duckdb(ray_session, tmp_path, seed):
          A.late_priority_counts_sql(grace_days=30)),
         (A.pricing_summary(str(tmp_path), cutoff="2024-09-01"),
          A.pricing_summary_sql(cutoff="2024-09-01")),
+        (A.min_cost_supplier(str(tmp_path), max_size=25),
+         A.min_cost_supplier_sql(max_size=25)),
+        (A.sole_return_supplier(str(tmp_path)),
+         A.sole_return_supplier_sql()),
+        (A.supplier_part_variety(str(tmp_path)),
+         A.supplier_part_variety_sql()),
     ]
     for df, sql in cases:
         odf = con.sql(sql).df()

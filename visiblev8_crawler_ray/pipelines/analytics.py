@@ -3792,3 +3792,439 @@ def distinct_users_hll_sql() -> str:
                                ELSE e0 END + 0.5) AS BIGINT)
                AS distinct_users_est
         FROM e ORDER BY event_type"""
+
+
+# ---------------------------------------------------------------------------
+# Eleventh-continuation composites: the remaining classic TPC-H join
+# shapes the suite had not pinned yet — HAVING-driven semi-join (Q18),
+# argmin-per-group with deterministic tie-break (Q2), group-vs-global-
+# scalar HAVING (Q11), multi-EXISTS self-join (Q21) and NOT-IN-filtered
+# grouped distinct count (Q16).  Reference parity: the vendor analytics
+# notebooks express these as correlated subqueries / HAVING clauses over
+# the mega_* tables (production_classifier.py:428-491 join family); the
+# shapes here are the generic relational forms.  Same integer-exactness
+# contract as the Q5/Q14/Q1 block above.
+# ---------------------------------------------------------------------------
+
+def big_order_customers(sf_dir: str, qty_threshold: int = 100,
+                        limit: int = 100) -> pd.DataFrame:
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds a
+    threshold (HAVING-driven semi-join), joined back to orders and
+    customer for the detail row; top ``limit`` by total price.
+
+    Scale shape: the fact table reduces FIRST — two-phase sum of
+    integer quantities per orderkey (combiner per block, no raw-row
+    shuffle), and only HAVING survivors (a tiny fraction) leave the
+    aggregate.  Survivors broadcast as a sorted probe array; orders
+    streams one pass picking up its columns; the final customer-name
+    lookup touches only ``limit``-bounded rows plus a one-pass
+    streamed filter of the customer dim.  No all-to-all anywhere."""
+    def qty(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "q": pa.array(round_half_away(
+                t["l_quantity"].to_numpy(zero_copy_only=False), 0)
+                .astype(np.int64)),
+        })
+
+    agg = two_phase_agg(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        .map_batches(qty, batch_format="pyarrow"),
+        ["l_orderkey"], [("q", "sum")], ["l_orderkey", "sum_qty"])
+    big = agg.filter(
+        lambda r: r["sum_qty"] > qty_threshold).to_pandas()
+    if big.empty:
+        return pd.DataFrame({
+            "c_name": pd.Series([], dtype=object),
+            "c_custkey": pd.Series([], dtype="int64"),
+            "o_orderkey": pd.Series([], dtype="int64"),
+            "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+            "o_totalprice": pd.Series([], dtype="float64"),
+            "sum_qty": pd.Series([], dtype="int64")})
+    okeys = np.sort(big["l_orderkey"].to_numpy(dtype=np.int64))
+    osum = big.set_index("l_orderkey")["sum_qty"]
+    ok_ref = ray.put(okeys)
+
+    def pick_orders(t: pa.Table) -> pa.Table:
+        ks = ray.get(ok_ref)
+        q = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        ix = np.searchsorted(ks, q)
+        ix[ix >= len(ks)] = 0
+        return t.filter(pa.array(ks[ix] == q))
+
+    hits = _read(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderdate",
+                  "o_totalprice"]) \
+        .map_batches(pick_orders, batch_format="pyarrow").to_pandas()
+    if hits.empty:  # every HAVING survivor was an orderkey orphan
+        return pd.DataFrame({
+            "c_name": pd.Series([], dtype=object),
+            "c_custkey": pd.Series([], dtype="int64"),
+            "o_orderkey": pd.Series([], dtype="int64"),
+            "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+            "o_totalprice": pd.Series([], dtype="float64"),
+            "sum_qty": pd.Series([], dtype="int64")})
+    hits["sum_qty"] = hits["o_orderkey"].map(osum).astype(np.int64)
+
+    # exact sort on cents, then names for the surviving <=limit rows only
+    cents = round_half_away(
+        hits["o_totalprice"].to_numpy(dtype=np.float64) * 100.0, 0) \
+        .astype(np.int64)
+    hits = hits.assign(_c=cents).sort_values(
+        ["_c", "o_orderdate", "o_orderkey"],
+        ascending=[False, True, True]).drop(columns="_c")
+
+    ck_ref = ray.put(np.sort(hits["o_custkey"].unique().astype(np.int64)))
+
+    def pick_cust(t: pa.Table) -> pa.Table:
+        ks = ray.get(ck_ref)
+        q = t["c_custkey"].to_numpy(zero_copy_only=False)
+        ix = np.searchsorted(ks, q)
+        ix[ix >= len(ks)] = 0
+        return t.filter(pa.array(ks[ix] == q))
+
+    names = _read(sf_dir, "customer", ["c_custkey", "c_name"]) \
+        .map_batches(pick_cust, batch_format="pyarrow").to_pandas()
+    out = hits.merge(names, left_on="o_custkey", right_on="c_custkey",
+                     how="inner")
+    # re-sort (merge does not preserve order) and cut AFTER the inner
+    # join so orphan custkeys cannot occupy limit slots (mirrors SQL)
+    cents = round_half_away(
+        out["o_totalprice"].to_numpy(dtype=np.float64) * 100.0, 0) \
+        .astype(np.int64)
+    out = out.assign(_c=cents).sort_values(
+        ["_c", "o_orderdate", "o_orderkey"],
+        ascending=[False, True, True]).drop(columns="_c").head(limit)
+    return out[["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "sum_qty"]].reset_index(drop=True)
+
+
+def big_order_customers_sql(qty_threshold: int = 100,
+                            limit: int = 100) -> str:
+    return f"""
+        WITH q AS (
+            SELECT l_orderkey,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING sum_qty > {qty_threshold})
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+               o_totalprice, sum_qty
+        FROM orders
+        JOIN q ON o_orderkey = q.l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        LIMIT {limit}"""
+
+
+_PACK = 1 << 24          # (price_cents, suppkey) lexicographic argmin pack
+
+
+def min_cost_supplier(sf_dir: str, max_size: int = 10) -> pd.DataFrame:
+    """TPC-H Q2 shape: per part (restricted to ``p_size < max_size``)
+    the supplier offering the minimum lineitem price, ties broken to
+    the lowest suppkey — argmin-per-group with a deterministic
+    tie-break, then a two-sided dimension join for the names.
+
+    Scale shape: argmin packs (cents << 24) | suppkey into ONE int64 so
+    the whole reduction is a decomposable ``min`` — two-phase agg,
+    no raw-row shuffle (the same pack trick the frontier's first-wins
+    dedup uses, crawl.py).  Part membership broadcasts as a sorted
+    probe; names resolve driver-side at dimension size."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_name", "p_size"]) \
+        .to_pandas()
+    part = part[part["p_size"] < max_size]
+    pk_ref = ray.put(np.sort(part["p_partkey"].to_numpy(dtype=np.int64)))
+
+    def pack(t: pa.Table) -> pa.Table:
+        ks = ray.get(pk_ref)
+        q = t["l_partkey"].to_numpy(zero_copy_only=False)
+        if len(ks):
+            ix = np.searchsorted(ks, q)
+            ix[ix >= len(ks)] = 0
+            sub = t.filter(pa.array(ks[ix] == q))
+        else:
+            sub = t.slice(0, 0)
+        cents = _cents(sub["l_extendedprice"])
+        sk = sub["l_suppkey"].to_numpy(zero_copy_only=False)
+        assert len(sk) == 0 or (sk.max() < _PACK and sk.min() >= 0
+                                and cents.max() < (1 << 38)), \
+            "argmin pack domain exceeded"
+        return pa.table({
+            "l_partkey": sub["l_partkey"],
+            "pk": pa.array(cents * _PACK + sk),
+        })
+
+    agg = two_phase_agg(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_extendedprice"])
+        .map_batches(pack, batch_format="pyarrow"),
+        ["l_partkey"], [("pk", "min")], ["l_partkey", "pk"]).to_pandas()
+    if agg.empty:
+        return pd.DataFrame({
+            "p_partkey": pd.Series([], dtype="int64"),
+            "p_name": pd.Series([], dtype=object),
+            "s_suppkey": pd.Series([], dtype="int64"),
+            "s_name": pd.Series([], dtype=object),
+            "min_price": pd.Series([], dtype="float64")})
+    agg["s_suppkey"] = agg["pk"] % _PACK
+    agg["min_price"] = round_half_away(
+        (agg["pk"] // _PACK).to_numpy(dtype=np.float64) / 100.0, 2)
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    out = agg.merge(part[["p_partkey", "p_name"]],
+                    left_on="l_partkey", right_on="p_partkey") \
+             .merge(supp, on="s_suppkey", how="inner")
+    return out[["p_partkey", "p_name", "s_suppkey", "s_name",
+                "min_price"]].sort_values("p_partkey") \
+        .reset_index(drop=True)
+
+
+def min_cost_supplier_sql(max_size: int = 10) -> str:
+    return f"""
+        WITH l AS (
+            SELECT l_partkey,
+                   min(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * {_PACK} + l_suppkey) AS pk
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_size < {max_size}
+            GROUP BY l_partkey)
+        SELECT p_partkey, p_name,
+               pk % {_PACK} AS s_suppkey, s_name,
+               round((pk // {_PACK}) / 100.0, 2) AS min_price
+        FROM l
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON pk % {_PACK} = s_suppkey
+        ORDER BY p_partkey"""
+
+
+def part_revenue_share(sf_dir: str, num: int = 5,
+                       den: int = 4) -> pd.DataFrame:
+    """TPC-H Q11 shape: parts whose revenue exceeds ``num/den`` x the
+    mean per-part revenue — a grouped aggregate HAVING-compared against
+    a scalar derived from ALL groups (the group-vs-global pattern).
+
+    Scale shape: one two-phase sum per partkey; the global total and
+    group count come from a second pass over the AGGREGATE (dim-sized,
+    never the fact table) reduced to two ints; the filter then streams
+    the aggregate with the scalars broadcast.  The comparison
+    ``den * rev * n > num * total`` stays in exact integers (headroom
+    asserted) so both engines agree bit-for-bit at the boundary."""
+    def rev(t: pa.Table) -> pa.Table:
+        r = _cents(t["l_extendedprice"]) * (
+            100 - round_half_away(
+                t["l_discount"].to_numpy(zero_copy_only=False) * 100.0,
+                0).astype(np.int64))
+        return pa.table({"l_partkey": t["l_partkey"], "r": pa.array(r)})
+
+    agg = two_phase_agg(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_extendedprice", "l_discount"])
+        .map_batches(rev, batch_format="pyarrow"),
+        ["l_partkey"], [("r", "sum")], ["l_partkey", "rev"])
+
+    def sketch(t: pa.Table) -> pa.Table:
+        r = t["rev"].to_numpy(zero_copy_only=False)
+        return pa.table({"s": pa.array([int(r.sum())]),
+                         "n": pa.array([t.num_rows]),
+                         "mx": pa.array([int(r.max()) if len(r) else 0])})
+
+    sk = agg.map_batches(sketch, batch_format="pyarrow").to_pandas()
+    total, n = int(sk["s"].sum()), int(sk["n"].sum())
+    if n == 0:
+        return pd.DataFrame({
+            "l_partkey": pd.Series([], dtype="int64"),
+            "revenue": pd.Series([], dtype="float64"),
+            "share_pct": pd.Series([], dtype="float64")})
+    assert den * int(sk["mx"].max()) * n < (1 << 63) and \
+        num * total < (1 << 63), "integer HAVING headroom exceeded"
+
+    def keep(t: pa.Table) -> pa.Table:
+        r = t["rev"].to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(den * r * n > num * total))
+        r = sub["rev"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_partkey": sub["l_partkey"],
+            "revenue": pa.array(round_half_away(
+                r.astype(np.float64) / 10000.0, 2)),
+            "share_pct": pa.array(round_half_away(
+                100.0 * r.astype(np.float64) / float(total), 6)),
+        })
+
+    out = agg.map_batches(keep, batch_format="pyarrow").to_pandas()
+    if out.empty:   # fully-filtered datasets drop their schema
+        return pd.DataFrame({
+            "l_partkey": pd.Series([], dtype="int64"),
+            "revenue": pd.Series([], dtype="float64"),
+            "share_pct": pd.Series([], dtype="float64")})
+    return out.sort_values(["revenue", "l_partkey"],
+                           ascending=[False, True]).reset_index(drop=True)
+
+
+def part_revenue_share_sql(num: int = 5, den: int = 4) -> str:
+    return f"""
+        WITH p AS (
+            SELECT l_partkey,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS rev
+            FROM lineitem GROUP BY l_partkey),
+        t AS (SELECT CAST(sum(rev) AS BIGINT) AS s, count(*) AS n FROM p)
+        SELECT l_partkey,
+               round(rev / 10000.0, 2) AS revenue,
+               round(100.0 * rev / s, 6) AS share_pct
+        FROM p, t
+        WHERE {den} * rev * n > {num} * s
+        ORDER BY revenue DESC, l_partkey"""
+
+
+def sole_return_supplier(sf_dir: str, limit: int = 20,
+                         n_buckets: int = 32) -> pd.DataFrame:
+    """TPC-H Q21 shape: on orders served by >= 2 distinct suppliers,
+    find the orders where EXACTLY ONE supplier shipped a returned
+    ('R') line, and count such orders per that supplier — the
+    EXISTS + NOT-EXISTS correlated self-join, expressed as one
+    co-grouped pass.
+
+    Scale shape: lineitem pre-reduces per block to distinct
+    (orderkey, suppkey, any_R) triples (arrow group_by max), so the
+    only all-to-all ships supplier-distinct partials, not raw lines;
+    per bucket the pandas kernel re-combines partials and applies the
+    ns>=2 / nR==1 predicate; per-supplier counts two-phase down to a
+    supplier-dim-sized result.  Hot orderkeys bound per-bucket memory
+    by the hottest key's distinct-supplier payload (the co-group skew
+    contract, test_cogroup_joins_under_hot_key_skew)."""
+    def triples(t: pa.Table) -> pa.Table:
+        isr = pc.equal(t["l_returnflag"], "R").cast(pa.int64())
+        g = pa.table({
+            "ok": t["l_orderkey"], "sk": t["l_suppkey"], "r": isr,
+        }).group_by(["ok", "sk"]).aggregate([("r", "max")]) \
+          .rename_columns(["ok", "sk", "r"])
+        return g.append_column(
+            "bucket", pa.array(_bucket_of(
+                g["ok"].to_numpy(zero_copy_only=False), n_buckets)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.groupby(["ok", "sk"], as_index=False)["r"].max()
+        st = d.groupby("ok").agg(ns=("sk", "size"), nr=("r", "sum"))
+        good = st[(st["ns"] >= 2) & (st["nr"] == 1)].index
+        win = d[(d["r"] == 1) & d["ok"].isin(good)]
+        out = win.groupby("sk", as_index=False).size() \
+                 .rename(columns={"size": "numwait"})
+        return out if not out.empty else pd.DataFrame(
+            {"sk": pd.Series([], dtype="int64"),
+             "numwait": pd.Series([], dtype="int64")})
+
+    parts = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_suppkey", "l_returnflag"]) \
+        .map_batches(triples, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(per_bucket, batch_format="pandas") \
+        .to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"s_name": pd.Series([], dtype=object),
+                             "numwait": pd.Series([], dtype="int64")})
+    fin = parts.groupby("sk", as_index=False)["numwait"].sum()
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    out = fin.merge(supp, left_on="sk", right_on="s_suppkey",
+                    how="inner")
+    return out.sort_values(["numwait", "s_name"],
+                           ascending=[False, True]).head(limit)[
+        ["s_name", "numwait"]].reset_index(drop=True)
+
+
+def sole_return_supplier_sql(limit: int = 20) -> str:
+    return f"""
+        WITH d AS (
+            SELECT l_orderkey, l_suppkey,
+                   max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r
+            FROM lineitem GROUP BY l_orderkey, l_suppkey),
+        per AS (SELECT l_orderkey, count(*) AS ns, sum(r) AS nr
+                FROM d GROUP BY l_orderkey),
+        win AS (SELECT d.l_suppkey FROM d
+                JOIN per USING (l_orderkey)
+                WHERE per.ns >= 2 AND per.nr = 1 AND d.r = 1)
+        SELECT s_name, count(*) AS numwait
+        FROM win JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT {limit}"""
+
+
+def supplier_part_variety(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q16 shape: distinct-supplier count per (p_brand, p_size),
+    excluding a NOT-IN supplier set (account balance < 0 stands in for
+    the reference's complaint list) — grouped COUNT(DISTINCT) behind
+    an anti-filter over a three-table join.
+
+    Scale shape: part collapses to a broadcast (partkey -> brand/size)
+    probe and the exclusion set to a sorted array; lineitem streams one
+    pass emitting per-block DISTINCT (brand, size, suppkey) triples, so
+    the exchange carries at most |brands| x |sizes| x |suppliers| rows
+    (domain-bounded, NOT corpus-sized); the final global distinct +
+    count runs in one coalesced block.  At a larger supplier domain the
+    final step becomes a salted grouped distinct (the
+    distinct_users_salted kernel)."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]) \
+        .to_pandas()
+    brands = np.sort(part["p_brand"].unique())
+    bid = {b: i for i, b in enumerate(brands)}
+    pk = part["p_partkey"].to_numpy(dtype=np.int64)
+    o = np.argsort(pk, kind="stable")
+    dim_ref = ray.put((pk[o],
+                       part["p_brand"].map(bid).to_numpy(np.int64)[o],
+                       part["p_size"].to_numpy(np.int64)[o]))
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]) \
+        .to_pandas()
+    bad = np.sort(supp.loc[supp["s_acctbal"] < 0, "s_suppkey"]
+                  .to_numpy(dtype=np.int64))
+    bad_ref = ray.put(bad)
+
+    def triples(t: pa.Table) -> pa.Table:
+        ks, bs, zs = ray.get(dim_ref)
+        q = t["l_partkey"].to_numpy(zero_copy_only=False)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        if len(ks):
+            ix = np.searchsorted(ks, q)
+            ix[ix >= len(ks)] = 0
+            hit = ks[ix] == q
+        else:
+            hit = np.zeros(len(q), bool)
+        ex = ray.get(bad_ref)
+        if len(ex):
+            jx = np.searchsorted(ex, sk)
+            jx[jx >= len(ex)] = 0
+            hit &= ex[jx] != sk
+        ixh = np.searchsorted(ks, q[hit]) if len(ks) else np.empty(0, int)
+        return pa.table({
+            "b": pa.array(bs[ixh]), "z": pa.array(zs[ixh]),
+            "sk": pa.array(sk[hit]),
+        }).group_by(["b", "z", "sk"]).aggregate([])
+
+    def count_distinct(t: pa.Table) -> pa.Table:
+        g = t.group_by(["b", "z", "sk"]).aggregate([])
+        return g.group_by(["b", "z"]).aggregate([("sk", "count")]) \
+            .rename_columns(["b", "z", "supplier_cnt"])
+
+    out = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]) \
+        .map_batches(triples, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(count_distinct, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"p_brand": pd.Series([], dtype=object),
+                             "p_size": pd.Series([], dtype="int64"),
+                             "supplier_cnt": pd.Series([], dtype="int64")})
+    out["p_brand"] = out["b"].map(dict(enumerate(brands)))
+    out = out.rename(columns={"z": "p_size"})
+    return out[["p_brand", "p_size", "supplier_cnt"]].sort_values(
+        ["supplier_cnt", "p_brand", "p_size"],
+        ascending=[False, True, True]).reset_index(drop=True)
+
+
+def supplier_part_variety_sql() -> str:
+    return """
+        SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_size"""
