@@ -206,6 +206,8 @@ def run_bench() -> dict:
     timed("url_edit_pairs", lambda: A.url_edit_pairs(sf_dir))
     timed("local_supplier_volume", lambda: A.local_supplier_volume(sf_dir))
     timed("late_priority_counts", lambda: A.late_priority_counts(sf_dir))
+    timed("big_order_customers", lambda: A.big_order_customers(sf_dir))
+    timed("sole_return_supplier", lambda: A.sole_return_supplier(sf_dir))
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -163,3 +163,18 @@ def test_supplier_part_variety_not_in_and_distinct(ray_session, tmp_path):
     assert df.to_dict("records") == [
         {"p_brand": "B1", "p_size": 10, "supplier_cnt": 2}]
     _cmp(df, con, A.supplier_part_variety_sql())
+
+
+def test_two_phase_agg_one_row_per_key_under_many_blocks(ray_session):
+    """Regression: two_phase_agg(default final_blocks=1) must emit ONE
+    row per key even when every input block holds a single row of the
+    same key (final_blocks>1 would split partials by position and
+    duplicate keys — the repartition is positional, not hashed)."""
+    import ray.data as rd
+    from visiblev8_crawler_ray.functions.util import two_phase_agg
+
+    ds = rd.from_items(
+        [{"k": i % 3, "v": 1} for i in range(30)], override_num_blocks=30)
+    out = two_phase_agg(ds, ["k"], [("v", "sum")], ["k", "s"]).to_pandas()
+    assert sorted(out["k"].tolist()) == [0, 1, 2]
+    assert out["s"].tolist() == [10, 10, 10]

@@ -372,7 +372,7 @@ def test_cogroup_joins_under_hot_key_skew(ray_session, tmp_path, seed):
     q, sql = R.queries(), R.oracle_sql()
     for name in ["shipping_priority", "late_priority_counts",
                  "customer_orders_full", "orders_with_customer",
-                 "small_quantity_revenue"]:
+                 "small_quantity_revenue", "big_order_customers"]:
         res = q[name](str(tmp_path))
         df = res.to_pandas() if hasattr(res, "to_pandas") else res
         odf = con.sql(sql[name]).df()

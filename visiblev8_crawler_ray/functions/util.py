@@ -32,6 +32,14 @@ def two_phase_agg(ds, key_cols: list[str], aggs: list[tuple[str, str]],
     spaces use ``ds.groupby(key, num_partitions=...)`` — the crawl's
     adaptive wave paths switch on exactly this threshold.
 
+    WARNING: ``final_blocks > 1`` does NOT hash-partition — repartition
+    splits by position, so one key's partials can straddle final blocks
+    and the result then carries DUPLICATE key rows.  It is only valid
+    when the caller merges again downstream (or re-aggregates); every
+    exact single-shot aggregate must keep the default ``final_blocks=1``
+    (regression: tests/test_composites_q18q2.py pins the one-row-per-key
+    contract under many tiny input blocks).
+
     ``out_cols`` names key columns first, then one name per agg.
     """
     n_keys = len(key_cols)

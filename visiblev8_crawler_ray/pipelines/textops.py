@@ -2839,8 +2839,9 @@ def bpe_merges(sf_dir: str, n_merges: int = 8,
     # vocabulary-sized after the first combine; the word-frequency merge
     # is the repo-standard two-phase combiner (per-block arrow group_by
     # partials, coalesce, final group_by — none of Ray's per-shuffle
-    # fixed cost; at 10^8+ vocab switch final_blocks up or revert to
-    # groupby(num_partitions=...), the documented threshold)
+    # fixed cost; at 10^8+ vocab revert to groupby(num_partitions=...),
+    # the documented threshold — NOT final_blocks>1, which splits by
+    # position and would duplicate straddling keys, see two_phase_agg)
     from ..functions.util import two_phase_agg
 
     cur = (two_phase_agg(ds.map_batches(word_rows, batch_format="pyarrow"),
