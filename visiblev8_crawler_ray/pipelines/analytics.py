@@ -99,32 +99,53 @@ def usage_rollup(sf_dir: str) -> pa.Table:
 
 
 def event_type_stats(sf_dir: str) -> pa.Table:
-    """A6 analog: per-key counts + mean over the events stream table."""
+    """A6 analog: per-key counts + mean over the events stream table.
+
+    Averages accumulate in integer CENTS (values are exact 2-decimal
+    doubles) so the sum is order-independent — a raw double sum differs
+    from DuckDB's scan-order sum in the last ulp and flips the rounded
+    4th decimal on near-ties (caught by the seed-1006 fuzz campaign;
+    same fix usage_rollup got earlier this round).  The twin mirrors
+    the (sum/100.0)/n division order op-for-op."""
     ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"],
+                         "c": pa.array(_cents(t["value"]))})
+
     out = two_phase_agg(
-        ds, ["event_type"],
-        [("value", "count"), ("value", "count_valid"), ("value", "sum")],
-        ["event_type", "n", "nv", "value_sum"],
+        ds.map_batches(cents, batch_format="pyarrow"), ["event_type"],
+        [("c", "count"), ("c", "count_valid"), ("c", "sum")],
+        ["event_type", "n", "nv", "c_sum"],
     ).to_pandas()
-    out["avg_value"] = out["value_sum"] / out["nv"]  # avg() skips nulls
-    out = out.drop(columns=["value_sum", "nv"])
-    return _round(out, {"avg_value": 4})
+    out["avg_value"] = round_half_away(
+        out["c_sum"].to_numpy(dtype=np.float64) / 100.0
+        / out["nv"].to_numpy(dtype=np.float64), 4)
+    return out.drop(columns=["c_sum", "nv"])
 
 
 def confidence_histogram(sf_dir: str) -> pa.Table:
     """A5: histogram with share-of-total (production_classifier.py:428-435)."""
     ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        # integer-cents accumulation: order-independent exact sum (the
+        # event_type_stats / usage_rollup convention)
+        return pa.table({"o_orderpriority": t["o_orderpriority"],
+                         "c": pa.array(_cents(t["o_totalprice"]))})
+
     agg = two_phase_agg(
-        ds, ["o_orderpriority"],
-        [("o_totalprice", "count"), ("o_totalprice", "count_valid"),
-         ("o_totalprice", "sum")],
-        ["o_orderpriority", "n", "nv", "price_sum"],
+        ds.map_batches(cents, batch_format="pyarrow"), ["o_orderpriority"],
+        [("c", "count"), ("c", "count_valid"), ("c", "sum")],
+        ["o_orderpriority", "n", "nv", "c_sum"],
     ).to_pandas()
-    agg["avg_price"] = agg["price_sum"] / agg["nv"]
-    agg = agg.drop(columns=["price_sum", "nv"])
+    agg["avg_price"] = round_half_away(
+        agg["c_sum"].to_numpy(dtype=np.float64) / 100.0
+        / agg["nv"].to_numpy(dtype=np.float64), 2)
+    agg = agg.drop(columns=["c_sum", "nv"])
     total = float(agg["n"].sum())
     agg["pct"] = round_half_away((agg["n"] * 100.0) / total, 4)
-    return _round(agg, {"avg_price": 2})
+    return agg
 
 
 def candidate_stats(sf_dir: str) -> pa.Table:
@@ -292,11 +313,19 @@ def customer_value_label(sf_dir: str) -> pa.Table:
     per-customer total spend with a tier label; customers without orders
     keep spend 0 and tier 'none'."""
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    spend = orders.groupby("o_custkey").aggregate(
-        Sum("o_totalprice", alias_name="spend")
-    ).to_pandas()
+
+    def cents(t: pa.Table) -> pa.Table:
+        # integer-cents spend: order-independent sum AND exact tier
+        # boundaries (a double sum can land an ulp past 300000.00 and
+        # flip the CASE label vs the oracle's scan-order sum)
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "c": pa.array(_cents(t["o_totalprice"]))})
+
+    spend = orders.map_batches(cents, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(Sum("c", alias_name="spend_c")) \
+        .to_pandas()
     spend_ref = ray.put((pa.array(spend.o_custkey.to_numpy()),
-                         spend.spend.to_numpy()))
+                         spend.spend_c.to_numpy()))
 
     def label(t: pa.Table) -> pa.Table:
         skeys, svals = ray.get(spend_ref)
@@ -305,14 +334,16 @@ def customer_value_label(sf_dir: str) -> pa.Table:
                           else t["c_custkey"], value_set=skeys)
         ix = idx.to_numpy(zero_copy_only=False)
         miss = np.isnan(ix) if ix.dtype.kind == "f" else (ix < 0)
-        sp = np.where(miss, 0.0, svals[np.where(miss, 0, ix.astype(np.int64))])
-        tier = np.where(sp == 0, "none",
-               np.where(sp > 300000, "high",
-               np.where(sp > 100000, "mid", "low")))
+        sp_c = np.where(miss, 0,
+                        svals[np.where(miss, 0, ix.astype(np.int64))])
+        tier = np.where(sp_c == 0, "none",
+               np.where(sp_c > 30_000_000, "high",
+               np.where(sp_c > 10_000_000, "mid", "low")))
         return pa.table(
             {
                 "c_custkey": t["c_custkey"],
-                "spend": pa.array(round_half_away(sp, 2)),
+                "spend": pa.array(round_half_away(
+                    sp_c.astype(np.float64) / 100.0, 2)),
                 "tier": pa.array(tier.astype(object), type=pa.string()),
             }
         )
@@ -625,7 +656,8 @@ def events_tumbling_window(sf_dir: str) -> pa.Table:
             {
                 "event_type": t["event_type"],
                 "window_start": hour,
-                "value": t["value"],
+                # integer cents: order-independent exact window sums
+                "c": pa.array(_cents(t["value"])),
             }
         )
 
@@ -633,10 +665,12 @@ def events_tumbling_window(sf_dir: str) -> pa.Table:
     out = two_phase_agg(
         ds.map_batches(bucket, batch_format="pyarrow"),
         ["event_type", "window_start"],
-        [("value", "count"), ("value", "sum")],
-        ["event_type", "window_start", "n", "sum_value"],
+        [("c", "count"), ("c", "sum")],
+        ["event_type", "window_start", "n", "c_sum"],
     ).to_pandas()
-    return _round(out, {"sum_value": 4})
+    out["sum_value"] = round_half_away(
+        out["c_sum"].to_numpy(dtype=np.float64) / 100.0, 4)
+    return out.drop(columns=["c_sum"])
 
 
 def events_hopping_window(sf_dir: str) -> pa.Table:
@@ -652,20 +686,23 @@ def events_hopping_window(sf_dir: str) -> pa.Table:
         us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         w0 = us // HOP_US * HOP_US
         starts = np.concatenate([w0, w0 - HOP_US])
+        c = _cents(t["value"])  # order-independent integer window sums
         return pa.table({
             "event_type": pa.concat_arrays(
                 [t["event_type"].combine_chunks()] * 2),
             "window_start": pa.array(starts).cast(pa.timestamp("us")),
-            "value": pa.concat_arrays([t["value"].combine_chunks()] * 2),
+            "c": pa.array(np.concatenate([c, c])),
         })
 
     out = two_phase_agg(
         ds.map_batches(fan_out, batch_format="pyarrow"),
         ["event_type", "window_start"],
-        [("value", "count"), ("value", "sum")],
-        ["event_type", "window_start", "n", "sum_value"],
+        [("c", "count"), ("c", "sum")],
+        ["event_type", "window_start", "n", "c_sum"],
     ).to_pandas()
-    return _round(out, {"sum_value": 4})
+    out["sum_value"] = round_half_away(
+        out["c_sum"].to_numpy(dtype=np.float64) / 100.0, 4)
+    return out.drop(columns=["c_sum"])
 
 
 def sessionize(sf_dir: str) -> pa.Table:
@@ -908,15 +945,19 @@ def events_value_band(sf_dir: str) -> pd.DataFrame:
         ok = (idx >= 0) & (idx < len(names))
         return pa.table({
             "band": pa.array(names[idx[ok]], type=pa.string()),
-            "value": pa.array(v[ok], type=pa.float64()),
+            # integer cents: order-independent exact band sums
+            "c": pa.array(round_half_away(v[ok] * 100.0, 0)
+                          .astype(np.int64)),
         })
 
     out = two_phase_agg(
         ds.map_batches(band, batch_format="pyarrow"),
-        ["band"], [("value", "count"), ("value", "sum")],
-        ["band", "n", "sum_value"],
+        ["band"], [("c", "count"), ("c", "sum")],
+        ["band", "n", "c_sum"],
     ).to_pandas()
-    return _round(out, {"sum_value": 4})
+    out["sum_value"] = round_half_away(
+        out["c_sum"].to_numpy(dtype=np.float64) / 100.0, 4)
+    return out.drop(columns=["c_sum"])
 
 
 def candidate_preference(sf_dir: str) -> pd.DataFrame:
@@ -1010,24 +1051,26 @@ def events_late_drop(sf_dir: str, lateness_minutes: int = 120) -> pa.Table:
     cutoff = watermark - pd.Timedelta(minutes=lateness_minutes)
 
     def flag(t: pa.Table) -> pa.Table:
-        late = pc.less(t["ts"], pa.scalar(cutoff, type=t["ts"].type))
-        zero = pa.nulls(t.num_rows, type=pa.float64())
+        late = pc.less(t["ts"], pa.scalar(cutoff, type=t["ts"].type)) \
+            .to_numpy(zero_copy_only=False)
+        # integer cents: order-independent exact on-time sum
+        c = np.where(late, 0, _cents(t["value"]))
         return pa.table({
             "event_type": t["event_type"],
             "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
-            "is_late": pc.cast(late, pa.int64()),
-            "v_on_time": pc.if_else(late, zero.fill_null(0.0),
-                                    pc.cast(t["value"], pa.float64())),
+            "is_late": pa.array(late.astype(np.int64)),
+            "c_on_time": pa.array(c),
         })
 
     out = two_phase_agg(
         ds.map_batches(flag, batch_format="pyarrow"),
         ["event_type"],
-        [("one", "sum"), ("is_late", "sum"), ("v_on_time", "sum")],
-        ["event_type", "n_total", "n_late", "sum_on_time"],
+        [("one", "sum"), ("is_late", "sum"), ("c_on_time", "sum")],
+        ["event_type", "n_total", "n_late", "c_on_time"],
     ).to_pandas()
     out["n_on_time"] = out["n_total"] - out["n_late"]
-    out = _round(out, {"sum_on_time": 4})
+    out["sum_on_time"] = round_half_away(
+        out["c_on_time"].to_numpy(dtype=np.float64) / 100.0, 4)
     return out[["event_type", "n_on_time", "n_late", "sum_on_time"]]
 
 
@@ -1440,7 +1483,7 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
         ok = sub["o_orderkey"].to_numpy(zero_copy_only=False)
         return pa.table({
             "l_orderkey": pa.array(ok),
-            "revenue": pa.array(np.zeros(len(ok), dtype=np.float64)),
+            "rev_e4": pa.array(np.zeros(len(ok), dtype=np.int64)),
             "o_orderdate": sub["o_orderdate"],
             "side": pa.array(np.ones(len(ok), dtype=np.int8)),
             "bucket": pa.array(_bucket_of(ok, B)),
@@ -1449,13 +1492,18 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
     def lines_side(t: pa.Table) -> pa.Table:
         sd = t["l_shipdate"].to_numpy(zero_copy_only=False)
         sub = t.filter(pa.array(sd > cut))
-        rev = (sub["l_extendedprice"].to_numpy(zero_copy_only=False)
-               * (1.0 - sub["l_discount"].to_numpy(zero_copy_only=False)))
+        # basis points x cents: integer-exact, order-independent (the
+        # local_supplier_volume revenue unit; a raw double product+sum
+        # differs from the oracle's scan-order sum in the last ulp)
+        rev = _cents(sub["l_extendedprice"]) * (
+            100 - round_half_away(
+                sub["l_discount"].to_numpy(zero_copy_only=False) * 100.0,
+                0).astype(np.int64))
         part = pa.table({
             "l_orderkey": sub["l_orderkey"],
-            "revenue": pa.array(rev),
-        }).group_by(["l_orderkey"]).aggregate([("revenue", "sum")]) \
-          .rename_columns(["l_orderkey", "revenue"])
+            "rev_e4": pa.array(rev),
+        }).group_by(["l_orderkey"]).aggregate([("rev_e4", "sum")]) \
+          .rename_columns(["l_orderkey", "rev_e4"])
         ok = part["l_orderkey"].to_numpy(zero_copy_only=False)
         n = part.num_rows
         return pa.table({
