@@ -1508,7 +1508,7 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
         n = part.num_rows
         return pa.table({
             "l_orderkey": part["l_orderkey"],
-            "revenue": part["revenue"],
+            "rev_e4": part["rev_e4"],
             "o_orderdate": pa.nulls(n, type=pa.timestamp("us")),
             "side": pa.array(np.zeros(n, dtype=np.int8)),
             "bucket": pa.array(_bucket_of(ok, B)),
@@ -1525,14 +1525,17 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         o = g[g["side"] == 1][["l_orderkey", "o_orderdate"]]
         l = g[g["side"] == 0].groupby("l_orderkey", as_index=False)[
-            "revenue"].sum()
+            "rev_e4"].sum()
         m = l.merge(o, on="l_orderkey")
         if m.empty:
             return pd.DataFrame({"l_orderkey": pd.Series([], dtype="int64"),
                                  "revenue": pd.Series([], dtype="float64"),
                                  "o_orderdate":
                                      pd.Series([], dtype="datetime64[us]")})
-        m["revenue"] = round_half_away(m["revenue"].to_numpy(), 2)
+        # integer basis-points x cents -> dollars, converted exactly once
+        m["revenue"] = round_half_away(
+            m["rev_e4"].to_numpy(np.int64) / 1e4, 2)
+        m = m.drop(columns=["rev_e4"])
         m = m.sort_values(["revenue", "o_orderdate", "l_orderkey"],
                           ascending=[False, True, True])
         return m.head(k)  # per-bucket top-k pre-prune
