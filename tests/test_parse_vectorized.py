@@ -271,3 +271,62 @@ def test_simhash_banding_is_exact(tmp_path, ray_session):
     assert len(want) >= len(base)  # the identical twins at minimum
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want, check_dtype=False)
+
+
+def test_minhash_batch_jaccard_matches_per_pair():
+    """The vectorized exact-Jaccard verify kernel equals the per-pair
+    ``set(shingles())`` reference it replaced (VERDICT r3 #3),
+    including <3-token padding, empty docs, and identical pairs."""
+    import numpy as np
+
+    from visiblev8_crawler_ray.pipelines.textops import MinHasher
+
+    a = ["the quick brown fox jumps over the lazy dog",
+         "", "one", "one two", "a b c d e f",
+         "x y z shared tail words here",
+         "same same same", " ".join(f"w{i % 13}" for i in range(300))]
+    b = ["the quick brown fox leaps over the lazy dog",
+         "", "one", "two one", "a b c d e f",
+         "completely different tokens throughout",
+         "same same same", " ".join(f"w{i % 11}" for i in range(300))]
+    mh = MinHasher()
+    got = mh.batch_jaccard(pa.array(a), pa.array(b))
+    ref = MinHasher()
+    exp = []
+    for ta, tb in zip(a, b):
+        sa, sb = set(ref.shingles(ta)), set(ref.shingles(tb))
+        exp.append(len(sa & sb) / max(1, len(sa | sb)))
+    assert np.allclose(got, np.array(exp), rtol=0, atol=0)
+
+
+def test_vectorized_digest_matches_hashlib_and_duckdb():
+    """digest_hex / md5_low64 (the DuckDB in-process kernel that
+    replaced the per-row hashlib loops) are bit-identical to both
+    hashlib and the SQL oracle's md5/sha256/md5_number_lower."""
+    import hashlib
+
+    import duckdb
+    import numpy as np
+
+    from visiblev8_crawler_ray.functions.util import digest_hex, md5_low64
+
+    strs = ["", "a", "hello world", "ü ✓ unicode", "x" * 5000]
+    arr = pa.array(strs + [None])
+    md5 = digest_hex(arr).to_pylist()
+    sha = digest_hex(arr, "sha256").to_pylist()
+    lo = md5_low64(pa.array(strs))
+    for i, s in enumerate(strs):
+        assert md5[i] == hashlib.md5(s.encode()).hexdigest()
+        assert sha[i] == hashlib.sha256(s.encode()).hexdigest()
+        exp = int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
+        assert np.uint64(lo[i].astype(np.uint64)) == np.uint64(exp)
+    assert md5[-1] is None and sha[-1] is None
+    con = duckdb.connect()
+    t = pa.table({"s": pa.array(strs)})
+    con.register("t", t)
+    odf = con.execute(
+        "SELECT md5(s) m, sha256(s) h, md5_number_lower(s) lo FROM t").df()
+    assert list(odf["m"]) == md5[:-1]
+    assert list(odf["h"]) == sha[:-1]
+    assert (odf["lo"].to_numpy().astype(np.uint64)
+            == lo.view(np.uint64)).all()

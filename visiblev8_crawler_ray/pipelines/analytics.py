@@ -564,20 +564,17 @@ def url_dimension(sf_dir: str) -> pa.Table:
     port/path/query parts, simplified eTLD+1 and the stemmed URL
     (canonical minus query), one row per distinct valid canonical URL
     (min seed_id wins)."""
-    import hashlib as _hl
-
     docs = _read(sf_dir, "documents", ["doc_id"])
 
     def derive(t: pa.Table) -> pa.Table:
+        from ..functions.util import digest_hex
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         urls = synth.derive_seed_urls(ids, DEFAULT_CONFIG)
         c = U.canonicalize(pa.array(urls, type=pa.string()))
         stemmed = pc.binary_join_element_wise(
             c["scheme"], pa.scalar("://"), c["host"], c["port"],
             c["path_only"], "")
-        sha = pa.array([_hl.sha256(u.encode()).hexdigest()
-                        for u in c["canonical_url"].to_pylist()],
-                       type=pa.string())
+        sha = digest_hex(c["canonical_url"], "sha256")
         out = pa.table(
             {
                 "seed_id": t["doc_id"],
@@ -608,13 +605,13 @@ def url_dimension(sf_dir: str) -> pa.Table:
 def urlseen_dedup(sf_dir: str) -> pa.Table:
     """D1: first-wins URL-seen dedup (endpoints/tasks.py:148-156) over
     the valid derived seeds — min seed_id per canonical URL."""
-    import hashlib
+    from ..functions.util import digest_hex
     canon = seed_canonicalize(sf_dir)
     ds = rd.from_pandas(canon[canon["valid"]][["seed_id", "canonical_url"]])
     out = two_phase_agg(ds, ["canonical_url"], [("seed_id", "min")],
                         ["canonical_url", "first_seed"]).to_pandas()
-    out["url_key"] = [hashlib.md5(u.encode()).hexdigest()
-                      for u in out["canonical_url"]]
+    out["url_key"] = digest_hex(
+        out["canonical_url"].to_numpy()).to_pylist()
     return out
 
 

