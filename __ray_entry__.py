@@ -560,14 +560,24 @@ def oracle_sql() -> dict[str, str]:
                          / 10000.0, 2) AS sum_disc_price,
                    count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        # integer-cents twins (ADVICE r3 medium): the oracle accumulates
+        # the same order-free integer sums as the operator, so the gate
+        # has no residual scan-order double-ulp risk
         "event_type_stats": """
-            SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+            SELECT event_type, count(*) AS n,
+                   round((sum(CAST(round(value * 100) AS BIGINT)) / 100.0)
+                         / count(value), 4) AS avg_value
             FROM events GROUP BY event_type""",
         "confidence_histogram": """
-            SELECT o_orderpriority, count(*) AS n,
-                   round(avg(o_totalprice), 2) AS avg_price,
-                   round(count(*) * 100.0 / (SELECT count(*) FROM orders), 4) AS pct
-            FROM orders GROUP BY o_orderpriority""",
+            WITH a AS (
+                SELECT o_orderpriority, count(*) AS n,
+                       count(o_totalprice) AS nv,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS c_sum
+                FROM orders GROUP BY o_orderpriority)
+            SELECT o_orderpriority, n,
+                   round((c_sum / 100.0) / nv, 2) AS avg_price,
+                   round(n * 100.0 / (SELECT sum(n) FROM a), 4) AS pct
+            FROM a""",
         "candidate_stats": """
             SELECT source, count(*) AS n, round(avg(n_chars), 4) AS avg_chars
             FROM documents GROUP BY source""",
@@ -610,12 +620,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate
             ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""",
         "customer_value_label": """
-            WITH s AS (SELECT o_custkey, sum(o_totalprice) AS sp
+            WITH s AS (SELECT o_custkey,
+                              sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                                  AS sp_c
                        FROM orders GROUP BY o_custkey)
-            SELECT c_custkey, round(coalesce(sp, 0), 2) AS spend,
-                   CASE WHEN coalesce(sp, 0) = 0 THEN 'none'
-                        WHEN sp > 300000 THEN 'high'
-                        WHEN sp > 100000 THEN 'mid'
+            SELECT c_custkey, round(coalesce(sp_c, 0) / 100.0, 2) AS spend,
+                   CASE WHEN coalesce(sp_c, 0) = 0 THEN 'none'
+                        WHEN sp_c > 30000000 THEN 'high'
+                        WHEN sp_c > 10000000 THEN 'mid'
                         ELSE 'low' END AS tier
             FROM customer LEFT JOIN s ON c_custkey = o_custkey""",
         "supplier_nation_region": """
@@ -683,7 +695,9 @@ def oracle_sql() -> dict[str, str]:
             FROM seeds WHERE {valid} AND (seed_id % 2 = 0 OR seed_id % 3 = 0)""",
         "events_tumbling_window": """
             SELECT event_type, date_trunc('hour', ts) AS window_start,
-                   count(*) AS n, round(sum(value), 4) AS sum_value
+                   count(*) AS n,
+                   round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4)
+                       AS sum_value
             FROM events GROUP BY 1, 2""",
         "value_quantiles": """
             SELECT event_type, quantile_disc(value, 0.5) AS p50,
@@ -801,15 +815,16 @@ def oracle_sql() -> dict[str, str]:
             FROM c WHERE cum_tokens <= 1000 ORDER BY doc_id""",
         "events_hopping_window": """
             WITH x AS (
-                SELECT event_type, value,
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS c,
                        make_timestamp(epoch_us(ts) // 1800000000 * 1800000000) AS w0
                 FROM events),
             w AS (
-                SELECT event_type, value, w0 AS window_start FROM x
+                SELECT event_type, c, w0 AS window_start FROM x
                 UNION ALL
-                SELECT event_type, value, w0 - INTERVAL 30 MINUTE FROM x)
+                SELECT event_type, c, w0 - INTERVAL 30 MINUTE FROM x)
             SELECT event_type, window_start, count(*) AS n,
-                   round(sum(value), 4) AS sum_value
+                   round(sum(c) / 100.0, 4) AS sum_value
             FROM w GROUP BY 1, 2""",
         "events_late_drop": """
             WITH w AS (SELECT max(ts) - INTERVAL 120 MINUTE AS cutoff
@@ -819,9 +834,9 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_on_time,
                    CAST(count(*) FILTER (ts < (SELECT cutoff FROM w))
                         AS BIGINT) AS n_late,
-                   round(coalesce(sum(value) FILTER
-                       (ts >= (SELECT cutoff FROM w)), 0), 4)
-                       AS sum_on_time
+                   round(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+                             FILTER (ts >= (SELECT cutoff FROM w)), 0)
+                         / 100.0, 4) AS sum_on_time
             FROM events GROUP BY event_type""",
         "events_asof_order": """
             WITH pairs AS (
@@ -837,7 +852,9 @@ def oracle_sql() -> dict[str, str]:
                    o_totalprice AS asof_totalprice
             FROM pairs WHERE rn = 1""",
         "events_value_band": """
-            SELECT b.band, count(*) AS n, round(sum(e.value), 4) AS sum_value
+            SELECT b.band, count(*) AS n,
+                   round(sum(CAST(round(e.value * 100) AS BIGINT)) / 100.0, 4)
+                       AS sum_value
             FROM events e JOIN (VALUES
                 ('b0', 0.0, 50.0), ('b1', 50.0, 100.0), ('b2', 100.0, 200.0),
                 ('b3', 200.0, 300.0), ('b4', 300.0, 400.0), ('b5', 400.0, 500.0)

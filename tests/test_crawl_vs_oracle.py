@@ -366,3 +366,37 @@ def test_action_join_mode_matches_oracle(oracle_result, tmp_path):
         assert set(docs.doc_id) == set(odocs), sub
         for did, spans in zip(docs.doc_id, docs.spans):
             assert _span_tuples(spans) == _span_tuples(odocs[did]), (sub, did)
+
+
+def test_resume_after_midwave_crash_scale_path(oracle_result, tmp_path):
+    """VERDICT r3 #7: the mid-wave crash-resume contract must hold on
+    the DISTRIBUTED control plane too (small_wave_threshold=0 forces
+    every wave through the shuffle path): wave-1 data partitions are on
+    disk but its metrics manifest is not, so the resume re-runs wave 1
+    without double-counting or treating its URLs as seen."""
+    import os
+    from dataclasses import replace
+
+    seeds, orc = oracle_result
+    cfg = replace(CFG, small_wave_threshold=0)
+    full_root = str(tmp_path / "sfull")
+    shutil.rmtree(full_root, ignore_errors=True)
+    full = run_crawl(seeds, cfg, full_root)
+    crashed = str(tmp_path / "smidwave")
+    shutil.rmtree(crashed, ignore_errors=True)
+    run_crawl(seeds, cfg, crashed, stop_after_wave=1)
+    os.remove(os.path.join(crashed, "metrics", "wave=1", "_MANIFEST.json"))
+    resumed = run_crawl(seeds, cfg, crashed)
+
+    f_docs = sorted(full.docs().to_pandas().doc_id)
+    r_docs = sorted(resumed.docs().to_pandas().doc_id)
+    assert f_docs == r_docs
+    assert len(r_docs) == len(set(r_docs))
+    assert sorted(full.metrics().to_pylist(), key=lambda r: r["wave"]) == \
+        sorted(resumed.metrics().to_pylist(), key=lambda r: r["wave"])
+    assert sorted(resumed.metrics().to_pylist(),
+                  key=lambda r: r["wave"]) == orc.metrics
+    f_seen = full.urlseen().to_pandas().sort_values("first_seq")
+    r_seen = resumed.urlseen().to_pandas().sort_values("first_seq")
+    assert f_seen[["url_key", "first_wave", "first_seq"]].values.tolist() == \
+        r_seen[["url_key", "first_wave", "first_seq"]].values.tolist()

@@ -7,11 +7,13 @@ from hypothesis import given, settings, strategies as st
 
 from visiblev8_crawler_ray.functions import urls as U
 
-# URL-ish strings assembled from printable tokens (no newlines — the
-# canonicalization contract is defined for single-line inputs)
+# URL-ish strings assembled from printable AND control-whitespace
+# tokens — embedded \t\n\r\v\f must parse byte-identically on both
+# engines (the (?s) dotall alignment, ADVICE r3; leading/trailing ones
+# exercise the shared trim char set)
 _TOKEN = st.sampled_from(
-    list("abcXYZ019./:?#&=%-_~ ") + ["://", "http://", "HTTPS://", ":80",
-                                     ":443", "#f", "?a=1", "ftp://"]
+    list("abcXYZ019./:?#&=%-_~ \t\n\r\x0b\x0c")
+    + ["://", "http://", "HTTPS://", ":80", ":443", "#f", "?a=1", "ftp://"]
 )
 _ALPHA = st.lists(_TOKEN, min_size=0, max_size=8).map("".join)
 

@@ -64,16 +64,23 @@ def canonicalize(urls: pa.Array | pa.ChunkedArray) -> dict[str, pa.Array]:
     has_scheme = pc.match_substring_regex(t, _SCHEME_RE)
     t = pc.if_else(has_scheme, t, _join(pa.scalar("https://"), t))
 
-    parts = pc.extract_regex(t, r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://(?P<rest>.*)$")
+    # (?s) dotall everywhere `.` appears: RE2's default `.` stops at \n,
+    # so a URL with an EMBEDDED newline failed the whole-string extract
+    # on the Arrow side (-> null parts) while DuckDB's regexp_extract
+    # returned '' and kept parsing — splitting the engine from its
+    # oracle (ADVICE r3).  With dotall on BOTH sides the two parse
+    # embedded control whitespace byte-identically.
+    parts = pc.extract_regex(
+        t, r"(?s)^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://(?P<rest>.*)$")
     scheme = pc.utf8_lower(pc.struct_field(parts, "scheme"))
     rest = pc.struct_field(parts, "rest")
     # strip fragment
-    rest = pc.replace_substring_regex(rest, r"#.*$", "")
-    hp = pc.extract_regex(rest, r"^(?P<hostport>[^/]*)(?P<path>.*)$")
+    rest = pc.replace_substring_regex(rest, r"(?s)#.*$", "")
+    hp = pc.extract_regex(rest, r"(?s)^(?P<hostport>[^/]*)(?P<path>.*)$")
     hostport = pc.struct_field(hp, "hostport")
     path = pc.struct_field(hp, "path")
     host = pc.utf8_trim(
-        pc.utf8_lower(pc.replace_substring_regex(hostport, r":.*$", "")),
+        pc.utf8_lower(pc.replace_substring_regex(hostport, r"(?s):.*$", "")),
         characters=_WS)
     port = pc.replace_substring_regex(hostport, r"^[^:]*", "")  # ':NN' or ''
     is_default = pc.or_(
@@ -128,7 +135,9 @@ def sql_url_parts(col: str) -> dict[str, str]:
     tcol = f"trim({col}, {ws})"
     t = f"(CASE WHEN regexp_matches({tcol}, '^[A-Za-z][A-Za-z0-9+.\\-]*://') THEN {tcol} ELSE 'https://' || {tcol} END)"
     scheme = f"lower(regexp_extract({t}, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1))"
-    rest = f"regexp_replace(regexp_extract({t}, '://(.*)$', 1), '#.*$', '')"
+    # (?s) mirrors the dotall Arrow patterns (embedded-newline URLs)
+    rest = (f"regexp_replace(regexp_extract({t}, '(?s)://(.*)$', 1), "
+            f"'(?s)#.*$', '')")
     hostport = f"regexp_extract({rest}, '^([^/]*)', 1)"
     path0 = f"regexp_replace({rest}, '^[^/]*', '')"
     pre_path = f"(CASE WHEN {path0} = '' THEN '/' ELSE {path0} END)"
@@ -144,7 +153,7 @@ def sql_url_parts(col: str) -> dict[str, str]:
     query = f"coalesce({query_sorted}, '')"
     path = (f"rtrim(CASE WHEN {query0} IS NULL THEN {pre_path} "
             f"ELSE {path_only} || '?' || {query_sorted} END, {ws})")
-    host = f"trim(lower(regexp_replace({hostport}, ':.*$', '')), {ws})"
+    host = f"trim(lower(regexp_replace({hostport}, '(?s):.*$', '')), {ws})"
     port0 = f"regexp_replace({hostport}, '^[^:]*', '')"
     port = (
         f"(CASE WHEN {port0} = '' OR ({scheme} = 'http' AND {port0} = ':80') "

@@ -3995,7 +3995,11 @@ def min_cost_supplier(sf_dir: str, max_size: int = 10) -> pd.DataFrame:
             sub = t.slice(0, 0)
         cents = _cents(sub["l_extendedprice"])
         sk = sub["l_suppkey"].to_numpy(zero_copy_only=False)
+        # cents.min() >= 0 matters: a negative price packs negative and
+        # numpy floor-//%  unpack diverges from DuckDB's truncating
+        # operators — fail loudly instead (ADVICE r3)
         assert len(sk) == 0 or (sk.max() < _PACK and sk.min() >= 0
+                                and cents.min() >= 0
                                 and cents.max() < (1 << 38)), \
             "argmin pack domain exceeded"
         return pa.table({
@@ -4192,7 +4196,7 @@ def sole_return_supplier_sql(limit: int = 20) -> str:
                 WHERE per.ns >= 2 AND per.nr = 1 AND d.r = 1)
         SELECT s_name, count(*) AS numwait
         FROM win JOIN supplier ON l_suppkey = s_suppkey
-        GROUP BY s_name
+        GROUP BY s_suppkey, s_name
         ORDER BY numwait DESC, s_name
         LIMIT {limit}"""
 
