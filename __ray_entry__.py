@@ -394,6 +394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "score_features_wide": lambda sf: CL.score_features_wide(
             sf, docs=_crawl(sf).docs()),
         "classification_summary": CL.classification_summary,
+        "train_scorer": CL.train_scorer,
         "results_upsert": CL.results_upsert,
         "adblock_filter": CL.adblock_filter,
         "robots_decisions": CL.robots_decisions,
@@ -1526,6 +1527,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, round({sca['score']}, 4) AS score,
                    {sca['label']} AS label, {sca['confidence']} AS confidence
             FROM documents""",
+        # generated twin: same integer Gram sums, same Cramer expression
+        # strings, same z quantization (classify.train_scorer_sql)
+        "train_scorer": CL.train_scorer_sql(),
         "spans_exploded": f"""
             WITH sp AS {_sp}
             SELECT doc_id, kind, text, media_ref, "offset" FROM sp""",

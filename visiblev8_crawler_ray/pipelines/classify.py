@@ -402,3 +402,309 @@ def robots_decisions(sf_dir: str, rules_path: str | None = None) -> pd.DataFrame
     ).to_pandas()
     return out[["seed_id", "canonical_url", "allowed", "crawl_delay_ms"]] \
         .sort_values("seed_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# distributed scorer training (the reference's last subsystem: the
+# sklearn CV-training scripts of script_classification/ — vendor-grouped
+# splits of heuristics/vendor_grouped.py:198-282 / nested_cv.py:440-530,
+# the per-fold AUC + threshold-analysis tables, and the artifact the
+# production scorer loads, classify.py:61-98)
+
+#: training feature columns (integer-valued so every sufficient
+#: statistic is an EXACT int sum — the usage_rollup/cents convention
+#: applied to X'X): bias, n_words, n_stop, n_chars.
+TRAIN_FEATURES = ("n_words", "n_stop", "n_chars")
+TRAIN_LABEL_LANG = "en"   # y = 1 iff lang == 'en' (deterministic label)
+TRAIN_RIDGE_LAMBDA = 1    # integer ridge keeps the Gram integer-exact
+_Z_Q = 1e6                # z quantization for the rank/threshold sweep
+
+
+def _det3(m):
+    """3x3 determinant EXPRESSION with a fixed parenthesization.
+
+    ``m`` is a 3x3 nest of operand strings.  The same string is eval'd
+    by numpy float64 on the engine side and by DuckDB on the oracle
+    side — identical IEEE754 op order, identical result bit for bit."""
+    a, b, c = m[0]
+    d, e, f = m[1]
+    g, h, i = m[2]
+    return (f"((({a}*(({e}*{i})-({f}*{h}))) - ({b}*(({d}*{i})-({f}*{g})))) "
+            f"+ ({c}*(({d}*{h})-({e}*{g}))))")
+
+
+def _det4(m):
+    """4x4 determinant via first-row cofactor expansion of _det3 minors
+    (fixed association order, shared engine/oracle)."""
+    def minor(col):
+        cols = [c for c in range(4) if c != col]
+        return [[m[r][c] for c in cols] for r in (1, 2, 3)]
+    d0, d1, d2, d3 = (_det3(minor(c)) for c in range(4))
+    return (f"((({m[0][0]}*{d0}) - ({m[0][1]}*{d1})) "
+            f"+ (({m[0][2]}*{d2}) - ({m[0][3]}*{d3})))")
+
+
+def _gram_names():
+    """Operand names of the regularized Gram system: g{i}{j} (i<=j,
+    0 = bias column) and rhs b{i}."""
+    gs = [f"g{i}{j}" for i in range(4) for j in range(i, 4)]
+    bs = [f"b{i}" for i in range(4)]
+    return gs, bs
+
+
+def cramer_weight_exprs() -> list[str]:
+    """The four ridge-solution weights as Cramer-rule expressions over
+    the named Gram sums — ONE expression tree consumed by both the
+    numpy trainer and the generated SQL twin (the fixed-point-unrolled
+    pattern of the k-means/IVF twins, applied to the normal equations)."""
+    g = [[f"g{min(i, j)}{max(i, j)}" for j in range(4)] for i in range(4)]
+    b = [f"b{i}" for i in range(4)]
+    det = _det4(g)
+    out = []
+    for j in range(4):
+        mj = [[b[i] if c == j else g[i][c] for c in range(4)]
+              for i in range(4)]
+        out.append(f"({_det4(mj)} / {det})")
+    return out
+
+
+def _eval_exprs(exprs: list[str], env: dict[str, float]) -> list[float]:
+    """Evaluate the shared expression strings in float64 (no builtins;
+    operands only) — the engine-side twin of DuckDB evaluating the same
+    strings as SQL."""
+    ns = {k: float(v) for k, v in env.items()}
+    return [float(eval(e, {"__builtins__": {}}, ns)) for e in exprs]
+
+
+def _train_xy(t: pa.Table, k: int):
+    """Vectorized (fold, x1..x3, y) for a batch of documents rows."""
+    from ..functions.util import md5_low64
+
+    x1 = pc.count_substring_regex(t["text"], WORD_RE) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    x2 = sum(_count_word(t["text"], w) for w in STOPWORDS).astype(np.int64)
+    x3 = pc.utf8_length(t["text"]).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    y = pc.equal(t["lang"], TRAIN_LABEL_LANG) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    fold = (md5_low64(t["source"]).view(np.uint64)
+            % np.uint64(k)).astype(np.int64)
+    return fold, x1, x2, x3, y
+
+
+def train_scorer(sf_dir: str, k: int = 5,
+                 artifact_out: str | None = None) -> pd.DataFrame:
+    """Distributed vendor-grouped k-fold CV of a closed-form ridge
+    scorer over the documents table; returns the per-fold evaluation
+    table (n_train/n_val, weights, rank AUC, best threshold + accuracy)
+    and optionally writes the full-data ``.npz`` artifact that
+    :class:`Scorer` loads.
+
+    Mirrors the reference's training subsystem semantics, Ray-Data
+    first:
+
+    - **grouped splits**: fold = md5(source) % k, so no source (the
+      vendor analog, ``vendor_grouped.py:198-282``) ever spans
+      train/val — the GroupKFold discipline of ``nested_cv.py``.
+    - **trainer**: ridge normal equations.  Pass 1 streams ONE
+      map_batches over the corpus emitting per-(block, fold) integer
+      Gram partials (10 upper-triangle entries + 4 RHS + count); the
+      exchange is k x 15 int64s — sketch-sized, like the k-means
+      trainer.  Train-side Gram for fold f = total - fold_f (no second
+      scan).  The 4x4 solve runs per fold on the driver via
+      :func:`cramer_weight_exprs` — the SAME expression string the SQL
+      twin runs, so weights agree bit for bit (ints are exact in
+      float64 below 2^53, asserted).
+    - **evaluation**: pass 2 re-derives features, scores each row with
+      its OWN fold's weights (k weight vectors broadcast), quantizes z
+      at 1e-6 and reduces to a (fold, z_q, y) histogram — the exchange
+      is bounded by distinct quantized scores, never corpus-sized.  The
+      driver computes tie-corrected rank AUC (Mann-Whitney over the
+      histogram, integers until the final division) and sweeps every
+      distinct z_q as a candidate threshold (`predict positive iff
+      z > t`), reporting the accuracy-max (ties -> lowest threshold) —
+      the threshold-analysis table of ``nested_cv.py:525-560``.
+
+    At 100 TB both passes are single streaming scans; only the k x 15
+    Gram rows and the score histogram cross the wire."""
+    ds = _read_docs(sf_dir, ["text", "lang", "source"])
+    lam = TRAIN_RIDGE_LAMBDA
+
+    def gram_partial(t: pa.Table) -> pa.Table:
+        fold, x1, x2, x3, y = _train_xy(t, k)
+        x0 = np.ones(len(x1), dtype=np.int64)
+        xs = (x0, x1, x2, x3)
+        cols: dict[str, pa.Array] = {"fold": pa.array(np.arange(k))}
+        for i in range(4):
+            for j in range(i, 4):
+                cols[f"g{i}{j}"] = pa.array(
+                    np.bincount(fold, weights=(xs[i] * xs[j]).astype(
+                        np.float64), minlength=k).astype(np.int64))
+            cols[f"b{i}"] = pa.array(
+                np.bincount(fold, weights=(xs[i] * y).astype(np.float64),
+                            minlength=k).astype(np.int64))
+        return pa.table(cols)
+
+    from ..functions.util import two_phase_agg
+
+    gnames, bnames = _gram_names()
+    agg_cols = gnames + bnames
+    gram = two_phase_agg(
+        ds.map_batches(gram_partial, batch_format="pyarrow"),
+        ["fold"], [(c, "sum") for c in agg_cols], ["fold"] + agg_cols,
+    ).to_pandas().set_index("fold").sort_index()
+    # float64 holds every Gram sum exactly below 2^53 — assert, don't
+    # silently lose bits (the pack-domain convention)
+    assert gram[agg_cols].abs().to_numpy().max() < 2 ** 53
+    total = gram[agg_cols].sum()
+
+    wexprs = cramer_weight_exprs()
+
+    def solve(row: pd.Series) -> list[float]:
+        env = {c: float(row[c]) for c in agg_cols}
+        for i in range(4):  # integer ridge on the diagonal
+            env[f"g{i}{i}"] += float(lam)
+        return _eval_exprs(wexprs, env)
+
+    fold_ids = list(gram.index)
+    weights = {f: solve(total - gram.loc[f]) for f in fold_ids}
+    n_train = {f: int(total["g00"] - gram.loc[f, "g00"]) for f in fold_ids}
+
+    if artifact_out is not None:
+        w_full = solve(total)
+        np.savez(artifact_out, bias=np.float64(w_full[0]),
+                 weights=np.array(w_full[1:], dtype=np.float64),
+                 feature_names=np.array(TRAIN_FEATURES))
+
+    w_arr = np.zeros((k, 4), dtype=np.float64)
+    for f in fold_ids:
+        w_arr[f] = weights[f]
+    w_ref = ray.put(w_arr)
+
+    def score_hist(t: pa.Table) -> pa.Table:
+        w = ray.get(w_ref)
+        fold, x1, x2, x3, y = _train_xy(t, k)
+        wf = w[fold]
+        z = (((wf[:, 0] + wf[:, 1] * x1) + wf[:, 2] * x2) + wf[:, 3] * x3)
+        zq = round_half_away(z * _Z_Q, 0).astype(np.int64)
+        return pa.table({"fold": pa.array(fold), "zq": pa.array(zq),
+                         "y": pa.array(y)})
+
+    hist = two_phase_agg(
+        ds.map_batches(score_hist, batch_format="pyarrow"),
+        ["fold", "zq", "y"], [("y", "count")], ["fold", "zq", "y", "n"],
+    ).to_pandas()
+
+    rows = []
+    for f in fold_ids:
+        h = hist[hist["fold"] == f]
+        piv = h.pivot_table(index="zq", columns="y", values="n",
+                            aggfunc="sum", fill_value=0)
+        zqs = piv.index.to_numpy()
+        pos = piv[1].to_numpy(np.int64) if 1 in piv.columns else \
+            np.zeros(len(zqs), np.int64)
+        neg = piv[0].to_numpy(np.int64) if 0 in piv.columns else \
+            np.zeros(len(zqs), np.int64)
+        P, N = int(pos.sum()), int(neg.sum())
+        cum_neg_below = np.concatenate(([0], np.cumsum(neg)[:-1]))
+        u2 = int((pos * (2 * cum_neg_below + neg)).sum())  # = 2*U, exact
+        auc = np.nan if P == 0 or N == 0 else \
+            float(round_half_away(np.float64(u2) / (2.0 * P * N), 6))
+        # threshold sweep: predict 1 iff z > t over every distinct zq
+        cum_pos_upto = np.cumsum(pos)
+        cum_neg_upto = np.cumsum(neg)
+        correct = (P - cum_pos_upto) + cum_neg_upto  # int per candidate
+        bi = int(np.argmax(correct))  # first max = lowest threshold
+        rows.append({
+            "fold": int(f), "n_train": n_train[f], "n_val": P + N,
+            "w_bias": round_half_away(weights[f][0], 8),
+            "w_n_words": round_half_away(weights[f][1], 8),
+            "w_n_stop": round_half_away(weights[f][2], 8),
+            "w_n_chars": round_half_away(weights[f][3], 8),
+            "auc": auc,
+            "best_threshold": round_half_away(zqs[bi] / _Z_Q, 6),
+            "best_acc": round_half_away(
+                float(correct[bi]) / float(P + N), 6),
+        })
+    return pd.DataFrame(rows).sort_values("fold").reset_index(drop=True)
+
+
+def train_scorer_sql(k: int = 5) -> str:
+    """DuckDB twin of :func:`train_scorer`, generated from the same
+    constants and the same Cramer expression strings — integer Gram
+    sums, fold-complement training, identical float64 solve, identical
+    z quantization, histogram AUC and threshold sweep as window sums."""
+    lam = TRAIN_RIDGE_LAMBDA
+    n_stop = " + ".join(
+        f"len(regexp_extract_all(text, '\\b{w}\\b'))" for w in STOPWORDS)
+    gnames, bnames = _gram_names()
+    xs = {0: "CAST(1 AS BIGINT)", 1: "x1", 2: "x2", 3: "x3"}
+    gram_sums = ", ".join(
+        [f"sum(CAST({xs[i]} * {xs[j]} AS BIGINT)) AS g{i}{j}"
+         for i in range(4) for j in range(i, 4)]
+        + [f"sum(CAST({xs[i]} * y AS BIGINT)) AS b{i}" for i in range(4)])
+    tot_sums = ", ".join(f"sum({c}) AS {c}" for c in gnames + bnames)
+    # train side = total - fold, ridge added on the diagonal, cast to
+    # DOUBLE before entering the shared Cramer expressions
+    tr_cols = []
+    for c in gnames + bnames:
+        expr = f"(t.{c} - g.{c})"
+        if c[0] == "g" and c[1] == c[2]:
+            expr = f"({expr} + {lam})"
+        tr_cols.append(f"CAST({expr} AS DOUBLE) AS {c}")
+    wexprs = cramer_weight_exprs()
+    w_cols = ", ".join(f"({e}) AS w{j}" for j, e in enumerate(wexprs))
+    return f"""
+WITH f AS (
+    SELECT md5_number_lower(source) % {k} AS fold,
+           CAST(len(regexp_extract_all(text, '{WORD_RE}')) AS BIGINT) AS x1,
+           CAST({n_stop} AS BIGINT) AS x2,
+           CAST(length(text) AS BIGINT) AS x3,
+           CAST(CASE WHEN lang = '{TRAIN_LABEL_LANG}' THEN 1 ELSE 0 END
+                AS BIGINT) AS y
+    FROM documents),
+g AS (SELECT fold, {gram_sums} FROM f GROUP BY fold),
+t AS (SELECT {tot_sums} FROM g),
+tr AS (SELECT g.fold, {', '.join(tr_cols)} FROM g, t),
+w AS (SELECT fold, {w_cols},
+             CAST((SELECT sum(g2.g00) FROM g g2) - g00p AS BIGINT) AS n_train
+      FROM (SELECT tr.*, (SELECT g3.g00 FROM g g3
+                          WHERE g3.fold = tr.fold) AS g00p FROM tr)),
+z AS (SELECT f.fold,
+             CAST(round((((w.w0 + w.w1 * f.x1) + w.w2 * f.x2)
+                         + w.w3 * f.x3) * {_Z_Q}) AS BIGINT) AS zq,
+             f.y
+      FROM f JOIN w USING (fold)),
+h AS (SELECT fold, zq, CAST(sum(y) AS BIGINT) AS pos,
+             CAST(count(*) - sum(y) AS BIGINT) AS neg
+      FROM z GROUP BY fold, zq),
+c AS (SELECT fold, zq, pos, neg,
+             CAST(coalesce(sum(neg) OVER (PARTITION BY fold ORDER BY zq
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cnb,
+             CAST(sum(pos) OVER (PARTITION BY fold ORDER BY zq
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cpu,
+             CAST(sum(neg) OVER (PARTITION BY fold ORDER BY zq
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cnu,
+             CAST(sum(pos) OVER (PARTITION BY fold) AS BIGINT) AS tp,
+             CAST(sum(neg) OVER (PARTITION BY fold) AS BIGINT) AS tn
+      FROM h),
+a AS (SELECT fold,
+             CASE WHEN min(tp) = 0 OR min(tn) = 0 THEN NULL
+                  ELSE round(CAST(sum(pos * (2 * cnb + neg)) AS DOUBLE)
+                             / (2.0 * min(tp) * min(tn)), 6) END AS auc,
+             CAST(min(tp) + min(tn) AS BIGINT) AS n_val
+      FROM c GROUP BY fold),
+s AS (SELECT fold, zq, ((tp - cpu) + cnu) AS correct, (tp + tn) AS n,
+             row_number() OVER (PARTITION BY fold
+                 ORDER BY ((tp - cpu) + cnu) DESC, zq ASC) AS rk
+      FROM c)
+SELECT w.fold, w.n_train, a.n_val,
+       round(w.w0, 8) AS w_bias, round(w.w1, 8) AS w_n_words,
+       round(w.w2, 8) AS w_n_stop, round(w.w3, 8) AS w_n_chars,
+       a.auc,
+       round(s.zq / {_Z_Q}, 6) AS best_threshold,
+       round(CAST(s.correct AS DOUBLE) / s.n, 6) AS best_acc
+FROM w JOIN a USING (fold) JOIN s USING (fold)
+WHERE s.rk = 1
+ORDER BY w.fold"""
