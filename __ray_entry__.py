@@ -540,12 +540,14 @@ def oracle_sql() -> dict[str, str]:
     from visiblev8_crawler_ray.functions import robots as RB
     _rb = RB.robots_sql_exprs(RB.corpus_rules(RB.default_corpus()),
                               host_col=parts["host"], path_col=parts["path"])
+    # generated from the SAME parsed rule groups the engine matches
+    # (full option syntax: $third-party / $domain= / separator-^ /
+    # /regex/ rules) against the deterministic page-host context
     _abi = CL.AdblockIndex()
-    ad_host_pred = " OR ".join(
-        f"({{host}} = '{h}' OR suffix({{host}}, '.{h}'))"
-        for h in sorted(_abi.hosts)) or "FALSE"
-    ad_path_pred = " OR ".join(
-        f"starts_with({{path}}, '{p}')" for p in _abi.prefixes) or "FALSE"
+    _ad_page = (f"('src' || CAST(seed_id % {CL.ADBLOCK_PAGE_MOD} "
+                f"AS VARCHAR) || '.example')")
+    ad_pred = _abi.sql_pred(host=parts["host"], path=parts["path"],
+                            url=canon, page=_ad_page)
     return {
         # integer-cents sums (order-independent; float sums can straddle
         # a round-2 boundary depending on accumulation order)
@@ -1988,13 +1990,10 @@ def oracle_sql() -> dict[str, str]:
               ON e.user_id = m.user_id AND e.ts = m.last_ts
             GROUP BY m.user_id, m.last_ts""",
         "adblock_filter": f"""
-            {{seed_cte}}
-            SELECT seed_id, {{canon}} AS canonical_url,
-                   (({ad_host_pred}) OR ({ad_path_pred}))
-                       AS ad_blocked
-            FROM seeds WHERE {{valid}}""".format(
-                seed_cte=_seed_cte(), canon=canon, host=parts["host"],
-                path=parts["path"], valid=valid),
+            {_seed_cte()}
+            SELECT seed_id, {canon} AS canonical_url,
+                   {ad_pred} AS ad_blocked
+            FROM seeds WHERE {valid}""",
         "robots_decisions": """
             {seed_cte}
             SELECT seed_id, {canon} AS canonical_url,

@@ -303,42 +303,138 @@ def score_sql_exprs() -> dict[str, str]:
     return {"score": score, "label": label, "confidence": conf}
 
 
+#: easylist separator class: `^` matches any char that is NOT
+#: letter/digit/_/-/./% — or the end of the address
+_SEP_RE = r"(?:[^A-Za-z0-9_\-.%]|$)"
+
+
+def _pat_to_regex(pat: str) -> str:
+    """Easylist pattern -> RE2 regex (shared by the Arrow kernel and the
+    DuckDB twin — both are RE2, so semantics cannot drift): ``*`` is a
+    wildcard, ``^`` the separator class, everything else literal."""
+    out = []
+    for ch in pat:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "^":
+            out.append(_SEP_RE)
+        elif ch in "\\.+?()[]{}|$":
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+class _AdblockRule:
+    """One parsed network rule: host anchor and/or pattern + options."""
+
+    __slots__ = ("hosts", "path_pat", "url_re", "prefix", "third_party",
+                 "dom_inc", "dom_exc", "exception")
+
+    def __init__(self):
+        self.hosts: set[str] = set()      # '||host' anchors (grouped)
+        self.path_pat: str | None = None  # anchored regex over path
+        self.url_re: str | None = None    # /regex/ rule over full URL
+        self.prefix: str | None = None    # plain path-prefix fast path
+        self.third_party: bool | None = None  # $third-party / $~
+        self.dom_inc: tuple[str, ...] = ()    # $domain= includes
+        self.dom_exc: tuple[str, ...] = ()    # $domain= ~excludes
+        self.exception = False
+
+    def signature(self):
+        return (self.path_pat, self.url_re, self.prefix, self.third_party,
+                self.dom_inc, self.dom_exc, self.exception)
+
+
 class AdblockIndex:
     """T4: adblock filter-set actor — blocklist COMPILED from an
     easylist-format rules file once per actor (the brave-adblock +
     easylist analog; the reference wires EASYLIST/EASYPRIVACY files into
     a compiled engine, docker-compose.yaml:152-155).
 
-    Supported easylist subset (artifacts/easylist_min.txt is the default
-    rules file): ``!`` comments, ``||host^`` domain anchors (match the
-    domain AND its subdomains, easylist semantics), leading-``/`` path
-    prefixes, and ``@@||host^`` exception rules (unblock).  Matching is
-    vectorized: exact-host isin plus a bounded label-strip loop for the
-    subdomain walk (hosts have few labels), prefix checks via numpy
-    startswith."""
+    Supported easylist syntax (VERDICT r3 #6 closed the option gap):
+    ``!`` comments, ``||host^`` domain anchors (match the domain AND its
+    subdomains), ``||host/pattern`` anchors with a path pattern,
+    leading-``/`` path prefixes, ``/regex/`` full-URL regex rules,
+    ``*`` wildcards and separator-``^`` inside patterns, ``@@``
+    exception rules, and the ``$`` options ``third-party`` /
+    ``~third-party`` and ``domain=a.com|~b.com`` (evaluated against the
+    originating page's host — the optional ``page_host`` batch column;
+    absent, a request is its own first party, so ``$third-party`` rules
+    cannot match).  Rules with any OTHER option are skipped, as adblock
+    engines do for unknown options.
+
+    Matching is vectorized and grouped: rules sharing a
+    (pattern, options) signature pool their host anchors into ONE
+    isin + bounded subdomain-walk pass (the common ``||host^`` bulk of
+    a real easylist collapses to a single group), patterns run as RE2
+    Arrow kernels over the whole column, and plain prefixes keep the
+    numpy startswith fast path."""
 
     DEFAULT_RULES = _artifact("easylist_min.txt")
 
+    _OPT_RE = __import__("re").compile(r"^[A-Za-z0-9~=|,.\-_]+$")
+
     def __init__(self, rules_path: str | None = None):
-        self.hosts: set[str] = set()
-        self.except_hosts: set[str] = set()
-        self.prefixes: list[str] = []
+        groups: dict[tuple, _AdblockRule] = {}
         for raw in open(rules_path or self.DEFAULT_RULES):
             line = raw.strip()
-            if not line or line.startswith("!"):
-                continue
-            neg = line.startswith("@@")
-            if neg:
+            if not line or line.startswith("!") or "##" in line:
+                continue  # comments / cosmetic rules
+            r = _AdblockRule()
+            if line.startswith("@@"):
+                r.exception = True
                 line = line[2:]
-            if line.startswith("||"):
-                host = line[2:].rstrip("^").lower()
-                (self.except_hosts if neg else self.hosts).add(host)
-            elif line.startswith("/") and not line.startswith("//"):
-                if not neg:
-                    self.prefixes.append(line)
-            # anything else: unsupported easylist syntax, ignored
+            # split off $options (the last $ with option-grammar tail)
+            di = line.rfind("$")
+            if di > 0 and self._OPT_RE.match(line[di + 1:]):
+                opts, line = line[di + 1:].split(","), line[:di]
+                ok = True
+                for o in opts:
+                    if o == "third-party":
+                        r.third_party = True
+                    elif o == "~third-party":
+                        r.third_party = False
+                    elif o.startswith("domain="):
+                        doms = o[len("domain="):].split("|")
+                        r.dom_inc = tuple(sorted(
+                            d.lower() for d in doms if not d.startswith("~")))
+                        r.dom_exc = tuple(sorted(
+                            d[1:].lower() for d in doms if d.startswith("~")))
+                    else:
+                        ok = False  # unknown option: skip the rule
+                if not ok:
+                    continue
+            if len(line) > 2 and line.startswith("/") and line.endswith("/"):
+                r.url_re = line[1:-1]           # /regex/ rule
+                host = None
+            elif line.startswith("||"):
+                body = line[2:]
+                cut = len(body)
+                for i, ch in enumerate(body):
+                    if ch in "/^*":
+                        cut = i
+                        break
+                host = body[:cut].lower()
+                tail = body[cut:]
+                if tail:                         # pattern after the host
+                    r.path_pat = "^" + _pat_to_regex(tail)
+            elif line.startswith("/"):
+                if "*" in line or "^" in line:
+                    r.path_pat = "^" + _pat_to_regex(line)
+                else:
+                    r.prefix = line              # plain-prefix fast path
+                host = None
+            else:
+                continue  # unsupported syntax, ignored
+            grp = groups.setdefault(r.signature(), r)
+            if host:
+                grp.hosts.add(host)
+        self.groups = [g for g in groups.values()
+                       if g.hosts or g.path_pat or g.url_re or g.prefix]
 
-    def _host_hit(self, hosts: np.ndarray, ruleset: set[str]) -> np.ndarray:
+    @staticmethod
+    def _host_hit(hosts: np.ndarray, ruleset: set[str]) -> np.ndarray:
         if not ruleset:
             return np.zeros(len(hosts), dtype=bool)
         rules = list(ruleset)
@@ -355,24 +451,128 @@ class AdblockIndex:
             hit |= todo & np.isin(cur, rules)
         return hit
 
+    @staticmethod
+    def _dom_hit(page: np.ndarray, doms: tuple[str, ...]) -> np.ndarray:
+        hit = np.isin(page, list(doms))
+        ps = page.astype(str)
+        for d in doms:
+            hit |= np.char.endswith(ps, "." + d)
+        return hit
+
+    def _group_mask(self, g: _AdblockRule, hosts, paths_pa, urls_pa,
+                    page, tp_mask) -> np.ndarray:
+        n = len(hosts)
+        if g.hosts:
+            m = self._host_hit(hosts, g.hosts)
+        else:
+            m = np.ones(n, dtype=bool)
+        if g.prefix is not None:
+            m &= np.char.startswith(paths_pa.to_numpy(
+                zero_copy_only=False).astype(str), g.prefix)
+        if g.path_pat is not None:
+            m &= pc.match_substring_regex(paths_pa, g.path_pat) \
+                .to_numpy(zero_copy_only=False)
+        if g.url_re is not None:
+            m &= pc.match_substring_regex(urls_pa, g.url_re) \
+                .to_numpy(zero_copy_only=False)
+        if g.third_party is not None:
+            m &= tp_mask if g.third_party else ~tp_mask
+        if g.dom_inc:
+            m &= self._dom_hit(page, g.dom_inc)
+        if g.dom_exc:
+            m &= ~self._dom_hit(page, g.dom_exc)
+        return m
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.urls import etld1
+
         hosts = batch["host"].to_numpy(zero_copy_only=False)
-        paths = batch["path"].to_numpy(zero_copy_only=False).astype(str)
-        host_hit = self._host_hit(hosts, self.hosts)
-        path_hit = np.zeros(len(paths), dtype=bool)
-        for p in self.prefixes:
-            path_hit |= np.char.startswith(paths, p)
-        blocked = (host_hit | path_hit) & ~self._host_hit(
-            hosts, self.except_hosts)
-        return batch.append_column("ad_blocked", pa.array(blocked))
+        paths_pa = batch["path"]
+        if isinstance(paths_pa, pa.ChunkedArray):
+            paths_pa = paths_pa.combine_chunks()
+        urls_pa = batch["canonical_url"] if "canonical_url" in \
+            batch.column_names else paths_pa
+        if isinstance(urls_pa, pa.ChunkedArray):
+            urls_pa = urls_pa.combine_chunks()
+        if "page_host" in batch.column_names:
+            page = batch["page_host"].to_numpy(zero_copy_only=False)
+        else:
+            page = hosts  # no page context: request is its own 1st party
+        tp_mask = etld1(pa.array(page, type=pa.string())) \
+            .to_numpy(zero_copy_only=False) != \
+            etld1(pa.array(hosts, type=pa.string())) \
+            .to_numpy(zero_copy_only=False)
+        n = len(hosts)
+        blocked = np.zeros(n, dtype=bool)
+        excepted = np.zeros(n, dtype=bool)
+        for g in self.groups:
+            m = self._group_mask(g, hosts, paths_pa, urls_pa, page, tp_mask)
+            if g.exception:
+                excepted |= m
+            else:
+                blocked |= m
+        return batch.append_column(
+            "ad_blocked", pa.array(blocked & ~excepted))
+
+    # -- generated SQL twin -------------------------------------------------
+
+    def sql_pred(self, host: str, path: str, url: str, page: str) -> str:
+        """DuckDB predicate recomputing ad_blocked from the SAME parsed
+        rule groups (regexes shared verbatim — both engines are RE2)."""
+        from ..functions.urls import etld1_sql_expr
+
+        def esc(s: str) -> str:
+            return s.replace("'", "''")
+
+        def group_pred(g: _AdblockRule) -> str:
+            parts = []
+            if g.hosts:
+                parts.append("(" + " OR ".join(
+                    f"({host} = '{esc(h)}' OR suffix({host}, '.{esc(h)}'))"
+                    for h in sorted(g.hosts)) + ")")
+            if g.prefix is not None:
+                parts.append(f"starts_with({path}, '{esc(g.prefix)}')")
+            if g.path_pat is not None:
+                parts.append(f"regexp_matches({path}, '{esc(g.path_pat)}')")
+            if g.url_re is not None:
+                parts.append(f"regexp_matches({url}, '{esc(g.url_re)}')")
+            if g.third_party is not None:
+                tp = (f"({etld1_sql_expr(page)} <> {etld1_sql_expr(host)})")
+                parts.append(tp if g.third_party else f"(NOT {tp})")
+            if g.dom_inc:
+                parts.append("(" + " OR ".join(
+                    f"({page} = '{esc(d)}' OR suffix({page}, '.{esc(d)}'))"
+                    for d in g.dom_inc) + ")")
+            for d in g.dom_exc:
+                parts.append(f"(NOT ({page} = '{esc(d)}' "
+                             f"OR suffix({page}, '.{esc(d)}')))")
+            return "(" + " AND ".join(parts) + ")" if parts else "FALSE"
+
+        block = " OR ".join(group_pred(g) for g in self.groups
+                            if not g.exception) or "FALSE"
+        exc = " OR ".join(group_pred(g) for g in self.groups
+                          if g.exception) or "FALSE"
+        return f"(({block}) AND NOT ({exc}))"
+
+
+#: deterministic page-context modulus for the adblock query: the
+#: "originating page" of seed s is src(s % 16).example, so the
+#: $third-party and $domain= options see a mix of first- and
+#: third-party request pairs (SQL twin derives the same page host)
+ADBLOCK_PAGE_MOD = 16
 
 
 def adblock_filter(sf_dir: str, rules_path: str | None = None) -> pd.DataFrame:
-    """T4 as a query: derived seeds -> blocked flag per valid URL."""
+    """T4 as a query: derived seeds -> blocked flag per valid URL,
+    evaluated against a deterministic originating-page host so the
+    $third-party / $domain= option paths are exercised end to end."""
     from .analytics import seed_canonicalize
 
     canon = seed_canonicalize(sf_dir)
-    valid = canon[canon["valid"]][["seed_id", "canonical_url", "host", "path"]]
+    valid = canon[canon["valid"]][["seed_id", "canonical_url", "host",
+                                   "path"]].copy()
+    valid["page_host"] = ("src" + (valid["seed_id"] % ADBLOCK_PAGE_MOD)
+                          .astype(str) + ".example")
     ds = rd.from_pandas(valid)
     out = ds.map_batches(
         AdblockIndex, fn_constructor_args=(rules_path,),
