@@ -1,0 +1,79 @@
+"""Baseline-JPEG codec (VERDICT r3 #10): real byte-level encode/decode
+behind the MediaDecoder seam — round-trip fidelity, format plumbing,
+and the media_features path over .jpg blobs."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from visiblev8_crawler_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = ((a.astype(float) - b.astype(float)) ** 2).mean()
+    return 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+
+
+def test_jpeg_roundtrip_fidelity():
+    from visiblev8_crawler_ray.functions.png import synth_screenshot
+
+    for key in ("doc-a", "doc-b", "doc-c"):
+        img = synth_screenshot(key)
+        out = decode_jpeg(encode_jpeg(img, quality=90))
+        assert out.shape == img.shape and out.dtype == np.uint8
+        assert _psnr(img, out) > 35.0  # q=90 baseline on synth content
+
+    # non-multiple-of-8 dims + smooth gradient at high quality
+    g = np.zeros((50, 70, 3), np.uint8)
+    g[..., 0] = np.linspace(0, 255, 70, dtype=np.uint8)[None, :]
+    g[..., 1] = np.linspace(0, 255, 50, dtype=np.uint8)[:, None]
+    g[..., 2] = 128
+    out = decode_jpeg(encode_jpeg(g, quality=95))
+    assert out.shape == g.shape
+    assert _psnr(g, out) > 40.0
+
+
+def test_jpeg_quality_monotone_and_headers():
+    from visiblev8_crawler_ray.functions.png import synth_screenshot
+
+    img = synth_screenshot("doc-q")
+    lo, hi = encode_jpeg(img, 30), encode_jpeg(img, 95)
+    assert len(lo) < len(hi)          # coarser quant -> fewer bits
+    assert hi[:2] == b"\xff\xd8" and hi[-2:] == b"\xff\xd9"
+    assert _psnr(img, decode_jpeg(hi)) > _psnr(img, decode_jpeg(lo))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG not a jpeg")
+
+
+def test_media_decoder_jpeg_path(ray_session, tmp_path):
+    """MediaDecoder dispatches .jpg refs to the real JFIF decode and
+    recovers true dimensions (the PNG test's twin for JPEG)."""
+    import os
+
+    import ray.data as rd
+
+    from visiblev8_crawler_ray.functions.png import synth_screenshot
+    from visiblev8_crawler_ray.pipelines.multimodal import media_features
+
+    blob_dir = str(tmp_path / "blobs")
+    rows = []
+    for i in range(6):
+        key = f"jdoc{i}"
+        img = synth_screenshot(key)
+        os.makedirs(os.path.join(blob_dir, key), exist_ok=True)
+        with open(os.path.join(blob_dir, key, "shot.jpg"), "wb") as f:
+            f.write(encode_jpeg(img, 85))
+        rows.append({
+            "doc_id": key,
+            "spans": [{"kind": "media/screenshot", "text": "",
+                       "media_ref": f"blob://{key}/shot.jpg", "offset": 0}],
+        })
+    docs = rd.from_items(rows)
+    out = media_features(docs, blob_dir=blob_dir).to_pandas()
+    assert len(out) == 6
+    for _, row in out.iterrows():
+        key = row["media_ref"][len("blob://"):].split("/", 1)[0]
+        img = synth_screenshot(key)
+        assert (row["width"], row["height"]) == (img.shape[1], img.shape[0])
+        assert row["n_bytes"] == os.path.getsize(
+            os.path.join(blob_dir, key, "shot.jpg"))

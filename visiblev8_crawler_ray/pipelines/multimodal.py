@@ -83,6 +83,11 @@ class MediaDecoder:
 
                 with Image.open(io.BytesIO(data)) as im:
                     return im.width, im.height, len(data)
+        if path.endswith((".jpg", ".jpeg")):
+            from ..functions.jpeg import decode_jpeg
+
+            img = decode_jpeg(data)  # real baseline-JFIF byte decode
+            return img.shape[1], img.shape[0], len(data)
         if path.endswith(".wav"):
             from ..functions.audio import decode_wav
 
