@@ -426,6 +426,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_feature_summary": _doc_feature_summary,
         "usage_rollup_crawl": _usage_rollup_crawl,
         "spans_exploded": _spans_exploded,
+        "page_captcha_systems": lambda sf: P.page_captcha_systems(
+            _crawl(sf).docs()),
         "media_features": _media_features,
         "audio_features": _audio_features,
         "video_frames": _video_frames,
@@ -1535,6 +1537,8 @@ def oracle_sql() -> dict[str, str]:
         "spans_exploded": f"""
             WITH sp AS {_sp}
             SELECT doc_id, kind, text, media_ref, "offset" FROM sp""",
+        # generated from the same CAPTCHA_SYSTEMS marker constants
+        "page_captcha_systems": P.page_captcha_systems_sql(_sp),
         "span_kind_transitions": f"""
             WITH sp AS {_sp},
             nx AS (SELECT doc_id, kind,

@@ -584,3 +584,41 @@ def test_embedding_top_eigvec_direction_and_invariance(ray_session, tmp_path):
     (tmp_path / "embeddings.parquet").symlink_to(d)
     got5 = embedding_top_eigvec(str(tmp_path))
     pd.testing.assert_frame_equal(got5, got)
+
+
+def test_page_captcha_systems_constructed(ray_session):
+    """Each captcha marker family fires independently; the JSON set is
+    sorted, compact, and docs without detections are absent
+    (1_postgres_schema.sql:160-166 page_captcha_systems semantics)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from visiblev8_crawler_ray.stages.parse import (CAPTCHA_SYSTEMS,
+                                                    page_captcha_systems)
+
+    def span(kind, text):
+        return {"kind": kind, "text": text, "media_ref": "", "offset": 0}
+
+    rows = [
+        {"doc_id": "d-audio", "spans": [
+            span("call", "AudioContext.createOscillator")]},
+        {"doc_id": "d-canvas", "spans": [
+            span("call", "HTMLCanvasElement.toDataURL")]},
+        {"doc_id": "d-multi", "spans": [
+            span("get", "MouseEvent.clientX"),
+            span("set", "KeyboardEvent.key"),
+            span("call", "WebGLRenderingContext.getParameter")]},
+        {"doc_id": "d-none", "spans": [
+            span("call", "Window.setTimeout"),
+            # trigger spans are NOT usage spans: must not count
+            span("trigger/mouse", "MouseEvent.clientY")]},
+    ]
+    out = page_captcha_systems(rd.from_items(rows)).to_pandas() \
+        .set_index("doc_id")
+    assert "d-none" not in out.index
+    assert out.loc["d-audio", "captcha_systems"] == '["audio_challenge"]'
+    assert out.loc["d-canvas", "captcha_systems"] == '["canvas_fingerprint"]'
+    assert out.loc["d-multi", "captcha_systems"] == \
+        '["keystroke_biometric","pointer_biometric","webgl_fingerprint"]'
+    assert int(out.loc["d-multi", "n_systems"]) == 3
+    assert len(CAPTCHA_SYSTEMS) == 6

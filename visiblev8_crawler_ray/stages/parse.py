@@ -704,3 +704,103 @@ def link_stats(docs: rd.Dataset) -> rd.Dataset:
         })
 
     return docs.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# page_captcha_systems: the [VPC-specific] per-page detected-captcha-set
+# accounting (vv8_backend_database/init/1_postgres_schema.sql:160-166 —
+# page/logfile/{set-of-detected-captchas} JSONB records; the detection
+# itself lives in the reference's Go post-processor, keyed off the
+# fingerprinting/biometric API families its classifier inspects,
+# script_classification/.../classify.py:184-248)
+
+#: system -> usage-span API prefixes that mark it (alphabetical order —
+#: the JSON set is emitted sorted on both engines)
+CAPTCHA_SYSTEMS = (
+    ("audio_challenge", ("AudioContext.",)),
+    ("canvas_fingerprint", ("CanvasRenderingContext2D.",
+                            "HTMLCanvasElement.")),
+    ("keystroke_biometric", ("KeyboardEvent.",)),
+    ("pointer_biometric", ("MouseEvent.",)),
+    ("touch_biometric", ("TouchEvent.",)),
+    ("webgl_fingerprint", ("WebGLRenderingContext.",)),
+)
+# usage-span kinds: the existing module-level _USAGE_KINDS dict
+# (kind -> mode char) is the single source of truth; iterate its keys
+
+
+def _captcha_json_lut() -> list[str]:
+    """All 2^|systems| detected-set JSON strings, indexed by bitmask —
+    the per-doc string build is ONE vectorized array take."""
+    import json
+
+    names = [n for n, _ in CAPTCHA_SYSTEMS]
+    out = []
+    for mask in range(1 << len(names)):
+        sel = [n for i, n in enumerate(names) if mask >> i & 1]
+        out.append(json.dumps(sel, separators=(",", ":")))
+    return out
+
+
+def page_captcha_systems(docs: rd.Dataset) -> rd.Dataset:
+    """docs -> (doc_id, captcha_systems JSON array, n_systems) for every
+    page with >= 1 detected system.
+
+    Scale shape: a doc's spans live in its own row, so detection is
+    row-local — one streaming map_batches, zero shuffle (exactly like
+    the reference's per-logfile post-processor pass).  The per-system
+    match is a prefix test over the exploded usage spans; the JSON set
+    string is a 2^6-entry LUT take."""
+    lut = pa.array(_captcha_json_lut(), type=pa.string())
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n_docs = batch.num_rows
+        sp = explode_spans_batch(batch)
+        keep = pc.is_in(sp["kind"], value_set=pa.array(list(_USAGE_KINDS)))
+        sp = sp.filter(keep)
+        # parent doc index of each usage span (doc_ids unique per batch)
+        doc_ids = batch["doc_id"]
+        if isinstance(doc_ids, pa.ChunkedArray):
+            doc_ids = doc_ids.combine_chunks()
+        parent = pc.index_in(sp["doc_id"], value_set=doc_ids) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        text = sp["text"]
+        mask = np.zeros(n_docs, dtype=np.int64)
+        for bit, (_name, prefixes) in enumerate(CAPTCHA_SYSTEMS):
+            hit = np.zeros(len(parent), dtype=bool)
+            for p in prefixes:
+                hit |= pc.starts_with(text, p) \
+                    .to_numpy(zero_copy_only=False)
+            flags = np.zeros(n_docs, dtype=bool)
+            if hit.any():
+                flags[np.unique(parent[hit])] = True
+            mask |= flags.astype(np.int64) << bit
+        det = mask > 0
+        n_sys = np.array([bin(m).count("1") for m in mask])[det]
+        return pa.table({
+            "doc_id": doc_ids.filter(pa.array(det)),
+            "captcha_systems": lut.take(pa.array(mask[det])),
+            "n_systems": pa.array(n_sys.astype(np.int64)),
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def page_captcha_systems_sql(sp_cte: str) -> str:
+    """DuckDB twin generated from the same CAPTCHA_SYSTEMS constants."""
+    flags, names = [], []
+    for i, (name, prefixes) in enumerate(CAPTCHA_SYSTEMS):
+        cond = " OR ".join(f"starts_with(text, '{p}')" for p in prefixes)
+        flags.append(f"max(CASE WHEN {cond} THEN 1 ELSE 0 END) AS s{i}")
+        names.append(f"CASE WHEN s{i} = 1 THEN '\"{name}\"' END")
+    total = " + ".join(f"s{i}" for i in range(len(CAPTCHA_SYSTEMS)))
+    return f"""
+        WITH sp AS {sp_cte},
+        u AS (SELECT doc_id, text FROM sp
+              WHERE kind IN ('get', 'set', 'call', 'new')),
+        d AS (SELECT doc_id, {', '.join(flags)} FROM u GROUP BY doc_id)
+        SELECT doc_id,
+               '[' || concat_ws(',', {', '.join(names)}) || ']'
+                   AS captcha_systems,
+               CAST({total} AS BIGINT) AS n_systems
+        FROM d WHERE {total} >= 1"""
