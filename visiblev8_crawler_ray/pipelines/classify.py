@@ -753,6 +753,10 @@ def train_scorer(sf_dir: str, k: int = 5,
         ds.map_batches(gram_partial, batch_format="pyarrow"),
         ["fold"], [(c, "sum") for c in agg_cols], ["fold"] + agg_cols,
     ).to_pandas().set_index("fold").sort_index()
+    # folds with zero val rows aren't folds (few distinct sources can
+    # leave md5(source)%k gaps); the SQL twin's GROUP BY never sees
+    # them, so drop them here too
+    gram = gram[gram["g00"] > 0]
     # float64 holds every Gram sum exactly below 2^53 — assert, don't
     # silently lose bits (the pack-domain convention)
     assert gram[agg_cols].abs().to_numpy().max() < 2 ** 53
