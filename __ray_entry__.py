@@ -32,6 +32,7 @@ from visiblev8_crawler_ray.pipelines import classify as CL
 from visiblev8_crawler_ray.pipelines import features as FW
 from visiblev8_crawler_ray.pipelines import graph as G
 from visiblev8_crawler_ray.pipelines import curation as CU
+from visiblev8_crawler_ray.pipelines import trees as TR
 from visiblev8_crawler_ray.pipelines.crawl import (CrawlRun, recrawl_due,
                                                    run_crawl)
 from visiblev8_crawler_ray.stages import parse as P
@@ -395,6 +396,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, docs=_crawl(sf).docs()),
         "classification_summary": CL.classification_summary,
         "train_scorer": CL.train_scorer,
+        # tree/forest trainers (enhanced_tree_forest.py analog):
+        # train_tree/train_forest are rows-only (greedy data-dependent
+        # structure is not SQL-expressible; naive-reference-gated in
+        # tests/test_trees.py); the root-split exchange IS SQL-gated
+        "train_tree": TR.train_tree,
+        "train_forest": TR.train_forest,
+        "tree_root_split": TR.tree_root_split,
         "results_upsert": CL.results_upsert,
         "adblock_filter": CL.adblock_filter,
         "robots_decisions": CL.robots_decisions,
@@ -1534,6 +1542,9 @@ def oracle_sql() -> dict[str, str]:
         # generated twin: same integer Gram sums, same Cramer expression
         # strings, same z quantization (classify.train_scorer_sql)
         "train_scorer": CL.train_scorer_sql(),
+        # generated twin: same integer histograms, same shared
+        # gain-formula operation order (trees.tree_root_split_sql)
+        "tree_root_split": TR.tree_root_split_sql(),
         "spans_exploded": f"""
             WITH sp AS {_sp}
             SELECT doc_id, kind, text, media_ref, "offset" FROM sp""",

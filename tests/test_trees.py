@@ -1,0 +1,111 @@
+"""Distributed tree/forest trainer vs an independent single-process
+reference (the sklearn-training-subsystem analog,
+enhanced_tree_forest.py:612-743): exact node-table equality, forest
+determinism, and the SQL-gated root-split exchange (auto-covered by
+test_queries_vs_duckdb once registered)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _naive_tree(max_depth=5, min_leaf=5):
+    """Independent reference: plain pandas + recursive greedy growth
+    over raw rows (no histograms, no Ray) with the same semantics:
+    balanced root weights, weighted-Gini gain, '<=' thresholds over
+    clipped integer features, ties to lowest (feature, threshold)."""
+    from visiblev8_crawler_ray.functions.util import round_half_away
+    from visiblev8_crawler_ray.pipelines.trees import (
+        MIN_GAIN, N_BINS, TREE_FEATURES, TREE_LABEL_LANG, TREE_MARKERS,
+        gain_formula)
+
+    df = duckdb.sql(
+        f"SELECT text, lang FROM '{SF}/documents.parquet'").df()
+    feats = {}
+    for w in TREE_MARKERS:
+        feats[f"n_{w}"] = df["text"].str.count(rf"\b{w}\b").to_numpy(np.int64)
+    feats["n_words"] = df["text"].str.count(r"\S+").to_numpy(np.int64)
+    feats["n_chars"] = df["text"].str.len().to_numpy(np.int64)
+    X = np.clip(np.stack([feats[f] for f in TREE_FEATURES], axis=1),
+                0, N_BINS - 1)
+    y = (df["lang"] == TREE_LABEL_LANG).to_numpy(np.int64)
+    n0, p0 = len(y), int(y.sum())
+    wp = n0 / (2.0 * p0) if p0 else 0.0
+    wn = n0 / (2.0 * (n0 - p0)) if n0 - p0 else 0.0
+
+    rows = []
+
+    def leaf_row(nid, parent, depth, idx, feature="", thr=-1, lc=-1, rc=-1):
+        n, p = len(idx), int(y[idx].sum())
+        P, M = wp * p, wn * (n - p)
+        rows.append({"node_id": nid, "parent": parent, "depth": depth,
+                     "feature": feature, "threshold": thr,
+                     "left": lc, "right": rc, "n": n, "n_pos": p,
+                     "prob": round_half_away(
+                         P / (P + M) if (P + M) > 0 else 0.0, 6)})
+
+    next_id = [1]
+    # BFS to mirror the level-wise trainer's node-id assignment
+    from collections import deque
+    queue = deque([(0, -1, 0, np.arange(len(y)))])
+    while queue:
+        nid, parent, depth, idx = queue.popleft()
+        n, p = len(idx), int(y[idx].sum())
+        best = None
+        if depth < max_depth and 0 < p < n:
+            for f in range(len(TREE_FEATURES)):
+                xv = X[idx, f]
+                for t in range(N_BINS - 1):
+                    lm = xv <= t
+                    nl = int(lm.sum())
+                    if nl < min_leaf or (n - nl) < min_leaf:
+                        continue
+                    pl = int(y[idx][lm].sum())
+                    g = gain_formula(wp, wn, float(p), float(n - p),
+                                     float(pl), float(nl - pl))
+                    if g > MIN_GAIN and (best is None or g > best[2]):
+                        best = (f, t, g)
+        if best is None:
+            leaf_row(nid, parent, depth, idx)
+            continue
+        f, t, _ = best
+        lc, rc = next_id[0], next_id[0] + 1
+        next_id[0] += 2
+        leaf_row(nid, parent, depth, idx, TREE_FEATURES[f], t, lc, rc)
+        lm = X[idx, f] <= t
+        queue.append((lc, nid, depth + 1, idx[lm]))
+        queue.append((rc, nid, depth + 1, idx[~lm]))
+    return pd.DataFrame(rows).sort_values("node_id").reset_index(drop=True)
+
+
+def test_train_tree_matches_naive_reference(ray_session):
+    from visiblev8_crawler_ray.pipelines.trees import train_tree
+
+    got = train_tree(SF).sort_values("node_id").reset_index(drop=True)
+    ref = _naive_tree()
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False,
+                                  check_exact=True)
+    # the tree genuinely separates: leaf probs spread
+    leaves = got[got["feature"] == ""]
+    assert leaves["prob"].max() > 0.7 and leaves["prob"].min() < 0.3
+
+
+def test_train_forest_deterministic_and_normalized(ray_session):
+    from visiblev8_crawler_ray.pipelines.trees import (TREE_FEATURES,
+                                                       train_forest)
+
+    a = train_forest(SF)
+    b = train_forest(SF)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    # sqrt-feature subsets: <= sqrt(F)+eps distinct features per tree
+    k = max(2, int(np.sqrt(len(TREE_FEATURES))))
+    for t, g in a.groupby("tree_id"):
+        assert len(g) == k
+        s = g["importance"].sum()
+        assert s == 0 or abs(s - 1.0) < 1e-4  # per-tree normalization
+    # trees differ (different bags/features): not all identical rows
+    assert a.groupby("tree_id")["feature"].apply(tuple).nunique() > 1
