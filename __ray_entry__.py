@@ -396,6 +396,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, docs=_crawl(sf).docs()),
         "classification_summary": CL.classification_summary,
         "train_scorer": CL.train_scorer,
+        # nested CV + lambda grid (nested_cv.py analog): rows-only —
+        # the float-AUC lambda argmax is not SQL-expressible; gated vs
+        # an independent reference in tests/test_train_scorer.py
+        "nested_cv": CL.nested_cv,
         # tree/forest trainers (enhanced_tree_forest.py analog):
         # train_tree/train_forest are rows-only (greedy data-dependent
         # structure is not SQL-expressible; naive-reference-gated in

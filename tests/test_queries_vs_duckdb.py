@@ -50,10 +50,11 @@ def test_rows_only_queries_run():
     # frame; the SQL-gated ones are covered by the parametrized compare
     q, o = R.queries(), R.oracle_sql()
     rows_only = sorted(set(q) - set(o))
-    # floor: decode/LAPACK/crawl-loop + greedy tree structure (train_tree
-    # / train_forest are naive-reference-gated in test_trees.py; their
-    # histogram exchange IS SQL-gated via tree_root_split)
-    assert len(rows_only) <= 10, rows_only
+    # floor: decode/LAPACK/crawl-loop + greedy tree structure + CV-grid
+    # argmax (train_tree / train_forest / nested_cv are independent-
+    # reference-gated in test_trees.py / test_train_scorer.py; their
+    # exchanges are SQL-gated via tree_root_split / train_scorer)
+    assert len(rows_only) <= 11, rows_only
     for name in ["embedding_pca", "media_dedup"]:
         res = q[name](SF)
         df = res.to_pandas() if hasattr(res, "to_pandas") else res

@@ -112,3 +112,70 @@ def test_train_scorer_group_discipline(ray_session):
     assert all(int(v) % 25 == 0 for v in got["n_val"])  # 25 docs/source
     assert all(int(t) + int(v) == 500
                for t, v in zip(got["n_train"], got["n_val"]))
+
+
+def test_nested_cv_matches_naive_reference(ray_session):
+    """nested_cv's Gram-subtraction grid (one pass for every fold
+    combination) equals an independent reference that materializes each
+    (outer, inner, lambda) training set and solves with LAPACK."""
+    import duckdb
+
+    from visiblev8_crawler_ray.functions.util import md5_low64, round_half_away
+    from visiblev8_crawler_ray.pipelines.classify import (
+        TRAIN_LABEL_LANG, _Z_Q, nested_cv)
+    from visiblev8_crawler_ray.pipelines.textops import STOPWORDS
+
+    K_OUT, K_IN, LAMBDAS = 5, 4, (0.1, 1.0, 10.0)
+    got = nested_cv(SF, K_OUT, K_IN, LAMBDAS)
+
+    df = duckdb.sql(
+        f"SELECT text, lang, source FROM '{SF}/documents.parquet'").df()
+    x1 = df["text"].str.count(r"\S+").to_numpy(np.int64)
+    x2 = sum(df["text"].str.count(rf"\b{w}\b") for w in STOPWORDS) \
+        .to_numpy(np.int64)
+    x3 = df["text"].str.len().to_numpy(np.int64)
+    y = (df["lang"] == TRAIN_LABEL_LANG).to_numpy(np.int64)
+    X = np.stack([np.ones(len(df)), x1, x2, x3], axis=1).astype(np.float64)
+    src = pa.array(df["source"])
+    fold = (md5_low64(src).view(np.uint64) % np.uint64(K_OUT)) \
+        .astype(np.int64)
+    salted = pa.array([s + "#inner" for s in df["source"]])
+    inner = (md5_low64(salted).view(np.uint64) % np.uint64(K_IN)) \
+        .astype(np.int64)
+
+    def fit(mask, lam):
+        G = X[mask].T @ X[mask] + lam * np.eye(4)
+        return np.linalg.solve(G, X[mask].T @ y[mask])
+
+    def auc_of(z, yy):
+        zq = round_half_away(z * _Z_Q, 0).astype(np.int64)
+        uq, inv = np.unique(zq, return_inverse=True)
+        pos = np.bincount(inv, weights=yy).astype(np.int64)
+        neg = np.bincount(inv, weights=1 - yy).astype(np.int64)
+        P, N = int(pos.sum()), int(neg.sum())
+        if P == 0 or N == 0:
+            return np.nan
+        cnb = np.concatenate(([0], np.cumsum(neg)[:-1]))
+        return float((pos * (2 * cnb + neg)).sum()) / (2.0 * P * N)
+
+    for _, row in got.iterrows():
+        o = int(row["fold"])
+        means = []
+        for lam in LAMBDAS:
+            aucs = []
+            for j in range(K_IN):
+                tr = (fold != o) & (inner != j)
+                va = (fold != o) & (inner == j)
+                if not va.any():
+                    continue
+                a = auc_of(X[va] @ fit(tr, lam), y[va])
+                if not np.isnan(a):
+                    aucs.append(a)
+            means.append(np.sum(aucs) / len(aucs) if aucs else np.nan)
+        best = int(np.nanargmax(means))
+        assert float(LAMBDAS[best]) == row["best_lambda"], (o, means)
+        assert abs(means[best] - row["inner_auc"]) < 1e-5
+        va = fold == o
+        outer_auc = auc_of(X[va] @ fit(fold != o, LAMBDAS[best]), y[va])
+        assert abs(outer_auc - row["outer_auc"]) < 1e-5
+        assert int(va.sum()) == int(row["n_val"])

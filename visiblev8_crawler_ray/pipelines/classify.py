@@ -912,3 +912,187 @@ SELECT w.fold, w.n_train, a.n_val,
 FROM w JOIN a USING (fold) JOIN s USING (fold)
 WHERE s.rk = 1
 ORDER BY w.fold"""
+
+
+def _fold_cols(t: pa.Table, k_outer: int, k_inner: int):
+    """(outer fold, inner sub-fold) per row — both vendor-grouped
+    (functions of source only) and independent (salted second hash)."""
+    from ..functions.util import md5_low64
+
+    src = t["source"]
+    if isinstance(src, pa.ChunkedArray):
+        src = src.combine_chunks()
+    fold = (md5_low64(src).view(np.uint64)
+            % np.uint64(k_outer)).astype(np.int64)
+    salted = pc.binary_join_element_wise(src, pa.scalar("#inner"), "")
+    inner = (md5_low64(salted).view(np.uint64)
+             % np.uint64(k_inner)).astype(np.int64)
+    return fold, inner
+
+
+def nested_cv(sf_dir: str, k_outer: int = 5, k_inner: int = 4,
+              lambdas: tuple[float, ...] = (0.1, 1.0, 10.0)
+              ) -> pd.DataFrame:
+    """Nested cross-validation with an inner ridge-strength grid — the
+    ``heuristics/nested_cv.py:440-530`` harness (outer folds for an
+    unbiased estimate, inner folds to pick the hyperparameter), vendor-
+    grouped at BOTH levels, expressed in two streaming passes:
+
+    - **Pass 1** computes the integer Gram sufficient statistics per
+      (outer, inner) CELL — ``k_outer x k_inner x 15`` int64s.  Gram
+      additivity then yields EVERY fold combination's normal equations
+      by driver-side subtraction, so the entire hyperparameter grid
+      (``k_outer x k_inner x |lambdas|`` inner solves + ``k_outer x
+      |lambdas|`` outer solves) costs zero extra scans — the trick that
+      makes grid search affordable at 100 TB.
+    - **Pass 2** scores every row under every role it plays — inner-val
+      row of (o != its fold, j = its inner cell) for each lambda, and
+      outer-val row of its own fold — and reduces to quantized-score
+      histograms; AUCs, the per-outer-fold lambda choice (max mean
+      inner AUC, ties to the smaller lambda) and the outer estimate all
+      come from those bounded histograms.
+
+    Rows-only (the lambda argmax over float AUCs is not reasonably
+    SQL-expressible); gated against an independent single-process
+    reference in tests/test_train_scorer.py."""
+    from ..functions.util import two_phase_agg
+
+    ds = _read_docs(sf_dir, ["text", "lang", "source"])
+    gnames, bnames = _gram_names()
+    agg_cols = gnames + bnames
+    nc = k_outer * k_inner
+
+    def gram_partial(t: pa.Table) -> pa.Table:
+        fold, inner = _fold_cols(t, k_outer, k_inner)
+        _f, x1, x2, x3, y = _train_xy(t, k_outer)
+        cell = fold * k_inner + inner
+        x0 = np.ones(len(x1), dtype=np.int64)
+        xs = (x0, x1, x2, x3)
+        cols: dict[str, pa.Array] = {"cell": pa.array(np.arange(nc))}
+        for i in range(4):
+            for j in range(i, 4):
+                cols[f"g{i}{j}"] = pa.array(np.bincount(
+                    cell, weights=(xs[i] * xs[j]).astype(np.float64),
+                    minlength=nc).astype(np.int64))
+            cols[f"b{i}"] = pa.array(np.bincount(
+                cell, weights=(xs[i] * y).astype(np.float64),
+                minlength=nc).astype(np.int64))
+        return pa.table(cols)
+
+    cells = two_phase_agg(
+        ds.map_batches(gram_partial, batch_format="pyarrow"),
+        ["cell"], [(c, "sum") for c in agg_cols], ["cell"] + agg_cols,
+    ).to_pandas().set_index("cell").sort_index()
+    assert cells[agg_cols].abs().to_numpy().max() < 2 ** 53
+    full = np.zeros((nc, len(agg_cols)))
+    full[cells.index.to_numpy()] = cells[agg_cols].to_numpy()
+    cube = full.reshape(k_outer, k_inner, len(agg_cols))
+    total = cube.sum(axis=(0, 1))
+    wexprs = cramer_weight_exprs()
+
+    def solve(vec: np.ndarray, lam: float) -> list[float]:
+        env = dict(zip(agg_cols, (float(v) for v in vec)))
+        for i in range(4):
+            env[f"g{i}{i}"] += float(lam)
+        return _eval_exprs(wexprs, env)
+
+    # inner weights: train = total - outer o's cells - inner column j
+    # of the REMAINING folds; outer weights: train = total - fold o
+    w_inner = np.zeros((k_outer, k_inner, len(lambdas), 4))
+    w_outer = np.zeros((k_outer, len(lambdas), 4))
+    for o in range(k_outer):
+        out_tr = total - cube[o].sum(axis=0)
+        for li, lam in enumerate(lambdas):
+            w_outer[o, li] = solve(out_tr, lam)
+        for j in range(k_inner):
+            inn_tr = out_tr - (cube[:, j].sum(axis=0) - cube[o, j])
+            for li, lam in enumerate(lambdas):
+                w_inner[o, j, li] = solve(inn_tr, lam)
+    wi_ref = ray.put(w_inner)
+    wo_ref = ray.put(w_outer)
+    nl = len(lambdas)
+
+    def score_hist(t: pa.Table) -> pa.Table:
+        wi, wo = ray.get(wi_ref), ray.get(wo_ref)
+        fold, inner = _fold_cols(t, k_outer, k_inner)
+        _f, x1, x2, x3, y = _train_xy(t, k_outer)
+        n = len(x1)
+        X = np.stack([np.ones(n), x1, x2, x3], axis=1).astype(np.float64)
+        scopes, os_, ls, js, zqs, ys = [], [], [], [], [], []
+        for o in range(k_outer):
+            sel_out = fold == o
+            sel_in = ~sel_out
+            for li in range(nl):
+                if sel_out.any():       # outer-val rows of fold o
+                    z = X[sel_out] @ wo[o, li]
+                    scopes.append(np.ones(int(sel_out.sum()), np.int8))
+                    os_.append(np.full(int(sel_out.sum()), o))
+                    ls.append(np.full(int(sel_out.sum()), li))
+                    js.append(np.full(int(sel_out.sum()), -1))
+                    zqs.append(round_half_away(z * _Z_Q, 0)
+                               .astype(np.int64))
+                    ys.append(y[sel_out])
+                if sel_in.any():        # inner-val rows (j = own inner)
+                    w = wi[o, inner[sel_in], li]      # (m, 4)
+                    z = np.einsum("md,md->m", X[sel_in], w)
+                    m = int(sel_in.sum())
+                    scopes.append(np.zeros(m, np.int8))
+                    os_.append(np.full(m, o))
+                    ls.append(np.full(m, li))
+                    js.append(inner[sel_in])
+                    zqs.append(round_half_away(z * _Z_Q, 0)
+                               .astype(np.int64))
+                    ys.append(y[sel_in])
+        return pa.table({
+            "scope": pa.array(np.concatenate(scopes)),
+            "o": pa.array(np.concatenate(os_).astype(np.int64)),
+            "l": pa.array(np.concatenate(ls).astype(np.int64)),
+            "j": pa.array(np.concatenate(js).astype(np.int64)),
+            "zq": pa.array(np.concatenate(zqs)),
+            "y": pa.array(np.concatenate(ys)),
+        })
+
+    hist = two_phase_agg(
+        ds.map_batches(score_hist, batch_format="pyarrow"),
+        ["scope", "o", "l", "j", "zq", "y"], [("y", "count")],
+        ["scope", "o", "l", "j", "zq", "y", "n"],
+    ).to_pandas()
+
+    def _auc(h: pd.DataFrame) -> float:
+        piv = h.pivot_table(index="zq", columns="y", values="n",
+                            aggfunc="sum", fill_value=0)
+        pos = piv[1].to_numpy(np.int64) if 1 in piv.columns else \
+            np.zeros(len(piv), np.int64)
+        neg = piv[0].to_numpy(np.int64) if 0 in piv.columns else \
+            np.zeros(len(piv), np.int64)
+        P, N = int(pos.sum()), int(neg.sum())
+        if P == 0 or N == 0:
+            return np.nan
+        cnb = np.concatenate(([0], np.cumsum(neg)[:-1]))
+        return float((pos * (2 * cnb + neg)).sum()) / (2.0 * P * N)
+
+    rows = []
+    folds_present = sorted(
+        hist.loc[hist["scope"] == 1, "o"].unique().tolist())
+    for o in folds_present:
+        means = []
+        for li in range(nl):
+            sub = hist[(hist["scope"] == 0) & (hist["o"] == o)
+                       & (hist["l"] == li)]
+            aucs = [a for j in sorted(sub["j"].unique())
+                    if not np.isnan(
+                        a := _auc(sub[sub["j"] == j]))]
+            means.append(float(np.sum(aucs) / len(aucs)) if aucs
+                         else np.nan)
+        best_li = int(np.nanargmax(means))  # first max = smaller lambda
+        outer = hist[(hist["scope"] == 1) & (hist["o"] == o)
+                     & (hist["l"] == best_li)]
+        n_val = int(outer["n"].sum())
+        rows.append({
+            "fold": int(o),
+            "best_lambda": float(lambdas[best_li]),
+            "inner_auc": round_half_away(means[best_li], 6),
+            "outer_auc": round_half_away(_auc(outer), 6),
+            "n_val": n_val,
+        })
+    return pd.DataFrame(rows).sort_values("fold").reset_index(drop=True)
