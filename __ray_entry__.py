@@ -400,6 +400,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the float-AUC lambda argmax is not SQL-expressible; gated vs
         # an independent reference in tests/test_train_scorer.py
         "nested_cv": CL.nested_cv,
+        "misclassification_report": CL.misclassification_report,
+        "roc_points": CL.roc_points,
         # tree/forest trainers (enhanced_tree_forest.py analog):
         # train_tree/train_forest are rows-only (greedy data-dependent
         # structure is not SQL-expressible; naive-reference-gated in
@@ -1549,6 +1551,9 @@ def oracle_sql() -> dict[str, str]:
         # generated twin: same integer histograms, same shared
         # gain-formula operation order (trees.tree_root_split_sql)
         "tree_root_split": TR.tree_root_split_sql(),
+        # generated twins: same score expression + guarded-division order
+        "misclassification_report": CL.misclassification_report_sql(),
+        "roc_points": CL.roc_points_sql(),
         "spans_exploded": f"""
             WITH sp AS {_sp}
             SELECT doc_id, kind, text, media_ref, "offset" FROM sp""",

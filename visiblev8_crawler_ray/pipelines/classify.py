@@ -1096,3 +1096,146 @@ def nested_cv(sf_dir: str, k_outer: int = 5, k_inner: int = 4,
             "n_val": n_val,
         })
     return pd.DataFrame(rows).sort_values("fold").reset_index(drop=True)
+
+
+def misclassification_report(sf_dir: str) -> pd.DataFrame:
+    """Per-source confusion-matrix accounting at the 0.5 operating
+    point — the comprehensive-misclassification analysis of
+    ``enhanced_tree_forest.py:905-1131`` (FP/FN breakdowns per vendor
+    group) over the production scorer's labels, with truth = the
+    deterministic language label.
+
+    Scale shape: one streaming scan; the per-(source, cell) counts are
+    the standard partial+final combiner (|sources| x 4 keys); derived
+    precision/recall/F1 are driver-side arithmetic on exact integer
+    counts, mirrored op-for-op by the SQL twin."""
+    from ..functions.util import two_phase_agg
+
+    ds = _read_docs(sf_dir, ["doc_id", "text", "lang", "source"])
+
+    def cells(t: pa.Table) -> pa.Table:
+        scored = Scorer()(t.select(["doc_id", "text"]))
+        pred = pc.equal(scored["label"], "behavioral") \
+            .to_numpy(zero_copy_only=False)
+        truth = pc.equal(t["lang"], "en").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "source": t["source"],
+            "tp": pa.array((pred & truth).astype(np.int64)),
+            "fp": pa.array((pred & ~truth).astype(np.int64)),
+            "fn": pa.array((~pred & truth).astype(np.int64)),
+            "tn": pa.array((~pred & ~truth).astype(np.int64)),
+        })
+
+    out = two_phase_agg(
+        ds.map_batches(cells, batch_format="pyarrow"), ["source"],
+        [("tp", "sum"), ("fp", "sum"), ("fn", "sum"), ("tn", "sum")],
+        ["source", "tp", "fp", "fn", "tn"],
+    ).to_pandas()
+    tp = out["tp"].to_numpy(np.float64)
+    fp = out["fp"].to_numpy(np.float64)
+    fn = out["fn"].to_numpy(np.float64)
+    prec = tp / np.maximum(tp + fp, 1.0)
+    rec = tp / np.maximum(tp + fn, 1.0)
+    out["precision"] = round_half_away(prec, 6)
+    out["recall"] = round_half_away(rec, 6)
+    out["f1"] = round_half_away(
+        2.0 * prec * rec / np.maximum(prec + rec, 1e-12), 6)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def misclassification_report_sql() -> str:
+    """Generated twin: the same score expression (score_sql_exprs) and
+    the same guarded-division order for precision/recall/F1."""
+    sc = score_sql_exprs()
+    prec = "(tp / greatest(tp + fp, 1.0))"
+    rec = "(tp / greatest(tp + fn, 1.0))"
+    return f"""
+        WITH s AS (
+            SELECT source,
+                   ({sc['label']} = 'behavioral') AS pred,
+                   (lang = 'en') AS truth
+            FROM documents),
+        c AS (SELECT source,
+                     CAST(sum(CASE WHEN pred AND truth THEN 1 ELSE 0 END)
+                          AS BIGINT) AS tp,
+                     CAST(sum(CASE WHEN pred AND NOT truth THEN 1 ELSE 0 END)
+                          AS BIGINT) AS fp,
+                     CAST(sum(CASE WHEN NOT pred AND truth THEN 1 ELSE 0 END)
+                          AS BIGINT) AS fn,
+                     CAST(sum(CASE WHEN NOT pred AND NOT truth THEN 1 ELSE 0
+                              END) AS BIGINT) AS tn
+              FROM s GROUP BY source)
+        SELECT source, tp, fp, fn, tn,
+               round({prec}, 6) AS precision,
+               round({rec}, 6) AS recall,
+               round(2.0 * {prec} * {rec}
+                     / greatest({prec} + {rec}, 1e-12), 6) AS f1
+        FROM c ORDER BY source"""
+
+
+def roc_points(sf_dir: str) -> pd.DataFrame:
+    """ROC curve of the production scorer against the language truth —
+    the per-threshold TPR/FPR table of the reference's
+    model-evaluation analysis (``model_evaluation_analysis.py`` /
+    ``nested_cv.py`` roc_curve plots): one row per DISTINCT score
+    value, predicting positive at ``score >= threshold``.
+
+    Scale shape: the (score, truth) histogram is the only exchange
+    (scores are rounded to 4 decimals, so <= 10^4+1 distinct keys no
+    matter the corpus size); cumulative TPR/FPR are a window over that
+    bounded table."""
+    from ..functions.util import two_phase_agg
+
+    ds = _read_docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        scored = Scorer()(t.select(["doc_id", "text"]))
+        truth = pc.equal(t["lang"], "en").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "score": scored["score"],
+            "pos": pa.array(truth.astype(np.int64)),
+            "neg": pa.array((~truth).astype(np.int64)),
+        })
+
+    h = two_phase_agg(
+        ds.map_batches(hist, batch_format="pyarrow"), ["score"],
+        [("pos", "sum"), ("neg", "sum")], ["score", "pos", "neg"],
+    ).to_pandas().sort_values("score", ascending=False)
+    P = max(int(h["pos"].sum()), 1)
+    N = max(int(h["neg"].sum()), 1)
+    h["n_pos_ge"] = h["pos"].cumsum()
+    h["n_neg_ge"] = h["neg"].cumsum()
+    h["tpr"] = round_half_away(
+        h["n_pos_ge"].to_numpy(np.float64) / float(P), 6)
+    h["fpr"] = round_half_away(
+        h["n_neg_ge"].to_numpy(np.float64) / float(N), 6)
+    return h.rename(columns={"score": "threshold"})[
+        ["threshold", "n_pos_ge", "n_neg_ge", "tpr", "fpr"]
+    ].reset_index(drop=True)
+
+
+def roc_points_sql() -> str:
+    sc = score_sql_exprs()
+    return f"""
+        WITH s AS (
+            SELECT round({sc['score']}, 4) AS score,
+                   CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT)
+                       AS pos
+            FROM documents),
+        h AS (SELECT score, sum(pos) AS pos,
+                     count(*) - sum(pos) AS neg
+              FROM s GROUP BY score),
+        t AS (SELECT greatest(sum(pos), 1) AS p, greatest(sum(neg), 1) AS n
+              FROM h),
+        c AS (SELECT score,
+                     CAST(sum(pos) OVER (ORDER BY score DESC
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_pos_ge,
+                     CAST(sum(neg) OVER (ORDER BY score DESC
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_neg_ge
+              FROM h)
+        SELECT score AS threshold, n_pos_ge, n_neg_ge,
+               round(CAST(n_pos_ge AS DOUBLE) / CAST(t.p AS DOUBLE), 6)
+                   AS tpr,
+               round(CAST(n_neg_ge AS DOUBLE) / CAST(t.n AS DOUBLE), 6)
+                   AS fpr
+        FROM c, t ORDER BY threshold DESC"""
