@@ -209,7 +209,10 @@ def run_bench() -> dict:
     timed("big_order_customers", lambda: A.big_order_customers(sf_dir))
     timed("sole_return_supplier", lambda: A.sole_return_supplier(sf_dir))
     from visiblev8_crawler_ray.pipelines import classify as CL
+    from visiblev8_crawler_ray.pipelines import trees as TRE
     timed("train_scorer", lambda: CL.train_scorer(sf_dir))
+    timed("nested_cv", lambda: CL.nested_cv(sf_dir))
+    timed("train_tree", lambda: TRE.train_tree(sf_dir))
     timed("adblock_filter", lambda: CL.adblock_filter(sf_dir))
 
     total = round(sum(timings.values()), 3)
