@@ -420,3 +420,63 @@ def test_adblock_full_option_syntax(tmp_path):
         False,          # exception rule carrying $third-party unblocks
         False,          # rule with unknown option was skipped entirely
     ]
+
+
+def test_adblock_sql_twin_fuzz(tmp_path):
+    """Property gate for the generated adblock SQL twin: random rule
+    files (all option families) x random request/page batches — the
+    vectorized engine and the DuckDB predicate generated from the SAME
+    parsed groups must agree on every row."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    from visiblev8_crawler_ray.pipelines.classify import AdblockIndex
+
+    rng = np.random.default_rng(11)
+    hostpool = ["ads.example", "cdn.ads.example", "track.net", "good.org",
+                "x.co.uk", "sub.x.co.uk", "a.example", "b.example"]
+    pagepool = hostpool + ["page1.example", "other.example"]
+    pathpool = ["/", "/x", "/ads/banner", "/track/p?q=1", "/a.b/c",
+                "/page/100", "/safe/x", "/banner/77", "/ads123/trackZZ"]
+    optpool = ["", "$third-party", "$~third-party",
+               "$domain=page1.example|~other.example",
+               "$domain=~ads.example", "$websocket"]
+    for trial in range(6):
+        lines = ["! fuzz rules"]
+        for _ in range(int(rng.integers(3, 9))):
+            kind = int(rng.integers(0, 4))
+            exc = "@@" if rng.integers(0, 4) == 0 else ""
+            opt = optpool[int(rng.integers(0, len(optpool)))]
+            if kind == 0:
+                h = hostpool[int(rng.integers(0, len(hostpool)))]
+                lines.append(f"{exc}||{h}^{opt}")
+            elif kind == 1:
+                h = hostpool[int(rng.integers(0, len(hostpool)))]
+                pat = ["/ad*/track^", "/page/1*7^", "/x^"][
+                    int(rng.integers(0, 3))]
+                lines.append(f"{exc}||{h}{pat}{opt}")
+            elif kind == 2:
+                lines.append(f"{exc}/track/{opt}")
+            else:
+                lines.append(exc + "/\\/banner\\/[0-9]+$/")
+        rules = tmp_path / f"rules{trial}.txt"
+        rules.write_text("\n".join(lines) + "\n")
+        idx = AdblockIndex(str(rules))
+
+        n = 40
+        hosts = [hostpool[i] for i in rng.integers(0, len(hostpool), n)]
+        pages = [pagepool[i] for i in rng.integers(0, len(pagepool), n)]
+        paths = [pathpool[i] for i in rng.integers(0, len(pathpool), n)]
+        urls = [f"https://{h}{p}" for h, p in zip(hosts, paths)]
+        batch = pa.table({"host": hosts, "path": paths,
+                          "canonical_url": urls, "page_host": pages})
+        got = idx(batch)["ad_blocked"].to_pylist()
+
+        con = duckdb.connect()
+        con.register("t", batch)
+        pred = idx.sql_pred(host="host", path="path",
+                            url="canonical_url", page="page_host")
+        want = [bool(v) for (v,) in con.execute(
+            f"SELECT {pred} FROM t").fetchall()]
+        assert got == want, (trial, lines)

@@ -109,3 +109,42 @@ def test_train_forest_deterministic_and_normalized(ray_session):
         assert s == 0 or abs(s - 1.0) < 1e-4  # per-tree normalization
     # trees differ (different bags/features): not all identical rows
     assert a.groupby("tree_id")["feature"].apply(tuple).nunique() > 1
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_train_tree_random_corpus_matches_naive(ray_session, tmp_path, seed):
+    """The distributed histogram trainer equals the naive reference on
+    RANDOMIZED corpora too (empty docs, duplicate texts, skewed labels
+    — shapes the curated fixture never hits)."""
+    import pyarrow.parquet as pq
+
+    from visiblev8_crawler_ray.pipelines.trees import train_tree
+
+    sys_path = str(tmp_path)
+    rng = np.random.default_rng(seed)
+    words = ["the", "a", "value", "key", "spark", "zz", "batch", "row"]
+    texts, langs = [], []
+    for d in range(80):
+        k = int(rng.integers(0, 30))
+        texts.append(" ".join(words[int(i)] for i in
+                              rng.integers(0, len(words), k)))
+        langs.append(["en", "es", "de"][int(rng.integers(0, 3))])
+    tbl = pa.table({
+        "doc_id": pa.array(range(80), type=pa.int64()),
+        "text": pa.array(texts), "lang": pa.array(langs),
+        "source": pa.array([f"s{d % 7}" for d in range(80)]),
+        "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    got = train_tree(sys_path, max_depth=4, min_leaf=3) \
+        .sort_values("node_id").reset_index(drop=True)
+
+    import test_trees as _self  # reuse the naive builder with this SF
+    old = _self.SF
+    try:
+        _self.SF = sys_path
+        ref = _naive_tree(max_depth=4, min_leaf=3)
+    finally:
+        _self.SF = old
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False,
+                                  check_exact=True)
