@@ -77,3 +77,56 @@ def test_media_decoder_jpeg_path(ray_session, tmp_path):
         assert (row["width"], row["height"]) == (img.shape[1], img.shape[0])
         assert row["n_bytes"] == os.path.getsize(
             os.path.join(blob_dir, key, "shot.jpg"))
+
+
+def test_png_decode_all_8bit_color_types():
+    """decode_png handles grayscale / palette / gray+alpha / RGBA
+    streams (hand-built with the same chunk writer), not just the RGB8
+    the engine emits — the 'beyond RGB8' codec-breadth item."""
+    import struct
+    import zlib
+
+    from visiblev8_crawler_ray.functions.png import _SIG, _chunk, decode_png
+
+    def build(ctype, w, h, rowbytes, extra=b""):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        raw = b"".join(b"\x00" + r for r in rowbytes)
+        return (_SIG + _chunk(b"IHDR", ihdr) + extra
+                + _chunk(b"IDAT", zlib.compress(raw))
+                + _chunk(b"IEND", b""))
+
+    # grayscale (ctype 0)
+    g = build(0, 3, 2, [bytes([10, 20, 30]), bytes([40, 50, 60])])
+    img = decode_png(g)
+    assert img.shape == (2, 3, 3)
+    assert (img[0, 1] == [20, 20, 20]).all()
+
+    # palette (ctype 3)
+    plte = _chunk(b"PLTE", bytes([255, 0, 0, 0, 255, 0, 0, 0, 255]))
+    p = build(3, 3, 1, [bytes([0, 1, 2])], extra=plte)
+    img = decode_png(p)
+    assert img.tolist() == [[[255, 0, 0], [0, 255, 0], [0, 0, 255]]]
+
+    # gray+alpha (ctype 4): alpha dropped
+    ga = build(4, 2, 1, [bytes([100, 255, 200, 0])])
+    assert decode_png(ga).tolist() == [[[100] * 3, [200] * 3]]
+
+    # RGBA (ctype 6): alpha dropped
+    rgba = build(6, 2, 1, [bytes([1, 2, 3, 9, 4, 5, 6, 9])])
+    assert decode_png(rgba).tolist() == [[[1, 2, 3], [4, 5, 6]]]
+
+    # 16-bit still refuses loudly
+    deep = _SIG + _chunk(b"IHDR", struct.pack(
+        ">IIBBBBB", 1, 1, 16, 2, 0, 0, 0))
+    with pytest.raises(NotImplementedError):
+        decode_png(deep)
+
+
+def test_png_rgb_roundtrip_unchanged():
+    """The original RGB8 path is byte-identical after the breadth
+    extension (crawl blob integrity depends on it)."""
+    from visiblev8_crawler_ray.functions.png import (decode_png, encode_png,
+                                                     synth_screenshot)
+
+    img = synth_screenshot("breadth-check")
+    assert (decode_png(encode_png(img)) == img).all()

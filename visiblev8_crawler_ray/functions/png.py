@@ -40,13 +40,18 @@ def encode_png(pixels: np.ndarray) -> bytes:
             + _chunk(b"IEND", b""))
 
 
+#: bytes per pixel for the 8-bit color types this decoder accepts
+_CTYPE_BPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes -> (h, w, 3) uint8.  Supports 8-bit RGB, filters 0-4,
-    no interlace — everything :func:`encode_png` emits and the common
-    non-paletted RGB output of real encoders."""
+    """PNG bytes -> (h, w, 3) uint8.  Supports every 8-bit color type
+    (grayscale, RGB, palette, gray+alpha, RGBA — alpha dropped, palette
+    resolved through PLTE), filters 0-4, no interlace.  16-bit depths
+    and Adam7 interlace raise NotImplementedError (disclosed scope)."""
     if data[:8] != _SIG:
         raise ValueError("not a PNG")
-    pos, idat, w = 8, [], None
+    pos, idat, w, plte = 8, [], None, None
     while pos < len(data):
         (ln,) = struct.unpack_from(">I", data, pos)
         tag = data[pos + 4:pos + 8]
@@ -55,17 +60,20 @@ def decode_png(data: bytes) -> np.ndarray:
         if tag == b"IHDR":
             w, h, depth, ctype, _, _, interlace = struct.unpack(
                 ">IIBBBBB", payload)
-            if (depth, ctype, interlace) != (8, 2, 0):
+            if depth != 8 or interlace != 0 or ctype not in _CTYPE_BPP:
                 raise NotImplementedError(
-                    f"only 8-bit RGB non-interlaced (got depth={depth} "
+                    f"only 8-bit non-interlaced (got depth={depth} "
                     f"ctype={ctype} interlace={interlace})")
+        elif tag == b"PLTE":
+            plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.append(payload)
         elif tag == b"IEND":
             break
     if w is None:
         raise ValueError("missing IHDR")
-    stride = w * 3
+    bpp = _CTYPE_BPP[ctype]
+    stride = w * bpp
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
     raw = raw.reshape(h, stride + 1)
     filt, lines = raw[:, 0], raw[:, 1:].astype(np.int32)
@@ -80,14 +88,14 @@ def decode_png(data: bytes) -> np.ndarray:
         elif f in (1, 3, 4):  # sub / average / paeth need a left-scan
             row = out[y]
             for x in range(stride):
-                a = row[x - 3] if x >= 3 else 0
+                a = row[x - bpp] if x >= bpp else 0
                 b = prior[x]
                 if f == 1:
                     v = cur[x] + a
                 elif f == 3:
                     v = cur[x] + ((a + b) >> 1)
                 else:
-                    c = prior[x - 3] if x >= 3 else 0
+                    c = prior[x - bpp] if x >= bpp else 0
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if (pa <= pb and pa <= pc) else (
@@ -96,7 +104,18 @@ def decode_png(data: bytes) -> np.ndarray:
                 row[x] = v & 0xFF
         else:
             raise NotImplementedError(f"filter {f}")
-    return out.astype(np.uint8).reshape(h, w, 3)
+    px = out.astype(np.uint8).reshape(h, w, bpp)
+    if ctype == 2:
+        return px
+    if ctype == 6:
+        return np.ascontiguousarray(px[:, :, :3])  # drop alpha
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)  # gray, drop alpha
+    if plte is None:
+        raise ValueError("palette image without PLTE")
+    return plte[px[:, :, 0]]
 
 
 def synth_screenshot(doc_key: str) -> np.ndarray:
