@@ -130,3 +130,78 @@ def test_png_rgb_roundtrip_unchanged():
 
     img = synth_screenshot("breadth-check")
     assert (decode_png(encode_png(img)) == img).all()
+
+
+def test_wav_decode_breadth():
+    """decode_wav accepts PCM8 / PCM16 / PCM32 and stereo (downmixed),
+    not just the engine's own mono PCM16."""
+    import io
+    import wave
+
+    from visiblev8_crawler_ray.functions.audio import decode_wav, synth_clip
+
+    clip = synth_clip("breadth")
+
+    def wav(samples_bytes, nch, width, rate=8000):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(width)
+            w.setframerate(rate)
+            w.writeframes(samples_bytes)
+        return buf.getvalue()
+
+    # PCM16 mono: bit-exact passthrough
+    rate, got = decode_wav(wav(clip.astype("<i2").tobytes(), 1, 2))
+    assert rate == 8000 and (got == clip).all()
+    # PCM8: unsigned midpoint-128, rescaled
+    u8 = ((clip.astype(np.int32) >> 8) + 128).astype(np.uint8)
+    _, got8 = decode_wav(wav(u8.tobytes(), 1, 1))
+    assert np.abs(got8.astype(np.int32) - clip.astype(np.int32)).max() < 256
+    # PCM32: rescaled back down
+    i32 = (clip.astype(np.int64) << 16).astype("<i4")
+    _, got32 = decode_wav(wav(i32.tobytes(), 1, 4))
+    assert (got32 == clip).all()
+    # stereo downmix: mean of identical channels = original
+    st = np.stack([clip, clip], axis=1).astype("<i2")
+    _, gots = decode_wav(wav(st.tobytes(), 2, 2))
+    assert (gots == clip).all()
+    with pytest.raises(NotImplementedError):
+        decode_wav(wav(clip.astype("<i2").tobytes()[:60], 1, 3))
+
+
+def test_mjpeg_stream_roundtrip(ray_session, tmp_path):
+    """Raw MJPEG (concatenated JFIF) splits marker-aware into frames,
+    each decodable; MediaDecoder dispatches .mjpg refs."""
+    import os
+
+    import ray.data as rd
+
+    from visiblev8_crawler_ray.functions.png import synth_screenshot
+    from visiblev8_crawler_ray.functions.video import iter_frames
+    from visiblev8_crawler_ray.pipelines.multimodal import media_features
+
+    imgs = [synth_screenshot(f"mj{i}") for i in range(4)]
+    # use ONE dims-consistent source so frames share shape
+    imgs = [imgs[0]] * 4
+    stream = b"".join(encode_jpeg(im, 80) for im in imgs)
+    frames = list(iter_frames(stream))
+    assert len(frames) == 4
+    for f in frames:
+        out = decode_jpeg(f)
+        assert out.shape == imgs[0].shape
+
+    blob_dir = str(tmp_path / "blobs")
+    os.makedirs(os.path.join(blob_dir, "vdoc"), exist_ok=True)
+    with open(os.path.join(blob_dir, "vdoc", "cap.mjpg"), "wb") as fh:
+        fh.write(stream)
+    docs = rd.from_items([{
+        "doc_id": "vdoc",
+        "spans": [{"kind": "media/video", "text": "",
+                   "media_ref": "blob://vdoc/cap.mjpg", "offset": 0}],
+    }])
+    out = media_features(docs, blob_dir=blob_dir).to_pandas()
+    assert len(out) == 1
+    assert (int(out.loc[0, "width"]), int(out.loc[0, "height"])) == \
+        (imgs[0].shape[1], imgs[0].shape[0])
+    assert int(out.loc[0, "n_bytes"]) == len(stream)

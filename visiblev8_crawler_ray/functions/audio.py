@@ -46,10 +46,26 @@ def encode_wav(samples: np.ndarray, rate: int = RATE) -> bytes:
 
 
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
-    """Parse real RIFF/WAVE bytes -> (sample_rate, int16 sample array)."""
+    """Parse real RIFF/WAVE bytes -> (sample_rate, mono int16 samples).
+
+    Accepts PCM8 (unsigned), PCM16 and PCM32 at any channel count —
+    multi-channel downmixes by channel mean, other widths rescale to
+    int16 — so feature stages digest what real recorders emit, not just
+    the engine's own mono-PCM16 clips (codec-breadth item)."""
     with wave.open(io.BytesIO(payload), "rb") as w:
-        assert w.getnchannels() == 1 and w.getsampwidth() == 2, \
-            "mono PCM16 expected"
+        nch, width = w.getnchannels(), w.getsampwidth()
         rate = w.getframerate()
-        data = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
-    return rate, data
+        raw = w.readframes(w.getnframes())
+    if width == 2:
+        data = np.frombuffer(raw, dtype="<i2").astype(np.int32)
+    elif width == 1:  # PCM8 is unsigned, midpoint 128
+        data = (np.frombuffer(raw, dtype=np.uint8).astype(np.int32)
+                - 128) << 8
+    elif width == 4:
+        data = np.frombuffer(raw, dtype="<i4").astype(np.int64) >> 16
+    else:
+        raise NotImplementedError(f"PCM width {width * 8} bits")
+    if nch > 1:
+        data = data[: len(data) // nch * nch].reshape(-1, nch) \
+            .mean(axis=1).astype(np.int64)
+    return rate, np.clip(data, -32768, 32767).astype(np.int16)

@@ -26,6 +26,33 @@ import numpy as np
 FRAME_W, FRAME_H = 8, 6
 
 
+def _jfif_end(data: bytes, pos: int) -> int:
+    """End offset (exclusive) of the JFIF frame starting at ``pos`` —
+    a marker-aware walk (a naive FFD9 search can false-trigger on table
+    payload bytes): skip length-prefixed segments to SOS, then scan the
+    entropy stream for the first marker that is not byte-stuffing (00)
+    or a restart (D0-D7)."""
+    p = pos + 2
+    while p + 4 <= len(data):
+        if data[p] != 0xFF:
+            return len(data)  # malformed: consume the rest
+        m = data[p + 1]
+        if m == 0xD9:
+            return p + 2
+        seglen = int.from_bytes(data[p + 2:p + 4], "big")
+        if m != 0xDA:
+            p += 2 + seglen
+            continue
+        q = p + 2 + seglen  # entropy-coded data
+        while q + 1 < len(data):
+            if data[q] == 0xFF and data[q + 1] != 0x00 and \
+                    not (0xD0 <= data[q + 1] <= 0xD7):
+                return q + 2 if data[q + 1] == 0xD9 else q
+            q += 1
+        return len(data)
+    return len(data)
+
+
 def encode_frames(frames: list[bytes]) -> bytes:
     """Container encode: u32-count header + u32-length-prefixed frame
     payloads (the one copy of the container format; multimodal's
@@ -38,7 +65,21 @@ def encode_frames(frames: list[bytes]) -> bytes:
 
 
 def iter_frames(payload: bytes):
-    """Container decode: yields each frame's bytes."""
+    """Container decode: yields each frame's bytes.
+
+    Two formats: the length-prefixed concat above, and RAW MJPEG
+    (back-to-back JFIF frames, the classic motion-JPEG stream: detected
+    by the leading SOI marker, split on SOI..EOI spans) — real-web
+    video capture via the in-repo baseline JPEG codec
+    (functions/jpeg.py)."""
+    if payload[:2] == b"\xff\xd8":  # MJPEG: concatenated JFIF frames
+        pos = 0
+        while pos + 2 <= len(payload) and \
+                payload[pos:pos + 2] == b"\xff\xd8":
+            end = _jfif_end(payload, pos)
+            yield payload[pos:end]
+            pos = end
+        return
     (n,) = struct.unpack_from(">I", payload, 0)
     pos = 4
     for _ in range(n):

@@ -99,6 +99,12 @@ class MediaDecoder:
 
             first = decode_png(next(iter_frames(data)))
             return first.shape[1], first.shape[0], len(data)
+        if path.endswith((".mjpg", ".mjpeg")):
+            from ..functions.jpeg import decode_jpeg
+            from ..functions.video import iter_frames
+
+            first = decode_jpeg(next(iter_frames(data)))
+            return first.shape[1], first.shape[0], len(data)
         json.loads(data)  # HAR: validate, no intrinsic dims
         return 0, 0, len(data)
 
