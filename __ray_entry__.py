@@ -298,6 +298,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "min_cost_supplier": A.min_cost_supplier,
         "part_revenue_share": A.part_revenue_share,
         "sole_return_supplier": A.sole_return_supplier,
+        "disjunctive_revenue": A.disjunctive_revenue,
+        "nation_market_share": A.nation_market_share,
         "supplier_part_variety": A.supplier_part_variety,
         "distinct_users_hll": A.distinct_users_hll,
         # training-data text ops
@@ -965,6 +967,8 @@ def oracle_sql() -> dict[str, str]:
         "min_cost_supplier": A.min_cost_supplier_sql(),
         "part_revenue_share": A.part_revenue_share_sql(),
         "sole_return_supplier": A.sole_return_supplier_sql(),
+        "disjunctive_revenue": A.disjunctive_revenue_sql(),
+        "nation_market_share": A.nation_market_share_sql(),
         "supplier_part_variety": A.supplier_part_variety_sql(),
         "distinct_users_hll": A.distinct_users_hll_sql(),
         # PassJoin-style Hamming similarity self-join; per-position

@@ -311,12 +311,22 @@ def test_tpch_composites_fuzz_vs_duckdb(ray_session, tmp_path, seed):
         pq.write_table(tbl, tmp_path / f"{name}.parquet")
         con.sql(f"CREATE VIEW {name} AS SELECT * "
                 f"FROM '{tmp_path}/{name}.parquet'")
+    fuzz_groups = (("B0", 20, 1.0, 15.0), ("B1", 35, 10.0, 30.0),
+                   ("B3", 50, 25.0, 49.0))
     cases = [
         (A.local_supplier_volume(
             str(tmp_path), region="ALPHA",
             date_lo="2024-01-01", date_hi="2024-08-01"),
          A.local_supplier_volume_sql(
              region="ALPHA", date_lo="2024-01-01", date_hi="2024-08-01")),
+        (A.disjunctive_revenue(str(tmp_path), groups=fuzz_groups),
+         A.disjunctive_revenue_sql(groups=fuzz_groups)),
+        (A.nation_market_share(
+            str(tmp_path), region="BETA", nation="NAT1",
+            date_lo="2024-01-01", date_hi="2024-10-01"),
+         A.nation_market_share_sql(
+             region="BETA", nation="NAT1",
+             date_lo="2024-01-01", date_hi="2024-10-01")),
         (A.promo_revenue_share(
             str(tmp_path), month_lo="2024-02-01", month_hi="2024-07-01"),
          A.promo_revenue_share_sql(

@@ -4280,3 +4280,249 @@ def supplier_part_variety_sql() -> str:
               (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         GROUP BY p_brand, p_size
         ORDER BY supplier_cnt DESC, p_brand, p_size"""
+
+
+#: Q19 default predicate groups: (brand, max size, qty lo, qty hi)
+DISJ_GROUPS = (("Brand#1", 15, 1.0, 11.0),
+               ("Brand#7", 25, 10.0, 20.0),
+               ("Brand#13", 50, 20.0, 30.0))
+
+
+def disjunctive_revenue(sf_dir: str,
+                        groups: tuple = DISJ_GROUPS) -> pd.DataFrame:
+    """TPC-H Q19 shape: lineitem ⋈ part under a DISJUNCTION of
+    multi-column range-predicate groups (brand + size cap + quantity
+    band), total discounted revenue — the multi-branch pushed-predicate
+    join no single filter column can index.
+
+    Scale shape: part collapses to a broadcast probe of
+    (sorted partkey -> per-group membership BITMASK) — the part-side
+    half of every branch predicate is pre-evaluated once per part, so
+    the lineitem scan is one streaming pass doing a searchsorted probe
+    + per-branch quantity compare + OR-reduce; the exchange is one
+    integer partial sum per block.  Revenue in basis-points x cents
+    (the local_supplier_volume unit), ONE division at the end."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]) \
+        .to_pandas()
+    pk = part["p_partkey"].to_numpy(np.int64)
+    mask = np.zeros(len(pk), dtype=np.uint8)
+    for gi, (brand, max_size, _lo, _hi) in enumerate(groups):
+        sel = ((part["p_brand"] == brand).to_numpy()
+               & (part["p_size"].to_numpy(np.int64) <= max_size))
+        mask |= np.uint8(1 << gi) * sel.astype(np.uint8)
+    o = np.argsort(pk, kind="stable")
+    dim_ref = ray.put((pk[o], mask[o]))
+    qty_bands = [(g[2], g[3]) for g in groups]
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, bm = ray.get(dim_ref)
+        q = t["l_partkey"].to_numpy(zero_copy_only=False)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        if len(keys):
+            ix = np.searchsorted(keys, q)
+            ix[ix >= len(keys)] = 0
+            hit = keys[ix] == q
+            m = np.where(hit, bm[ix], 0)
+        else:
+            m = np.zeros(len(q), dtype=np.uint8)
+        keep = np.zeros(len(q), dtype=bool)
+        for gi, (lo, hi) in enumerate(qty_bands):
+            keep |= ((m >> gi) & 1).astype(bool) & (qty >= lo) & (qty <= hi)
+        sub = t.filter(pa.array(keep))
+        rev = _cents(sub["l_extendedprice"]) * (
+            100 - round_half_away(
+                sub["l_discount"].to_numpy(zero_copy_only=False) * 100.0,
+                0).astype(np.int64))
+        return pa.table({"e4": pa.array(np.array([rev.sum()], np.int64))})
+
+    total = _read(sf_dir, "lineitem",
+                  ["l_partkey", "l_quantity", "l_extendedprice",
+                   "l_discount"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .aggregate(Sum("e4", alias_name="e4"))["e4"]
+    total = int(total) if total is not None else 0
+    assert abs(total) < 2 ** 53
+    return pd.DataFrame({"revenue": [float(round_half_away(
+        total / 1e4, 2))]})
+
+
+def disjunctive_revenue_sql(groups: tuple = DISJ_GROUPS) -> str:
+    arms = " OR ".join(
+        f"(p_brand = '{b}' AND p_size <= {s} "
+        f"AND l_quantity >= {lo} AND l_quantity <= {hi})"
+        for b, s, lo, hi in groups)
+    return f"""
+        SELECT round(coalesce(sum(
+                   CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))),
+                   0) / 10000.0, 2) AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE {arms}"""
+
+
+def nation_market_share(sf_dir: str, region: str = "ASIA",
+                        nation: str = "NATION_2",
+                        date_lo: str = "1996-01-01",
+                        date_hi: str = "1998-01-01",
+                        n_buckets: int = 8) -> pd.DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's order revenue
+    per order YEAR — the conditional-ratio aggregate over the full
+    customer/orders/lineitem/supplier star.
+
+    Scale shape: customer keys of the region and the supplier->is-
+    target-nation flag broadcast as sorted probe arrays; orders stream
+    once (filter + year tag), lineitem streams once pre-combining
+    (orderkey -> total_e4, target_e4) per block; ONE bucketed co-group
+    on orderkey attaches the year; |years| x |buckets| integer rows
+    reach the driver, where share = target/total divides exact int
+    sums (asserted < 2^53) once per year."""
+    lo = np.datetime64(date_lo, "us").astype(np.int64)
+    hi = np.datetime64(date_hi, "us").astype(np.int64)
+    nat = _read(sf_dir, "nation").to_pandas()
+    reg = _read(sf_dir, "region").to_pandas()
+    rkeys = set(reg[reg.r_name == region].r_regionkey)
+    region_nkeys = np.array(sorted(
+        nat[nat.n_regionkey.isin(rkeys)].n_nationkey.astype(np.int64)))
+    target_nkeys = set(nat[nat.n_name == nation].n_nationkey.astype(int))
+
+    ck, cn = [], []
+    for b in _read(sf_dir, "customer",
+                   ["c_custkey", "c_nationkey"]).iter_batches(
+            batch_format="pyarrow", batch_size=65536):
+        k = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = b["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.isin(n, region_nkeys)
+        ck.append(k[m])
+    ckeys = np.sort(np.concatenate(ck)) if ck else np.empty(0, np.int64)
+    sk, st = [], []
+    for b in _read(sf_dir, "supplier",
+                   ["s_suppkey", "s_nationkey"]).iter_batches(
+            batch_format="pyarrow", batch_size=65536):
+        k = b["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = b["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk.append(k)
+        st.append(np.isin(n, list(target_nkeys)))
+    skeys = np.concatenate(sk) if sk else np.empty(0, np.int64)
+    sflag = np.concatenate(st) if st else np.empty(0, bool)
+    o = np.argsort(skeys, kind="stable")
+    cust_ref = ray.put(ckeys)
+    supp_ref = ray.put((skeys[o], sflag[o]))
+
+    def orders_side(t: pa.Table) -> pa.Table:
+        keys = ray.get(cust_ref)
+        ckq = t["o_custkey"].to_numpy(zero_copy_only=False)
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]")
+        odi = od.astype(np.int64)
+        if len(keys):
+            ix = np.searchsorted(keys, ckq)
+            ix[ix >= len(keys)] = 0
+            hit = keys[ix] == ckq
+        else:
+            hit = np.zeros(len(ckq), bool)
+        keep = hit & (odi >= lo) & (odi < hi)
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False)[keep]
+        yr = od[keep].astype("datetime64[Y]").astype(np.int64) + 1970
+        n = len(ok)
+        return pa.table({
+            "orderkey": pa.array(ok),
+            "o_year": pa.array(yr),
+            "total_e4": pa.array(np.zeros(n, np.int64)),
+            "target_e4": pa.array(np.zeros(n, np.int64)),
+            "side": pa.array(np.ones(n, np.int8)),
+            "bucket": pa.array(_bucket_of(ok, n_buckets)),
+        })
+
+    def lines_side(t: pa.Table) -> pa.Table:
+        keys, flag = ray.get(supp_ref)
+        sq = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        if len(keys):
+            ix = np.searchsorted(keys, sq)
+            ix[ix >= len(keys)] = 0
+            is_t = (keys[ix] == sq) & flag[ix]
+        else:
+            is_t = np.zeros(len(sq), bool)
+        rev = _cents(t["l_extendedprice"]) * (
+            100 - round_half_away(
+                t["l_discount"].to_numpy(zero_copy_only=False) * 100.0,
+                0).astype(np.int64))
+        part = pa.table({
+            "orderkey": t["l_orderkey"],
+            "total_e4": pa.array(rev),
+            "target_e4": pa.array(np.where(is_t, rev, 0)),
+        }).group_by(["orderkey"]).aggregate(
+            [("total_e4", "sum"), ("target_e4", "sum")]) \
+          .rename_columns(["orderkey", "total_e4", "target_e4"])
+        ok = part["orderkey"].to_numpy(zero_copy_only=False)
+        n = part.num_rows
+        return pa.table({
+            "orderkey": part["orderkey"],
+            "o_year": pa.array(np.zeros(n, np.int64)),
+            "total_e4": part["total_e4"],
+            "target_e4": part["target_e4"],
+            "side": pa.array(np.zeros(n, np.int8)),
+            "bucket": pa.array(_bucket_of(ok, n_buckets)),
+        })
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(orders_side, batch_format="pyarrow")
+    lines = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_suppkey", "l_extendedprice",
+                   "l_discount"]) \
+        .map_batches(lines_side, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 1][["orderkey", "o_year"]]
+        l = g[g["side"] == 0].groupby("orderkey", as_index=False)[
+            ["total_e4", "target_e4"]].sum()
+        m = l.merge(o, on="orderkey")
+        if m.empty:
+            return pd.DataFrame({
+                "o_year": pd.Series([], dtype="int64"),
+                "total_e4": pd.Series([], dtype="int64"),
+                "target_e4": pd.Series([], dtype="int64")})
+        return m.groupby("o_year", as_index=False)[
+            ["total_e4", "target_e4"]].sum()
+
+    parts = orders.union(lines).groupby("bucket").map_groups(
+        per_bucket, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"o_year": pd.Series([], dtype="int64"),
+                             "mkt_share": pd.Series([], dtype="float64")})
+    fin = parts.groupby("o_year", as_index=False)[
+        ["total_e4", "target_e4"]].sum()
+    assert fin[["total_e4", "target_e4"]].abs().to_numpy().max() < 2 ** 53
+    fin["mkt_share"] = round_half_away(
+        fin["target_e4"].to_numpy(np.float64)
+        / fin["total_e4"].to_numpy(np.float64), 6)
+    return fin[["o_year", "mkt_share"]].sort_values("o_year") \
+        .reset_index(drop=True)
+
+
+def nation_market_share_sql(region: str = "ASIA",
+                            nation: str = "NATION_2",
+                            date_lo: str = "1996-01-01",
+                            date_hi: str = "1998-01-01") -> str:
+    e4 = ("CAST(round(l_extendedprice * 100) AS BIGINT) "
+          "* (100 - CAST(round(l_discount * 100) AS BIGINT))")
+    return f"""
+        WITH rev AS (
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   {e4} AS e4,
+                   (s_nationkey IN (SELECT n_nationkey FROM nation
+                                    WHERE n_name = '{nation}')) AS is_t
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN region ON cn.n_regionkey = r_regionkey
+            WHERE r_name = '{region}'
+              AND o_orderdate >= TIMESTAMP '{date_lo}'
+              AND o_orderdate < TIMESTAMP '{date_hi}')
+        SELECT o_year,
+               round(CAST(coalesce(sum(CASE WHEN is_t THEN e4 END), 0)
+                          AS DOUBLE)
+                     / CAST(sum(e4) AS DOUBLE), 6) AS mkt_share
+        FROM rev GROUP BY o_year ORDER BY o_year"""

@@ -726,7 +726,11 @@ def train_scorer(sf_dir: str, k: int = 5,
       the threshold-analysis table of ``nested_cv.py:525-560``.
 
     At 100 TB both passes are single streaming scans; only the k x 15
-    Gram rows and the score histogram cross the wire."""
+    Gram rows and the score histogram cross the wire.  Honest bound:
+    the histogram is keyed by DISTINCT quantized z, which tracks
+    distinct feature combinations — far below corpus size but not
+    constant; at extreme scale coarsen ``_Z_Q`` (each 10x cut divides
+    the exchange by ~10 at the cost of coarser threshold/AUC ties)."""
     ds = _read_docs(sf_dir, ["text", "lang", "source"])
     lam = TRAIN_RIDGE_LAMBDA
 
