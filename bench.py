@@ -208,6 +208,7 @@ def run_bench() -> dict:
     timed("late_priority_counts", lambda: A.late_priority_counts(sf_dir))
     timed("big_order_customers", lambda: A.big_order_customers(sf_dir))
     timed("sole_return_supplier", lambda: A.sole_return_supplier(sf_dir))
+    timed("nation_market_share", lambda: A.nation_market_share(sf_dir))
     from visiblev8_crawler_ray.pipelines import classify as CL
     from visiblev8_crawler_ray.pipelines import trees as TRE
     timed("train_scorer", lambda: CL.train_scorer(sf_dir))

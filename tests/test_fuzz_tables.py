@@ -373,6 +373,20 @@ def test_cogroup_joins_under_hot_key_skew(ray_session, tmp_path, seed):
     hot_ck[: len(hot_ck) * 2 // 5] = 3          # one customer, 40 orders
     tables["orders"] = orders.set_column(
         1, "o_custkey", pa.array(hot_ck, type=pa.int64()))
+    # star dims so nation_market_share's co-group runs under the skew
+    tables["region"] = pa.table({
+        "r_regionkey": pa.array(range(3), type=pa.int32()),
+        "r_name": pa.array(["ALPHA", "BETA", "GAMMA"])})
+    tables["nation"] = pa.table({
+        "n_nationkey": pa.array(range(5), type=pa.int32()),
+        "n_name": pa.array([f"NAT{i}" for i in range(5)]),
+        "n_regionkey": pa.array(
+            rng.integers(0, 3, 5).astype(np.int32))})
+    tables["supplier"] = pa.table({
+        "s_suppkey": pa.array(range(10), type=pa.int64()),
+        "s_name": pa.array([f"sup{i}" for i in range(10)]),
+        "s_nationkey": pa.array(rng.integers(0, 5, 10).astype(np.int32)),
+        "s_acctbal": pa.array(np.round(rng.uniform(-500, 9000, 10), 2))})
 
     con = duckdb.connect()
     for name, tbl in tables.items():
@@ -380,12 +394,20 @@ def test_cogroup_joins_under_hot_key_skew(ray_session, tmp_path, seed):
         con.sql(f"CREATE VIEW {name} AS SELECT * "
                 f"FROM '{tmp_path}/{name}.parquet'")
     q, sql = R.queries(), R.oracle_sql()
-    for name in ["shipping_priority", "late_priority_counts",
-                 "customer_orders_full", "orders_with_customer",
-                 "small_quantity_revenue", "big_order_customers"]:
-        res = q[name](str(tmp_path))
+    cases = [(name, q[name](str(tmp_path)), sql[name])
+             for name in ["shipping_priority", "late_priority_counts",
+                          "customer_orders_full", "orders_with_customer",
+                          "small_quantity_revenue", "big_order_customers"]]
+    cases.append(("nation_market_share",
+                  A.nation_market_share(
+                      str(tmp_path), region="ALPHA", nation="NAT2",
+                      date_lo="2024-01-01", date_hi="2024-11-01"),
+                  A.nation_market_share_sql(
+                      region="ALPHA", nation="NAT2",
+                      date_lo="2024-01-01", date_hi="2024-11-01")))
+    for name, res, osql in cases:
         df = res.to_pandas() if hasattr(res, "to_pandas") else res
-        odf = con.sql(sql[name]).df()
+        odf = con.sql(osql).df()
         a, b = _norm(df), _norm(odf)
         assert list(a.columns) == list(b.columns), name
         assert len(a) == len(b), (name, len(a), len(b))
