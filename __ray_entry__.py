@@ -262,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stream-shaped (§2.9)
         "events_tumbling_window": A.events_tumbling_window,
         "sessionize": A.sessionize,
+        "funnel_conversion": A.funnel_conversion,
         "events_hopping_window": A.events_hopping_window,
         "value_quantiles": A.value_quantiles,
         "value_quantiles_sketch": A.value_quantiles_sketch,
@@ -881,6 +882,7 @@ def oracle_sql() -> dict[str, str]:
                 ('b3', 200.0, 300.0), ('b4', 300.0, 400.0), ('b5', 400.0, 500.0)
             ) AS b(band, lo, hi) ON e.value >= b.lo AND e.value < b.hi
             GROUP BY b.band""",
+        "funnel_conversion": A.funnel_conversion_sql(),
         "sessionize": """
             WITH d AS (
                 SELECT user_id, ts,

@@ -4526,3 +4526,90 @@ def nation_market_share_sql(region: str = "ASIA",
                           AS DOUBLE)
                      / CAST(sum(e4) AS DOUBLE), 6) AS mkt_share
         FROM rev GROUP BY o_year ORDER BY o_year"""
+
+
+def funnel_conversion(sf_dir: str,
+                      steps: tuple[str, ...] = ("view", "click",
+                                                "purchase")
+                      ) -> pd.DataFrame:
+    """Ordered funnel / CEP sequence detection: per user, how far
+    through the ``steps`` sequence they progress, where each step must
+    occur STRICTLY AFTER the previous step's first qualifying event
+    (order = (ts, event_id), the deterministic total order) — the
+    MATCH_RECOGNIZE-lite shape streaming engines ship and §2.9's
+    sessionize leaves uncovered.
+
+    Scale shape: one ``groupby(user_id).map_groups`` (the sessionize
+    partitioning); the per-group kernel is a single argmax chain over
+    the sorted arrays; the driver sees |steps| rows.  Per-step output:
+    users reaching the step and conversion vs step 1."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts",
+                                  "event_type"])
+    n_steps = len(steps)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        types = g["event_type"].to_numpy()
+        reached = np.zeros(n_steps, dtype=np.int64)
+        pos = -1
+        for si, s in enumerate(steps):
+            nxt = np.flatnonzero((types == s)
+                                 & (np.arange(len(types)) > pos))
+            if len(nxt) == 0:
+                break
+            pos = int(nxt[0])
+            reached[si] = 1
+        return pd.DataFrame({"step": np.arange(1, n_steps + 1),
+                             "reached": reached})
+
+    agg = ds.groupby("user_id").map_groups(
+        per_user, batch_format="pandas")
+    out = two_phase_agg(agg, ["step"], [("reached", "sum")],
+                        ["step", "n_users"]).to_pandas() \
+        .sort_values("step").reset_index(drop=True)
+    out["event_type"] = [steps[int(s) - 1] for s in out["step"]]
+    n1 = int(out.loc[out["step"] == 1, "n_users"].iloc[0]) \
+        if len(out) else 0
+    if n1 > 0:
+        out["pct"] = round_half_away(
+            out["n_users"].to_numpy(np.float64) / float(n1), 6)
+    else:
+        out["pct"] = np.nan
+    return out[["step", "event_type", "n_users", "pct"]]
+
+
+def funnel_conversion_sql(steps: tuple[str, ...] = ("view", "click",
+                                                    "purchase")) -> str:
+    ctes = ["r AS (SELECT user_id, event_type, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS rn "
+            "FROM events)"]
+    prev = None
+    for i, s in enumerate(steps, start=1):
+        if prev is None:
+            ctes.append(
+                f"s{i} AS (SELECT user_id, min(rn) AS r{i} FROM r "
+                f"WHERE event_type = '{s}' GROUP BY user_id)")
+        else:
+            ctes.append(
+                f"s{i} AS (SELECT r.user_id, min(rn) AS r{i} FROM r "
+                f"JOIN s{i - 1} USING (user_id) "
+                f"WHERE event_type = '{s}' AND rn > r{i - 1} "
+                f"GROUP BY r.user_id)")
+        prev = s
+    counts = ", ".join(
+        f"(SELECT count(*) FROM s{i}) AS n{i}"
+        for i in range(1, len(steps) + 1))
+    rows = ", ".join(
+        f"({i}, '{s}', (SELECT n{i} FROM c))"
+        for i, s in enumerate(steps, start=1))
+    return f"""
+        WITH {', '.join(ctes)},
+        c AS (SELECT {counts})
+        SELECT CAST(step AS BIGINT) AS step, event_type,
+               CAST(n_users AS BIGINT) AS n_users,
+               CASE WHEN (SELECT n1 FROM c) > 0
+                    THEN round(CAST(n_users AS DOUBLE)
+                               / (SELECT n1 FROM c), 6)
+                    ELSE NULL END AS pct
+        FROM (VALUES {rows}) AS v(step, event_type, n_users)
+        ORDER BY step"""
