@@ -154,3 +154,54 @@ def test_crawl_with_robots_file_matches_oracle(ray_session, tmp_path):
             assert (np.diff(vt) >= 2000).all()
             checked += 1
     assert checked > 0
+
+
+def test_robots_sql_twin_fuzz(tmp_path):
+    """Randomized robots corpora (random agents/patterns/wildcards/
+    anchors/delays) x random (host, path) batches: decide_batch and the
+    generated SQL CASE trees must agree row-for-row — the adblock-twin
+    property fuzz applied to T7."""
+    import duckdb
+
+    rng = np.random.default_rng(23)
+    pat_pool = ["/", "/page/", "/page/1", "/page/1*3$", "/page/*7",
+                "/a/*/b", "/x$", "", "/page/10"]
+    for trial in range(5):
+        lines = ["# fuzz corpus"]
+        hosts = [f"h{i}.example" for i in range(int(rng.integers(2, 5)))]
+        for h in hosts:
+            lines.append(f"# === host: {h}")
+            for agent in (["vv8ray"] if rng.integers(0, 2) else []) + ["*"]:
+                lines.append(f"User-agent: {agent}")
+                for _ in range(int(rng.integers(1, 4))):
+                    field = "Allow" if rng.integers(0, 3) == 0 \
+                        else "Disallow"
+                    pat = pat_pool[int(rng.integers(0, len(pat_pool)))]
+                    lines.append(f"{field}: {pat}")
+                if rng.integers(0, 2):
+                    lines.append(
+                        f"Crawl-delay: {int(rng.integers(0, 5))}")
+                lines.append("")
+        corpus = tmp_path / f"corpus{trial}.txt"
+        corpus.write_text("\n".join(lines) + "\n")
+        rules = parse_corpus(str(corpus))
+
+        n = 60
+        qhosts = np.array(
+            [hosts[i % len(hosts)] if i % 5 else "absent.example"
+             for i in range(n)], dtype=object)
+        qpaths = np.array(
+            [["/page/1", "/page/13", "/page/17", "/page/100", "/",
+              "/a/z/b", "/x", "/other"][int(i)]
+             for i in rng.integers(0, 8, n)], dtype=object)
+        allowed, delay = decide_batch(rules, qhosts, qpaths)
+
+        exprs = robots_sql_exprs(rules)
+        con = duckdb.connect()
+        con.sql("CREATE TABLE g(host VARCHAR, path VARCHAR)")
+        con.executemany("INSERT INTO g VALUES (?, ?)",
+                        list(zip(qhosts.tolist(), qpaths.tolist())))
+        df = con.sql(f"SELECT {exprs['allowed']} AS a, "
+                     f"{exprs['crawl_delay_ms']} AS d FROM g").df()
+        assert df["a"].tolist() == allowed.tolist(), trial
+        assert df["d"].tolist() == delay.tolist(), trial
