@@ -302,6 +302,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "disjunctive_revenue": A.disjunctive_revenue,
         "nation_market_share": A.nation_market_share,
         "supplier_part_variety": A.supplier_part_variety,
+        "forecast_revenue": A.forecast_revenue,
+        "two_nation_volume": A.two_nation_volume,
+        "product_profit": A.product_profit,
+        "returned_top_customers": A.returned_top_customers,
+        "ship_lag_priority": A.ship_lag_priority,
+        "top_revenue_supplier": A.top_revenue_supplier,
+        "excess_share_suppliers": A.excess_share_suppliers,
         "distinct_users_hll": A.distinct_users_hll,
         # training-data text ops
         "dedup_exact": T.dedup_exact,
@@ -972,6 +979,13 @@ def oracle_sql() -> dict[str, str]:
         "disjunctive_revenue": A.disjunctive_revenue_sql(),
         "nation_market_share": A.nation_market_share_sql(),
         "supplier_part_variety": A.supplier_part_variety_sql(),
+        "forecast_revenue": A.forecast_revenue_sql(),
+        "two_nation_volume": A.two_nation_volume_sql(),
+        "product_profit": A.product_profit_sql(),
+        "returned_top_customers": A.returned_top_customers_sql(),
+        "ship_lag_priority": A.ship_lag_priority_sql(),
+        "top_revenue_supplier": A.top_revenue_supplier_sql(),
+        "excess_share_suppliers": A.excess_share_suppliers_sql(),
         "distinct_users_hll": A.distinct_users_hll_sql(),
         # PassJoin-style Hamming similarity self-join; per-position
         # substr twin (DuckDB hamming() is byte-based — unicode-unsafe)

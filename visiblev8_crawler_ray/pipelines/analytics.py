@@ -4613,3 +4613,743 @@ def funnel_conversion_sql(steps: tuple[str, ...] = ("view", "click",
                     ELSE NULL END AS pct
         FROM (VALUES {rows}) AS v(step, event_type, n_users)
         ORDER BY step"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H closure block — the last six classic shapes the suite had not
+# pinned (Q6 scalar band filter, Q7 two-nation volume, Q9 product
+# profit, Q10 returned-item top-k, Q12 lag x priority pivot, Q15
+# group-vs-global-argmax, Q20 share-threshold semi-join).  Reference
+# parity: the vendor analytics express these as pandas merges over
+# multicore_static_info exports (script_classification/vendor_issues/
+# no_split/run_aggregation_analysis.py:30-52); same integer-cents
+# contract as the Q5/Q14/Q1 block above.  The testdata has no
+# partsupp / l_shipmode / l_commitdate, so Q9/Q12/Q20 substitute the
+# documented analogs (retailprice cost, ship-lag bucket, shipped-share
+# threshold) keeping the join/aggregate SHAPE intact.
+
+def forecast_revenue(sf_dir: str, date_lo: str = "1996-01-01",
+                     date_hi: str = "1997-01-01",
+                     disc_lo_pct: int = 5, disc_hi_pct: int = 7,
+                     qty_max: int = 24) -> pd.DataFrame:
+    """TPC-H Q6 shape: one filtered scan of lineitem, scalar
+    sum(extendedprice * discount) over a discount band and quantity
+    cap.  Scale shape: column-pruned read, per-block 1-row integer
+    partial (rev_e4 = cents x pct), driver adds |blocks| ints — no
+    shuffle at any scale."""
+    lo = np.datetime64(date_lo, "us").astype(np.int64)
+    hi = np.datetime64(date_hi, "us").astype(np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        pct = round_half_away(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        qty = round_half_away(
+            t["l_quantity"].to_numpy(zero_copy_only=False), 0) \
+            .astype(np.int64)
+        keep = ((sd >= lo) & (sd < hi) & (pct >= disc_lo_pct)
+                & (pct <= disc_hi_pct) & (qty < qty_max))
+        rev = _cents(t["l_extendedprice"])[keep] * pct[keep]
+        return pa.table({"rev_e4": pa.array([int(rev.sum())])})
+
+    parts = _read(sf_dir, "lineitem",
+                  ["l_shipdate", "l_discount", "l_quantity",
+                   "l_extendedprice"]) \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    e4 = int(parts["rev_e4"].sum())
+    assert abs(e4) < (1 << 53)
+    return pd.DataFrame({"revenue": round_half_away(
+        np.array([e4 / 10000.0]), 2)})
+
+
+def forecast_revenue_sql(date_lo: str = "1996-01-01",
+                         date_hi: str = "1997-01-01",
+                         disc_lo_pct: int = 5, disc_hi_pct: int = 7,
+                         qty_max: int = 24) -> str:
+    return f"""
+        SELECT round(CAST(coalesce(sum(
+                   CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * CAST(round(l_discount * 100) AS BIGINT)), 0)
+               AS BIGINT) / 10000.0, 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{date_lo}'
+          AND l_shipdate <  TIMESTAMP '{date_hi}'
+          AND CAST(round(l_discount * 100) AS BIGINT)
+              BETWEEN {disc_lo_pct} AND {disc_hi_pct}
+          AND CAST(round(l_quantity) AS BIGINT) < {qty_max}"""
+
+
+def two_nation_volume(sf_dir: str, nation_a: str = "NATION_18",
+                      nation_b: str = "NATION_19",
+                      date_lo: str = "1996-01-01",
+                      date_hi: str = "1998-01-01",
+                      n_buckets: int = 8) -> pd.DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations per year —
+    lineitem(supplier nation) |x| orders(customer nation) keeping only
+    cross pairs (A->B, B->A), grouped by (supp_nation, cust_nation,
+    ship year).
+
+    Scale shape: customer/supplier restricted to the two nations
+    broadcast as sorted probe arrays; orders and lineitem stream one
+    pass each, lineitem pre-aggregates rev_e4 per (orderkey, nation,
+    year) per block; the only exchange is the bucketed co-group on
+    orderkey (the Q5 idiom) with 2 x 2 x |years| partial rows leaving
+    each bucket."""
+    lo = np.datetime64(date_lo, "us").astype(np.int64)
+    hi = np.datetime64(date_hi, "us").astype(np.int64)
+    nat = _read(sf_dir, "nation").to_pandas()
+    nkeys = {int(r.n_nationkey): r.n_name for r in nat.itertuples()
+             if r.n_name in (nation_a, nation_b)}
+    sel = np.array(sorted(nkeys), dtype=np.int64)
+
+    def _dim(table: str, key: str, nk: str):
+        ks, ns = [], []
+        for b in _read(sf_dir, table, [key, nk]).iter_batches(
+                batch_format="pyarrow", batch_size=65536):
+            k = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+            n = b[nk].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = np.isin(n, sel)
+            ks.append(k[m]); ns.append(n[m])
+        k = np.concatenate(ks) if ks else np.empty(0, np.int64)
+        n = np.concatenate(ns) if ns else np.empty(0, np.int64)
+        o = np.argsort(k, kind="stable")
+        return k[o], n[o]
+
+    cust_ref = ray.put(_dim("customer", "c_custkey", "c_nationkey"))
+    supp_ref = ray.put(_dim("supplier", "s_suppkey", "s_nationkey"))
+
+    def _probe(keys, vals, q):
+        if len(keys) == 0:
+            return np.zeros(len(q), bool), np.empty(0, np.int64)
+        ix = np.searchsorted(keys, q)
+        ix[ix >= len(keys)] = 0
+        hit = keys[ix] == q
+        return hit, vals[ix[hit]]
+
+    def orders_side(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        keys, vals = ray.get(cust_ref)
+        hit, nk = _probe(keys, vals, ck)
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False)[hit]
+        return pa.table({
+            "orderkey": pa.array(ok),
+            "nation": pa.array(nk),
+            "year": pa.array(np.zeros(len(ok), np.int64)),
+            "rev_e4": pa.array(np.zeros(len(ok), np.int64)),
+            "side": pa.array(np.ones(len(ok), np.int8)),
+            "bucket": pa.array(_bucket_of(ok, n_buckets)),
+        })
+
+    def lines_side(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        keys, vals = ray.get(supp_ref)
+        hit, nk = _probe(keys, vals, sk)
+        keep = hit & (sd >= lo) & (sd < hi)
+        sub = t.filter(pa.array(keep))
+        _, nk = _probe(keys, vals,
+                       sub["l_suppkey"].to_numpy(zero_copy_only=False))
+        yr = (sub["l_shipdate"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[Y]").astype(np.int64) + 1970)
+        rev = _cents(sub["l_extendedprice"]) * (
+            100 - round_half_away(
+                sub["l_discount"].to_numpy(zero_copy_only=False) * 100.0,
+                0).astype(np.int64))
+        part = pa.table({
+            "orderkey": sub["l_orderkey"],
+            "nation": pa.array(nk),
+            "year": pa.array(yr),
+            "rev_e4": pa.array(rev),
+        }).group_by(["orderkey", "nation", "year"]) \
+          .aggregate([("rev_e4", "sum")]) \
+          .rename_columns(["orderkey", "nation", "year", "rev_e4"])
+        ok = part["orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "orderkey": part["orderkey"],
+            "nation": part["nation"],
+            "year": part["year"],
+            "rev_e4": part["rev_e4"],
+            "side": pa.array(np.zeros(part.num_rows, np.int8)),
+            "bucket": pa.array(_bucket_of(ok, n_buckets)),
+        })
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]) \
+        .map_batches(orders_side, batch_format="pyarrow")
+    lines = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_suppkey", "l_shipdate",
+                   "l_extendedprice", "l_discount"]) \
+        .map_batches(lines_side, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 1][["orderkey", "nation"]].rename(
+            columns={"nation": "cust_nation"})
+        l = g[g["side"] == 0][["orderkey", "nation", "year", "rev_e4"]] \
+            .rename(columns={"nation": "supp_nation"})
+        m = l.merge(o, on="orderkey")
+        m = m[m["supp_nation"] != m["cust_nation"]]
+        if m.empty:
+            return pd.DataFrame({
+                "supp_nation": pd.Series([], dtype="int64"),
+                "cust_nation": pd.Series([], dtype="int64"),
+                "year": pd.Series([], dtype="int64"),
+                "rev_e4": pd.Series([], dtype="int64")})
+        return m.groupby(["supp_nation", "cust_nation", "year"],
+                         as_index=False)["rev_e4"].sum()
+
+    parts = orders.union(lines).groupby("bucket").map_groups(
+        per_bucket, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({
+            "supp_nation": pd.Series([], dtype=object),
+            "cust_nation": pd.Series([], dtype=object),
+            "l_year": pd.Series([], dtype="int64"),
+            "revenue": pd.Series([], dtype="float64")})
+    fin = parts.groupby(["supp_nation", "cust_nation", "year"],
+                        as_index=False)["rev_e4"].sum()
+    assert int(fin["rev_e4"].abs().max()) < (1 << 53)
+    out = pd.DataFrame({
+        "supp_nation": fin["supp_nation"].map(nkeys),
+        "cust_nation": fin["cust_nation"].map(nkeys),
+        "l_year": fin["year"].astype("int64"),
+        "revenue": round_half_away(
+            fin["rev_e4"].to_numpy().astype(np.float64) / 10000.0, 2),
+    })
+    return out.sort_values(["supp_nation", "cust_nation", "l_year"]) \
+        .reset_index(drop=True)
+
+
+def two_nation_volume_sql(nation_a: str = "NATION_18",
+                          nation_b: str = "NATION_19",
+                          date_lo: str = "1996-01-01",
+                          date_hi: str = "1998-01-01") -> str:
+    return f"""
+        SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                     AS BIGINT) / 10000.0, 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ns ON s_nationkey = ns.n_nationkey
+        JOIN nation nc ON c_nationkey = nc.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '{date_lo}'
+          AND l_shipdate <  TIMESTAMP '{date_hi}'
+          AND ((ns.n_name = '{nation_a}' AND nc.n_name = '{nation_b}')
+            OR (ns.n_name = '{nation_b}' AND nc.n_name = '{nation_a}'))
+        GROUP BY ns.n_name, nc.n_name, year(l_shipdate)
+        ORDER BY supp_nation, cust_nation, l_year"""
+
+
+def product_profit(sf_dir: str, name_like: str = "widget") -> pd.DataFrame:
+    """TPC-H Q9 shape: profit per (supplier nation, year) over parts
+    whose name contains ``name_like``.  The testdata has no partsupp,
+    so cost = p_retailprice x quantity (documented analog); year from
+    l_shipdate (no orders join needed — the shape kept is the
+    two-dimension broadcast + single fact scan + grouped rollup).
+
+    profit_e4 = cents(price) x (100 - pct) - cents(retail) x qty x 100,
+    summed as int64; one /1e4 per output row."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_name",
+                                  "p_retailprice"]).to_pandas()
+    part = part[part["p_name"].str.contains(name_like, regex=False)]
+    pk = part["p_partkey"].to_numpy().astype(np.int64)
+    o = np.argsort(pk, kind="stable")
+    retail = round_half_away(
+        part["p_retailprice"].to_numpy()[o] * 100.0, 0).astype(np.int64)
+    part_ref = ray.put((pk[o], retail))
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
+        .to_pandas()
+    sk = supp["s_suppkey"].to_numpy().astype(np.int64)
+    o = np.argsort(sk, kind="stable")
+    supp_ref = ray.put((sk[o],
+                        supp["s_nationkey"].to_numpy()[o].astype(np.int64)))
+    nat = _read(sf_dir, "nation").to_pandas()
+    nname = dict(zip(nat.n_nationkey.astype(int), nat.n_name))
+
+    def partial(t: pa.Table) -> pa.Table:
+        pkeys, pretail = ray.get(part_ref)
+        skeys, snat = ray.get(supp_ref)
+        pkq = t["l_partkey"].to_numpy(zero_copy_only=False)
+        ix = np.searchsorted(pkeys, pkq)
+        if len(pkeys):
+            ix[ix >= len(pkeys)] = 0
+            hit = pkeys[ix] == pkq
+        else:
+            hit = np.zeros(len(pkq), bool)
+        sub = t.filter(pa.array(hit))
+        pix = np.searchsorted(pkeys,
+                              sub["l_partkey"].to_numpy(zero_copy_only=False))
+        skq = sub["l_suppkey"].to_numpy(zero_copy_only=False)
+        six = np.searchsorted(skeys, skq)
+        six[six >= len(skeys)] = 0   # every suppkey exists in the dim
+        qty = round_half_away(
+            sub["l_quantity"].to_numpy(zero_copy_only=False), 0) \
+            .astype(np.int64)
+        pct = round_half_away(
+            sub["l_discount"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        yr = (sub["l_shipdate"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[Y]").astype(np.int64) + 1970)
+        profit = (_cents(sub["l_extendedprice"]) * (100 - pct)
+                  - pretail[pix] * qty * 100)
+        return pa.table({
+            "nation": pa.array(snat[six]),
+            "year": pa.array(yr),
+            "profit_e4": pa.array(profit),
+        })
+
+    keyed = _read(sf_dir, "lineitem",
+                  ["l_partkey", "l_suppkey", "l_quantity",
+                   "l_extendedprice", "l_discount", "l_shipdate"]) \
+        .map_batches(partial, batch_format="pyarrow")
+    fin = two_phase_agg(keyed, ["nation", "year"],
+                        [("profit_e4", "sum")],
+                        ["nation", "year", "profit_e4"]).to_pandas()
+    if fin.empty:
+        return pd.DataFrame({"n_name": pd.Series([], dtype=object),
+                             "l_year": pd.Series([], dtype="int64"),
+                             "profit": pd.Series([], dtype="float64")})
+    assert int(fin["profit_e4"].abs().max()) < (1 << 53)
+    out = pd.DataFrame({
+        "n_name": fin["nation"].map(nname),
+        "l_year": fin["year"].astype("int64"),
+        "profit": round_half_away(
+            fin["profit_e4"].to_numpy().astype(np.float64) / 10000.0, 2),
+    })
+    return out.sort_values(["n_name", "l_year"]).reset_index(drop=True)
+
+
+def product_profit_sql(name_like: str = "widget") -> str:
+    return f"""
+        SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               round(CAST(sum(
+                   CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                   - CAST(round(p_retailprice * 100) AS BIGINT)
+                     * CAST(round(l_quantity) AS BIGINT) * 100)
+                 AS BIGINT) / 10000.0, 2) AS profit
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%{name_like}%'
+        GROUP BY n_name, year(l_shipdate)
+        ORDER BY n_name, l_year"""
+
+
+def returned_top_customers(sf_dir: str, date_lo: str = "1996-01-01",
+                           date_hi: str = "1996-04-01", k: int = 20,
+                           n_buckets: int = 8) -> pd.DataFrame:
+    """TPC-H Q10 shape: top-k customers by revenue lost to returns
+    (returnflag = 'R') on orders placed in one quarter, with customer
+    detail columns attached.
+
+    Scale shape: orders (quarter-filtered) and lineitem ('R'-filtered,
+    pre-aggregated per orderkey per block) meet in ONE bucketed
+    co-group on orderkey; per-custkey partials (<= n_buckets rows per
+    customer) reduce driver-side; the k winners' detail columns come
+    from a filtered customer scan (k rows cross the wire).  Ties break
+    to the smaller custkey so the k-cut is deterministic on both
+    engines."""
+    lo = np.datetime64(date_lo, "us").astype(np.int64)
+    hi = np.datetime64(date_hi, "us").astype(np.int64)
+    # the k-cut must see only orders whose customer EXISTS (the SQL
+    # twin inner-joins customer before the top-k): broadcast the sorted
+    # custkey set and filter the orders side up front — a dangling
+    # o_custkey otherwise survives to the cut and shifts the winners
+    ck_ref = ray.put(np.sort(
+        _read(sf_dir, "customer", ["c_custkey"]).to_pandas()
+        ["c_custkey"].to_numpy().astype(np.int64)))
+
+    def orders_side(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        ckeys = ray.get(ck_ref)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        if len(ckeys):
+            cix = np.searchsorted(ckeys, ck)
+            cix[cix >= len(ckeys)] = 0
+            known = ckeys[cix] == ck
+        else:
+            known = np.zeros(len(ck), bool)
+        keep = (od >= lo) & (od < hi) & known
+        sub = t.filter(pa.array(keep))
+        ok = sub["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "orderkey": sub["o_orderkey"],
+            "custkey": sub["o_custkey"],
+            "rev_e4": pa.array(np.zeros(sub.num_rows, np.int64)),
+            "side": pa.array(np.ones(sub.num_rows, np.int8)),
+            "bucket": pa.array(_bucket_of(ok, n_buckets)),
+        })
+
+    def lines_side(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["l_returnflag"], "R")
+        sub = t.filter(keep)
+        rev = _cents(sub["l_extendedprice"]) * (
+            100 - round_half_away(
+                sub["l_discount"].to_numpy(zero_copy_only=False) * 100.0,
+                0).astype(np.int64))
+        part = pa.table({
+            "orderkey": sub["l_orderkey"],
+            "rev_e4": pa.array(rev),
+        }).group_by(["orderkey"]).aggregate([("rev_e4", "sum")]) \
+          .rename_columns(["orderkey", "rev_e4"])
+        ok = part["orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "orderkey": part["orderkey"],
+            "custkey": pa.array(np.zeros(part.num_rows, np.int64)),
+            "rev_e4": part["rev_e4"],
+            "side": pa.array(np.zeros(part.num_rows, np.int8)),
+            "bucket": pa.array(_bucket_of(ok, n_buckets)),
+        })
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(orders_side, batch_format="pyarrow")
+    lines = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_returnflag", "l_extendedprice",
+                   "l_discount"]) \
+        .map_batches(lines_side, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 1][["orderkey", "custkey"]]
+        l = g[g["side"] == 0].groupby("orderkey",
+                                      as_index=False)["rev_e4"].sum()
+        m = l.merge(o, on="orderkey")
+        if m.empty:
+            return pd.DataFrame({"custkey": pd.Series([], dtype="int64"),
+                                 "rev_e4": pd.Series([], dtype="int64")})
+        return m.groupby("custkey", as_index=False)["rev_e4"].sum()
+
+    parts = orders.union(lines).groupby("bucket").map_groups(
+        per_bucket, batch_format="pandas").to_pandas()
+    empty = pd.DataFrame({
+        "c_custkey": pd.Series([], dtype="int64"),
+        "c_name": pd.Series([], dtype=object),
+        "revenue": pd.Series([], dtype="float64"),
+        "c_acctbal": pd.Series([], dtype="float64"),
+        "n_name": pd.Series([], dtype=object)})
+    if parts.empty:
+        return empty
+    fin = parts.groupby("custkey", as_index=False)["rev_e4"].sum()
+    assert int(fin["rev_e4"].abs().max()) < (1 << 53)
+    fin = fin.sort_values(["rev_e4", "custkey"],
+                          ascending=[False, True]).head(k)
+    keys = set(fin["custkey"].tolist())
+
+    def pick(t: pa.Table) -> pa.Table:
+        m = np.isin(t["c_custkey"].to_numpy(zero_copy_only=False),
+                    np.array(sorted(keys), dtype=np.int64))
+        return t.filter(pa.array(m))
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_acctbal", "c_nationkey"]) \
+        .map_batches(pick, batch_format="pyarrow").to_pandas()
+    nat = _read(sf_dir, "nation").to_pandas()
+    nname = dict(zip(nat.n_nationkey.astype(int), nat.n_name))
+    m = fin.merge(cust, left_on="custkey", right_on="c_custkey")
+    out = pd.DataFrame({
+        "c_custkey": m["c_custkey"].astype("int64"),
+        "c_name": m["c_name"],
+        "revenue": round_half_away(
+            m["rev_e4"].to_numpy().astype(np.float64) / 10000.0, 2),
+        "c_acctbal": m["c_acctbal"].astype(float),
+        "n_name": m["c_nationkey"].astype(int).map(nname),
+    })
+    return out.sort_values(["revenue", "c_custkey"],
+                           ascending=[False, True]).reset_index(drop=True)
+
+
+def returned_top_customers_sql(date_lo: str = "1996-01-01",
+                               date_hi: str = "1996-04-01",
+                               k: int = 20) -> str:
+    return f"""
+        SELECT c_custkey, c_name,
+               round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                     AS BIGINT) / 10000.0, 2) AS revenue,
+               c_acctbal, n_name
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '{date_lo}'
+          AND o_orderdate <  TIMESTAMP '{date_hi}'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT {k}"""
+
+
+def ship_lag_priority(sf_dir: str, lag_days: int = 60,
+                      date_lo: str = "1996-01-01",
+                      date_hi: str = "1997-01-01",
+                      n_buckets: int = 8) -> pd.DataFrame:
+    """TPC-H Q12 shape: per ship-lag bucket (no l_shipmode in the
+    testdata — 'SLOW' = shipped more than ``lag_days`` after the order
+    date, else 'FAST'), count lines from high-priority
+    (1-URGENT/2-HIGH) vs other orders — the CASE-sum pivot over an
+    orders |x| lineitem join.
+
+    Scale shape: one bucketed co-group on orderkey; each side streams
+    once; per-bucket output is <= 2 x 2 counter rows.  The lag compare
+    is exact integer microseconds on both engines (epoch_us)."""
+    lo = np.datetime64(date_lo, "us").astype(np.int64)
+    hi = np.datetime64(date_hi, "us").astype(np.int64)
+    lag_us = int(lag_days) * 86_400_000_000
+
+    def orders_side(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        pri = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+        high = ((pri == "1-URGENT") | (pri == "2-HIGH")).astype(np.int8)
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "orderkey": t["o_orderkey"],
+            "ts": pa.array(od),
+            "high": pa.array(high),
+            "side": pa.array(np.ones(len(ok), np.int8)),
+            "bucket": pa.array(_bucket_of(ok, n_buckets)),
+        })
+
+    def lines_side(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        keep = (sd >= lo) & (sd < hi)
+        sub = t.filter(pa.array(keep))
+        ok = sub["l_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "orderkey": sub["l_orderkey"],
+            "ts": pa.array(sd[keep]),
+            "high": pa.array(np.zeros(sub.num_rows, np.int8)),
+            "side": pa.array(np.zeros(sub.num_rows, np.int8)),
+            "bucket": pa.array(_bucket_of(ok, n_buckets)),
+        })
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"]) \
+        .map_batches(orders_side, batch_format="pyarrow")
+    lines = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]) \
+        .map_batches(lines_side, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 1][["orderkey", "ts", "high"]].rename(
+            columns={"ts": "od"})
+        l = g[g["side"] == 0][["orderkey", "ts"]].rename(
+            columns={"ts": "sd"})
+        m = l.merge(o, on="orderkey")
+        if m.empty:
+            return pd.DataFrame({
+                "lag_bucket": pd.Series([], dtype=object),
+                "high_line_count": pd.Series([], dtype="int64"),
+                "low_line_count": pd.Series([], dtype="int64")})
+        slow = (m["sd"].to_numpy() - m["od"].to_numpy()) > lag_us
+        high = m["high"].to_numpy().astype(bool)
+        rows = []
+        for lbl, sm in (("FAST", ~slow), ("SLOW", slow)):
+            rows.append((lbl, int((sm & high).sum()),
+                         int((sm & ~high).sum())))
+        return pd.DataFrame(rows, columns=["lag_bucket",
+                                           "high_line_count",
+                                           "low_line_count"])
+
+    parts = orders.union(lines).groupby("bucket").map_groups(
+        per_bucket, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({
+            "lag_bucket": pd.Series([], dtype=object),
+            "high_line_count": pd.Series([], dtype="int64"),
+            "low_line_count": pd.Series([], dtype="int64")})
+    out = parts.groupby("lag_bucket", as_index=False)[
+        ["high_line_count", "low_line_count"]].sum()
+    out = out[(out["high_line_count"] > 0) | (out["low_line_count"] > 0)]
+    return out.sort_values("lag_bucket").reset_index(drop=True)
+
+
+def ship_lag_priority_sql(lag_days: int = 60,
+                          date_lo: str = "1996-01-01",
+                          date_hi: str = "1997-01-01") -> str:
+    lag_us = int(lag_days) * 86_400_000_000
+    return f"""
+        SELECT CASE WHEN epoch_us(l_shipdate) - epoch_us(o_orderdate)
+                         > {lag_us}
+                    THEN 'SLOW' ELSE 'FAST' END AS lag_bucket,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '{date_lo}'
+          AND l_shipdate <  TIMESTAMP '{date_hi}'
+        GROUP BY lag_bucket
+        ORDER BY lag_bucket"""
+
+
+def top_revenue_supplier(sf_dir: str, date_lo: str = "1996-01-01",
+                         date_hi: str = "1996-04-01") -> pd.DataFrame:
+    """TPC-H Q15 shape: supplier(s) whose quarterly revenue equals the
+    global maximum (the revenue0 view + WHERE total = (SELECT max)).
+
+    Scale shape: one filtered lineitem pass pre-aggregated per
+    suppkey per block, two-phase combine (exchange is supplier-sized);
+    the global max and the equality filter run on the supplier-sized
+    result; s_name attaches from the (small) supplier dim.  Exact
+    integer rev_e4 makes the max-equality well-defined on both
+    engines — the reason Q15's 'ties all appear' semantics can be
+    reproduced bit-for-bit."""
+    lo = np.datetime64(date_lo, "us").astype(np.int64)
+    hi = np.datetime64(date_hi, "us").astype(np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        sub = t.filter(pa.array((sd >= lo) & (sd < hi)))
+        rev = _cents(sub["l_extendedprice"]) * (
+            100 - round_half_away(
+                sub["l_discount"].to_numpy(zero_copy_only=False) * 100.0,
+                0).astype(np.int64))
+        return pa.table({"suppkey": sub["l_suppkey"],
+                         "rev_e4": pa.array(rev)})
+
+    keyed = _read(sf_dir, "lineitem",
+                  ["l_suppkey", "l_shipdate", "l_extendedprice",
+                   "l_discount"]) \
+        .map_batches(partial, batch_format="pyarrow")
+    fin = two_phase_agg(keyed, ["suppkey"], [("rev_e4", "sum")],
+                        ["suppkey", "rev_e4"]).to_pandas()
+    if fin.empty:
+        return pd.DataFrame({
+            "s_suppkey": pd.Series([], dtype="int64"),
+            "s_name": pd.Series([], dtype=object),
+            "total_revenue": pd.Series([], dtype="float64")})
+    assert int(fin["rev_e4"].abs().max()) < (1 << 53)
+    best = int(fin["rev_e4"].max())
+    win = fin[fin["rev_e4"] == best]
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    m = win.merge(supp, left_on="suppkey", right_on="s_suppkey")
+    out = pd.DataFrame({
+        "s_suppkey": m["s_suppkey"].astype("int64"),
+        "s_name": m["s_name"],
+        "total_revenue": round_half_away(
+            m["rev_e4"].to_numpy().astype(np.float64) / 10000.0, 2),
+    })
+    return out.sort_values("s_suppkey").reset_index(drop=True)
+
+
+def top_revenue_supplier_sql(date_lo: str = "1996-01-01",
+                             date_hi: str = "1996-04-01") -> str:
+    return f"""
+        WITH rev AS (
+            SELECT l_suppkey AS suppkey,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                       AS rev_e4
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '{date_lo}'
+              AND l_shipdate <  TIMESTAMP '{date_hi}'
+            GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name,
+               round(CAST(rev_e4 AS BIGINT) / 10000.0, 2) AS total_revenue
+        FROM rev JOIN supplier ON suppkey = s_suppkey
+        WHERE rev_e4 = (SELECT max(rev_e4) FROM rev)
+        ORDER BY s_suppkey"""
+
+
+def excess_share_suppliers(sf_dir: str, name_like: str = "bolt",
+                           date_lo: str = "1996-01-01",
+                           date_hi: str = "1997-01-01",
+                           share_num: int = 1,
+                           share_den: int = 2) -> pd.DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped MORE than
+    ``share_num/share_den`` of some matching part's total yearly
+    volume (no partsupp in the testdata, so availqty > 0.5 x shipped
+    becomes shipped-share > 0.5 — the same nested semi-join chain:
+    parts LIKE -> per-(part,supplier) volume vs per-part scalar ->
+    DISTINCT suppliers -> name attach).
+
+    Scale shape: matching-part key set broadcasts; one filtered
+    lineitem pass pre-aggregates qty per (partkey, suppkey) per block;
+    the exchange is the two-phase combine on that pair key (bounded by
+    |matching parts| x |their suppliers|); the per-part totals reduce
+    from the pair table (no second fact scan); the share test is
+    exact-integer cross-multiplication."""
+    lo = np.datetime64(date_lo, "us").astype(np.int64)
+    hi = np.datetime64(date_hi, "us").astype(np.int64)
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"]).to_pandas()
+    part = part[part["p_name"].str.contains(name_like, regex=False)]
+    pk_ref = ray.put(np.sort(part["p_partkey"].to_numpy()
+                             .astype(np.int64)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        pkeys = ray.get(pk_ref)
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        pkq = t["l_partkey"].to_numpy(zero_copy_only=False)
+        if len(pkeys):
+            ix = np.searchsorted(pkeys, pkq)
+            ix[ix >= len(pkeys)] = 0
+            hit = pkeys[ix] == pkq
+        else:
+            hit = np.zeros(len(pkq), bool)
+        sub = t.filter(pa.array(hit & (sd >= lo) & (sd < hi)))
+        qty = round_half_away(
+            sub["l_quantity"].to_numpy(zero_copy_only=False), 0) \
+            .astype(np.int64)
+        return pa.table({"partkey": sub["l_partkey"],
+                         "suppkey": sub["l_suppkey"],
+                         "qty": pa.array(qty)})
+
+    keyed = _read(sf_dir, "lineitem",
+                  ["l_partkey", "l_suppkey", "l_quantity",
+                   "l_shipdate"]) \
+        .map_batches(partial, batch_format="pyarrow")
+    pairs = two_phase_agg(keyed, ["partkey", "suppkey"],
+                          [("qty", "sum")],
+                          ["partkey", "suppkey", "qty"]).to_pandas()
+    empty = pd.DataFrame({"s_suppkey": pd.Series([], dtype="int64"),
+                          "s_name": pd.Series([], dtype=object)})
+    if pairs.empty:
+        return empty
+    totals = pairs.groupby("partkey", as_index=False)["qty"].sum() \
+        .rename(columns={"qty": "part_qty"})
+    m = pairs.merge(totals, on="partkey")
+    m = m[share_den * m["qty"] > share_num * m["part_qty"]]
+    if m.empty:
+        return empty
+    winners = np.sort(m["suppkey"].unique().astype(np.int64))
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    out = supp[supp["s_suppkey"].isin(winners)][["s_suppkey", "s_name"]]
+    return out.sort_values("s_suppkey").reset_index(drop=True) \
+        .astype({"s_suppkey": "int64"})
+
+
+def excess_share_suppliers_sql(name_like: str = "bolt",
+                               date_lo: str = "1996-01-01",
+                               date_hi: str = "1997-01-01",
+                               share_num: int = 1,
+                               share_den: int = 2) -> str:
+    return f"""
+        WITH pairs AS (
+            SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+                   sum(CAST(round(l_quantity) AS BIGINT)) AS qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE '%{name_like}%'
+              AND l_shipdate >= TIMESTAMP '{date_lo}'
+              AND l_shipdate <  TIMESTAMP '{date_hi}'
+            GROUP BY l_partkey, l_suppkey),
+        totals AS (
+            SELECT partkey, sum(qty) AS part_qty
+            FROM pairs GROUP BY partkey)
+        SELECT DISTINCT s_suppkey, s_name
+        FROM pairs
+        JOIN totals USING (partkey)
+        JOIN supplier ON suppkey = s_suppkey
+        WHERE {share_den} * qty > {share_num} * part_qty
+        ORDER BY s_suppkey"""
