@@ -1355,8 +1355,8 @@ def curate_corpus(sf_dir: str) -> pd.DataFrame:
 
     def signals(t: pa.Table) -> pa.Table:
         n_docs = t.num_rows
-        keys = [hashlib.md5(s.encode()).hexdigest()
-                for s in t["text"].to_pylist()]
+        from ..functions.util import digest_hex
+        keys = digest_hex(t["text"])  # vectorized (VERDICT r3 #2 class)
         flat, parent = _flat_tokens(t["text"])
         n_words = np.bincount(parent, minlength=n_docs).astype(np.int64)
         d = pa.table({"p": pa.array(parent), "tok": flat}) \
@@ -1388,7 +1388,7 @@ def curate_corpus(sf_dir: str) -> pd.DataFrame:
             contaminated[np.unique(p5[hit])] = True
         return pa.table({
             "doc_id": t["doc_id"],
-            "content_key": pa.array(keys, type=pa.string()),
+            "content_key": keys,
             "n_words": pa.array(n_words),
             "dup_word_frac": pa.array(dup, type=pa.float64()),
             "top_bigram_frac": pa.array(top, type=pa.float64()),
