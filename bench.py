@@ -209,6 +209,11 @@ def run_bench() -> dict:
     timed("big_order_customers", lambda: A.big_order_customers(sf_dir))
     timed("sole_return_supplier", lambda: A.sole_return_supplier(sf_dir))
     timed("nation_market_share", lambda: A.nation_market_share(sf_dir))
+    # TPC-H closure legs (round 4): the two heaviest new shapes — the
+    # Q7 cross-pair co-group and the Q10 top-k co-group
+    timed("two_nation_volume", lambda: A.two_nation_volume(sf_dir))
+    timed("returned_top_customers",
+          lambda: A.returned_top_customers(sf_dir))
     from visiblev8_crawler_ray.pipelines import classify as CL
     from visiblev8_crawler_ray.pipelines import trees as TRE
     timed("train_scorer", lambda: CL.train_scorer(sf_dir))
