@@ -443,6 +443,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "api_kgrams": lambda sf: P.api_kgrams(_crawl(sf).docs()),
         "crawl_host_quality": lambda sf: P.crawl_host_quality(
             _crawl(sf).docs(), _crawl(sf).crawl_log()),
+        # the end-to-end crawl -> curated packed training corpus
+        "crawl_to_corpus": lambda sf: CU.crawl_to_corpus(_crawl(sf).docs()),
         "media_text_ratio": lambda sf: P.media_text_ratio(_crawl(sf).docs()),
         "link_stats": lambda sf: P.link_stats(_crawl(sf).docs()),
         "caption_pairs": lambda sf: P.caption_pairs(_crawl(sf).docs()),
@@ -1768,6 +1770,9 @@ def oracle_sql() -> dict[str, str]:
                   AS files_orphaned,
               CAST(coalesce((SELECT sum(size) FROM fls), 0) AS BIGINT)
                   AS bytes_total""",
+        # crawl -> curated packed corpus (curation.crawl_to_corpus);
+        # twin generated from the same params over the docs export
+        "crawl_to_corpus": CU.crawl_to_corpus_sql(_exp),
         # reconstructed training text (stages/parse.crawl_host_quality)
         "crawl_host_quality": f"""
             WITH sp AS {_sp},

@@ -1,0 +1,106 @@
+"""crawl_to_corpus (the end-to-end crawl -> curated packed corpus
+composition): branch-forcing constructed docs vs the generated DuckDB
+twin, plus non-triviality on the real crawl-backed gate fixture (that
+path is covered by test_queries_vs_duckdb)."""
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, "/root/repo")
+import ray.data as rd  # noqa: E402
+
+from visiblev8_crawler_ray.pipelines import curation as CU  # noqa: E402
+
+
+def _doc(doc_id, texts, media=()):
+    spans = []
+    off = 0
+    for t in texts:
+        spans.append({"kind": "script", "text": t, "media_ref": "",
+                      "offset": off})
+        off += 1
+    for m in media:
+        spans.append({"kind": "media/screenshot", "text": "",
+                      "media_ref": m, "offset": off})
+        off += 1
+    return {"doc_id": doc_id, "spans": spans}
+
+
+SPAN_T = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                    ("media_ref", pa.string()), ("offset", pa.int32())])
+
+
+def _docs_table(rows):
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows]),
+        "spans": pa.array([r["spans"] for r in rows],
+                          type=pa.list_(SPAN_T)),
+    })
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_constructed_branches_vs_sql(ray_session, tmp_path, seed):
+    rng = np.random.default_rng(4700 + seed)
+    words = np.array(["alpha", "beta", "gamma", "delta", "eps"])
+    rows = []
+    long_text = " ".join(words[rng.integers(0, 5, 150)])
+    for i in range(12):
+        # long docs that pass the floor; ids interleave two hex prefixes
+        pid = f"{'a' if i % 2 else 'f'}{i:03x}-w0"
+        body = " ".join(words[rng.integers(0, 5, 120 + i)])
+        rows.append(_doc(pid, [body, long_text]))
+    # planted EXACT duplicates of doc 0 (same rendered text, later ids:
+    # the min-doc_id canonicality must keep only f000-w0)
+    rows.append({"doc_id": "f900-w0", "spans": rows[0]["spans"]})
+    rows.append({"doc_id": "f901-w0", "spans": rows[0]["spans"]})
+    # short doc (under the floor), media-heavy doc (density cap),
+    # empty doc (no spans)
+    rows.append(_doc("b000-w0", ["tiny doc"]))
+    rows.append(_doc("b001-w0", ["some words here now"],
+                     media=[f"blob://m{j}" for j in range(9)]))
+    rows.append({"doc_id": "b002-w0", "spans": []})
+    tbl = _docs_table(rows)
+    exp = tmp_path / "docs.parquet"
+    pq.write_table(tbl, exp)
+
+    res = CU.crawl_to_corpus(rd.from_arrow(tbl), window=64,
+                             min_tokens=30, media_den=10)
+    odf = duckdb.sql(CU.crawl_to_corpus_sql(str(exp), window=64,
+                                            min_tokens=30,
+                                            media_den=10)).df()
+    a = res.sort_values("doc_id").reset_index(drop=True)
+    b = odf.sort_values("doc_id").reset_index(drop=True)
+    assert list(a.columns) == list(b.columns)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                  check_exact=True)
+    kept = set(a["doc_id"])
+    # duplicates of f000's text: only the smallest id survives
+    assert "f900-w0" not in kept and "f901-w0" not in kept
+    assert sum(1 for d in kept if d.startswith("f0")) >= 1
+    # floor, density cap and empty doc all dropped
+    assert {"b000-w0", "b001-w0", "b002-w0"} & kept == set()
+    # packing invariants: offsets are the exclusive prefix sum in
+    # doc_id order and pack ids are monotone
+    srt = a.sort_values("doc_id")
+    n = srt["n_tokens"].to_numpy()
+    assert (srt["start_offset"].to_numpy()
+            == np.cumsum(n) - n).all()
+    assert (np.diff(srt["pack_id"].to_numpy()) >= 0).all()
+
+
+def test_crawl_backed_output_nontrivial(ray_session):
+    """On the real sf0.001 crawl fixture the composite must keep a
+    non-trivial subset (filters fire but don't wipe the corpus)."""
+    import __ray_entry__ as R
+
+    out = R.queries()["crawl_to_corpus"]("/root/testdata/sf0.001")
+    df = out.to_pandas() if hasattr(out, "to_pandas") else out
+    assert 0 < len(df)
+    assert df["spans_boundary"].any()
+    assert df["pack_id"].max() > 0

@@ -388,3 +388,163 @@ def export_corpus(sf_dir: str, out_dir: str, nparts: int = 8) -> pd.DataFrame:
             summary.append({"partition": p, "n_rows": n, "skipped": True})
     return (pd.DataFrame(summary).sort_values("partition")
             .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Crawl store -> training corpus (the end-to-end north-star composition)
+
+def crawl_to_corpus(docs: rd.Dataset, window: int = 512,
+                    min_tokens: int = 100, media_den: int = 40,
+                    prefix_len: int = 2) -> pd.DataFrame:
+    """The full crawl-to-training-data composition in ONE streaming
+    pipeline: interleaved crawl documents -> rendered training text
+    (media spans as placeholder tokens) -> exact-dedup canonicality ∧
+    length floor ∧ media-density cap -> GPT-style GLOBAL sequence
+    packing of the kept docs.  This is the end-to-end path the north
+    star describes (crawl store of interleaved text+media docs feeding
+    a pretraining mix); every stage reuses the standalone operators'
+    kernels (reconstruct_text, digest_hex, pack_global's two-pass
+    prefix scan), so the composite inherits their gates.
+
+    Filters (exact integers, so the DuckDB twin agrees bit-for-bit):
+      keep = (doc_id == min(doc_id) over same rendered-text md5)
+           ∧ n_tokens >= min_tokens
+           ∧ n_media * media_den <= n_tokens          (density cap)
+
+    Scale shape: reconstruction+signals is one streaming pass over the
+    span table; the narrow signal table (5 scalar cols, no text) is
+    materialized ONCE and reused for the dedup exchange, the flag pass
+    and both packing passes — the corpus text is rendered exactly once.
+    The keep-list broadcasts (sorted key/value arrays); above broadcast
+    scale it hash-partition-joins on content_key (the dedup_minhash
+    co-group, same switch as curate_corpus).  Packing is the two-pass
+    distributed prefix scan over doc_id PREFIX ranges (hex ids ->
+    balanced ranges; same-length prefixes order consistently with the
+    full lexicographic doc_id order), so no global sort ever runs.
+
+    Empty-doc note: a doc with no spans renders to '' and is dropped by
+    the length floor on both engines (the SQL twin's GROUP BY never
+    emits it), so parity holds for min_tokens >= 1."""
+    import ray
+
+    from ..functions.util import digest_hex, empty_frame
+    from ..stages.parse import reconstruct_text
+
+    rt = reconstruct_text(docs)
+
+    def signals(t: pa.Table) -> pa.Table:
+        text = t["doc_text"]
+        n_tok = pc.count_substring_regex(text, r"\S+").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_med = pc.count_substring_regex(
+            text, r"<\|media/[a-z]+\|>").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ids = t["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({
+            "doc_id": ids,
+            "rng": pc.utf8_slice_codeunits(ids, 0, prefix_len),
+            "content_key": digest_hex(text),
+            "n_tokens": pa.array(n_tok),
+            "n_media": pa.array(n_med),
+        })
+
+    sig = rt.map_batches(signals, batch_format="pyarrow").materialize()
+
+    keep = two_phase_agg(sig, ["content_key"], [("doc_id", "min")],
+                         ["content_key", "keep_doc_id"]).to_pandas()
+    empty = empty_frame({"doc_id": "object", "n_tokens": "int64",
+                         "start_offset": "int64", "pack_id": "int64",
+                         "offset_in_pack": "int64",
+                         "spans_boundary": "bool"})
+    if keep.empty:
+        return empty
+    kk = keep["content_key"].to_numpy()
+    ko = np.argsort(kk, kind="stable")
+    keep_ref = ray.put((kk[ko], keep["keep_doc_id"].to_numpy()[ko]))
+
+    def flag(t: pa.Table) -> pa.Table:
+        keys, kd = ray.get(keep_ref)
+        ck = t["content_key"].to_numpy(zero_copy_only=False)
+        ix = np.searchsorted(keys, ck)
+        ix = np.minimum(ix, len(keys) - 1)  # every key exists (pass 1)
+        canonical = kd[ix] == t["doc_id"].to_numpy(zero_copy_only=False)
+        n_tok = t["n_tokens"].to_numpy(zero_copy_only=False)
+        n_med = t["n_media"].to_numpy(zero_copy_only=False)
+        kept = canonical & (n_tok >= min_tokens) \
+            & (n_med * media_den <= n_tok)
+        return t.filter(pa.array(kept)).select(
+            ["doc_id", "rng", "n_tokens"])
+
+    kept = sig.map_batches(flag, batch_format="pyarrow").materialize()
+
+    per_range = two_phase_agg(
+        kept, ["rng"], [("n_tokens", "sum")], ["rng", "rng_tokens"]
+    ).to_pandas().sort_values("rng").reset_index(drop=True)
+    if per_range.empty:
+        return empty
+    bases = dict(zip(
+        per_range["rng"],
+        np.concatenate(([0], np.cumsum(
+            per_range["rng_tokens"].to_numpy())[:-1])),
+    ))
+
+    def per_range_pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        n = g["n_tokens"].to_numpy()
+        start = int(bases[g["rng"].iloc[0]]) + np.cumsum(n) - n
+        off = start % window
+        return pd.DataFrame({
+            "doc_id": g["doc_id"],
+            "n_tokens": n,
+            "start_offset": start,
+            "pack_id": start // window,
+            "offset_in_pack": off,
+            "spans_boundary": off + n > window,
+        })
+
+    return (kept.groupby("rng").map_groups(
+        per_range_pack, batch_format="pandas")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+def crawl_to_corpus_sql(export_path: str, window: int = 512,
+                        min_tokens: int = 100,
+                        media_den: int = 40) -> str:
+    """DuckDB twin over the committed docs export — same rendering,
+    same md5 canonicality, same integer filters, same prefix-sum
+    packing (window-function form)."""
+    return f"""
+        WITH sp AS (SELECT doc_id, unnest(spans, recursive := true)
+                    FROM read_parquet('{export_path}')),
+        r AS (SELECT doc_id,
+                     string_agg(CASE WHEN kind LIKE 'media/%'
+                                     THEN '<|' || kind || '|>'
+                                     ELSE text END, ' '
+                                ORDER BY "offset") AS doc_text
+              FROM sp GROUP BY doc_id),
+        t AS (SELECT doc_id, md5(doc_text) AS content_key,
+                     CAST(len(regexp_extract_all(doc_text, '\\S+'))
+                          AS BIGINT) AS n_tokens,
+                     CAST(len(regexp_extract_all(doc_text,
+                          '<\\|media/[a-z]+\\|>')) AS BIGINT) AS n_media
+              FROM r),
+        k AS (SELECT content_key, min(doc_id) AS keep_doc_id
+              FROM t GROUP BY content_key),
+        f AS (SELECT t.doc_id, t.n_tokens
+              FROM t JOIN k USING (content_key)
+              WHERE t.doc_id = k.keep_doc_id
+                AND t.n_tokens >= {min_tokens}
+                AND t.n_media * {media_den} <= t.n_tokens),
+        c AS (SELECT doc_id, n_tokens,
+                     CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tokens
+                          AS BIGINT) AS start_offset
+              FROM f)
+        SELECT doc_id, n_tokens, start_offset,
+               start_offset // {window} AS pack_id,
+               start_offset % {window} AS offset_in_pack,
+               (start_offset % {window}) + n_tokens > {window}
+                   AS spans_boundary
+        FROM c ORDER BY doc_id"""
