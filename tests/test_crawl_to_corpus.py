@@ -104,3 +104,42 @@ def test_crawl_backed_output_nontrivial(ray_session):
     assert 0 < len(df)
     assert df["spans_boundary"].any()
     assert df["pack_id"].max() > 0
+
+
+def test_host_boilerplate_constructed(ray_session, tmp_path):
+    """Planted template spans: hosts a (4 pages, shared footer) and b
+    (2 pages — under min_pages) vs the generated SQL twin."""
+    import pyarrow.parquet as _pq
+
+    from visiblev8_crawler_ray.stages.parse import (
+        host_boilerplate_spans, host_boilerplate_spans_sql)
+
+    rows, log = [], []
+    for i in range(4):
+        rows.append(_doc(f"a{i:02d}-w0",
+                         [f"unique body {i}", "SHARED FOOTER"],
+                         media=["blob://x"] if i == 0 else ()))
+        log.append({"doc_id": f"a{i:02d}-w0", "host": "a.example"})
+    for i in range(2):
+        rows.append(_doc(f"b{i:02d}-w0", ["tiny page", "B FOOTER"]))
+        log.append({"doc_id": f"b{i:02d}-w0", "host": "b.example"})
+    # a doc missing from the log: dropped by the inner join on both sides
+    rows.append(_doc("c00-w0", ["orphan page", "SHARED FOOTER"]))
+    tbl = _docs_table(rows)
+    ltbl = pa.table({"doc_id": pa.array([r["doc_id"] for r in log]),
+                     "host": pa.array([r["host"] for r in log])})
+    _pq.write_table(tbl, tmp_path / "docs.parquet")
+    _pq.write_table(ltbl, tmp_path / "log.parquet")
+
+    res = host_boilerplate_spans(rd.from_arrow(tbl), rd.from_arrow(ltbl),
+                                 min_pages=3, num=1, den=2)
+    odf = duckdb.sql(host_boilerplate_spans_sql(
+        str(tmp_path / "docs.parquet"), str(tmp_path / "log.parquet"),
+        min_pages=3, num=1, den=2)).df()
+    a = res.reset_index(drop=True)
+    b = odf.reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                  check_exact=True)
+    # the shared footer on host a is the only boilerplate hit
+    assert len(a) == 1 and a.loc[0, "host"] == "a.example"
+    assert a.loc[0, "n_pages"] == 4 and a.loc[0, "host_pages"] == 4

@@ -804,3 +804,129 @@ def page_captcha_systems_sql(sp_cte: str) -> str:
                    AS captcha_systems,
                CAST({total} AS BIGINT) AS n_systems
         FROM d WHERE {total} >= 1"""
+
+
+def host_boilerplate_spans(docs: rd.Dataset, log: rd.Dataset,
+                           min_pages: int = 3, num: int = 1,
+                           den: int = 2) -> pd.DataFrame:
+    """Template-span (boilerplate) detection over the CRAWL corpus:
+    text spans whose rendered content appears on at least ``num/den``
+    of a host's pages (hosts with >= ``min_pages`` pages) — the
+    nav-bar/footer/banner signal a pretraining cleaner strips before
+    packing (the host-level sibling of the C4 paragraph dedup the
+    documents family implements; reference analog: the per-site
+    template scripts the classifier down-weights,
+    script_classification/heuristics/production_classifier.py).
+
+    Scale shape: docs are whole rows, so a block-local DISTINCT
+    (doc_id, span_key) is globally distinct — per-block partial counts
+    per (host, span_key) and per host are EXACT partials, and the only
+    exchange is the two-phase combine on those keys (span-vocabulary
+    sized, no text).  The doc->host dimension broadcasts sorted (the
+    crawl_host_quality idiom; above broadcast scale: hash-partition
+    join on doc_id).  The share test is integer cross-multiplication,
+    so the DuckDB twin agrees exactly."""
+    import ray
+
+    from ..functions.util import digest_hex, empty_frame, two_phase_agg
+
+    empty = empty_frame({"host": "object", "span_key": "object",
+                         "n_pages": "int64", "host_pages": "int64"})
+    if log is None:
+        return empty
+    ldf = log.select_columns(["doc_id", "host"]).to_pandas()
+    if len(ldf) == 0:
+        return empty
+    order = np.argsort(ldf["doc_id"].to_numpy())
+    map_ref = ray.put((ldf["doc_id"].to_numpy()[order],
+                       ldf["host"].to_numpy()[order]))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        keys, hosts = ray.get(map_ref)
+        spans, doc_ids = _spans_of(batch)
+        flat = spans.flatten()
+        parent = pc.list_parent_indices(spans).to_numpy(
+            zero_copy_only=False)
+        keep = np.flatnonzero(
+            ~pc.starts_with(flat.field("kind"), "media/").to_numpy(
+                zero_copy_only=False))
+        if len(keep) == 0:
+            return pa.table({"host": pa.array([], type=pa.string()),
+                             "span_key": pa.array([], type=pa.string()),
+                             "n_pages": pa.array([], type=pa.int64())})
+        skey = digest_hex(flat.field("text").take(pa.array(keep)))
+        sdoc = doc_ids.take(pa.array(parent[keep]))
+        # block-local DISTINCT (doc, key) == global (docs are rows)
+        d = pa.table({"doc": sdoc, "span_key": skey}) \
+            .group_by(["doc", "span_key"]).aggregate([])
+        pos = np.searchsorted(keys,
+                              d["doc"].to_numpy(zero_copy_only=False))
+        pos = np.minimum(pos, max(len(keys) - 1, 0))
+        hit = keys[pos] == d["doc"].to_numpy(zero_copy_only=False)
+        sub = d.filter(pa.array(hit))
+        h = pa.array(hosts[pos[hit]], type=pa.string())
+        return pa.table({"host": h, "span_key": sub["span_key"]}) \
+            .group_by(["host", "span_key"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["host", "span_key", "n_pages"])
+
+    cnt = two_phase_agg(
+        docs.map_batches(partials, batch_format="pyarrow"),
+        ["host", "span_key"], [("n_pages", "sum")],
+        ["host", "span_key", "n_pages"]).to_pandas()
+    if cnt.empty:
+        return empty
+
+    def host_pages(batch: pa.Table) -> pa.Table:
+        keys, hosts = ray.get(map_ref)
+        spans, doc_ids = _spans_of(batch)
+        # docs that contribute >= 1 text span (the twin's tx source)
+        flat = spans.flatten()
+        parent = pc.list_parent_indices(spans).to_numpy(
+            zero_copy_only=False)
+        is_text = ~pc.starts_with(flat.field("kind"), "media/") \
+            .to_numpy(zero_copy_only=False)
+        has_text = np.zeros(batch.num_rows, dtype=bool)
+        has_text[np.unique(parent[is_text])] = True
+        ids = doc_ids.to_numpy(zero_copy_only=False)[has_text]
+        pos = np.searchsorted(keys, ids)
+        pos = np.minimum(pos, max(len(keys) - 1, 0))
+        hit = keys[pos] == ids
+        codes, uniq = pd.factorize(hosts[pos[hit]])
+        return pa.table({
+            "host": pa.array(uniq, type=pa.string()),
+            "host_pages": pa.array(
+                np.bincount(codes, minlength=len(uniq)).astype(np.int64)),
+        })
+
+    hp = two_phase_agg(
+        docs.map_batches(host_pages, batch_format="pyarrow"),
+        ["host"], [("host_pages", "sum")],
+        ["host", "host_pages"]).to_pandas()
+    m = cnt.merge(hp, on="host")
+    m = m[(m["host_pages"] >= min_pages)
+          & (den * m["n_pages"] >= num * m["host_pages"])]
+    return m.sort_values(["host", "span_key"]).reset_index(drop=True) \
+        .astype({"n_pages": "int64", "host_pages": "int64"})
+
+
+def host_boilerplate_spans_sql(export_path: str, log_path: str,
+                               min_pages: int = 3, num: int = 1,
+                               den: int = 2) -> str:
+    return f"""
+        WITH sp AS (SELECT doc_id, unnest(spans, recursive := true)
+                    FROM read_parquet('{export_path}')),
+        tx AS (SELECT DISTINCT doc_id, md5(text) AS span_key
+               FROM sp WHERE kind NOT LIKE 'media/%'),
+        j AS (SELECT t.doc_id, t.span_key, l.host
+              FROM tx t JOIN read_parquet('{log_path}') l USING (doc_id)),
+        hp AS (SELECT host, count(DISTINCT doc_id) AS host_pages
+               FROM j GROUP BY host),
+        c AS (SELECT host, span_key, count(*) AS n_pages
+              FROM j GROUP BY host, span_key)
+        SELECT c.host, c.span_key, CAST(c.n_pages AS BIGINT) AS n_pages,
+               CAST(hp.host_pages AS BIGINT) AS host_pages
+        FROM c JOIN hp USING (host)
+        WHERE hp.host_pages >= {min_pages}
+          AND {den} * c.n_pages >= {num} * hp.host_pages
+        ORDER BY host, span_key"""
