@@ -447,6 +447,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_to_corpus": lambda sf: CU.crawl_to_corpus(_crawl(sf).docs()),
         "host_boilerplate_spans": lambda sf: P.host_boilerplate_spans(
             _crawl(sf).docs(), _crawl(sf).crawl_log()),
+        "strip_boilerplate": lambda sf: P.strip_boilerplate(
+            _crawl(sf).docs(), _crawl(sf).crawl_log()),
         "media_text_ratio": lambda sf: P.media_text_ratio(_crawl(sf).docs()),
         "link_stats": lambda sf: P.link_stats(_crawl(sf).docs()),
         "caption_pairs": lambda sf: P.caption_pairs(_crawl(sf).docs()),
@@ -1776,6 +1778,7 @@ def oracle_sql() -> dict[str, str]:
         # twin generated from the same params over the docs export
         "crawl_to_corpus": CU.crawl_to_corpus_sql(_exp),
         "host_boilerplate_spans": P.host_boilerplate_spans_sql(_exp, _lg),
+        "strip_boilerplate": P.strip_boilerplate_sql(_exp, _lg),
         # reconstructed training text (stages/parse.crawl_host_quality)
         "crawl_host_quality": f"""
             WITH sp AS {_sp},

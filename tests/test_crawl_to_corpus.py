@@ -143,3 +143,41 @@ def test_host_boilerplate_constructed(ray_session, tmp_path):
     # the shared footer on host a is the only boilerplate hit
     assert len(a) == 1 and a.loc[0, "host"] == "a.example"
     assert a.loc[0, "n_pages"] == 4 and a.loc[0, "host_pages"] == 4
+
+
+def test_strip_boilerplate_constructed(ray_session, tmp_path):
+    """Detect->strip round trip on the planted-template corpus: host a's
+    shared footer is removed from all 4 pages, everything else kept."""
+    import pyarrow.parquet as _pq
+
+    from visiblev8_crawler_ray.stages.parse import (
+        strip_boilerplate, strip_boilerplate_sql)
+
+    rows, log = [], []
+    for i in range(4):
+        rows.append(_doc(f"a{i:02d}-w0",
+                         [f"unique body words {i}", "SHARED FOOTER HERE"],
+                         media=["blob://x"] if i == 0 else ()))
+        log.append({"doc_id": f"a{i:02d}-w0", "host": "a.example"})
+    rows.append(_doc("c00-w0", ["orphan page", "SHARED FOOTER HERE"]))
+    tbl = _docs_table(rows)
+    ltbl = pa.table({"doc_id": pa.array([r["doc_id"] for r in log]),
+                     "host": pa.array([r["host"] for r in log])})
+    _pq.write_table(tbl, tmp_path / "docs.parquet")
+    _pq.write_table(ltbl, tmp_path / "log.parquet")
+
+    res = strip_boilerplate(rd.from_arrow(tbl), rd.from_arrow(ltbl),
+                            min_pages=3, num=1, den=2)
+    odf = duckdb.sql(strip_boilerplate_sql(
+        str(tmp_path / "docs.parquet"), str(tmp_path / "log.parquet"),
+        min_pages=3, num=1, den=2)).df()
+    pd.testing.assert_frame_equal(
+        res.reset_index(drop=True), odf.reset_index(drop=True),
+        check_dtype=False, check_exact=True)
+    by_id = res.set_index("doc_id")
+    for i in range(4):
+        assert by_id.loc[f"a{i:02d}-w0", "n_removed"] == 1
+    # the orphan (no log row) keeps its copy of the shared footer
+    assert by_id.loc["c00-w0", "n_removed"] == 0
+    # a00 keeps its media placeholder token: 4 body + 1 media
+    assert by_id.loc["a00-w0", "n_tokens_clean"] == 5

@@ -930,3 +930,127 @@ def host_boilerplate_spans_sql(export_path: str, log_path: str,
         WHERE hp.host_pages >= {min_pages}
           AND {den} * c.n_pages >= {num} * hp.host_pages
         ORDER BY host, span_key"""
+
+
+def strip_boilerplate(docs: rd.Dataset, log: rd.Dataset,
+                      min_pages: int = 3, num: int = 1,
+                      den: int = 2) -> pd.DataFrame:
+    """Boilerplate removal over the crawl corpus: drop every text span
+    flagged by :func:`host_boilerplate_spans` (same params) from its
+    host's pages and report the per-doc cleaning profile — the second
+    half of the template-cleaning pass (detect -> strip) a pretraining
+    pipeline runs before packing.
+
+    Token accounting is PER SPAN (each span's whitespace-token count,
+    media spans = 1 placeholder token) summed per doc — identical on
+    both engines because the render joins spans with ' ' so tokens
+    never merge across span boundaries.  Docs without spans emit no
+    row (the twin's GROUP BY can't see them); docs without a log row
+    keep all their spans (no host, no template set).
+
+    Scale shape: the boilerplate set is host-sized x template-sized
+    (tiny — it only contains spans repeated across >= num/den of a
+    host's pages) and broadcasts as one sorted composite-key array;
+    cleaning is then a pure per-doc map — no shuffle beyond the
+    detection pass itself."""
+    import ray
+
+    from ..functions.util import digest_hex, empty_frame
+
+    bp = host_boilerplate_spans(docs, log, min_pages, num, den)
+    empty = empty_frame({"doc_id": "object", "n_spans": "int64",
+                         "n_removed": "int64", "n_tokens_clean": "int64"})
+    if log is None:
+        return empty
+    ldf = log.select_columns(["doc_id", "host"]).to_pandas()
+    if len(ldf) == 0:
+        return empty
+    order = np.argsort(ldf["doc_id"].to_numpy())
+    map_ref = ray.put((ldf["doc_id"].to_numpy()[order],
+                       ldf["host"].to_numpy()[order]))
+    comp = np.sort((bp["host"] + "|" + bp["span_key"]).to_numpy()) \
+        if len(bp) else np.empty(0, object)
+    bp_ref = ray.put(comp)
+
+    def clean(batch: pa.Table) -> pa.Table:
+        keys, hosts = ray.get(map_ref)
+        bpk = ray.get(bp_ref)
+        spans, doc_ids = _spans_of(batch)
+        flat = spans.flatten()
+        parent = pc.list_parent_indices(spans).to_numpy(
+            zero_copy_only=False)
+        n_docs = batch.num_rows
+        n_spans = pc.list_value_length(spans).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        is_media = pc.starts_with(flat.field("kind"), "media/") \
+            .to_numpy(zero_copy_only=False)
+        # per-span token count: whitespace tokens, placeholder = 1
+        tok = pc.count_substring_regex(flat.field("text"), r"\S+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        tok[is_media] = 1
+        # host per span via the doc map
+        ids = doc_ids.to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, ids)
+        pos = np.minimum(pos, max(len(keys) - 1, 0))
+        hit = keys[pos] == ids if len(keys) else np.zeros(n_docs, bool)
+        doc_host = np.where(hit, hosts[pos] if len(keys) else "", "")
+        skey = digest_hex(flat.field("text")).to_numpy(
+            zero_copy_only=False)
+        span_comp = np.char.add(
+            np.char.add(doc_host[parent].astype(str), "|"),
+            skey.astype(str))
+        if len(bpk):
+            bix = np.searchsorted(bpk, span_comp)
+            bix = np.minimum(bix, len(bpk) - 1)
+            removed = (bpk[bix] == span_comp) & ~is_media \
+                & (doc_host[parent] != "")
+        else:
+            removed = np.zeros(len(parent), bool)
+        n_removed = np.bincount(parent[removed],
+                                minlength=n_docs).astype(np.int64)
+        clean_tok = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(clean_tok, parent[~removed], tok[~removed])
+        keep_docs = n_spans > 0   # the twin's GROUP BY can't see them
+        return pa.table({
+            "doc_id": doc_ids.filter(pa.array(keep_docs)),
+            "n_spans": pa.array(n_spans[keep_docs]),
+            "n_removed": pa.array(n_removed[keep_docs]),
+            "n_tokens_clean": pa.array(clean_tok[keep_docs]),
+        })
+
+    out = docs.map_batches(clean, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return empty
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def strip_boilerplate_sql(export_path: str, log_path: str,
+                          min_pages: int = 3, num: int = 1,
+                          den: int = 2) -> str:
+    bp = host_boilerplate_spans_sql(export_path, log_path,
+                                    min_pages, num, den)
+    return f"""
+        WITH bp AS ({bp}),
+        sp AS (SELECT doc_id, unnest(spans, recursive := true)
+               FROM read_parquet('{export_path}')),
+        e AS (SELECT s.doc_id, l.host,
+                     s.kind LIKE 'media/%' AS is_media,
+                     CASE WHEN s.kind LIKE 'media/%' THEN CAST(1 AS BIGINT)
+                          ELSE CAST(len(regexp_extract_all(s.text,
+                               '\\S+')) AS BIGINT) END AS tok,
+                     md5(s.text) AS span_key
+              FROM sp s LEFT JOIN read_parquet('{log_path}') l
+                   USING (doc_id)),
+        f AS (SELECT e.*,
+                     (NOT e.is_media AND e.host IS NOT NULL
+                      AND EXISTS (SELECT 1 FROM bp
+                                  WHERE bp.host = e.host
+                                    AND bp.span_key = e.span_key))
+                         AS removed
+              FROM e)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_removed,
+               CAST(coalesce(sum(tok) FILTER (WHERE NOT removed), 0)
+                   AS BIGINT) AS n_tokens_clean
+        FROM f GROUP BY doc_id ORDER BY doc_id"""
