@@ -45,6 +45,13 @@ def main() -> int:
                     help="after the crawl (or resume no-op), compact the "
                          "span tables' wave partitions to ~TARGET_ROWS-row "
                          "files (store maintenance; crash-safe)")
+    ap.add_argument("--corpus", metavar="OUT_PARQUET", default=None,
+                    help="after the crawl, run the end-to-end curation "
+                         "(exact-dedup + quality filters + boilerplate "
+                         "strip stats + global sequence packing) and "
+                         "write the packed-corpus manifest parquet")
+    ap.add_argument("--corpus-window", type=int, default=512,
+                    help="pack window (tokens) for --corpus")
     args = ap.parse_args()
 
     import ray
@@ -95,6 +102,29 @@ def main() -> int:
             "files_before": sum(b for b, _ in comp.values()),
             "files_after": sum(a for _, a in comp.values()),
         }
+    if args.corpus:
+        from visiblev8_crawler_ray.pipelines.curation import crawl_to_corpus
+        from visiblev8_crawler_ray.stages.parse import strip_boilerplate
+
+        docs = run.docs()
+        if docs is not None:
+            manifest = crawl_to_corpus(docs, window=args.corpus_window)
+            clean = strip_boilerplate(docs, run.crawl_log())
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            pq.write_table(pa.Table.from_pandas(manifest, preserve_index=False),
+                           args.corpus)
+            summary["corpus"] = {
+                "path": args.corpus,
+                "docs_kept": int(len(manifest)),
+                "packs": int(manifest["pack_id"].max()) + 1
+                if len(manifest) else 0,
+                "tokens": int(manifest["n_tokens"].sum()),
+                "boilerplate_spans_stripped": int(clean["n_removed"].sum()),
+            }
+        else:
+            summary["corpus"] = {"path": args.corpus, "docs_kept": 0}
     print(json.dumps(summary))
     ray.shutdown()
     return 0
