@@ -80,6 +80,54 @@ def _crawl(sf_dir: str) -> CrawlRun:
 # the sf the driver's DuckDB oracle gate runs at; tests override via env
 _ORACLE_SF = os.environ.get("VV8RAY_ORACLE_SF", "/root/testdata/sf0.01")
 
+_CRAWL_B_CACHE: dict[str, CrawlRun] = {}
+
+
+def _crawl_b(sf_dir: str) -> CrawlRun:
+    """The crawl_diff B side: an actions-stripped recrawl of the SAME
+    seed list (same config, same store salt + '-b').  ~1/5 of seeds
+    replay click actions in the base run (synth.actions_for), so their
+    pages render differently here ('changed') and any action-nav
+    frontier entries disappear ('removed'); everything else is
+    'same'."""
+    key = os.path.abspath(sf_dir)
+    if key not in _CRAWL_B_CACHE:
+        import pyarrow as pa
+
+        ids = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )["doc_id"].to_numpy()
+        seeds = synth.seeds_table(ids, QCFG)
+        seeds = seeds.set_column(
+            seeds.schema.get_field_index("actions"), "actions",
+            pa.array([""] * seeds.num_rows, type=pa.string()))
+        _CRAWL_B_CACHE[key] = run_crawl(seeds, QCFG,
+                                        _store_root(sf_dir) + "-b")
+        _ensure_export_b(sf_dir, "docs", lambda run: run.docs())
+        _ensure_export_b(sf_dir, "crawl_log", lambda run: run.crawl_log())
+    return _CRAWL_B_CACHE[key]
+
+
+def _ensure_export_b(sf_dir: str, name: str, dataset_fn) -> str:
+    """B-side twin exports (the _ensure_export pattern, '-b' root)."""
+    path = os.path.join(_store_root(sf_dir) + "-b", "export",
+                        f"{name}.parquet")
+    if not os.path.exists(path):
+        import ray
+
+        if not ray.is_initialized():
+            return path
+        import pyarrow as pa
+
+        ds = dataset_fn(_crawl_b(sf_dir))
+        tbl = pa.concat_tables(
+            ds.iter_batches(batch_format="pyarrow", batch_size=4096))
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+    return path
+
 
 def _ensure_export(sf_dir: str, name: str, dataset_fn) -> str:
     """Export a crawl-derived table to ONE deterministic parquet file so
@@ -449,6 +497,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _crawl(sf).docs(), _crawl(sf).crawl_log()),
         "strip_boilerplate": lambda sf: P.strip_boilerplate(
             _crawl(sf).docs(), _crawl(sf).crawl_log()),
+        "crawl_diff": lambda sf: P.crawl_diff(
+            _crawl(sf).docs(), _crawl(sf).crawl_log(),
+            _crawl_b(sf).docs(), _crawl_b(sf).crawl_log()),
         "media_text_ratio": lambda sf: P.media_text_ratio(_crawl(sf).docs()),
         "link_stats": lambda sf: P.link_stats(_crawl(sf).docs()),
         "caption_pairs": lambda sf: P.caption_pairs(_crawl(sf).docs()),
@@ -551,6 +602,16 @@ def oracle_sql() -> dict[str, str]:
         _exp = os.path.join(_store_root(_ORACLE_SF), "export", "docs.parquet")
         _lg = os.path.join(
             _store_root(_ORACLE_SF), "export", "crawl_log.parquet")
+    try:
+        _exp_b = _ensure_export_b(_ORACLE_SF, "docs",
+                                  lambda run: run.docs())
+        _lg_b = _ensure_export_b(_ORACLE_SF, "crawl_log",
+                                 lambda run: run.crawl_log())
+    except Exception:
+        _exp_b = os.path.join(_store_root(_ORACLE_SF) + "-b", "export",
+                              "docs.parquet")
+        _lg_b = os.path.join(_store_root(_ORACLE_SF) + "-b", "export",
+                             "crawl_log.parquet")
     _sp = (f"(SELECT doc_id, unnest(spans, recursive := true) "
            f"FROM read_parquet('{_exp}'))")
     _bd = os.path.join(_store_root(_ORACLE_SF), "blobs")
@@ -1779,6 +1840,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_to_corpus": CU.crawl_to_corpus_sql(_exp),
         "host_boilerplate_spans": P.host_boilerplate_spans_sql(_exp, _lg),
         "strip_boilerplate": P.strip_boilerplate_sql(_exp, _lg),
+        "crawl_diff": P.crawl_diff_sql(_exp, _lg, _exp_b, _lg_b),
         # reconstructed training text (stages/parse.crawl_host_quality)
         "crawl_host_quality": f"""
             WITH sp AS {_sp},

@@ -181,3 +181,54 @@ def test_strip_boilerplate_constructed(ray_session, tmp_path):
     assert by_id.loc["c00-w0", "n_removed"] == 0
     # a00 keeps its media placeholder token: 4 body + 1 media
     assert by_id.loc["a00-w0", "n_tokens_clean"] == 5
+
+
+def test_crawl_diff_constructed(ray_session, tmp_path):
+    """All four delta classes forced: same, changed, removed (A only),
+    added (B only) — engine vs the generated SQL twin."""
+    import pyarrow.parquet as _pq
+
+    from visiblev8_crawler_ray.stages.parse import (crawl_diff,
+                                                    crawl_diff_sql)
+
+    def mk(rows, log):
+        t = _docs_table(rows)
+        lt = pa.table({
+            "doc_id": pa.array([r[0] for r in log]),
+            "url_key": pa.array([r[1] for r in log]),
+            "host": pa.array([r[2] for r in log]),
+            "status": pa.array([r[3] for r in log]),
+        })
+        return t, lt
+
+    docs_a, log_a = mk(
+        [_doc("d1-w0", ["stable page text"]),
+         _doc("d2-w0", ["old content here"]),
+         _doc("d3-w0", ["vanishing page"]),
+         _doc("d5-w0", ["failed fetch content"])],
+        [("d1-w0", "k1", "a.example", "ok"),
+         ("d2-w0", "k2", "a.example", "ok"),
+         ("d3-w0", "k3", "b.example", "ok"),
+         ("d5-w0", "k5", "b.example", "failed")])  # non-ok: excluded
+    docs_b, log_b = mk(
+        [_doc("d1-w1", ["stable page text"]),
+         _doc("d2-w1", ["NEW content here"]),
+         _doc("d4-w1", ["brand new page"])],
+        [("d1-w1", "k1", "a.example", "ok"),
+         ("d2-w1", "k2", "a.example", "ok"),
+         ("d4-w1", "k4", "c.example", "ok")])
+    for name, t in (("da", docs_a), ("db", docs_b),
+                    ("la", log_a), ("lb", log_b)):
+        _pq.write_table(t, tmp_path / f"{name}.parquet")
+
+    res = crawl_diff(rd.from_arrow(docs_a), rd.from_arrow(log_a),
+                     rd.from_arrow(docs_b), rd.from_arrow(log_b))
+    odf = duckdb.sql(crawl_diff_sql(
+        str(tmp_path / "da.parquet"), str(tmp_path / "la.parquet"),
+        str(tmp_path / "db.parquet"), str(tmp_path / "lb.parquet"))).df()
+    pd.testing.assert_frame_equal(
+        res.reset_index(drop=True), odf.reset_index(drop=True),
+        check_dtype=False, check_exact=True)
+    got = {(r.host, r.change): r.n for r in res.itertuples()}
+    assert got == {("a.example", "changed"): 1, ("a.example", "same"): 1,
+                   ("b.example", "removed"): 1, ("c.example", "added"): 1}

@@ -1054,3 +1054,159 @@ def strip_boilerplate_sql(export_path: str, log_path: str,
                CAST(coalesce(sum(tok) FILTER (WHERE NOT removed), 0)
                    AS BIGINT) AS n_tokens_clean
         FROM f GROUP BY doc_id ORDER BY doc_id"""
+
+
+def crawl_diff(docs_a: rd.Dataset, log_a: rd.Dataset,
+               docs_b: rd.Dataset, log_b: rd.Dataset,
+               n_buckets: int = 8) -> pd.DataFrame:
+    """Recrawl delta report: per (host, change) counts comparing two
+    crawl stores — ``removed`` (only in A), ``added`` (only in B),
+    ``changed`` (both, rendered-text content differs), ``same`` — the
+    accounting a recrawl scheduler and an incremental-corpus ingest
+    both need (the incremental sibling of ``recrawl_due``; reference
+    analog: the rerun/cache semantics of resubmitted URLs,
+    backend endpoints/tasks.py:150-156).
+
+    Content identity = md5 of the reconstructed training text (media
+    spans as placeholders) — the same key crawl_to_corpus dedups on,
+    so 'changed' means the TRAINING PAYLOAD changed, not just the
+    trace bytes.
+
+    Scale shape: two bucketed co-group exchanges, both on md5-mixed
+    key hashes (no skew from key shape): (1) per side, attach each
+    ok log row's (url_key, host) to its doc's content key by doc_id;
+    (2) align the two sides on url_key and classify.  Per-bucket
+    output is a (host, change) count partial; the driver adds
+    |hosts| x 4 x |buckets| rows.  One url_key fetches at most once
+    per run (the URL-seen contract), so the per-bucket align is 1:1."""
+    from ..functions.util import digest_hex, empty_frame, md5_low64
+
+    empty = empty_frame({"host": "object", "change": "object",
+                         "n": "int64"})
+    if docs_a is None or docs_b is None or log_a is None or log_b is None:
+        return empty
+
+    def _content(docs: rd.Dataset) -> rd.Dataset:
+        return reconstruct_text(docs).map_batches(
+            lambda t: pa.table({
+                "doc_id": t["doc_id"],
+                "content_key": digest_hex(t["doc_text"]),
+            }), batch_format="pyarrow")
+
+    def _tag(side: int, role: int):
+        # role 0 = log row (url_key, host), 1 = content row
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            did = t["doc_id"]
+            if isinstance(did, pa.ChunkedArray):
+                did = did.combine_chunks()
+            bucket = (md5_low64(did) % n_buckets).astype(np.int64)
+            return pa.table({
+                "doc_id": did,
+                "url_key": t["url_key"] if role == 0
+                else pa.array([""] * n, type=pa.string()),
+                "host": t["host"] if role == 0
+                else pa.array([""] * n, type=pa.string()),
+                "content_key": t["content_key"] if role == 1
+                else pa.array([""] * n, type=pa.string()),
+                "role": pa.array(np.full(n, role, np.int8)),
+                "bucket": pa.array(bucket),
+            })
+        return fn
+
+    def _joined(docs: rd.Dataset, log: rd.Dataset) -> rd.Dataset:
+        ok = log.map_batches(
+            lambda t: t.filter(pc.equal(t["status"], "ok")).select(
+                ["doc_id", "url_key", "host"]),
+            batch_format="pyarrow")
+        cols = ["doc_id", "url_key", "host", "content_key", "role",
+                "bucket"]
+        both = ok.map_batches(_tag(0, 0), batch_format="pyarrow") \
+            .map_batches(lambda t: t.select(cols),
+                         batch_format="pyarrow").union(
+            _content(docs).map_batches(_tag(0, 1),
+                                       batch_format="pyarrow")
+            .map_batches(lambda t: t.select(cols),
+                         batch_format="pyarrow"))
+
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            l = g[g["role"] == 0][["doc_id", "url_key", "host"]]
+            c = g[g["role"] == 1][["doc_id", "content_key"]]
+            m = l.merge(c, on="doc_id")
+            return m[["url_key", "host", "content_key"]]
+
+        return both.groupby("bucket").map_groups(
+            merge, batch_format="pandas")
+
+    def _retag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            uk = t["url_key"]
+            if isinstance(uk, pa.ChunkedArray):
+                uk = uk.combine_chunks()
+            return pa.table({
+                "url_key": uk,
+                "host": t["host"],
+                "content_key": t["content_key"],
+                "side": pa.array(np.full(t.num_rows, side, np.int8)),
+                "bucket": pa.array(
+                    (md5_low64(uk) % n_buckets).astype(np.int64)),
+            })
+        return fn
+
+    a = _joined(docs_a, log_a).map_batches(_retag(0),
+                                           batch_format="pyarrow")
+    b = _joined(docs_b, log_b).map_batches(_retag(1),
+                                           batch_format="pyarrow")
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        ga = g[g["side"] == 0][["url_key", "host", "content_key"]]
+        gb = g[g["side"] == 1][["url_key", "host", "content_key"]]
+        m = ga.merge(gb, on="url_key", how="outer",
+                     suffixes=("_a", "_b"), indicator=True)
+        host = m["host_a"].where(m["host_a"].notna(), m["host_b"])
+        change = np.where(
+            m["_merge"] == "left_only", "removed",
+            np.where(m["_merge"] == "right_only", "added",
+                     np.where(m["content_key_a"] == m["content_key_b"],
+                              "same", "changed")))
+        out = pd.DataFrame({"host": host, "change": change})
+        return out.groupby(["host", "change"], as_index=False).agg(
+            n=("change", "size"))
+
+    parts = a.union(b).groupby("bucket").map_groups(
+        classify, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return empty
+    fin = parts.groupby(["host", "change"], as_index=False)["n"].sum()
+    return fin.sort_values(["host", "change"]).reset_index(drop=True) \
+        .astype({"n": "int64"})
+
+
+def crawl_diff_sql(docs_a: str, log_a: str, docs_b: str,
+                   log_b: str) -> str:
+    def _side(docs: str, log: str, alias: str) -> str:
+        return f"""
+        r{alias} AS (SELECT doc_id,
+                 string_agg(CASE WHEN kind LIKE 'media/%'
+                                 THEN '<|' || kind || '|>'
+                                 ELSE text END, ' '
+                            ORDER BY "offset") AS doc_text
+              FROM (SELECT doc_id, unnest(spans, recursive := true)
+                    FROM read_parquet('{docs}')) GROUP BY doc_id),
+        {alias} AS (SELECT l.url_key, l.host, md5(r{alias}.doc_text)
+                        AS content_key
+                    FROM read_parquet('{log}') l
+                    JOIN r{alias} USING (doc_id)
+                    WHERE l.status = 'ok')"""
+
+    return f"""
+        WITH {_side(docs_a, log_a, 'a')},
+        {_side(docs_b, log_b, 'b')},
+        j AS (SELECT coalesce(a.host, b.host) AS host,
+                     CASE WHEN a.url_key IS NULL THEN 'added'
+                          WHEN b.url_key IS NULL THEN 'removed'
+                          WHEN a.content_key = b.content_key THEN 'same'
+                          ELSE 'changed' END AS change
+              FROM a FULL OUTER JOIN b ON a.url_key = b.url_key)
+        SELECT host, change, CAST(count(*) AS BIGINT) AS n
+        FROM j GROUP BY host, change ORDER BY host, change"""
