@@ -934,7 +934,8 @@ def host_boilerplate_spans_sql(export_path: str, log_path: str,
 
 def strip_boilerplate(docs: rd.Dataset, log: rd.Dataset,
                       min_pages: int = 3, num: int = 1,
-                      den: int = 2) -> pd.DataFrame:
+                      den: int = 2,
+                      bp: pd.DataFrame | None = None) -> pd.DataFrame:
     """Boilerplate removal over the crawl corpus: drop every text span
     flagged by :func:`host_boilerplate_spans` (same params) from its
     host's pages and report the per-doc cleaning profile — the second
@@ -950,14 +951,19 @@ def strip_boilerplate(docs: rd.Dataset, log: rd.Dataset,
 
     Scale shape: the boilerplate set is host-sized x template-sized
     (tiny — it only contains spans repeated across >= num/den of a
-    host's pages) and broadcasts as one sorted composite-key array;
+    host's pages) and broadcasts as per-host key arrays probed with
+    the ``pc.is_in`` C kernel (exact string membership — no composite
+    strings, no hash identity beyond the md5 both engines share);
     cleaning is then a pure per-doc map — no shuffle beyond the
-    detection pass itself."""
+    detection pass itself.  Pass ``bp`` (a prior
+    :func:`host_boilerplate_spans` result with the same params) to
+    skip re-detection."""
     import ray
 
     from ..functions.util import digest_hex, empty_frame
 
-    bp = host_boilerplate_spans(docs, log, min_pages, num, den)
+    if bp is None:
+        bp = host_boilerplate_spans(docs, log, min_pages, num, den)
     empty = empty_frame({"doc_id": "object", "n_spans": "int64",
                          "n_removed": "int64", "n_tokens_clean": "int64"})
     if log is None:
@@ -968,9 +974,11 @@ def strip_boilerplate(docs: rd.Dataset, log: rd.Dataset,
     order = np.argsort(ldf["doc_id"].to_numpy())
     map_ref = ray.put((ldf["doc_id"].to_numpy()[order],
                        ldf["host"].to_numpy()[order]))
-    comp = np.sort((bp["host"] + "|" + bp["span_key"]).to_numpy()) \
-        if len(bp) else np.empty(0, object)
-    bp_ref = ray.put(comp)
+    # per-host boilerplate key sets as arrow arrays: each batch probes
+    # only the hosts it contains, with the vectorized is_in kernel
+    bp_sets = {h: pa.array(g["span_key"].to_numpy(), type=pa.string())
+               for h, g in bp.groupby("host")} if len(bp) else {}
+    bp_ref = ray.put(bp_sets)
 
     def clean(batch: pa.Table) -> pa.Table:
         keys, hosts = ray.get(map_ref)
@@ -994,18 +1002,20 @@ def strip_boilerplate(docs: rd.Dataset, log: rd.Dataset,
         pos = np.minimum(pos, max(len(keys) - 1, 0))
         hit = keys[pos] == ids if len(keys) else np.zeros(n_docs, bool)
         doc_host = np.where(hit, hosts[pos] if len(keys) else "", "")
-        skey = digest_hex(flat.field("text")).to_numpy(
-            zero_copy_only=False)
-        span_comp = np.char.add(
-            np.char.add(doc_host[parent].astype(str), "|"),
-            skey.astype(str))
-        if len(bpk):
-            bix = np.searchsorted(bpk, span_comp)
-            bix = np.minimum(bix, len(bpk) - 1)
-            removed = (bpk[bix] == span_comp) & ~is_media \
-                & (doc_host[parent] != "")
-        else:
-            removed = np.zeros(len(parent), bool)
+        removed = np.zeros(len(parent), bool)
+        span_host = doc_host[parent]
+        if bpk:
+            skey = digest_hex(flat.field("text"))
+            for h in pd.unique(span_host):
+                vs = bpk.get(h)
+                if vs is None or h == "":
+                    continue
+                hm = span_host == h
+                hits = pc.is_in(skey.take(pa.array(np.flatnonzero(hm))),
+                                value_set=vs).to_numpy(
+                    zero_copy_only=False)
+                removed[np.flatnonzero(hm)[hits]] = True
+            removed &= ~is_media
         n_removed = np.bincount(parent[removed],
                                 minlength=n_docs).astype(np.int64)
         clean_tok = np.zeros(n_docs, dtype=np.int64)
