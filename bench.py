@@ -214,6 +214,12 @@ def run_bench() -> dict:
     timed("two_nation_volume", lambda: A.two_nation_volume(sf_dir))
     timed("returned_top_customers",
           lambda: A.returned_top_customers(sf_dir))
+    # the end-to-end crawl-store -> packed-training-corpus composition
+    # over the ~1M-doc store the crawl leg just produced (single rep —
+    # the store is fixed, the leg is deterministic)
+    from visiblev8_crawler_ray.pipelines.curation import crawl_to_corpus
+    timed("crawl_to_corpus", lambda: crawl_to_corpus(run.docs()),
+          n_reps=1)
     from visiblev8_crawler_ray.pipelines import classify as CL
     from visiblev8_crawler_ray.pipelines import trees as TRE
     timed("train_scorer", lambda: CL.train_scorer(sf_dir))
