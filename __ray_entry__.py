@@ -497,6 +497,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _crawl(sf).docs(), _crawl(sf).crawl_log()),
         "strip_boilerplate": lambda sf: P.strip_boilerplate(
             _crawl(sf).docs(), _crawl(sf).crawl_log()),
+        "crawl_to_corpus_clean": lambda sf: CU.crawl_to_corpus_clean(
+            _crawl(sf).docs(), _crawl(sf).crawl_log()),
         "crawl_diff": lambda sf: P.crawl_diff(
             _crawl(sf).docs(), _crawl(sf).crawl_log(),
             _crawl_b(sf).docs(), _crawl_b(sf).crawl_log()),
@@ -1841,6 +1843,7 @@ def oracle_sql() -> dict[str, str]:
         "host_boilerplate_spans": P.host_boilerplate_spans_sql(_exp, _lg),
         "strip_boilerplate": P.strip_boilerplate_sql(_exp, _lg),
         "crawl_diff": P.crawl_diff_sql(_exp, _lg, _exp_b, _lg_b),
+        "crawl_to_corpus_clean": CU.crawl_to_corpus_clean_sql(_exp, _lg),
         # reconstructed training text (stages/parse.crawl_host_quality)
         "crawl_host_quality": f"""
             WITH sp AS {_sp},

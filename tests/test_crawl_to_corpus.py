@@ -232,3 +232,47 @@ def test_crawl_diff_constructed(ray_session, tmp_path):
     got = {(r.host, r.change): r.n for r in res.itertuples()}
     assert got == {("a.example", "changed"): 1, ("a.example", "same"): 1,
                    ("b.example", "removed"): 1, ("c.example", "added"): 1}
+
+
+def test_clean_chain_strip_exposes_duplicates(ray_session, tmp_path):
+    """The production order (strip THEN dedup) must catch cross-host
+    duplicates the raw render hides: two hosts serve the same article
+    wrapped in different per-host templates — after template stripping
+    the articles dedup to ONE canonical doc."""
+    import pyarrow.parquet as _pq
+
+    from visiblev8_crawler_ray.pipelines.curation import (
+        crawl_to_corpus, crawl_to_corpus_clean, crawl_to_corpus_clean_sql)
+
+    article = " ".join(f"body{i}" for i in range(40))
+    rows, log = [], []
+    for h, hn in (("a", "a.example"), ("b", "b.example")):
+        for i in range(4):
+            body = article if i == 0 else \
+                " ".join(f"{h}{i}w{j}" for j in range(40))
+            rows.append(_doc(f"{h}{i:02d}-w0",
+                             [f"TEMPLATE OF HOST {hn}", body]))
+            log.append((f"{h}{i:02d}-w0", hn))
+    tbl = _docs_table(rows)
+    ltbl = pa.table({"doc_id": pa.array([d for d, _ in log]),
+                     "host": pa.array([h for _, h in log])})
+    _pq.write_table(tbl, tmp_path / "docs.parquet")
+    _pq.write_table(ltbl, tmp_path / "log.parquet")
+
+    kw = dict(window=64, min_tokens=20, media_den=8, min_pages=3,
+              num=9, den=10)
+    res = crawl_to_corpus_clean(rd.from_arrow(tbl), rd.from_arrow(ltbl),
+                                **kw)
+    odf = duckdb.sql(crawl_to_corpus_clean_sql(
+        str(tmp_path / "docs.parquet"), str(tmp_path / "log.parquet"),
+        **kw)).df()
+    pd.testing.assert_frame_equal(
+        res.reset_index(drop=True), odf.reset_index(drop=True),
+        check_dtype=False, check_exact=True)
+    kept = set(res["doc_id"])
+    # raw render: template makes the two article copies distinct -> the
+    # raw chain keeps both; clean chain keeps only the min-id copy
+    raw = crawl_to_corpus(rd.from_arrow(tbl), window=64, min_tokens=20,
+                          media_den=8)
+    assert {"a00-w0", "b00-w0"} <= set(raw["doc_id"])
+    assert "a00-w0" in kept and "b00-w0" not in kept

@@ -481,9 +481,10 @@ def crawl_to_corpus(docs: rd.Dataset, window: int = 512,
 
     per_range = two_phase_agg(
         kept, ["rng"], [("n_tokens", "sum")], ["rng", "rng_tokens"]
-    ).to_pandas().sort_values("rng").reset_index(drop=True)
-    if per_range.empty:
+    ).to_pandas()
+    if per_range.empty or "rng" not in per_range.columns:
         return empty
+    per_range = per_range.sort_values("rng").reset_index(drop=True)
     bases = dict(zip(
         per_range["rng"],
         np.concatenate(([0], np.cumsum(
@@ -542,6 +543,218 @@ def crawl_to_corpus_sql(export_path: str, window: int = 512,
                               ROWS UNBOUNDED PRECEDING) - n_tokens
                           AS BIGINT) AS start_offset
               FROM f)
+        SELECT doc_id, n_tokens, start_offset,
+               start_offset // {window} AS pack_id,
+               start_offset % {window} AS offset_in_pack,
+               (start_offset % {window}) + n_tokens > {window}
+                   AS spans_boundary
+        FROM c ORDER BY doc_id"""
+
+
+def crawl_to_corpus_clean(docs: rd.Dataset, log: rd.Dataset,
+                          window: int = 512, min_tokens: int = 32,
+                          media_den: int = 8, min_pages: int = 3,
+                          num: int = 9, den: int = 10,
+                          prefix_len: int = 2) -> pd.DataFrame:
+    """The PRODUCTION corpus chain: boilerplate detect -> strip ->
+    render clean text -> exact-dedup canonicality on the CLEAN content
+    ∧ length floor ∧ media-density cap -> global packing.  Same
+    contract as :func:`crawl_to_corpus` but every downstream decision
+    (dedup key, token floor) sees the template-stripped text — the
+    order a real pretraining pipeline applies (strip first, then
+    dedup: template removal EXPOSES cross-host duplicates the raw
+    render hides).
+
+    A doc whose spans all strip renders to '' and is dropped by the
+    floor on both engines (the twin's FILTERed string_agg yields NULL
+    there; NULL never joins the dedup keep-list and NULL token counts
+    fail the floor — same outcome).  Media spans never strip, so
+    placeholders survive into the clean render."""
+    import ray
+
+    from ..functions.util import digest_hex, empty_frame
+    from ..stages.parse import (_spans_of, host_boilerplate_spans)
+
+    empty = empty_frame({"doc_id": "object", "n_tokens": "int64",
+                         "start_offset": "int64", "pack_id": "int64",
+                         "offset_in_pack": "int64",
+                         "spans_boundary": "bool"})
+    if log is None:
+        return empty
+    bp = host_boilerplate_spans(docs, log, min_pages, num, den)
+    ldf = log.select_columns(["doc_id", "host"]).to_pandas()
+    if len(ldf) == 0:
+        return empty
+    order = np.argsort(ldf["doc_id"].to_numpy())
+    map_ref = ray.put((ldf["doc_id"].to_numpy()[order],
+                       ldf["host"].to_numpy()[order]))
+    bp_sets = {h: pa.array(g["span_key"].to_numpy(), type=pa.string())
+               for h, g in bp.groupby("host")} if len(bp) else {}
+    bp_ref = ray.put(bp_sets)
+
+    def signals(t: pa.Table) -> pa.Table:
+        keys, hosts = ray.get(map_ref)
+        bpk = ray.get(bp_ref)
+        spans, doc_ids = _spans_of(t)
+        flat = spans.flatten()
+        parent = pc.list_parent_indices(spans).to_numpy(
+            zero_copy_only=False)
+        n_docs = t.num_rows
+        kinds = flat.field("kind")
+        is_media = pc.starts_with(kinds, "media/").to_numpy(
+            zero_copy_only=False)
+        ids = doc_ids.to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, ids)
+        pos = np.minimum(pos, max(len(keys) - 1, 0))
+        hit = keys[pos] == ids if len(keys) else np.zeros(n_docs, bool)
+        doc_host = np.where(hit, hosts[pos] if len(keys) else "", "")
+        removed = np.zeros(len(parent), bool)
+        span_host = doc_host[parent]
+        if bpk:
+            skey = digest_hex(flat.field("text"))
+            for h in pd.unique(span_host):
+                vs = bpk.get(h)
+                if vs is None or h == "":
+                    continue
+                hm = span_host == h
+                hits = pc.is_in(skey.take(pa.array(np.flatnonzero(hm))),
+                                value_set=vs).to_numpy(
+                    zero_copy_only=False)
+                removed[np.flatnonzero(hm)[hits]] = True
+            removed &= ~is_media
+        # clean render: kept pieces re-joined per doc (all C kernels)
+        placeholder = pc.binary_join_element_wise(
+            pa.scalar("<|"), kinds, pa.scalar("|>"), pa.scalar(""))
+        merged = pc.if_else(pa.array(is_media), placeholder,
+                            flat.field("text"))
+        if isinstance(merged, pa.ChunkedArray):
+            merged = merged.combine_chunks()
+        keep_ix = np.flatnonzero(~removed)
+        kept = merged.take(pa.array(keep_ix))
+        kept_per_doc = np.bincount(parent[keep_ix],
+                                   minlength=n_docs)
+        offsets = np.zeros(n_docs + 1, dtype=np.int32)
+        np.cumsum(kept_per_doc, out=offsets[1:])
+        lists = pa.ListArray.from_arrays(pa.array(offsets), kept)
+        clean_text = pc.binary_join(lists, " ")
+        n_tok = pc.count_substring_regex(clean_text, r"\S+").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_med = pc.count_substring_regex(
+            clean_text, r"<\|media/[a-z]+\|>").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        did = doc_ids.combine_chunks() if isinstance(
+            doc_ids, pa.ChunkedArray) else doc_ids
+        return pa.table({
+            "doc_id": did,
+            "rng": pc.utf8_slice_codeunits(did, 0, prefix_len),
+            "content_key": digest_hex(clean_text),
+            "n_tokens": pa.array(n_tok),
+            "n_media": pa.array(n_med),
+        })
+
+    sig = docs.map_batches(signals, batch_format="pyarrow").materialize()
+    keep = two_phase_agg(sig, ["content_key"], [("doc_id", "min")],
+                         ["content_key", "keep_doc_id"]).to_pandas()
+    if keep.empty:
+        return empty
+    kk = keep["content_key"].to_numpy()
+    ko = np.argsort(kk, kind="stable")
+    keep_ref = ray.put((kk[ko], keep["keep_doc_id"].to_numpy()[ko]))
+
+    def flag(t: pa.Table) -> pa.Table:
+        keys, kd = ray.get(keep_ref)
+        ck = t["content_key"].to_numpy(zero_copy_only=False)
+        ix = np.searchsorted(keys, ck)
+        ix = np.minimum(ix, len(keys) - 1)
+        canonical = kd[ix] == t["doc_id"].to_numpy(zero_copy_only=False)
+        n_tok = t["n_tokens"].to_numpy(zero_copy_only=False)
+        n_med = t["n_media"].to_numpy(zero_copy_only=False)
+        kept = canonical & (n_tok >= min_tokens) \
+            & (n_med * media_den <= n_tok)
+        return t.filter(pa.array(kept)).select(
+            ["doc_id", "rng", "n_tokens"])
+
+    kept = sig.map_batches(flag, batch_format="pyarrow").materialize()
+    per_range = two_phase_agg(
+        kept, ["rng"], [("n_tokens", "sum")], ["rng", "rng_tokens"]
+    ).to_pandas()
+    if per_range.empty or "rng" not in per_range.columns:
+        return empty
+    per_range = per_range.sort_values("rng").reset_index(drop=True)
+    bases = dict(zip(
+        per_range["rng"],
+        np.concatenate(([0], np.cumsum(
+            per_range["rng_tokens"].to_numpy())[:-1])),
+    ))
+
+    def per_range_pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        n = g["n_tokens"].to_numpy()
+        start = int(bases[g["rng"].iloc[0]]) + np.cumsum(n) - n
+        off = start % window
+        return pd.DataFrame({
+            "doc_id": g["doc_id"],
+            "n_tokens": n,
+            "start_offset": start,
+            "pack_id": start // window,
+            "offset_in_pack": off,
+            "spans_boundary": off + n > window,
+        })
+
+    return (kept.groupby("rng").map_groups(
+        per_range_pack, batch_format="pandas")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+def crawl_to_corpus_clean_sql(export_path: str, log_path: str,
+                              window: int = 512, min_tokens: int = 32,
+                              media_den: int = 8, min_pages: int = 3,
+                              num: int = 9, den: int = 10) -> str:
+    from ..stages.parse import host_boilerplate_spans_sql
+
+    bp = host_boilerplate_spans_sql(export_path, log_path,
+                                    min_pages, num, den)
+    return f"""
+        WITH bp AS ({bp}),
+        sp AS (SELECT doc_id, unnest(spans, recursive := true)
+               FROM read_parquet('{export_path}')),
+        e AS (SELECT s.doc_id, s."offset", l.host,
+                     s.kind LIKE 'media/%' AS is_media,
+                     CASE WHEN s.kind LIKE 'media/%'
+                          THEN '<|' || s.kind || '|>'
+                          ELSE s.text END AS piece,
+                     md5(s.text) AS span_key
+              FROM sp s LEFT JOIN read_parquet('{log_path}') l
+                   USING (doc_id)),
+        f AS (SELECT e.*,
+                     (NOT e.is_media AND e.host IS NOT NULL
+                      AND EXISTS (SELECT 1 FROM bp
+                                  WHERE bp.host = e.host
+                                    AND bp.span_key = e.span_key))
+                         AS removed
+              FROM e),
+        r AS (SELECT doc_id,
+                     string_agg(piece, ' ' ORDER BY "offset")
+                         FILTER (WHERE NOT removed) AS doc_text
+              FROM f GROUP BY doc_id),
+        t AS (SELECT doc_id, md5(doc_text) AS content_key,
+                     CAST(len(regexp_extract_all(doc_text, '\\S+'))
+                          AS BIGINT) AS n_tokens,
+                     CAST(len(regexp_extract_all(doc_text,
+                          '<\\|media/[a-z]+\\|>')) AS BIGINT) AS n_media
+              FROM r),
+        k AS (SELECT content_key, min(doc_id) AS keep_doc_id
+              FROM t GROUP BY content_key),
+        f2 AS (SELECT t.doc_id, t.n_tokens
+               FROM t JOIN k USING (content_key)
+               WHERE t.doc_id = k.keep_doc_id
+                 AND t.n_tokens >= {min_tokens}
+                 AND t.n_media * {media_den} <= t.n_tokens),
+        c AS (SELECT doc_id, n_tokens,
+                     CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tokens
+                          AS BIGINT) AS start_offset
+              FROM f2)
         SELECT doc_id, n_tokens, start_offset,
                start_offset // {window} AS pack_id,
                start_offset % {window} AS offset_in_pack,
