@@ -212,3 +212,16 @@ def md5_low64(strings) -> np.ndarray:
     out = _digest_query(strings, "md5_number_lower(s) AS h")
     return out["h"].to_numpy(zero_copy_only=False).astype(
         np.uint64).view(np.int64)
+
+
+def digest_hex_dict(strings, algo: str = "md5") -> "pa.Array":
+    """`digest_hex` through a dictionary encode: hash each DISTINCT
+    string once, then take — a large win on span/template columns where
+    the same text repeats many times per block (the factorize-then-hash
+    idiom MinHasher uses for tokens).  Bit-identical to `digest_hex`."""
+    if isinstance(strings, pa.ChunkedArray):
+        strings = strings.combine_chunks()
+    enc = strings.dictionary_encode()
+    hashed = digest_hex(enc.dictionary, algo)
+    out = hashed.take(enc.indices)
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out

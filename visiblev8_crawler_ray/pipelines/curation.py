@@ -427,7 +427,8 @@ def crawl_to_corpus(docs: rd.Dataset, window: int = 512,
     emits it), so parity holds for min_tokens >= 1."""
     import ray
 
-    from ..functions.util import digest_hex, empty_frame
+    from ..functions.util import (digest_hex, digest_hex_dict,
+                                  empty_frame)
     from ..stages.parse import reconstruct_text
 
     rt = reconstruct_text(docs)
@@ -572,7 +573,8 @@ def crawl_to_corpus_clean(docs: rd.Dataset, log: rd.Dataset,
     placeholders survive into the clean render."""
     import ray
 
-    from ..functions.util import digest_hex, empty_frame
+    from ..functions.util import (digest_hex, digest_hex_dict,
+                                  empty_frame)
     from ..stages.parse import (_spans_of, host_boilerplate_spans)
 
     empty = empty_frame({"doc_id": "object", "n_tokens": "int64",
@@ -611,7 +613,7 @@ def crawl_to_corpus_clean(docs: rd.Dataset, log: rd.Dataset,
         removed = np.zeros(len(parent), bool)
         span_host = doc_host[parent]
         if bpk:
-            skey = digest_hex(flat.field("text"))
+            skey = digest_hex_dict(flat.field("text"))
             for h in pd.unique(span_host):
                 vs = bpk.get(h)
                 if vs is None or h == "":

@@ -828,7 +828,8 @@ def host_boilerplate_spans(docs: rd.Dataset, log: rd.Dataset,
     so the DuckDB twin agrees exactly."""
     import ray
 
-    from ..functions.util import digest_hex, empty_frame, two_phase_agg
+    from ..functions.util import (digest_hex_dict, empty_frame,
+                                  two_phase_agg)
 
     empty = empty_frame({"host": "object", "span_key": "object",
                          "n_pages": "int64", "host_pages": "int64"})
@@ -854,7 +855,7 @@ def host_boilerplate_spans(docs: rd.Dataset, log: rd.Dataset,
             return pa.table({"host": pa.array([], type=pa.string()),
                              "span_key": pa.array([], type=pa.string()),
                              "n_pages": pa.array([], type=pa.int64())})
-        skey = digest_hex(flat.field("text").take(pa.array(keep)))
+        skey = digest_hex_dict(flat.field("text").take(pa.array(keep)))
         sdoc = doc_ids.take(pa.array(parent[keep]))
         # block-local DISTINCT (doc, key) == global (docs are rows)
         d = pa.table({"doc": sdoc, "span_key": skey}) \
@@ -960,7 +961,7 @@ def strip_boilerplate(docs: rd.Dataset, log: rd.Dataset,
     skip re-detection."""
     import ray
 
-    from ..functions.util import digest_hex, empty_frame
+    from ..functions.util import digest_hex_dict, empty_frame
 
     if bp is None:
         bp = host_boilerplate_spans(docs, log, min_pages, num, den)
@@ -1005,7 +1006,7 @@ def strip_boilerplate(docs: rd.Dataset, log: rd.Dataset,
         removed = np.zeros(len(parent), bool)
         span_host = doc_host[parent]
         if bpk:
-            skey = digest_hex(flat.field("text"))
+            skey = digest_hex_dict(flat.field("text"))
             for h in pd.unique(span_host):
                 vs = bpk.get(h)
                 if vs is None or h == "":
