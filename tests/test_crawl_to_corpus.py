@@ -276,3 +276,100 @@ def test_clean_chain_strip_exposes_duplicates(ray_session, tmp_path):
                           media_den=8)
     assert {"a00-w0", "b00-w0"} <= set(raw["doc_id"])
     assert "a00-w0" in kept and "b00-w0" not in kept
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_corpus_family_random_fuzz(ray_session, tmp_path, seed):
+    """Seeded random docs+log star through the WHOLE corpus family
+    (detect, strip, raw pack, clean pack, diff) vs the generated SQL
+    twins — random span mixes, random template sharing, random hosts,
+    dangling log rows, docs absent from the log."""
+    import pyarrow.parquet as _pq
+
+    from visiblev8_crawler_ray.pipelines.curation import (
+        crawl_to_corpus, crawl_to_corpus_sql, crawl_to_corpus_clean,
+        crawl_to_corpus_clean_sql)
+    from visiblev8_crawler_ray.stages.parse import (
+        crawl_diff, crawl_diff_sql, host_boilerplate_spans,
+        host_boilerplate_spans_sql, strip_boilerplate,
+        strip_boilerplate_sql)
+
+    rng = np.random.default_rng(5100 + seed)
+    words = np.array(["ww%d" % i for i in range(30)])
+    templates = [" ".join(words[rng.integers(0, 30, 8)])
+                 for _ in range(6)]
+    hosts = [f"h{i}.example" for i in range(4)]
+    rows, log = [], []
+    for i in range(40):
+        h = hosts[rng.integers(0, len(hosts))]
+        texts = [" ".join(words[rng.integers(0, 30, rng.integers(3, 30))])
+                 for _ in range(rng.integers(1, 5))]
+        # each doc embeds 0-2 of its host's shared templates
+        for t in range(rng.integers(0, 3)):
+            texts.append(templates[(int(h[1]) * 2 + t) % len(templates)])
+        media = [f"blob://m{i}"] if rng.random() < 0.3 else []
+        did = f"{rng.integers(0, 16):x}{i:03d}-w0"
+        rows.append(_doc(did, texts, media=media))
+        if rng.random() < 0.9:  # some docs never reach the log
+            log.append((did, f"k{i}", h,
+                        "ok" if rng.random() < 0.9 else "failed"))
+    # dangling log row without a doc
+    log.append(("zzzz-w0", "kz", hosts[0], "ok"))
+    tbl = _docs_table(rows)
+    ltbl = pa.table({"doc_id": pa.array([d for d, *_ in log]),
+                     "url_key": pa.array([k for _, k, *_ in log]),
+                     "host": pa.array([h for _, _, h, _ in log]),
+                     "status": pa.array([s for *_, s in log])})
+    _pq.write_table(tbl, tmp_path / "docs.parquet")
+    _pq.write_table(ltbl, tmp_path / "log.parquet")
+    dp, lp = str(tmp_path / "docs.parquet"), str(tmp_path / "log.parquet")
+    docs, lg = rd.from_arrow(tbl), rd.from_arrow(ltbl)
+
+    def cmp(res, sql, name):
+        odf = duckdb.sql(sql).df()
+        a = _norm(res)
+        b = _norm(odf)
+        assert list(a.columns) == list(b.columns), name
+        assert len(a) == len(b), (name, len(a), len(b))
+        pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                      check_exact=True, obj=name)
+
+    def _norm(df):
+        df = pd.DataFrame(df)
+        df = df[sorted(df.columns)]
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    kw = dict(min_pages=2, num=1, den=2)
+    cmp(host_boilerplate_spans(docs, lg, **kw),
+        host_boilerplate_spans_sql(dp, lp, **kw), "detect")
+    cmp(strip_boilerplate(docs, lg, **kw),
+        strip_boilerplate_sql(dp, lp, **kw), "strip")
+    cmp(crawl_to_corpus(docs, window=32, min_tokens=5, media_den=5),
+        crawl_to_corpus_sql(dp, window=32, min_tokens=5, media_den=5),
+        "pack")
+    ckw = dict(window=32, min_tokens=5, media_den=5, min_pages=2,
+               num=1, den=2)
+    cmp(crawl_to_corpus_clean(docs, lg, **ckw),
+        crawl_to_corpus_clean_sql(dp, lp, **ckw), "clean-pack")
+    # diff this corpus against a mutated copy of itself
+    rows_b = [dict(r) for r in rows[5:]]           # 5 removed
+    for r in rows_b[:4]:                           # 4 changed
+        r["spans"] = r["spans"] + [{"kind": "script",
+                                    "text": "mutation span",
+                                    "media_ref": "",
+                                    "offset": len(r["spans"])}]
+    rows_b.append(_doc("added-w1", ["fresh page content"]))
+    tbl_b = _docs_table(rows_b)
+    keep_ids = {r["doc_id"] for r in rows_b}
+    lb_rows = [(d, k, h, s) for d, k, h, s in log if d in keep_ids]
+    lb_rows.append(("added-w1", "knew", hosts[1], "ok"))
+    ltbl_b = pa.table({"doc_id": pa.array([d for d, *_ in lb_rows]),
+                       "url_key": pa.array([k for _, k, *_ in lb_rows]),
+                       "host": pa.array([h for _, _, h, _ in lb_rows]),
+                       "status": pa.array([s for *_, s in lb_rows])})
+    _pq.write_table(tbl_b, tmp_path / "docs_b.parquet")
+    _pq.write_table(ltbl_b, tmp_path / "log_b.parquet")
+    cmp(crawl_diff(docs, lg, rd.from_arrow(tbl_b),
+                   rd.from_arrow(ltbl_b)),
+        crawl_diff_sql(dp, lp, str(tmp_path / "docs_b.parquet"),
+                       str(tmp_path / "log_b.parquet")), "diff")
