@@ -428,3 +428,54 @@ def test_fetch_writer_replay_idempotent(tmp_path):
     assert len(datafiles) == 1
     tbl = pq.read_table(os.path.join(out_dir, datafiles[0]))
     assert tbl.num_rows == n
+
+
+def test_media_near_dup_cross_format(tmp_path):
+    """Cross-codec perceptual identity: the SAME screenshot stored as
+    PNG and as a q90 JPEG re-encode must pair (aHash is computed after
+    decode, so the codec is invisible); an unrelated JPEG pairs with
+    nothing.  This is the real-web mixed-format case the reference's
+    GridFS artifacts exhibit (screenshots arrive in whatever format the
+    browser produced)."""
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from visiblev8_crawler_ray.functions.jpeg import encode_jpeg
+    from visiblev8_crawler_ray.functions.png import encode_png
+    from visiblev8_crawler_ray.pipelines.multimodal import media_near_dup
+
+    rng = np.random.default_rng(12)
+    # smooth gradient image: JPEG-friendly, so q90 stays in the aHash
+    # neighborhood (pure noise would shatter under DCT quantization)
+    yy, xx = np.mgrid[0:24, 0:32]
+    base = np.stack([(yy * 8) % 256, (xx * 8) % 256,
+                     ((yy + xx) * 4) % 256], axis=2).astype(np.uint8)
+    other = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+
+    blob_dir = str(tmp_path / "blobs")
+    payloads = [("1/shot.png", encode_png(base)),
+                ("2/shot.jpg", encode_jpeg(base, quality=90)),
+                ("3/shot.jpg", encode_jpeg(other, quality=90))]
+    for rel, data in payloads:
+        p = os.path.join(blob_dir, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as f:
+            f.write(data)
+
+    span_t = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                        ("media_ref", pa.string()), ("offset", pa.int32())])
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "spans": pa.array([
+            [{"kind": "media/shot", "text": "",
+              "media_ref": f"blob://{rel}", "offset": 0}]
+            for rel, _ in payloads
+        ], type=pa.list_(span_t)),
+    })
+    pairs = media_near_dup(rd.from_arrow(docs), blob_dir)
+    assert len(pairs) == 1
+    assert pairs.iloc[0]["ref_a"] == "blob://1/shot.png"
+    assert pairs.iloc[0]["ref_b"] == "blob://2/shot.jpg"
+    assert pairs.iloc[0]["hamming"] <= 3

@@ -269,7 +269,15 @@ class PerceptualHasher:
 
         path = os.path.join(self.blob_dir, ref[len("blob://"):])
         with open(path, "rb") as f:
-            px = decode_png(f.read())
+            data = f.read()
+        if path.endswith((".jpg", ".jpeg")):
+            # real-web screenshots mix formats; the same pixels behind
+            # a different codec must land in the same hash neighborhood
+            from ..functions.jpeg import decode_jpeg
+
+            px = decode_jpeg(data)
+        else:
+            px = decode_png(data)
         gray = px.astype(np.float64).mean(axis=2)
         h, w = gray.shape
         g = self.GRID
@@ -326,7 +334,7 @@ def media_near_dup(docs: rd.Dataset, blob_dir: str,
     media = docs.map_batches(
         explode_spans_batch, batch_format="pyarrow").map_batches(
         lambda t: t.filter(pc.match_substring_regex(
-            t["media_ref"], r"\.png$")),
+            t["media_ref"], r"\.(png|jpe?g)$")),
         batch_format="pyarrow")
     hashed = media.map_batches(
         PerceptualHasher, fn_constructor_kwargs={"blob_dir": blob_dir},
@@ -436,7 +444,7 @@ def media_dup_clusters(docs: rd.Dataset, blob_dir: str,
     out = docs.map_batches(
         explode_spans_batch, batch_format="pyarrow").map_batches(
         lambda t: t.filter(pc.match_substring_regex(
-            t["media_ref"], r"\.png$")),
+            t["media_ref"], r"\.(png|jpe?g)$")),
         batch_format="pyarrow").map_batches(
         assign, batch_format="pyarrow").to_pandas()
     return out.sort_values("media_ref").reset_index(drop=True)
@@ -500,7 +508,7 @@ def media_thumbnails(docs: rd.Dataset, blob_dir: str,
     media = docs.map_batches(
         explode_spans_batch, batch_format="pyarrow").map_batches(
         lambda t: t.filter(pc.match_substring_regex(
-            t["media_ref"], r"\.png$")),
+            t["media_ref"], r"\.(png|jpe?g)$")),
         batch_format="pyarrow")
     return media.map_batches(
         MediaResizer,
