@@ -235,6 +235,12 @@ def _video_frame_index(sf_dir: str):
     return MM.video_frame_index(run.docs(), blob_dir)
 
 
+def _video_near_dup(sf_dir: str):
+    run = _crawl(sf_dir)
+    blob_dir = os.path.join(_store_root(sf_dir), "blobs")
+    return MM.video_near_dup(run.docs(), blob_dir)
+
+
 def _media_dedup(sf_dir: str):
     run = _crawl(sf_dir)
     blob_dir = os.path.join(_store_root(sf_dir), "blobs")
@@ -515,6 +521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": _audio_features,
         "video_frames": _video_frames,
         "video_frame_index": _video_frame_index,
+        "video_near_dup": _video_near_dup,
         "media_dedup": _media_dedup,
         "media_near_dup": _media_near_dup,
         "media_thumbnails": _media_thumbnails,
@@ -1805,6 +1812,40 @@ def oracle_sql() -> dict[str, str]:
                    m.n_bytes, m.frame_md5
             FROM v JOIN m ON m.rel = substr(v.media_ref, 8)
             ORDER BY v.doc_id, v.media_ref, m.frame_idx""",
+        # clip-overlap pairs re-derived from the same recursive
+        # container walk (multimodal.video_near_dup; empty on the
+        # synthetic fixtures — every video derives from its doc_id —
+        # the constructed shared-frame test carries the behavior)
+        "video_near_dup": f"""
+            WITH RECURSIVE sp AS {_sp},
+            v AS (SELECT DISTINCT media_ref FROM sp
+                  WHERE kind = 'media/video'),
+            hx AS (SELECT substr(filename, {len(_bd) + 2}) AS rel,
+                          to_hex(content) AS h,
+                          ('0x' || substr(to_hex(content), 1, 8))::BIGINT
+                              AS n_frames
+                   FROM read_blob('{_bd}/**/*.vid')),
+            walk(rel, idx, hpos, hlen) AS (
+              SELECT rel, 0, 9, 2 * ('0x' || substr(h, 9, 8))::BIGINT
+              FROM hx WHERE n_frames > 0
+              UNION ALL
+              SELECT w.rel, w.idx + 1, w.hpos + 8 + w.hlen,
+                     2 * ('0x' || substr(hx.h, w.hpos + 8 + w.hlen, 8)
+                         )::BIGINT
+              FROM walk w JOIN hx USING (rel)
+              WHERE w.idx + 1 < hx.n_frames),
+            d AS (SELECT DISTINCT v.media_ref AS ref,
+                         md5(substr(hx.h, w.hpos + 8, w.hlen))
+                             AS frame_md5
+                  FROM walk w JOIN hx USING (rel)
+                  JOIN v ON w.rel = substr(v.media_ref, 8))
+            SELECT a.ref AS ref_a, b.ref AS ref_b,
+                   CAST(count(*) AS BIGINT) AS shared_frames
+            FROM d a JOIN d b ON a.frame_md5 = b.frame_md5
+                             AND a.ref < b.ref
+            GROUP BY a.ref, b.ref
+            HAVING count(*) >= 2
+            ORDER BY ref_a, ref_b""",
         # store-integrity audit recomputed end to end: span-table refs
         # vs the artifact files themselves via DuckDB's read_blob glob
         # (multimodal.blob_audit; existence, sizes, orphan listing all

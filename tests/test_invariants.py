@@ -479,3 +479,92 @@ def test_media_near_dup_cross_format(tmp_path):
     assert pairs.iloc[0]["ref_a"] == "blob://1/shot.png"
     assert pairs.iloc[0]["ref_b"] == "blob://2/shot.jpg"
     assert pairs.iloc[0]["hamming"] <= 3
+
+
+def test_video_near_dup_shared_frames(tmp_path):
+    """Clip-overlap pairs: video B is a trimmed+extended copy of A
+    (shares 3 of A's frames byte-identically); video C shares nothing.
+    Engine vs the recursive-walk SQL twin over the same blob bytes."""
+    import os
+    import struct
+
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from visiblev8_crawler_ray.pipelines.multimodal import video_near_dup
+
+    rng = np.random.default_rng(13)
+
+    def container(frames):
+        out = [struct.pack(">I", len(frames))]
+        for f in frames:
+            out.append(struct.pack(">I", len(f)))
+            out.append(f)
+        return b"".join(out)
+
+    shared = [rng.bytes(40) for _ in range(3)]
+    vid_a = container(shared + [rng.bytes(30)])
+    vid_b = container([rng.bytes(25)] + shared[::-1])   # order-free
+    vid_c = container([rng.bytes(40) for _ in range(4)])
+
+    blob_dir = str(tmp_path / "blobs")
+    for rel, data in (("1/a.vid", vid_a), ("2/b.vid", vid_b),
+                      ("3/c.vid", vid_c)):
+        p = os.path.join(blob_dir, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as f:
+            f.write(data)
+
+    span_t = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                        ("media_ref", pa.string()), ("offset", pa.int32())])
+    docs = pa.table({
+        "doc_id": pa.array(["d1", "d2", "d3"]),
+        "spans": pa.array([
+            [{"kind": "media/video", "text": "",
+              "media_ref": f"blob://{rel}", "offset": 0}]
+            for rel in ("1/a.vid", "2/b.vid", "3/c.vid")
+        ], type=pa.list_(span_t)),
+    })
+    pairs = video_near_dup(rd.from_arrow(docs), blob_dir)
+    assert len(pairs) == 1
+    assert pairs.iloc[0]["ref_a"] == "blob://1/a.vid"
+    assert pairs.iloc[0]["ref_b"] == "blob://2/b.vid"
+    assert pairs.iloc[0]["shared_frames"] == 3
+
+    # SQL twin over the same constructed store
+    import pyarrow.parquet as _pq
+    exp = tmp_path / "docs.parquet"
+    _pq.write_table(docs, exp)
+    sql = f"""
+        WITH RECURSIVE sp AS (SELECT doc_id,
+                unnest(spans, recursive := true)
+                FROM read_parquet('{exp}')),
+        v AS (SELECT DISTINCT media_ref FROM sp
+              WHERE kind = 'media/video'),
+        hx AS (SELECT substr(filename, {len(blob_dir) + 2}) AS rel,
+                      to_hex(content) AS h,
+                      ('0x' || substr(to_hex(content), 1, 8))::BIGINT
+                          AS n_frames
+               FROM read_blob('{blob_dir}/**/*.vid')),
+        walk(rel, idx, hpos, hlen) AS (
+          SELECT rel, 0, 9, 2 * ('0x' || substr(h, 9, 8))::BIGINT
+          FROM hx WHERE n_frames > 0
+          UNION ALL
+          SELECT w.rel, w.idx + 1, w.hpos + 8 + w.hlen,
+                 2 * ('0x' || substr(hx.h, w.hpos + 8 + w.hlen, 8))::BIGINT
+          FROM walk w JOIN hx USING (rel)
+          WHERE w.idx + 1 < hx.n_frames),
+        d AS (SELECT DISTINCT v.media_ref AS ref,
+                     md5(substr(hx.h, w.hpos + 8, w.hlen)) AS frame_md5
+              FROM walk w JOIN hx USING (rel)
+              JOIN v ON w.rel = substr(v.media_ref, 8))
+        SELECT a.ref AS ref_a, b.ref AS ref_b,
+               CAST(count(*) AS BIGINT) AS shared_frames
+        FROM d a JOIN d b ON a.frame_md5 = b.frame_md5 AND a.ref < b.ref
+        GROUP BY a.ref, b.ref HAVING count(*) >= 2
+        ORDER BY ref_a, ref_b"""
+    odf = duckdb.sql(sql).df()
+    import pandas as pd
+    pd.testing.assert_frame_equal(pairs.reset_index(drop=True), odf,
+                                  check_dtype=False, check_exact=True)

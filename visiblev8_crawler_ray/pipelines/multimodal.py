@@ -899,3 +899,73 @@ def blob_audit(docs: rd.Dataset, blob_dir: str) -> "object":
         "files_orphaned": orphaned,
         "bytes_total": int(bytes_total),
     }])
+
+
+def video_near_dup(docs: rd.Dataset, blob_dir: str,
+                   min_shared: int = 2) -> pd.DataFrame:
+    """Clip-overlap video near-dup: pairs of video artifacts sharing at
+    least ``min_shared`` byte-identical frames — the shot-sharing
+    signal a video-corpus dedup keys on (trimmed/extended/re-muxed
+    copies of a clip share frame payloads even when the containers
+    differ).  Frame identity is the container walk's payload md5 (the
+    ``video_frame_index`` fingerprint — no pixel decode), so the SQL
+    twin re-derives every pair from the blob bytes.
+
+    Scale shape: the actor-pool container walk emits (ref, frame_md5)
+    DISTINCT per block; pair generation is a groupby on the frame
+    fingerprint (each group emits its refs' pairs — bounded by shot
+    popularity; salt a viral frame's key if a group ever exceeds the
+    block budget), then a two-phase count per (ref_a, ref_b).  No
+    video bytes move after the walk.
+
+    Fixture note: the synthetic web derives every video from its
+    doc_id, so no two fixture videos share a frame and the registered
+    query's real-data result is empty on both engines; the constructed
+    shared-frame test (tests/test_invariants.py) carries the
+    behavioral verification."""
+    import pandas as pd
+
+    from ..functions.util import empty_frame, md5_low64, two_phase_agg
+    from ..stages.parse import explode_spans_batch
+
+    vids = docs.map_batches(
+        explode_spans_batch, batch_format="pyarrow").map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "media/video")),
+        batch_format="pyarrow")
+    frames = vids.map_batches(
+        FrameIndexer, fn_constructor_kwargs={"blob_dir": blob_dir},
+        batch_format="pyarrow", batch_size=1024,
+        concurrency=(2, max(2, int(ray.cluster_resources()
+                                   .get("CPU", 8)) // 2)))
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        d = t.select(["media_ref", "frame_md5"]) \
+            .group_by(["media_ref", "frame_md5"]).aggregate([])
+        fm = d["frame_md5"]
+        if isinstance(fm, pa.ChunkedArray):
+            fm = fm.combine_chunks()
+        return d.append_column(
+            "bucket", pa.array((md5_low64(fm) % 64).astype(np.int64)))
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["media_ref", "frame_md5"])
+        out_a, out_b = [], []
+        for _, grp in g.groupby("frame_md5"):
+            refs = sorted(grp["media_ref"].unique())
+            for i in range(len(refs)):
+                for j in range(i + 1, len(refs)):
+                    out_a.append(refs[i])
+                    out_b.append(refs[j])
+        return pd.DataFrame({"ref_a": out_a, "ref_b": out_b,
+                             "n": np.ones(len(out_a), dtype=np.int64)})
+
+    pairs = frames.map_batches(distinct_pairs, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(emit_pairs, batch_format="pandas")
+    cnt = two_phase_agg(pairs, ["ref_a", "ref_b"], [("n", "sum")],
+                        ["ref_a", "ref_b", "shared_frames"]).to_pandas()
+    if cnt.empty or "shared_frames" not in cnt.columns:
+        return empty_frame({"ref_a": "object", "ref_b": "object",
+                            "shared_frames": "int64"})
+    out = cnt[cnt["shared_frames"] >= min_shared]
+    return out.sort_values(["ref_a", "ref_b"]).reset_index(drop=True) \
+        .astype({"shared_frames": "int64"})
