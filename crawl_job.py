@@ -52,6 +52,11 @@ def main() -> int:
                          "write the packed-corpus manifest parquet")
     ap.add_argument("--corpus-window", type=int, default=512,
                     help="pack window (tokens) for --corpus")
+    ap.add_argument("--corpus-clean", action="store_true",
+                    help="with --corpus: run the PRODUCTION chain "
+                         "(boilerplate detect -> strip -> dedup on the "
+                         "clean content -> pack) instead of the raw "
+                         "render chain")
     args = ap.parse_args()
 
     import ray
@@ -103,12 +108,18 @@ def main() -> int:
             "files_after": sum(a for _, a in comp.values()),
         }
     if args.corpus:
-        from visiblev8_crawler_ray.pipelines.curation import crawl_to_corpus
+        from visiblev8_crawler_ray.pipelines.curation import (
+            crawl_to_corpus, crawl_to_corpus_clean)
         from visiblev8_crawler_ray.stages.parse import strip_boilerplate
 
         docs = run.docs()
         if docs is not None:
-            manifest = crawl_to_corpus(docs, window=args.corpus_window)
+            if args.corpus_clean:
+                manifest = crawl_to_corpus_clean(
+                    docs, run.crawl_log(), window=args.corpus_window)
+            else:
+                manifest = crawl_to_corpus(docs,
+                                           window=args.corpus_window)
             clean = strip_boilerplate(docs, run.crawl_log())
             import pyarrow as pa
             import pyarrow.parquet as pq
