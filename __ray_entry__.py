@@ -505,6 +505,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _crawl(sf).docs(), _crawl(sf).crawl_log()),
         "crawl_to_corpus_clean": lambda sf: CU.crawl_to_corpus_clean(
             _crawl(sf).docs(), _crawl(sf).crawl_log()),
+        "events_decayed_score": A.events_decayed_score,
+        "host_crawl_report": lambda sf: P.host_crawl_report(
+            _crawl(sf).crawl_log()),
         "crawl_diff": lambda sf: P.crawl_diff(
             _crawl(sf).docs(), _crawl(sf).crawl_log(),
             _crawl_b(sf).docs(), _crawl_b(sf).crawl_log()),
@@ -1884,6 +1887,8 @@ def oracle_sql() -> dict[str, str]:
         "host_boilerplate_spans": P.host_boilerplate_spans_sql(_exp, _lg),
         "strip_boilerplate": P.strip_boilerplate_sql(_exp, _lg),
         "crawl_diff": P.crawl_diff_sql(_exp, _lg, _exp_b, _lg_b),
+        "host_crawl_report": P.host_crawl_report_sql(_lg),
+        "events_decayed_score": A.events_decayed_score_sql(),
         "crawl_to_corpus_clean": CU.crawl_to_corpus_clean_sql(_exp, _lg),
         # reconstructed training text (stages/parse.crawl_host_quality)
         "crawl_host_quality": f"""

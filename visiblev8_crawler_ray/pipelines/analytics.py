@@ -5353,3 +5353,82 @@ def excess_share_suppliers_sql(name_like: str = "bolt",
         JOIN supplier ON suppkey = s_suppkey
         WHERE {share_den} * qty > {share_num} * part_qty
         ORDER BY s_suppkey"""
+
+
+def events_decayed_score(sf_dir: str, asof: str = "2024-02-01",
+                         window_days: int = 20) -> pd.DataFrame:
+    """Exponential time-decay activity score per user: each event in
+    the ``window_days`` before ``asof`` contributes
+    ``value x 2^-age_days`` — the freshness-weighted engagement signal
+    recency-weighted training-data mixes and recrawl prioritizers both
+    use (the crawl's ``recrawl_due`` sibling on the events table).
+
+    Exactness: the weight is a POWER OF TWO, so the whole score
+    evaluates in integers — each event contributes
+    ``cents << (window_days - 1 - age)`` to an int64 partial (bounded:
+    cents < 2^16, shift <= 19, ~10^3 events/user => << 2^53) and ONE
+    division by ``2^(window_days-1)`` (exact in binary doubles)
+    produces the score.  No libm, no ulp risk on either engine —
+    the reason the half-life is fixed at one day instead of an
+    arbitrary float lambda.
+
+    Scale shape: single filtered streaming pass, per-block integer
+    partials, one user-sized two-phase combine."""
+    asof_us = np.datetime64(asof, "us").astype(np.int64)
+    day_us = 86_400_000_000
+    top = window_days - 1
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        age = (asof_us - ts) // day_us
+        keep = (age >= 0) & (age < window_days)
+        sub_age = age[keep]
+        cents = round_half_away(
+            t["value"].to_numpy(zero_copy_only=False)[keep] * 100.0,
+            0).astype(np.int64)
+        w = cents << (top - sub_age)
+        return pa.table({
+            "user_id": t["user_id"].filter(pa.array(keep)),
+            "w": pa.array(w),
+            "n": pa.array(np.ones(int(keep.sum()), np.int64)),
+        })
+
+    keyed = _read(sf_dir, "events", ["user_id", "ts", "value"]) \
+        .map_batches(partial, batch_format="pyarrow")
+    fin = two_phase_agg(keyed, ["user_id"],
+                        [("w", "sum"), ("n", "sum")],
+                        ["user_id", "w", "n_events"]).to_pandas()
+    if fin.empty:
+        return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                             "n_events": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
+    assert int(fin["w"].abs().max()) < (1 << 53)
+    out = pd.DataFrame({
+        "user_id": fin["user_id"].astype("int64"),
+        "n_events": fin["n_events"].astype("int64"),
+        "score": round_half_away(
+            fin["w"].to_numpy(np.float64)
+            / float(1 << top) / 100.0, 6),
+    })
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def events_decayed_score_sql(asof: str = "2024-02-01",
+                             window_days: int = 20) -> str:
+    top = window_days - 1
+    return f"""
+        WITH e AS (
+            SELECT user_id,
+                   (epoch_us(TIMESTAMP '{asof}') - epoch_us(ts))
+                       // 86400000000 AS age,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+            WHERE ts < TIMESTAMP '{asof}'
+              AND (epoch_us(TIMESTAMP '{asof}') - epoch_us(ts))
+                  // 86400000000 < {window_days})
+        SELECT user_id, count(*) AS n_events,
+               round(CAST(sum(cents * (CAST(1 AS BIGINT)
+                                       << ({top} - age))) AS BIGINT)
+                     / {float(1 << top)} / 100.0, 6) AS score
+        FROM e GROUP BY user_id ORDER BY user_id"""

@@ -1221,3 +1221,73 @@ def crawl_diff_sql(docs_a: str, log_a: str, docs_b: str,
               FROM a FULL OUTER JOIN b ON a.url_key = b.url_key)
         SELECT host, change, CAST(count(*) AS BIGINT) AS n
         FROM j GROUP BY host, change ORDER BY host, change"""
+
+
+def host_crawl_report(log: rd.Dataset) -> pd.DataFrame:
+    """Per-host crawl operations report over the client ledger: status
+    counts (ok / failed / robots_blocked / budget_exhausted), wave
+    span and depth reach — the per-host accounting the reference's
+    local sqlite ledger answers (scripts/local_data_store.py:27-48)
+    and an operator reads to retune politeness budgets.
+
+    Scale shape: every column is a decomposable aggregate (boolean
+    sums, min/max), so ONE two-phase combine on host carries the whole
+    report — no distinct-counting, no shuffle beyond the host-sized
+    exchange."""
+    from ..functions.util import empty_frame, two_phase_agg
+
+    empty = empty_frame({"host": "object", "n_ok": "int64",
+                         "n_failed": "int64", "n_robots_blocked": "int64",
+                         "n_budget_exhausted": "int64",
+                         "first_wave": "int64", "last_wave": "int64",
+                         "max_depth": "int64"})
+    if log is None:
+        return empty
+
+    def partial(t: pa.Table) -> pa.Table:
+        st = t["status"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "host": t["host"],
+            "n_ok": pa.array((st == "ok").astype(np.int64)),
+            "n_failed": pa.array((st == "failed").astype(np.int64)),
+            "n_robots_blocked": pa.array(
+                (st == "robots_blocked").astype(np.int64)),
+            "n_budget_exhausted": pa.array(
+                (st == "budget_exhausted").astype(np.int64)),
+            "wave_lo": t["wave"],
+            "wave_hi": t["wave"],
+            "depth": t["depth"],
+        })
+
+    keyed = log.map_batches(partial, batch_format="pyarrow")
+    out = two_phase_agg(
+        keyed, ["host"],
+        [("n_ok", "sum"), ("n_failed", "sum"),
+         ("n_robots_blocked", "sum"), ("n_budget_exhausted", "sum"),
+         ("wave_lo", "min"), ("wave_hi", "max"), ("depth", "max")],
+        ["host", "n_ok", "n_failed", "n_robots_blocked",
+         "n_budget_exhausted", "first_wave", "last_wave", "max_depth"],
+    ).to_pandas()
+    if out.empty:
+        return empty
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("host").reset_index(drop=True)
+
+
+def host_crawl_report_sql(log_path: str) -> str:
+    return f"""
+        SELECT host,
+               sum(CASE WHEN status = 'ok' THEN 1 ELSE 0 END)
+                   AS n_ok,
+               sum(CASE WHEN status = 'failed' THEN 1 ELSE 0 END)
+                   AS n_failed,
+               sum(CASE WHEN status = 'robots_blocked' THEN 1 ELSE 0 END)
+                   AS n_robots_blocked,
+               sum(CASE WHEN status = 'budget_exhausted' THEN 1 ELSE 0
+                   END) AS n_budget_exhausted,
+               CAST(min(wave) AS BIGINT) AS first_wave,
+               CAST(max(wave) AS BIGINT) AS last_wave,
+               CAST(max(depth) AS BIGINT) AS max_depth
+        FROM read_parquet('{log_path}')
+        GROUP BY host ORDER BY host"""
