@@ -506,6 +506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_to_corpus_clean": lambda sf: CU.crawl_to_corpus_clean(
             _crawl(sf).docs(), _crawl(sf).crawl_log()),
         "events_decayed_score": A.events_decayed_score,
+        "events_window_distinct_users": A.events_window_distinct_users,
         "host_crawl_report": lambda sf: P.host_crawl_report(
             _crawl(sf).crawl_log()),
         "crawl_diff": lambda sf: P.crawl_diff(
@@ -1889,6 +1890,8 @@ def oracle_sql() -> dict[str, str]:
         "crawl_diff": P.crawl_diff_sql(_exp, _lg, _exp_b, _lg_b),
         "host_crawl_report": P.host_crawl_report_sql(_lg),
         "events_decayed_score": A.events_decayed_score_sql(),
+        "events_window_distinct_users":
+            A.events_window_distinct_users_sql(),
         "crawl_to_corpus_clean": CU.crawl_to_corpus_clean_sql(_exp, _lg),
         # reconstructed training text (stages/parse.crawl_host_quality)
         "crawl_host_quality": f"""

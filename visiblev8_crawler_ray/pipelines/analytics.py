@@ -5432,3 +5432,53 @@ def events_decayed_score_sql(asof: str = "2024-02-01",
                                        << ({top} - age))) AS BIGINT)
                      / {float(1 << top)} / 100.0, 6) AS score
         FROM e GROUP BY user_id ORDER BY user_id"""
+
+
+def events_window_distinct_users(sf_dir: str,
+                                 window_s: int = 3600) -> pd.DataFrame:
+    """EXACT distinct users per tumbling window — the windowed
+    cardinality the sketch ops (`distinct_users_hll`, `token_cms`)
+    approximate, computed exactly with the two-level combine: blocks
+    emit DISTINCT (window, user) pairs (per-block arrow group_by), the
+    pair table reduces once more to per-pair rows (cross-block dedup),
+    then a window-sized count.  Exchange volume is the distinct-pair
+    table — the exact-distinct floor — never raw events; above memory
+    the same pipeline hash-partitions on the pair key (the two_phase
+    docstring's switch)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    wus = int(window_s) * 1_000_000
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        return pa.table({
+            "w": pa.array((ts // wus) * wus),
+            "user_id": t["user_id"],
+        }).group_by(["w", "user_id"]).aggregate([])
+
+    # pass 1: block-local pair dedup; pass 2: global pair dedup (count
+    # per pair, value unused); pass 3: per-window count
+    dedup = two_phase_agg(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        ["w", "user_id"], [("user_id", "count")],
+        ["w", "user_id", "n_dup"])
+    fin = two_phase_agg(dedup, ["w"], [("user_id", "count")],
+                        ["w", "n_users"]).to_pandas()
+    if fin.empty:
+        return pd.DataFrame({
+            "window_start": pd.Series([], dtype="datetime64[us]"),
+            "n_users": pd.Series([], dtype="int64")})
+    out = pd.DataFrame({
+        "window_start": fin["w"].astype("datetime64[us]"),
+        "n_users": fin["n_users"].astype("int64"),
+    })
+    return out.sort_values("window_start").reset_index(drop=True)
+
+
+def events_window_distinct_users_sql(window_s: int = 3600) -> str:
+    wus = int(window_s) * 1_000_000
+    return f"""
+        SELECT CAST(to_timestamp((epoch_us(ts) // {wus}) * {wus}
+                    / 1000000.0) AS TIMESTAMP) AS window_start,
+               count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1 ORDER BY 1"""
