@@ -512,6 +512,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_diff": lambda sf: P.crawl_diff(
             _crawl(sf).docs(), _crawl(sf).crawl_log(),
             _crawl_b(sf).docs(), _crawl_b(sf).crawl_log()),
+        # incremental ingest: pack only the B recrawl's added/changed
+        # docs, continuing A's packed stream
+        "incremental_corpus": lambda sf: CU.incremental_corpus(
+            _crawl(sf).docs(), _crawl(sf).crawl_log(),
+            _crawl_b(sf).docs(), _crawl_b(sf).crawl_log()),
         "media_text_ratio": lambda sf: P.media_text_ratio(_crawl(sf).docs()),
         "link_stats": lambda sf: P.link_stats(_crawl(sf).docs()),
         "caption_pairs": lambda sf: P.caption_pairs(_crawl(sf).docs()),
@@ -1889,6 +1894,8 @@ def oracle_sql() -> dict[str, str]:
         "strip_boilerplate": P.strip_boilerplate_sql(_exp, _lg),
         "crawl_diff": P.crawl_diff_sql(_exp, _lg, _exp_b, _lg_b),
         "host_crawl_report": P.host_crawl_report_sql(_lg),
+        "incremental_corpus": CU.incremental_corpus_sql(
+            _exp, _lg, _exp_b, _lg_b),
         "events_decayed_score": A.events_decayed_score_sql(),
         "events_window_distinct_users":
             A.events_window_distinct_users_sql(),

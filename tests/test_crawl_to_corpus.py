@@ -373,3 +373,64 @@ def test_corpus_family_random_fuzz(ray_session, tmp_path, seed):
                    rd.from_arrow(ltbl_b)),
         crawl_diff_sql(dp, lp, str(tmp_path / "docs_b.parquet"),
                        str(tmp_path / "log_b.parquet")), "diff")
+
+
+def test_incremental_corpus_continuation(ray_session, tmp_path):
+    """The incremental manifest continues run A's token stream: its
+    first start_offset equals A's packed total, and building one corpus
+    from (A's docs + the delta docs) reproduces the same offsets."""
+    import pyarrow.parquet as _pq
+
+    from visiblev8_crawler_ray.pipelines.curation import (
+        crawl_to_corpus, incremental_corpus, incremental_corpus_sql)
+
+    words = ["tok%d" % i for i in range(20)]
+
+    def body(seed, n=40):
+        rng = np.random.default_rng(seed)
+        return " ".join(np.array(words)[rng.integers(0, 20, n)])
+
+    rows_a, log_a = [], []
+    for i in range(6):
+        rows_a.append(_doc(f"a{i:02d}-w0", [body(i), body(100 + i)]))
+        log_a.append((f"a{i:02d}-w0", f"k{i}", "h.example", "ok"))
+    # B: first 4 urls unchanged, k4 changed, k5 dropped, k9 added
+    rows_b, log_b = [], []
+    for i in range(4):
+        rows_b.append({"doc_id": f"b{i:02d}-w0",
+                       "spans": rows_a[i]["spans"]})
+        log_b.append((f"b{i:02d}-w0", f"k{i}", "h.example", "ok"))
+    rows_b.append(_doc("b04-w0", [body(4), body(100 + 4),
+                                  "EDIT " + body(777)]))
+    log_b.append(("b04-w0", "k4", "h.example", "ok"))
+    rows_b.append(_doc("b09-w0", [body(9), body(109)]))
+    log_b.append(("b09-w0", "k9", "h.example", "ok"))
+
+    def mk(rows, log, tag):
+        t = _docs_table(rows)
+        lt = pa.table({
+            "doc_id": pa.array([r[0] for r in log]),
+            "url_key": pa.array([r[1] for r in log]),
+            "host": pa.array([r[2] for r in log]),
+            "status": pa.array([r[3] for r in log]),
+        })
+        _pq.write_table(t, tmp_path / f"docs_{tag}.parquet")
+        _pq.write_table(lt, tmp_path / f"log_{tag}.parquet")
+        return t, lt
+
+    ta, la = mk(rows_a, log_a, "a")
+    tb, lb = mk(rows_b, log_b, "b")
+    kw = dict(window=64, min_tokens=10, media_den=8)
+    inc = incremental_corpus(rd.from_arrow(ta), rd.from_arrow(la),
+                             rd.from_arrow(tb), rd.from_arrow(lb), **kw)
+    odf = duckdb.sql(incremental_corpus_sql(
+        str(tmp_path / "docs_a.parquet"), str(tmp_path / "log_a.parquet"),
+        str(tmp_path / "docs_b.parquet"), str(tmp_path / "log_b.parquet"),
+        **kw)).df()
+    pd.testing.assert_frame_equal(
+        inc.reset_index(drop=True), odf.reset_index(drop=True),
+        check_dtype=False, check_exact=True)
+    # delta = changed k4 + added k9 only
+    assert set(inc["doc_id"]) == {"b04-w0", "b09-w0"}
+    base = crawl_to_corpus(rd.from_arrow(ta), **kw)
+    assert int(inc["start_offset"].min()) == int(base["n_tokens"].sum())

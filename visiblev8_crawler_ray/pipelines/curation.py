@@ -763,3 +763,162 @@ def crawl_to_corpus_clean_sql(export_path: str, log_path: str,
                (start_offset % {window}) + n_tokens > {window}
                    AS spans_boundary
         FROM c ORDER BY doc_id"""
+
+
+def incremental_corpus(docs_a: rd.Dataset, log_a: rd.Dataset,
+                       docs_b: rd.Dataset, log_b: rd.Dataset,
+                       window: int = 512, min_tokens: int = 100,
+                       media_den: int = 40,
+                       prefix_len: int = 2) -> pd.DataFrame:
+    """Incremental crawl->corpus ingest: pack ONLY the recrawl's new
+    payload — docs of B whose url_key is absent from A ('added') or
+    whose rendered training text changed ('changed') — continuing the
+    global token stream where run A's manifest ends, so the combined
+    layout equals one corpus built from A's docs plus B's delta.  The
+    incremental sibling of `export_corpus`'s partition resume and the
+    consumer of `crawl_diff`'s delta classes.
+
+    Delta identity is PER URL (url_key from the crawl log, 'ok' rows);
+    the packed unit is B's doc.  Docs of B without a log row cannot be
+    classified and are excluded (the twin's inner join).  The filter /
+    dedup inside the delta reuses the crawl_to_corpus contract
+    (canonicality within the delta, length floor, media cap).
+
+    Scale shape: A contributes only (url_key, content_key) control
+    rows and ONE scalar (its packed-token total); the delta selection
+    is the crawl_diff bucketed co-group; packing is the two-pass
+    prefix scan over the delta."""
+    import ray
+
+    from ..functions.util import digest_hex, empty_frame
+    from ..stages.parse import reconstruct_text
+
+    empty = empty_frame({"doc_id": "object", "n_tokens": "int64",
+                         "start_offset": "int64", "pack_id": "int64",
+                         "offset_in_pack": "int64",
+                         "spans_boundary": "bool"})
+    if docs_a is None or docs_b is None or log_a is None or log_b is None:
+        return empty
+
+    # run A's packed-token total: the baseline manifest's stream end
+    base_manifest = crawl_to_corpus(docs_a, window=window,
+                                    min_tokens=min_tokens,
+                                    media_den=media_den,
+                                    prefix_len=prefix_len)
+    base_total = int(base_manifest["n_tokens"].sum()) \
+        if len(base_manifest) else 0
+
+    def _keyed(docs, log):
+        ck = reconstruct_text(docs).map_batches(
+            lambda t: pa.table({
+                "doc_id": t["doc_id"],
+                "content_key": digest_hex(t["doc_text"]),
+            }), batch_format="pyarrow").to_pandas()
+        lg = log.map_batches(
+            lambda t: t.filter(pc.equal(t["status"], "ok")).select(
+                ["doc_id", "url_key"]), batch_format="pyarrow").to_pandas()
+        return lg.merge(ck, on="doc_id")
+
+    # control tables: (url_key, content_key[, doc_id]) — narrow; at
+    # crawl scale these become the crawl_diff co-group instead of a
+    # driver merge (same columns, same semantics)
+    a = _keyed(docs_a, log_a)[["url_key", "content_key"]]
+    b = _keyed(docs_b, log_b)
+    m = b.merge(a, on="url_key", how="left", suffixes=("", "_a"))
+    delta_ids = set(m[(m["content_key_a"].isna())
+                      | (m["content_key_a"] != m["content_key"])]
+                    ["doc_id"])
+    if not delta_ids:
+        return empty
+    ids_ref = ray.put(np.sort(np.array(sorted(delta_ids), dtype=object)
+                              .astype(str)))
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = ray.get(ids_ref)
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(str)
+        ix = np.searchsorted(ids, d)
+        ix = np.minimum(ix, len(ids) - 1)
+        return t.filter(pa.array(ids[ix] == d))
+
+    delta_docs = docs_b.map_batches(pick, batch_format="pyarrow")
+    out = crawl_to_corpus(delta_docs, window=window,
+                          min_tokens=min_tokens, media_den=media_den,
+                          prefix_len=prefix_len)
+    if out.empty:
+        return empty
+    start = out["start_offset"].to_numpy() + base_total
+    out = out.assign(
+        start_offset=start,
+        pack_id=start // window,
+        offset_in_pack=start % window,
+        spans_boundary=(start % window) + out["n_tokens"].to_numpy()
+        > window,
+    )
+    return out.reset_index(drop=True)
+
+
+def incremental_corpus_sql(docs_a: str, log_a: str, docs_b: str,
+                           log_b: str, window: int = 512,
+                           min_tokens: int = 100,
+                           media_den: int = 40) -> str:
+    def _rend(docs: str, alias: str) -> str:
+        return f"""
+        r{alias} AS (SELECT doc_id,
+                 string_agg(CASE WHEN kind LIKE 'media/%'
+                                 THEN '<|' || kind || '|>'
+                                 ELSE text END, ' '
+                            ORDER BY "offset") AS doc_text
+              FROM (SELECT doc_id, unnest(spans, recursive := true)
+                    FROM read_parquet('{docs}')) GROUP BY doc_id)"""
+
+    return f"""
+        WITH {_rend(docs_a, 'a')}, {_rend(docs_b, 'b')},
+        ta AS (SELECT doc_id, md5(doc_text) AS content_key,
+                      CAST(len(regexp_extract_all(doc_text, '\\S+'))
+                           AS BIGINT) AS n_tokens,
+                      CAST(len(regexp_extract_all(doc_text,
+                           '<\\|media/[a-z]+\\|>')) AS BIGINT) AS n_media
+               FROM ra),
+        ka AS (SELECT content_key, min(doc_id) AS keep_doc_id
+               FROM ta GROUP BY content_key),
+        fa AS (SELECT ta.n_tokens FROM ta JOIN ka USING (content_key)
+               WHERE ta.doc_id = ka.keep_doc_id
+                 AND ta.n_tokens >= {min_tokens}
+                 AND ta.n_media * {media_den} <= ta.n_tokens),
+        base AS (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT)
+                     AS total FROM fa),
+        la AS (SELECT l.url_key, md5(ra.doc_text) AS content_key
+               FROM read_parquet('{log_a}') l JOIN ra USING (doc_id)
+               WHERE l.status = 'ok'),
+        lb AS (SELECT l.url_key, l.doc_id, md5(rb.doc_text)
+                   AS content_key
+               FROM read_parquet('{log_b}') l JOIN rb USING (doc_id)
+               WHERE l.status = 'ok'),
+        delta AS (SELECT lb.doc_id FROM lb LEFT JOIN la USING (url_key)
+                  WHERE la.content_key IS NULL
+                     OR la.content_key <> lb.content_key),
+        tb AS (SELECT rb.doc_id, md5(rb.doc_text) AS content_key,
+                      CAST(len(regexp_extract_all(rb.doc_text, '\\S+'))
+                           AS BIGINT) AS n_tokens,
+                      CAST(len(regexp_extract_all(rb.doc_text,
+                           '<\\|media/[a-z]+\\|>')) AS BIGINT) AS n_media
+               FROM rb JOIN delta USING (doc_id)),
+        kb AS (SELECT content_key, min(doc_id) AS keep_doc_id
+               FROM tb GROUP BY content_key),
+        fb AS (SELECT tb.doc_id, tb.n_tokens
+               FROM tb JOIN kb USING (content_key)
+               WHERE tb.doc_id = kb.keep_doc_id
+                 AND tb.n_tokens >= {min_tokens}
+                 AND tb.n_media * {media_den} <= tb.n_tokens),
+        c AS (SELECT doc_id, n_tokens,
+                     (SELECT total FROM base)
+                     + CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tokens
+                            AS BIGINT) AS start_offset
+              FROM fb)
+        SELECT doc_id, n_tokens, start_offset,
+               start_offset // {window} AS pack_id,
+               start_offset % {window} AS offset_in_pack,
+               (start_offset % {window}) + n_tokens > {window}
+                   AS spans_boundary
+        FROM c ORDER BY doc_id"""
