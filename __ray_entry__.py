@@ -507,6 +507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _crawl(sf).docs(), _crawl(sf).crawl_log()),
         "events_decayed_score": A.events_decayed_score,
         "events_window_distinct_users": A.events_window_distinct_users,
+        "events_hopping_distinct_hll": A.events_hopping_distinct_hll,
         "host_crawl_report": lambda sf: P.host_crawl_report(
             _crawl(sf).crawl_log()),
         "crawl_diff": lambda sf: P.crawl_diff(
@@ -1899,6 +1900,8 @@ def oracle_sql() -> dict[str, str]:
         "events_decayed_score": A.events_decayed_score_sql(),
         "events_window_distinct_users":
             A.events_window_distinct_users_sql(),
+        "events_hopping_distinct_hll":
+            A.events_hopping_distinct_hll_sql(),
         "crawl_to_corpus_clean": CU.crawl_to_corpus_clean_sql(_exp, _lg),
         # reconstructed training text (stages/parse.crawl_host_quality)
         "crawl_host_quality": f"""

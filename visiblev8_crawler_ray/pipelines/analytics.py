@@ -5482,3 +5482,122 @@ def events_window_distinct_users_sql(window_s: int = 3600) -> str:
                     / 1000000.0) AS TIMESTAMP) AS window_start,
                count(DISTINCT user_id) AS n_users
         FROM events GROUP BY 1 ORDER BY 1"""
+
+
+def events_hopping_distinct_hll(sf_dir: str) -> pd.DataFrame:
+    """Approximate distinct users per HOPPING window (60-min windows,
+    30-min hop) via HyperLogLog with REGISTER REUSE: each base
+    half-hour bucket's registers are built exactly once from the
+    events, and every 60-min window's sketch is the elementwise max of
+    its two buckets — the overlapping-window pattern where sketch
+    mergeability does the work fan-out would otherwise duplicate
+    (an event is hashed once, not once per covering window; at a
+    24-bucket-per-window day-scale config the reuse factor is the
+    window/hop ratio).
+
+    Deterministic like the other HLL ops (register merge is max —
+    order/partition independent) and SQL-gated bit-exact: merging two
+    buckets' registers equals the registers of the window's DISTINCT
+    user set, which is what the twin rebuilds per window.  Exchange:
+    |buckets| x 4096 int8 registers per block, independent of row
+    count."""
+    from .textops import HLL_P, _hll_estimate, _hll_registers
+
+    HOP_US = 1800 * 1_000_000
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w0 = us // HOP_US * HOP_US
+        uid = pc.cast(t["user_id"], pa.string())
+        if isinstance(uid, pa.ChunkedArray):
+            uid = uid.combine_chunks()
+        buckets, regs = [], []
+        for b in np.unique(w0):
+            mask = w0 == b
+            buckets.append(int(b))
+            regs.append(_hll_registers(uid.filter(pa.array(mask))))
+        return pa.table({"bucket": pa.array(buckets, type=pa.int64()),
+                         "regs": pa.array(regs)})
+
+    merged: dict[int, np.ndarray] = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=256):
+        bks = b["bucket"].to_pylist()
+        arr = b["regs"].combine_chunks()
+        stack = arr.flatten().to_numpy(zero_copy_only=False) \
+            .reshape(len(arr), 1 << HLL_P)
+        for bk, row in zip(bks, stack):
+            if bk in merged:
+                np.maximum(merged[bk], row, out=merged[bk])
+            else:
+                merged[bk] = row.copy()
+    # window w covers buckets {w, w + HOP}; every bucket b contributes
+    # to windows {b, b - HOP} (the fan-out convention of
+    # events_hopping_window) — the sketch is REUSED, not rebuilt
+    windows: dict[int, np.ndarray] = {}
+    for bk, regs in merged.items():
+        for w in (bk, bk - HOP_US):
+            if w in windows:
+                np.maximum(windows[w], regs, out=windows[w])
+            else:
+                windows[w] = regs.copy()
+    out = pd.DataFrame({
+        "window_start": pd.Series(sorted(windows),
+                                  dtype="int64").astype("datetime64[us]"),
+        "distinct_users_est": [int(_hll_estimate(windows[w]))
+                               for w in sorted(windows)],
+    })
+    return out.reset_index(drop=True)
+
+
+def events_hopping_distinct_hll_sql() -> str:
+    """Window-keyed register rebuild — merging the two buckets'
+    registers equals the registers of the window's DISTINCT users, so
+    the twin rebuilds straight from the windowed distinct set with the
+    same estimator arithmetic as ``distinct_users_hll_sql``."""
+    from .textops import HLL_P
+
+    m_i = 1 << HLL_P
+    m = float(m_i)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = alpha * m * m * float(1 << 53)
+    pows = ", ".join(f"({e}, {1 << (e - 1)}::BIGINT)" for e in range(1, 53))
+    pw2 = ", ".join(f"({k}, {1 << k}::HUGEINT)" for k in range(54))
+    return rf"""
+        WITH b AS (SELECT make_timestamp(epoch_us(ts) // 1800000000
+                              * 1800000000) AS w0,
+                          CAST(user_id AS VARCHAR) AS tok FROM events),
+        wv AS (SELECT w0 AS window_start, tok FROM b
+               UNION ALL
+               SELECT w0 - INTERVAL 30 MINUTE, tok FROM b),
+        u AS (SELECT DISTINCT window_start, tok FROM wv),
+        rr AS (SELECT window_start,
+                      CAST(md5_number_lower(tok)::HUGEINT
+                           // {1 << 52} AS BIGINT) AS reg,
+                      CAST(md5_number_lower(tok)::HUGEINT
+                           % {1 << 52} AS BIGINT) AS rest
+               FROM u),
+        bl AS (SELECT rr.window_start, rr.reg, rr.rest,
+                      53 - coalesce(max(p.e), 0) AS rank
+               FROM rr LEFT JOIN (VALUES {pows}) p(e, lo) ON p.lo <= rr.rest
+               GROUP BY rr.window_start, rr.reg, rr.rest),
+        regs AS (SELECT window_start, reg, max(rank) AS r FROM bl
+                 GROUP BY window_start, reg),
+        fin AS (SELECT window_start, coalesce(sum(p2.v), 0::HUGEINT) AS sp,
+                       count(*) AS npres
+                FROM regs JOIN (VALUES {pw2}) p2(k, v) ON p2.k = 53 - regs.r
+                GROUP BY window_start),
+        calc AS (SELECT window_start,
+                        sp + ({m_i} - npres)::HUGEINT
+                           * {1 << 53}::HUGEINT AS s_num,
+                        {m_i} - npres AS zeros FROM fin),
+        e AS (SELECT window_start,
+                     CAST('{num!r}' AS DOUBLE) / CAST(s_num AS DOUBLE) AS e0,
+                     zeros FROM calc)
+        SELECT window_start,
+               CAST(floor(CASE WHEN e0 <= {2.5 * m!r} AND zeros > 0
+                               THEN {m!r} * ln({m!r} / zeros)
+                               ELSE e0 END + 0.5) AS BIGINT)
+               AS distinct_users_est
+        FROM e ORDER BY window_start"""
