@@ -418,6 +418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": E.ann_lsh,
         "ann_ivf": E.ann_ivf,
         "embedding_near_dup": E.embedding_near_dup,
+        "near_dup_threshold_curve": E.near_dup_threshold_curve,
         "semantic_dedup": E.semantic_dedup,
         "hybrid_search": E.hybrid_search,
         "near_dup_clusters": E.near_dup_clusters,
@@ -2339,6 +2340,7 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(p.dup_of, -1) AS dup_of
             FROM embeddings e LEFT JOIN p ON p.vb = e.vec_id
             ORDER BY e.vec_id""",
+        "near_dup_threshold_curve": E.near_dup_threshold_curve_sql(),
         "embedding_near_dup": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cosine

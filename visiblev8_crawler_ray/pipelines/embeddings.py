@@ -1554,3 +1554,52 @@ def embedding_top_eigvec_sql(rounds: int = EIG_ROUNDS, dim: int = 64) -> str:
     sql += f"""
         SELECT dim, v FROM v{rounds} ORDER BY dim"""
     return sql
+
+
+def near_dup_threshold_curve(sf_dir: str,
+                             thresholds: tuple = (0.45, 0.55, 0.65,
+                                                  0.75, 0.85, 0.95),
+                             ) -> "pd.DataFrame":
+    """Dedup-threshold calibration curve: near-dup PAIR counts at a
+    ladder of cosine thresholds from ONE pair computation — the sweep
+    an operator runs before choosing the corpus dedup cutoff (every
+    published dedup pipeline picks this number; this makes the choice
+    a measured one).  Pairs are computed once at the LOWEST rung
+    (:func:`embedding_near_dup`'s exact/LSH adaptive path) and each
+    rung is a filter-count over that table — no recomputation, no
+    second scan of the embeddings."""
+    import pandas as pd
+
+    lo = min(thresholds)
+    pairs = embedding_near_dup(sf_dir, threshold=lo)
+    cos = (pairs["cosine"].to_numpy() if hasattr(pairs, "to_numpy")
+           else pairs["cosine"].to_numpy(zero_copy_only=False))
+    import numpy as np
+
+    cos = np.asarray(cos, dtype=np.float64)
+    return pd.DataFrame({
+        "threshold": [float(t) for t in sorted(thresholds)],
+        "n_pairs": [int((cos >= t - 1e-12).sum())
+                    for t in sorted(thresholds)],
+    })
+
+
+def near_dup_threshold_curve_sql(thresholds: tuple = (0.45, 0.55, 0.65,
+                                                      0.75, 0.85,
+                                                      0.95)) -> str:
+    lo = min(thresholds)
+    rows = ", ".join(f"({float(t)!r})" for t in sorted(thresholds))
+    return f"""
+        WITH p AS (
+            SELECT round(CAST(list_cosine_similarity(a.embedding,
+                       b.embedding) AS DOUBLE), 4) AS cosine
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND round(CAST(list_cosine_similarity(a.embedding,
+                       b.embedding) AS DOUBLE), 4) >= {lo!r})
+        SELECT t.threshold, CAST(coalesce((
+                   SELECT count(*) FROM p
+                   WHERE p.cosine >= t.threshold - 1e-12), 0) AS BIGINT)
+               AS n_pairs
+        FROM (VALUES {rows}) t(threshold)
+        ORDER BY t.threshold"""
