@@ -1243,3 +1243,84 @@ def roc_points_sql() -> str:
                round(CAST(n_neg_ge AS DOUBLE) / CAST(t.n AS DOUBLE), 6)
                    AS fpr
         FROM c, t ORDER BY threshold DESC"""
+
+
+def calibration_bins(sf_dir: str, lo: float = 0.0, hi: float = 1.0,
+                     n_bins: int = 10) -> pd.DataFrame:
+    """Reliability-diagram table for the production scorer: fixed-width
+    score bins over ``[lo, hi)`` with per-bin count, positive count,
+    mean score and empirical positive rate — the calibration companion
+    to :func:`roc_points` (the reference's evaluation notebooks plot
+    exactly this pair).
+
+    Exactness: scores are already rounded to 4 decimals, so binning
+    happens in INTEGER ten-thousandths (``score4 // width4``) — no
+    float floor at a bin boundary can disagree between engines; means
+    and rates are single divisions of exact integer sums.
+
+    Scale shape: same bounded exchange as roc_points — the per-bin
+    integer histogram (<= n_bins rows per block)."""
+    from ..functions.util import round_half_away, two_phase_agg
+
+    lo4 = int(round(lo * 10000))
+    hi4 = int(round(hi * 10000))
+    w4 = max(1, (hi4 - lo4) // n_bins)
+
+    ds = _read_docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        scored = Scorer()(t.select(["doc_id", "text"]))
+        s4 = round_half_away(
+            scored["score"].to_numpy(zero_copy_only=False) * 10000.0,
+            0).astype(np.int64)
+        b = np.clip((s4 - lo4) // w4, 0, n_bins - 1)
+        truth = pc.equal(t["lang"], "en").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bin": pa.array(b),
+            "n": pa.array(np.ones(len(b), np.int64)),
+            "n_pos": pa.array(truth.astype(np.int64)),
+            "s4": pa.array(s4),
+        })
+
+    h = two_phase_agg(
+        ds.map_batches(hist, batch_format="pyarrow"), ["bin"],
+        [("n", "sum"), ("n_pos", "sum"), ("s4", "sum")],
+        ["bin", "n", "n_pos", "s4_sum"],
+    ).to_pandas().sort_values("bin")
+    out = pd.DataFrame({
+        "bin": h["bin"].astype("int64"),
+        "bin_lo": round_half_away(
+            (lo4 + h["bin"].to_numpy() * w4) / 10000.0, 4),
+        "n": h["n"].astype("int64"),
+        "n_pos": h["n_pos"].astype("int64"),
+        "mean_score": round_half_away(
+            h["s4_sum"].to_numpy(np.float64)
+            / h["n"].to_numpy(np.float64) / 10000.0, 6),
+        "frac_pos": round_half_away(
+            h["n_pos"].to_numpy(np.float64)
+            / h["n"].to_numpy(np.float64), 6),
+    })
+    return out.reset_index(drop=True)
+
+
+def calibration_bins_sql(lo: float = 0.0, hi: float = 1.0,
+                         n_bins: int = 10) -> str:
+    sc = score_sql_exprs()
+    lo4 = int(round(lo * 10000))
+    hi4 = int(round(hi * 10000))
+    w4 = max(1, (hi4 - lo4) // n_bins)
+    return f"""
+        WITH s AS (
+            SELECT CAST(round(round({sc['score']}, 4) * 10000) AS BIGINT)
+                       AS s4,
+                   CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT)
+                       AS pos
+            FROM documents),
+        b AS (SELECT least(greatest((s4 - {lo4}) // {w4}, 0),
+                           {n_bins - 1}) AS bin, s4, pos FROM s)
+        SELECT bin, round(({lo4} + bin * {w4}) / 10000.0, 4) AS bin_lo,
+               count(*) AS n, sum(pos) AS n_pos,
+               round(CAST(sum(s4) AS DOUBLE) / count(*) / 10000.0, 6)
+                   AS mean_score,
+               round(CAST(sum(pos) AS DOUBLE) / count(*), 6) AS frac_pos
+        FROM b GROUP BY bin ORDER BY bin"""
