@@ -468,6 +468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "misclassification_report": CL.misclassification_report,
         "roc_points": CL.roc_points,
         "calibration_bins": CL.calibration_bins,
+        "pr_points": CL.pr_points,
         # tree/forest trainers (enhanced_tree_forest.py analog):
         # train_tree/train_forest are rows-only (greedy data-dependent
         # structure is not SQL-expressible; naive-reference-gated in
@@ -1663,6 +1664,7 @@ def oracle_sql() -> dict[str, str]:
         "misclassification_report": CL.misclassification_report_sql(),
         "roc_points": CL.roc_points_sql(),
         "calibration_bins": CL.calibration_bins_sql(),
+        "pr_points": CL.pr_points_sql(),
         "spans_exploded": f"""
             WITH sp AS {_sp}
             SELECT doc_id, kind, text, media_ref, "offset" FROM sp""",

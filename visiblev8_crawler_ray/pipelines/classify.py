@@ -1324,3 +1324,69 @@ def calibration_bins_sql(lo: float = 0.0, hi: float = 1.0,
                    AS mean_score,
                round(CAST(sum(pos) AS DOUBLE) / count(*), 6) AS frac_pos
         FROM b GROUP BY bin ORDER BY bin"""
+
+
+def pr_points(sf_dir: str) -> pd.DataFrame:
+    """Precision-recall curve of the production scorer — the PR
+    companion to :func:`roc_points` over the same bounded (score,
+    truth) histogram: one row per distinct 4-decimal score,
+    predicting positive at ``score >= threshold``; precision =
+    TP/(TP+FP), recall = TP/P, both single divisions of exact integer
+    cumulative sums (the class-imbalance view ``nested_cv.py``'s
+    average-precision analysis reads)."""
+    from ..functions.util import round_half_away, two_phase_agg
+
+    ds = _read_docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        scored = Scorer()(t.select(["doc_id", "text"]))
+        truth = pc.equal(t["lang"], "en").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "score": scored["score"],
+            "pos": pa.array(truth.astype(np.int64)),
+            "neg": pa.array((~truth).astype(np.int64)),
+        })
+
+    h = two_phase_agg(
+        ds.map_batches(hist, batch_format="pyarrow"), ["score"],
+        [("pos", "sum"), ("neg", "sum")], ["score", "pos", "neg"],
+    ).to_pandas().sort_values("score", ascending=False)
+    P = max(int(h["pos"].sum()), 1)
+    tp = h["pos"].cumsum().to_numpy(np.int64)
+    pp = (h["pos"] + h["neg"]).cumsum().to_numpy(np.int64)
+    out = pd.DataFrame({
+        "threshold": h["score"].to_numpy(),
+        "n_tp": tp,
+        "n_pred_pos": pp,
+        "precision": round_half_away(
+            tp.astype(np.float64) / np.maximum(pp, 1), 6),
+        "recall": round_half_away(tp.astype(np.float64) / float(P), 6),
+    })
+    return out.reset_index(drop=True)
+
+
+def pr_points_sql() -> str:
+    sc = score_sql_exprs()
+    return f"""
+        WITH s AS (
+            SELECT round({sc['score']}, 4) AS score,
+                   CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT)
+                       AS pos
+            FROM documents),
+        h AS (SELECT score, sum(pos) AS pos,
+                     count(*) - sum(pos) AS neg
+              FROM s GROUP BY score),
+        c AS (SELECT score AS threshold,
+                     sum(pos) OVER (ORDER BY score DESC
+                         ROWS UNBOUNDED PRECEDING) AS n_tp,
+                     sum(pos + neg) OVER (ORDER BY score DESC
+                         ROWS UNBOUNDED PRECEDING) AS n_pred_pos
+              FROM h)
+        SELECT threshold, CAST(n_tp AS BIGINT) AS n_tp,
+               CAST(n_pred_pos AS BIGINT) AS n_pred_pos,
+               round(CAST(n_tp AS DOUBLE)
+                     / greatest(n_pred_pos, 1), 6) AS precision,
+               round(CAST(n_tp AS DOUBLE)
+                     / greatest((SELECT sum(pos) FROM s), 1), 6)
+                   AS recall
+        FROM c ORDER BY threshold DESC"""
