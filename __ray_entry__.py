@@ -469,6 +469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "roc_points": CL.roc_points,
         "calibration_bins": CL.calibration_bins,
         "pr_points": CL.pr_points,
+        "scorer_eval_summary": CL.scorer_eval_summary,
         # tree/forest trainers (enhanced_tree_forest.py analog):
         # train_tree/train_forest are rows-only (greedy data-dependent
         # structure is not SQL-expressible; naive-reference-gated in
@@ -1665,6 +1666,7 @@ def oracle_sql() -> dict[str, str]:
         "roc_points": CL.roc_points_sql(),
         "calibration_bins": CL.calibration_bins_sql(),
         "pr_points": CL.pr_points_sql(),
+        "scorer_eval_summary": CL.scorer_eval_summary_sql(),
         "spans_exploded": f"""
             WITH sp AS {_sp}
             SELECT doc_id, kind, text, media_ref, "offset" FROM sp""",

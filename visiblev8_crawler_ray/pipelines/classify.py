@@ -1390,3 +1390,83 @@ def pr_points_sql() -> str:
                      / greatest((SELECT sum(pos) FROM s), 1), 6)
                    AS recall
         FROM c ORDER BY threshold DESC"""
+
+
+def scorer_eval_summary(sf_dir: str) -> pd.DataFrame:
+    """One-row scalar evaluation of the production scorer: ROC-AUC
+    (trapezoid over the distinct-score steps) and average precision —
+    the two headline numbers of the reference's model-evaluation
+    analysis, computed with the INTEGER contract: AUC's numerator is
+    sum(dFP x (TP_i + TP_prev)) over the threshold sweep (exact int64)
+    with ONE division by 2PN; AP's numerator is
+    sum(precision_e6 x dTP) where precision_e6 is the 6-decimal
+    precision as an exact integer, with ONE division by 1e6 x P — so
+    both engines sum identical integers in any order."""
+    from ..functions.util import round_half_away, two_phase_agg
+
+    ds = _read_docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        scored = Scorer()(t.select(["doc_id", "text"]))
+        truth = pc.equal(t["lang"], "en").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "score": scored["score"],
+            "pos": pa.array(truth.astype(np.int64)),
+            "neg": pa.array((~truth).astype(np.int64)),
+        })
+
+    h = two_phase_agg(
+        ds.map_batches(hist, batch_format="pyarrow"), ["score"],
+        [("pos", "sum"), ("neg", "sum")], ["score", "pos", "neg"],
+    ).to_pandas().sort_values("score", ascending=False)
+    P = max(int(h["pos"].sum()), 1)
+    N = max(int(h["neg"].sum()), 1)
+    tp = h["pos"].cumsum().to_numpy(np.int64)
+    fp = h["neg"].cumsum().to_numpy(np.int64)
+    dtp = np.diff(np.concatenate(([0], tp)))
+    dfp = np.diff(np.concatenate(([0], fp)))
+    tp_prev = tp - dtp
+    auc_num = int((dfp * (tp + tp_prev)).sum())
+    pp = tp + fp
+    p6 = round_half_away(
+        tp.astype(np.float64) / np.maximum(pp, 1), 6) * 1e6
+    p6 = np.rint(p6).astype(np.int64)
+    ap_num = int((p6 * dtp).sum())
+    return pd.DataFrame({
+        "auc": round_half_away(
+            np.array([auc_num / (2.0 * P * N)]), 6),
+        "average_precision": round_half_away(
+            np.array([ap_num / (1e6 * P)]), 6),
+    })
+
+
+def scorer_eval_summary_sql() -> str:
+    sc = score_sql_exprs()
+    return f"""
+        WITH s AS (
+            SELECT round({sc['score']}, 4) AS score,
+                   CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT)
+                       AS pos
+            FROM documents),
+        h AS (SELECT score, sum(pos) AS pos,
+                     count(*) - sum(pos) AS neg
+              FROM s GROUP BY score),
+        c AS (SELECT score,
+                     sum(pos) OVER w AS tp, sum(neg) OVER w AS fp,
+                     pos AS dtp, neg AS dfp
+              FROM h
+              WINDOW w AS (ORDER BY score DESC ROWS UNBOUNDED PRECEDING)),
+        t AS (SELECT CAST(sum(dfp * (2 * tp - dtp)) AS BIGINT) AS auc_num,
+                     CAST(sum(CAST(round(CAST(tp AS DOUBLE)
+                              / greatest(tp + fp, 1) * 1000000)
+                              AS BIGINT) * dtp) AS BIGINT) AS ap_num
+              FROM c),
+        pn AS (SELECT greatest(sum(pos), 1) AS p,
+                      greatest(count(*) - sum(pos), 1) AS n FROM s)
+        SELECT round(CAST(auc_num AS DOUBLE)
+                     / (2.0 * (SELECT p FROM pn)
+                        * (SELECT n FROM pn)), 6) AS auc,
+               round(CAST(ap_num AS DOUBLE)
+                     / (1000000.0 * (SELECT p FROM pn)), 6)
+                   AS average_precision
+        FROM t"""
