@@ -542,6 +542,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blob_audit": _blob_audit,
         "parse_chain_counts": _parse_chain_counts,
         "host_edges": lambda sf: G.host_edges(_crawl(sf).crawl_log(), QCFG),
+        "host_triangles": lambda sf: G.host_triangles(
+            _crawl(sf).crawl_log(), QCFG),
         "host_pagerank": lambda sf: G.host_pagerank(
             _crawl(sf).crawl_log(), QCFG),
         "host_components": lambda sf: G.host_components(
@@ -2077,6 +2079,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, wave, n_spans, n_links
             FROM read_parquet('{_lg}') WHERE status = 'ok'""",
         "host_edges": G.host_edges_sql(_lg, QCFG),
+        "host_triangles": G.host_triangles_sql(_lg, QCFG),
         "host_pagerank": G.host_pagerank_sql(_lg, QCFG),
         # weakly-connected components: fixed synchronous min-label
         # rounds unrolled (graph.host_components_sql)

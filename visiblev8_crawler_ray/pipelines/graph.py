@@ -343,3 +343,54 @@ def host_bfs_sql(log_path: str, cfg: CrawlConfig,
                CASE WHEN dist < {BFS_INF} THEN dist END AS dist
         FROM d{rounds} ORDER BY host"""
     return sql
+
+
+def host_triangles(log: rd.Dataset, cfg: CrawlConfig) -> pd.DataFrame:
+    """Triangle census of the undirected host link graph — the local
+    clustering signal (with the degree table it yields clustering
+    coefficients) a crawl-quality analysis reads to spot link farms vs
+    organic neighborhoods.
+
+    Undirected simple edges = the symmetrized distinct (src, dst) pairs
+    of :func:`host_edges` minus self-loops; one row per triangle
+    {a < b < c}.  Scale shape: the distributed part is the edge rollup
+    (host_edges' per-block combine over the crawl log); the census then
+    runs on the HOST-sized edge table (the module's documented
+    host-graph regime — same as the pagerank/components label maps);
+    at 10^8 hosts it becomes the standard edge-partitioned
+    intersection join keyed on the lower-degree endpoint."""
+    e = host_edges(log, cfg)
+    if len(e) == 0:
+        return pd.DataFrame({"a": pd.Series([], dtype=object),
+                             "b": pd.Series([], dtype=object),
+                             "c": pd.Series([], dtype=object)})
+    und = set()
+    for s, d in zip(e["src_host"], e["dst_host"]):
+        if s != d:
+            und.add((s, d) if s < d else (d, s))
+    import collections
+    adj = collections.defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    rows = []
+    for a, b in sorted(und):
+        for c in sorted(adj[a] & adj[b]):
+            if c > b:
+                rows.append((a, b, c))
+    return pd.DataFrame(rows, columns=["a", "b", "c"]) \
+        .sort_values(["a", "b", "c"]).reset_index(drop=True)
+
+
+def host_triangles_sql(log_path: str, cfg: CrawlConfig) -> str:
+    body = host_edges_sql(log_path, cfg).rsplit("ORDER BY", 1)[0]
+    return f"""
+        WITH e_raw AS ({body}),
+        und AS (SELECT DISTINCT least(src_host, dst_host) AS a,
+                       greatest(src_host, dst_host) AS b
+                FROM e_raw WHERE src_host <> dst_host)
+        SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+        ORDER BY 1, 2, 3"""
