@@ -544,6 +544,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_edges": lambda sf: G.host_edges(_crawl(sf).crawl_log(), QCFG),
         "host_triangles": lambda sf: G.host_triangles(
             _crawl(sf).crawl_log(), QCFG),
+        "host_clustering": lambda sf: G.host_clustering(
+            _crawl(sf).crawl_log(), QCFG),
         "host_pagerank": lambda sf: G.host_pagerank(
             _crawl(sf).crawl_log(), QCFG),
         "host_components": lambda sf: G.host_components(
@@ -2080,6 +2082,7 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_lg}') WHERE status = 'ok'""",
         "host_edges": G.host_edges_sql(_lg, QCFG),
         "host_triangles": G.host_triangles_sql(_lg, QCFG),
+        "host_clustering": G.host_clustering_sql(_lg, QCFG),
         "host_pagerank": G.host_pagerank_sql(_lg, QCFG),
         # weakly-connected components: fixed synchronous min-label
         # rounds unrolled (graph.host_components_sql)

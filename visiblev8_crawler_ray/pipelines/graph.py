@@ -394,3 +394,73 @@ def host_triangles_sql(log_path: str, cfg: CrawlConfig) -> str:
         JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
         JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
         ORDER BY 1, 2, 3"""
+
+
+def host_clustering(log: rd.Dataset, cfg: CrawlConfig) -> pd.DataFrame:
+    """Per-host local clustering coefficient over the undirected host
+    graph: ``2 x triangles(v) / (deg(v) x (deg(v) - 1))`` — the census
+    companion to :func:`host_triangles` (link-farm neighborhoods read
+    near 1.0, organic hub hosts near 0).  Exact rationals: triangle
+    and degree counts are integers, ONE rounded division per row."""
+    from ..functions.util import round_half_away
+
+    tri = host_triangles(log, cfg)
+    e = host_edges(log, cfg)
+    empty = pd.DataFrame({"host": pd.Series([], dtype=object),
+                          "degree": pd.Series([], dtype="int64"),
+                          "n_triangles": pd.Series([], dtype="int64"),
+                          "clustering": pd.Series([], dtype="float64")})
+    if len(e) == 0:
+        return empty
+    und = set()
+    for s, d in zip(e["src_host"], e["dst_host"]):
+        if s != d:
+            und.add((s, d) if s < d else (d, s))
+    import collections
+    deg = collections.Counter()
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    tcnt = collections.Counter()
+    for r in tri.itertuples():
+        for v in (r.a, r.b, r.c):
+            tcnt[v] += 1
+    hosts = sorted(deg)
+    d = np.array([deg[h] for h in hosts], dtype=np.int64)
+    t = np.array([tcnt.get(h, 0) for h in hosts], dtype=np.int64)
+    denom = d * (d - 1)
+    cl = round_half_away(
+        np.divide(2.0 * t, denom, out=np.zeros(len(d)),
+                  where=denom > 0), 6)
+    return pd.DataFrame({"host": hosts, "degree": d,
+                         "n_triangles": t, "clustering": cl}) \
+        .reset_index(drop=True)
+
+
+def host_clustering_sql(log_path: str, cfg: CrawlConfig) -> str:
+    body = host_edges_sql(log_path, cfg).rsplit("ORDER BY", 1)[0]
+    return f"""
+        WITH e_raw AS ({body}),
+        und AS (SELECT DISTINCT least(src_host, dst_host) AS a,
+                       greatest(src_host, dst_host) AS b
+                FROM e_raw WHERE src_host <> dst_host),
+        tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+                FROM und e1
+                JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+                JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+        tv AS (SELECT v AS host, count(*) AS n_triangles FROM (
+                   SELECT a AS v FROM tri
+                   UNION ALL SELECT b FROM tri
+                   UNION ALL SELECT c FROM tri) GROUP BY v),
+        dv AS (SELECT v AS host, count(*) AS degree FROM (
+                   SELECT a AS v FROM und
+                   UNION ALL SELECT b FROM und) GROUP BY v)
+        SELECT dv.host, CAST(dv.degree AS BIGINT) AS degree,
+               CAST(coalesce(tv.n_triangles, 0) AS BIGINT)
+                   AS n_triangles,
+               CASE WHEN dv.degree > 1
+                    THEN round(2.0 * coalesce(tv.n_triangles, 0)
+                               / (dv.degree * (dv.degree - 1)), 6)
+                    ELSE 0.0 END AS clustering
+        FROM dv LEFT JOIN tv USING (host)
+        ORDER BY host"""
