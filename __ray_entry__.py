@@ -367,6 +367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data text ops
         "dedup_exact": T.dedup_exact,
         "dedup_minhash": T.dedup_minhash,
+        "jaccard_threshold_curve": T.jaccard_threshold_curve,
         "minhash_signatures": T.minhash_signatures,
         "simhash_docs": T.simhash_docs,
         "simhash_near_dup": T.simhash_near_dup,
@@ -1312,6 +1313,7 @@ def oracle_sql() -> dict[str, str]:
         # chain -> candidate self-join -> exact-Jaccard verify, all
         # recomputed bit-exact (textops.dedup_minhash_sql)
         "dedup_minhash": T.dedup_minhash_sql(),
+        "jaccard_threshold_curve": T.jaccard_threshold_curve_sql(),
         # the FULL count-min sketch state recomputed bit-exact
         # (textops.token_cms_sql: splitmix64 emulated in HUGEINT)
         "token_cms": T.token_cms_sql(),

@@ -4920,3 +4920,41 @@ def near_dup_triangles_sql() -> str:
         JOIN hp e2 ON e2.a = e1.b
         JOIN hp e3 ON e3.a = e1.a AND e3.b = e2.b
         ORDER BY a, b, c"""
+
+
+def jaccard_threshold_curve(sf_dir: str,
+                            thresholds: tuple = (0.5, 0.6, 0.7,
+                                                 0.8, 0.9, 1.0),
+                            ) -> "pd.DataFrame":
+    """Text-dedup calibration: verified MinHash near-dup PAIR counts at
+    a Jaccard-threshold ladder from ONE LSH+verify run at the lowest
+    rung (the cosine curve's sibling — see
+    ``embeddings.near_dup_threshold_curve``).  The band structure is
+    fixed, so higher rungs are pure filter-counts of the verified pair
+    set; both engines count the same 4-decimal Jaccard values."""
+    lo = min(thresholds)
+    pairs = dedup_minhash(sf_dir, threshold=lo)
+    j = pairs["jaccard"].to_numpy() if hasattr(pairs, "to_numpy") \
+        else pairs["jaccard"].to_numpy(zero_copy_only=False)
+    j = np.asarray(j, dtype=np.float64)
+    return pd.DataFrame({
+        "threshold": [float(t) for t in sorted(thresholds)],
+        "n_pairs": [int((j >= t - 1e-12).sum())
+                    for t in sorted(thresholds)],
+    })
+
+
+def jaccard_threshold_curve_sql(thresholds: tuple = (0.5, 0.6, 0.7,
+                                                     0.8, 0.9,
+                                                     1.0)) -> str:
+    lo = min(thresholds)
+    inner = dedup_minhash_sql(threshold=lo)
+    rows = ", ".join(f"({float(t)!r})" for t in sorted(thresholds))
+    return f"""
+        WITH pairs AS ({inner})
+        SELECT t.threshold, CAST(coalesce((
+                   SELECT count(*) FROM pairs
+                   WHERE pairs.jaccard >= t.threshold - 1e-12), 0)
+               AS BIGINT) AS n_pairs
+        FROM (VALUES {rows}) t(threshold)
+        ORDER BY t.threshold"""
