@@ -512,6 +512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _crawl(sf).docs(), _crawl(sf).crawl_log()),
         "events_decayed_score": A.events_decayed_score,
         "events_window_distinct_users": A.events_window_distinct_users,
+        "winsorize_values": A.winsorize_values,
         "events_hopping_distinct_hll": A.events_hopping_distinct_hll,
         "host_crawl_report": lambda sf: P.host_crawl_report(
             _crawl(sf).crawl_log()),
@@ -1913,6 +1914,7 @@ def oracle_sql() -> dict[str, str]:
         "events_decayed_score": A.events_decayed_score_sql(),
         "events_window_distinct_users":
             A.events_window_distinct_users_sql(),
+        "winsorize_values": A.winsorize_values_sql(),
         "events_hopping_distinct_hll":
             A.events_hopping_distinct_hll_sql(),
         "crawl_to_corpus_clean": CU.crawl_to_corpus_clean_sql(_exp, _lg),

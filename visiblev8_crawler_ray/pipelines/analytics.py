@@ -5601,3 +5601,86 @@ def events_hopping_distinct_hll_sql() -> str:
                                ELSE e0 END + 0.5) AS BIGINT)
                AS distinct_users_est
         FROM e ORDER BY window_start"""
+
+
+def winsorize_values(sf_dir: str, q_lo: float = 0.05,
+                     q_hi: float = 0.95) -> pd.DataFrame:
+    """Per-group winsorization report: clamp each event's value to its
+    event_type's exact [p05, p95] band and report the per-group
+    clamped integer-cents sum plus clip counts — the outlier-taming
+    step a feature pipeline runs before scaling (the fence-based
+    sibling of ``iqr_outliers``; quantile convention = DuckDB
+    quantile_disc, the ``value_quantiles`` index rule).
+
+    Two passes: pass 1 computes the per-type exact quantile fences
+    (group-parallel, the value_quantiles kernel); pass 2 re-streams
+    events with the fences broadcast and reduces integer partials —
+    cents(clamped) sums are order-free so both engines agree exactly."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def fences(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value"].to_numpy())
+        n = len(v)
+        ilo = min(n - 1, max(0, int(np.ceil(q_lo * n)) - 1))
+        ihi = min(n - 1, max(0, int(np.ceil(q_hi * n)) - 1))
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "lo": [v[ilo]], "hi": [v[ihi]]})
+
+    f = ds.groupby("event_type").map_groups(
+        fences, batch_format="pandas").to_pandas()
+    keys = f["event_type"].to_numpy()
+    o = np.argsort(keys)
+    f_ref = ray.put((keys[o], f["lo"].to_numpy()[o],
+                     f["hi"].to_numpy()[o]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ks, lo, hi = ray.get(f_ref)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        ix = np.searchsorted(ks, et)
+        ix = np.minimum(ix, len(ks) - 1)  # every type exists (pass 1)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        clamped = np.minimum(np.maximum(v, lo[ix]), hi[ix])
+        cents = round_half_away(clamped * 100.0, 0).astype(np.int64)
+        return pa.table({
+            "event_type": t["event_type"],
+            "cents": pa.array(cents),
+            "n_lo": pa.array((v < lo[ix]).astype(np.int64)),
+            "n_hi": pa.array((v > hi[ix]).astype(np.int64)),
+        })
+
+    out = two_phase_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"],
+        [("cents", "count"), ("cents", "sum"),
+         ("n_lo", "sum"), ("n_hi", "sum")],
+        ["event_type", "n", "cents_sum", "n_clipped_lo",
+         "n_clipped_hi"]).to_pandas()
+    res = pd.DataFrame({
+        "event_type": out["event_type"],
+        "n": out["n"].astype("int64"),
+        "n_clipped_lo": out["n_clipped_lo"].astype("int64"),
+        "n_clipped_hi": out["n_clipped_hi"].astype("int64"),
+        "winsorized_sum": round_half_away(
+            out["cents_sum"].to_numpy(np.float64) / 100.0, 2),
+    })
+    return res.sort_values("event_type").reset_index(drop=True)
+
+
+def winsorize_values_sql(q_lo: float = 0.05, q_hi: float = 0.95) -> str:
+    return f"""
+        WITH f AS (
+            SELECT event_type,
+                   quantile_disc(value, {q_lo!r}) AS lo,
+                   quantile_disc(value, {q_hi!r}) AS hi
+            FROM events GROUP BY event_type),
+        c AS (SELECT e.event_type,
+                     CAST(round(least(greatest(e.value, f.lo), f.hi)
+                                * 100) AS BIGINT) AS cents,
+                     CAST(e.value < f.lo AS BIGINT) AS n_lo,
+                     CAST(e.value > f.hi AS BIGINT) AS n_hi
+              FROM events e JOIN f USING (event_type))
+        SELECT event_type, count(*) AS n,
+               sum(n_lo) AS n_clipped_lo, sum(n_hi) AS n_clipped_hi,
+               round(CAST(sum(cents) AS BIGINT) / 100.0, 2)
+                   AS winsorized_sum
+        FROM c GROUP BY event_type ORDER BY event_type"""
