@@ -368,6 +368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": T.dedup_exact,
         "dedup_minhash": T.dedup_minhash,
         "jaccard_threshold_curve": T.jaccard_threshold_curve,
+        "top_terms_per_source": T.top_terms_per_source,
         "minhash_signatures": T.minhash_signatures,
         "simhash_docs": T.simhash_docs,
         "simhash_near_dup": T.simhash_near_dup,
@@ -1315,6 +1316,7 @@ def oracle_sql() -> dict[str, str]:
         # recomputed bit-exact (textops.dedup_minhash_sql)
         "dedup_minhash": T.dedup_minhash_sql(),
         "jaccard_threshold_curve": T.jaccard_threshold_curve_sql(),
+        "top_terms_per_source": T.top_terms_per_source_sql(),
         # the FULL count-min sketch state recomputed bit-exact
         # (textops.token_cms_sql: splitmix64 emulated in HUGEINT)
         "token_cms": T.token_cms_sql(),

@@ -4958,3 +4958,54 @@ def jaccard_threshold_curve_sql(thresholds: tuple = (0.5, 0.6, 0.7,
                AS BIGINT) AS n_pairs
         FROM (VALUES {rows}) t(threshold)
         ORDER BY t.threshold"""
+
+
+def top_terms_per_source(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Per-source top-k token table (count DESC, token ASC ties) — the
+    grouped form of :func:`heavy_hitters`, the per-corpus-slice vocab
+    profile a mixing/curation review reads side by side.
+
+    Scale shape: per-block (source, token) partial counts reduce
+    through the two-phase combiner (exchange = the per-source vocab,
+    never raw tokens); the k-cut runs per source on the combined table
+    with a deterministic (count DESC, token ASC) order so the cut is
+    bit-stable."""
+    from ..functions.util import two_phase_agg
+
+    ds = _read_docs(sf_dir, ["source", "text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        flat, parent = _flat_tokens(t["text"])
+        src = t["source"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "source": pa.array(src[parent], type=pa.string()),
+            "token": flat,
+        }).group_by(["source", "token"]).aggregate([([], "count_all")]) \
+          .rename_columns(["source", "token", "c"])
+
+    cnt = two_phase_agg(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        ["source", "token"], [("c", "sum")],
+        ["source", "token", "c"]).to_pandas()
+    if cnt.empty:
+        return pd.DataFrame({"source": pd.Series([], dtype=object),
+                             "token": pd.Series([], dtype=object),
+                             "c": pd.Series([], dtype="int64")})
+    out = (cnt.sort_values(["source", "c", "token"],
+                           ascending=[True, False, True])
+           .groupby("source", as_index=False).head(k))
+    return out.reset_index(drop=True).astype({"c": "int64"})
+
+
+def top_terms_per_source_sql(k: int = 10) -> str:
+    return f"""
+        WITH t AS (SELECT source,
+                          unnest(regexp_extract_all(text, '\\S+'))
+                              AS token
+                   FROM documents),
+        c AS (SELECT source, token, count(*) AS c FROM t
+              GROUP BY source, token)
+        SELECT source, token, c FROM c
+        QUALIFY row_number() OVER (PARTITION BY source
+                                   ORDER BY c DESC, token) <= {k}
+        ORDER BY source, c DESC, token"""
