@@ -369,6 +369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": T.dedup_minhash,
         "jaccard_threshold_curve": T.jaccard_threshold_curve,
         "top_terms_per_source": T.top_terms_per_source,
+        "doc_length_histogram": T.doc_length_histogram,
         "minhash_signatures": T.minhash_signatures,
         "simhash_docs": T.simhash_docs,
         "simhash_near_dup": T.simhash_near_dup,
@@ -1317,6 +1318,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": T.dedup_minhash_sql(),
         "jaccard_threshold_curve": T.jaccard_threshold_curve_sql(),
         "top_terms_per_source": T.top_terms_per_source_sql(),
+        "doc_length_histogram": T.doc_length_histogram_sql(),
         # the FULL count-min sketch state recomputed bit-exact
         # (textops.token_cms_sql: splitmix64 emulated in HUGEINT)
         "token_cms": T.token_cms_sql(),

@@ -5009,3 +5009,63 @@ def top_terms_per_source_sql(k: int = 10) -> str:
         QUALIFY row_number() OVER (PARTITION BY source
                                    ORDER BY c DESC, token) <= {k}
         ORDER BY source, c DESC, token"""
+
+
+def doc_length_histogram(sf_dir: str) -> pd.DataFrame:
+    """Per-source doc-length histogram in power-of-two token buckets —
+    the length profile every corpus report opens with (sequence-length
+    planning reads it to pick pack windows).  Bucket = floor(log2(n))
+    computed BIT-WISE (int.bit_length - 1 / a powers join in the twin),
+    never through float log — a power-of-two boundary cannot flip
+    between engines.  Zero-token docs land in bucket -1.
+
+    Scale shape: one scan, per-block (source, bucket) integer partials,
+    two-phase combine (exchange <= |sources| x 64 rows/block)."""
+    from ..functions.util import two_phase_agg
+
+    ds = _read_docs(sf_dir, ["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t["text"], r"\S+").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # floor(log2) via the exponent of the float64 representation is
+        # exact for n < 2^53; bucket -1 for n == 0
+        b = np.full(len(n), -1, dtype=np.int64)
+        nz = n > 0
+        b[nz] = np.frexp(n[nz].astype(np.float64))[1] - 1
+        return pa.table({
+            "source": t["source"],
+            "bucket": pa.array(b),
+            "n_docs": pa.array(np.ones(len(n), np.int64)),
+            "n_tokens": pa.array(n),
+        })
+
+    out = two_phase_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source", "bucket"], [("n_docs", "sum"), ("n_tokens", "sum")],
+        ["source", "bucket", "n_docs", "n_tokens"]).to_pandas()
+    return out.sort_values(["source", "bucket"]).reset_index(drop=True) \
+        .astype({"bucket": "int64", "n_docs": "int64",
+                 "n_tokens": "int64"})
+
+
+def doc_length_histogram_sql() -> str:
+    pows = ", ".join(f"({k}, {1 << k}::BIGINT)" for k in range(53))
+    return f"""
+        WITH t AS (SELECT row_number() OVER () AS rid, source,
+                          CAST(len(regexp_extract_all(text, '\\S+'))
+                               AS BIGINT) AS n
+                   FROM documents),
+        b AS (SELECT t.rid, any_value(t.source) AS source,
+                     any_value(t.n) AS n,
+                     coalesce(max(p.k), -1) AS bucket
+              FROM t LEFT JOIN (VALUES {pows}) p(k, lo)
+                   ON p.lo <= t.n
+              GROUP BY t.rid),
+        g AS (SELECT source, bucket, count(*) AS n_docs,
+                     sum(n) AS n_tokens
+              FROM b GROUP BY source, bucket)
+        SELECT source, CAST(bucket AS BIGINT) AS bucket,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_tokens AS BIGINT) AS n_tokens
+        FROM g ORDER BY source, bucket"""
