@@ -10,13 +10,18 @@
 
 PY ?= python
 
-.PHONY: gate test bench
+.PHONY: gate test bench artifact
 
 gate:
 	$(PY) -m pytest -q -x \
 	    tests/test_queries_vs_duckdb.py \
 	    tests/test_fuzz_tables.py \
 	    tests/test_crawl_vs_oracle.py
+	$(PY) scripts/gate_artifact.py --sf /root/testdata/sf0.01
+
+# regenerate only the checked-in full-surface rehearsal artifact
+artifact:
+	$(PY) scripts/gate_artifact.py --sf /root/testdata/sf0.01
 
 test:
 	$(PY) -m pytest tests/ -q -x

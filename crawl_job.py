@@ -120,7 +120,6 @@ def main() -> int:
             else:
                 manifest = crawl_to_corpus(docs,
                                            window=args.corpus_window)
-            clean = strip_boilerplate(docs, run.crawl_log())
             import pyarrow as pa
             import pyarrow.parquet as pq
 
@@ -132,8 +131,15 @@ def main() -> int:
                 "packs": int(manifest["pack_id"].max()) + 1
                 if len(manifest) else 0,
                 "tokens": int(manifest["n_tokens"].sum()),
-                "boilerplate_spans_stripped": int(clean["n_removed"].sum()),
             }
+            if args.corpus_clean:
+                # Report the strip stats with the SAME detection params
+                # the clean packing chain used, and only when that chain
+                # actually ran (the raw chain strips nothing).
+                clean = strip_boilerplate(docs, run.crawl_log(),
+                                          min_pages=3, num=9, den=10)
+                summary["corpus"]["boilerplate_spans_stripped"] = \
+                    int(clean["n_removed"].sum())
         else:
             summary["corpus"] = {"path": args.corpus, "docs_kept": 0}
     print(json.dumps(summary))

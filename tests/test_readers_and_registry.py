@@ -480,3 +480,18 @@ def test_adblock_sql_twin_fuzz(tmp_path):
         want = [bool(v) for (v,) in con.execute(
             f"SELECT {pred} FROM t").fetchall()]
         assert got == want, (trial, lines)
+
+
+def test_coverage_header_counts():
+    """COVERAGE.md's headline surface counts must match the live
+    registry (VERDICT r4 "What's wrong" #4: the header drifted)."""
+    import re
+
+    import __ray_entry__ as R
+
+    text = open("/root/repo/COVERAGE.md").read()
+    m = re.search(r"\*\*(\d+) registered pipelines — (\d+)\b", text)
+    assert m, "COVERAGE.md headline count line missing"
+    q, o = R.queries(), R.oracle_sql()
+    assert int(m.group(1)) == len(q), (m.group(1), len(q))
+    assert int(m.group(2)) == len(o), (m.group(2), len(o))

@@ -5055,6 +5055,10 @@ def returned_top_customers(sf_dir: str, date_lo: str = "1996-01-01",
     nat = _read(sf_dir, "nation").to_pandas()
     nname = dict(zip(nat.n_nationkey.astype(int), nat.n_name))
     m = fin.merge(cust, left_on="custkey", right_on="c_custkey")
+    # Cut and order on the exact integer rev_e4 key so both engines pick
+    # identical winners even when two customers round to the same cents.
+    m = m.sort_values(["rev_e4", "custkey"],
+                      ascending=[False, True]).reset_index(drop=True)
     out = pd.DataFrame({
         "c_custkey": m["c_custkey"].astype("int64"),
         "c_name": m["c_name"],
@@ -5063,8 +5067,7 @@ def returned_top_customers(sf_dir: str, date_lo: str = "1996-01-01",
         "c_acctbal": m["c_acctbal"].astype(float),
         "n_name": m["c_nationkey"].astype(int).map(nname),
     })
-    return out.sort_values(["revenue", "c_custkey"],
-                           ascending=[False, True]).reset_index(drop=True)
+    return out
 
 
 def returned_top_customers_sql(date_lo: str = "1996-01-01",
@@ -5084,7 +5087,9 @@ def returned_top_customers_sql(date_lo: str = "1996-01-01",
           AND o_orderdate <  TIMESTAMP '{date_hi}'
           AND l_returnflag = 'R'
         GROUP BY c_custkey, c_name, c_acctbal, n_name
-        ORDER BY revenue DESC, c_custkey
+        ORDER BY CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                 AS BIGINT) DESC, c_custkey
         LIMIT {k}"""
 
 
@@ -5382,7 +5387,9 @@ def events_decayed_score(sf_dir: str, asof: str = "2024-02-01",
         ts = t["ts"].to_numpy(zero_copy_only=False).astype(
             "datetime64[us]").astype(np.int64)
         age = (asof_us - ts) // day_us
-        keep = (age >= 0) & (age < window_days)
+        # Strictly before the as-of instant (ts < asof), matching the
+        # SQL twin's `ts < TIMESTAMP asof` boundary convention.
+        keep = (ts < asof_us) & (age < window_days)
         sub_age = age[keep]
         cents = round_half_away(
             t["value"].to_numpy(zero_copy_only=False)[keep] * 100.0,

@@ -1204,7 +1204,15 @@ def roc_points(sf_dir: str) -> pd.DataFrame:
     h = two_phase_agg(
         ds.map_batches(hist, batch_format="pyarrow"), ["score"],
         [("pos", "sum"), ("neg", "sum")], ["score", "pos", "neg"],
-    ).to_pandas().sort_values("score", ascending=False)
+    ).to_pandas()
+    if h.empty or "score" not in h.columns:
+        return pd.DataFrame({
+            "threshold": pd.Series([], dtype="float64"),
+            "n_pos_ge": pd.Series([], dtype="int64"),
+            "n_neg_ge": pd.Series([], dtype="int64"),
+            "tpr": pd.Series([], dtype="float64"),
+            "fpr": pd.Series([], dtype="float64")})
+    h = h.sort_values("score", ascending=False)
     P = max(int(h["pos"].sum()), 1)
     N = max(int(h["neg"].sum()), 1)
     h["n_pos_ge"] = h["pos"].cumsum()
@@ -1286,7 +1294,15 @@ def calibration_bins(sf_dir: str, lo: float = 0.0, hi: float = 1.0,
         ds.map_batches(hist, batch_format="pyarrow"), ["bin"],
         [("n", "sum"), ("n_pos", "sum"), ("s4", "sum")],
         ["bin", "n", "n_pos", "s4_sum"],
-    ).to_pandas().sort_values("bin")
+    ).to_pandas()
+    if h.empty or "bin" not in h.columns:
+        return pd.DataFrame({"bin": pd.Series([], dtype="int64"),
+                             "bin_lo": pd.Series([], dtype="float64"),
+                             "n": pd.Series([], dtype="int64"),
+                             "n_pos": pd.Series([], dtype="int64"),
+                             "mean_score": pd.Series([], dtype="float64"),
+                             "frac_pos": pd.Series([], dtype="float64")})
+    h = h.sort_values("bin")
     out = pd.DataFrame({
         "bin": h["bin"].astype("int64"),
         "bin_lo": round_half_away(
@@ -1350,7 +1366,15 @@ def pr_points(sf_dir: str) -> pd.DataFrame:
     h = two_phase_agg(
         ds.map_batches(hist, batch_format="pyarrow"), ["score"],
         [("pos", "sum"), ("neg", "sum")], ["score", "pos", "neg"],
-    ).to_pandas().sort_values("score", ascending=False)
+    ).to_pandas()
+    if h.empty or "score" not in h.columns:
+        return pd.DataFrame({
+            "threshold": pd.Series([], dtype="float64"),
+            "n_tp": pd.Series([], dtype="int64"),
+            "n_pred_pos": pd.Series([], dtype="int64"),
+            "precision": pd.Series([], dtype="float64"),
+            "recall": pd.Series([], dtype="float64")})
+    h = h.sort_values("score", ascending=False)
     P = max(int(h["pos"].sum()), 1)
     tp = h["pos"].cumsum().to_numpy(np.int64)
     pp = (h["pos"] + h["neg"]).cumsum().to_numpy(np.int64)
@@ -1418,7 +1442,12 @@ def scorer_eval_summary(sf_dir: str) -> pd.DataFrame:
     h = two_phase_agg(
         ds.map_batches(hist, batch_format="pyarrow"), ["score"],
         [("pos", "sum"), ("neg", "sum")], ["score", "pos", "neg"],
-    ).to_pandas().sort_values("score", ascending=False)
+    ).to_pandas()
+    if h.empty or "score" not in h.columns:
+        return pd.DataFrame({
+            "auc": pd.Series([], dtype="float64"),
+            "average_precision": pd.Series([], dtype="float64")})
+    h = h.sort_values("score", ascending=False)
     P = max(int(h["pos"].sum()), 1)
     N = max(int(h["neg"].sum()), 1)
     tp = h["pos"].cumsum().to_numpy(np.int64)

@@ -894,7 +894,8 @@ def incremental_corpus_sql(docs_a: str, log_a: str, docs_b: str,
                    AS content_key
                FROM read_parquet('{log_b}') l JOIN rb USING (doc_id)
                WHERE l.status = 'ok'),
-        delta AS (SELECT lb.doc_id FROM lb LEFT JOIN la USING (url_key)
+        delta AS (SELECT DISTINCT lb.doc_id
+                  FROM lb LEFT JOIN la USING (url_key)
                   WHERE la.content_key IS NULL
                      OR la.content_key <> lb.content_key),
         tb AS (SELECT rb.doc_id, md5(rb.doc_text) AS content_key,

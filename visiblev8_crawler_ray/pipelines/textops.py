@@ -5044,6 +5044,11 @@ def doc_length_histogram(sf_dir: str) -> pd.DataFrame:
         ds.map_batches(partial, batch_format="pyarrow"),
         ["source", "bucket"], [("n_docs", "sum"), ("n_tokens", "sum")],
         ["source", "bucket", "n_docs", "n_tokens"]).to_pandas()
+    if out.empty or "bucket" not in out.columns:
+        return pd.DataFrame({"source": pd.Series([], dtype=object),
+                             "bucket": pd.Series([], dtype="int64"),
+                             "n_docs": pd.Series([], dtype="int64"),
+                             "n_tokens": pd.Series([], dtype="int64")})
     return out.sort_values(["source", "bucket"]).reset_index(drop=True) \
         .astype({"bucket": "int64", "n_docs": "int64",
                  "n_tokens": "int64"})
