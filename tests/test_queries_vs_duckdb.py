@@ -76,3 +76,20 @@ def test_multi_origin_scale_path(con):
     odf = con.sql(R.oracle_sql()["multi_origin_rollup"]).df()
     a, b = _norm(pd.DataFrame(df)), _norm(odf)
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
+def test_anti_join_scale_path(con):
+    """The bucketed co-group anti-join (the path taken when the build
+    side exceeds the broadcast cap) must match the oracle exactly."""
+    from visiblev8_crawler_ray.pipelines.analytics import anti_join_retry
+
+    df = anti_join_retry(SF, force_scale=True)
+    odf = con.sql(R.oracle_sql()["anti_join_retry"]).df()
+    a, b = _norm(pd.DataFrame(df)), _norm(odf)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+    # tiny cap forces the mid-stream switch to the same shuffle path
+    df2 = anti_join_retry(SF, max_broadcast_keys=1)
+    a2 = _norm(pd.DataFrame(df2))
+    pd.testing.assert_frame_equal(a2, b, check_dtype=False,
+                                  check_exact=True)

@@ -248,31 +248,96 @@ def multi_origin_rollup(sf_dir: str, force_scale: bool = False) -> pa.Table:
 # ---------------------------------------------------------------------------
 # Joins (J1, J2, J3, J5)
 
-def anti_join_retry(sf_dir: str) -> pa.Table:
+def anti_join_retry(sf_dir: str, max_broadcast_keys: int = 2_000_000,
+                    force_scale: bool = False,
+                    nparts: int = 16) -> pa.Table:
     """J1: anti-join retry feed (resend_script_ids.py:62-79): customers
     with no high-value order yet — the "not processed" predicate of the
-    reference's NOT EXISTS + status filter.  Broadcast the (distinct)
-    key set, filter in map_batches."""
+    reference's NOT EXISTS + status filter.
+
+    Adaptive join strategy (VERDICT r4 "What's wrong" #1): the build
+    side is collected VECTORIZED (per-batch ``pc.unique``, never
+    ``to_pylist``) and broadcast only while it stays under
+    ``max_broadcast_keys``; the moment the accumulated distinct-key
+    count crosses the cap — or ``force_scale`` is set for the parity
+    test — the whole query switches to the bucketed co-group anti-join
+    (the `corpus_novelty` one-shuffle shape), so an unselective
+    predicate at 100x scale can never materialize an unbounded key set
+    on the driver."""
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
         lambda t: t.filter(pc.greater(t["o_totalprice"], 250000.0)).select(
             ["o_custkey"]),
         batch_format="pyarrow",
     )
-    keys = set()
-    for b in orders.iter_batches(batch_format="pyarrow", batch_size=65536):
-        keys.update(b["o_custkey"].to_pylist())
-    keys_ref = ray.put(np.fromiter(keys, dtype=np.int64))
 
-    def anti(t: pa.Table) -> pa.Table:
-        have = ray.get(keys_ref)
-        mask = ~np.isin(t["c_custkey"].to_numpy(), have)
-        return t.filter(pa.array(mask))
+    chunks: list[np.ndarray] | None = [] if not force_scale else None
+    if chunks is not None:
+        total = 0
+        for b in orders.iter_batches(batch_format="pyarrow",
+                                     batch_size=65536):
+            u = pc.unique(b["o_custkey"])
+            chunks.append(u.to_numpy(zero_copy_only=False)
+                          .astype(np.int64))
+            total += len(u)
+            if total > max_broadcast_keys:
+                chunks = None  # too big to broadcast: shuffle instead
+                break
 
-    return (
-        _read(sf_dir, "customer", ["c_custkey", "c_name"])
-        .map_batches(anti, batch_format="pyarrow")
-        .to_pandas()
-    )
+    if chunks is not None:
+        have = (np.unique(np.concatenate(chunks)) if chunks
+                else np.array([], dtype=np.int64))
+        keys_ref = ray.put(have)
+
+        def anti(t: pa.Table) -> pa.Table:
+            mask = ~np.isin(t["c_custkey"].to_numpy(), ray.get(keys_ref))
+            return t.filter(pa.array(mask))
+
+        return (
+            _read(sf_dir, "customer", ["c_custkey", "c_name"])
+            .map_batches(anti, batch_format="pyarrow")
+            .to_pandas()
+        )
+
+    # Scale path: ONE co-partitioned shuffle on custkey % nparts, the
+    # membership anti-filter resolves per bucket with vectorized isin.
+    def build_side(t: pa.Table) -> pa.Table:
+        k = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "c_custkey": pa.array(k),
+            "c_name": pa.array(np.full(len(k), "", dtype=object)),
+            "probe": pa.array(np.zeros(len(k), dtype=bool)),
+            "bucket": pa.array(k % nparts),
+        })
+
+    def probe_side(t: pa.Table) -> pa.Table:
+        k = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "c_custkey": pa.array(k),
+            "c_name": t["c_name"],
+            "probe": pa.array(np.ones(len(k), dtype=bool)),
+            "bucket": pa.array(k % nparts),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cust = g[g["probe"]]
+        seen = g.loc[~g["probe"], "c_custkey"].to_numpy(dtype=np.int64)
+        keep = ~cust["c_custkey"].isin(seen)
+        return pd.DataFrame({
+            "c_custkey": cust.loc[keep, "c_custkey"]
+            .to_numpy(dtype=np.int64),
+            "c_name": cust.loc[keep, "c_name"].to_numpy(dtype=object),
+        })
+
+    out = (orders.map_batches(build_side, batch_format="pyarrow")
+           .union(_read(sf_dir, "customer", ["c_custkey", "c_name"])
+                  .map_batches(probe_side, batch_format="pyarrow"))
+           .groupby("bucket")
+           .map_groups(per_bucket, batch_format="pandas")
+           .to_pandas())
+    if "c_custkey" not in out.columns:
+        out = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
+                            "c_name": pd.Series([], dtype=object)})
+    return out
 
 
 def orders_with_customer(sf_dir: str) -> pa.Table:
