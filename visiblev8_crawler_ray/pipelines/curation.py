@@ -63,7 +63,8 @@ def _md5_hex_ids(prefix: str, ids: np.ndarray) -> list[str]:
 # Global concat-and-chunk packing (two-pass prefix scan)
 
 def pack_global(sf_dir: str, window: int = 512,
-                range_docs: int = 128) -> pd.DataFrame:
+                range_docs: int = 128,
+                as_dataset: bool = False) -> pd.DataFrame:
     """GPT-style GLOBAL sequence packing: concatenate every document's
     BPE-ish tokens in doc_id order and slice the stream into fixed
     ``window``-token packs; each doc reports the pack its first token
@@ -128,17 +129,19 @@ def pack_global(sf_dir: str, window: int = 512,
             "spans_boundary": off + n > window,
         })
 
-    return (
-        tokens.groupby("rng").map_groups(per_range_pack, batch_format="pandas")
-        .to_pandas().sort_values("doc_id").reset_index(drop=True)
-    )
+    from ..functions.util import collect_or_ds
+    return collect_or_ds(
+        tokens.groupby("rng").map_groups(per_range_pack,
+                                         batch_format="pandas"),
+        as_dataset, sort_by="doc_id")
 
 
 # ---------------------------------------------------------------------------
 # Train/val/test hash split
 
 def split_assign(sf_dir: str, pct_train: int = 80,
-                 pct_val: int = 10) -> pd.DataFrame:
+                 pct_val: int = 10,
+                 as_dataset: bool = False) -> pd.DataFrame:
     """Deterministic train/val/test assignment by salted content-key
     hash — the split every training pipeline needs pinned *before* any
     shuffling or sampling, and the reason it must be a pure per-row
@@ -156,14 +159,16 @@ def split_assign(sf_dir: str, pct_train: int = 80,
                          np.where(b < hi_val, "val", "test"))
         return t.append_column("split", pa.array(split, type=pa.string()))
 
-    return ds.map_batches(assign, batch_format="pyarrow").to_pandas() \
-        .sort_values("doc_id").reset_index(drop=True)
+    from ..functions.util import collect_or_ds
+    return collect_or_ds(ds.map_batches(assign, batch_format="pyarrow"),
+                         as_dataset, sort_by="doc_id")
 
 
 # ---------------------------------------------------------------------------
 # Seeded global shuffle (two-pass rank assignment)
 
-def shuffle_order(sf_dir: str, seed: str = "s42") -> pd.DataFrame:
+def shuffle_order(sf_dir: str, seed: str = "s42",
+                  as_dataset: bool = False) -> pd.DataFrame:
     """Seeded deterministic GLOBAL shuffle: every doc gets its position
     in the permutation induced by ``md5(seed | doc_id)`` — reproducible
     across runs and cluster sizes, unlike ``ds.random_shuffle``.
@@ -205,10 +210,10 @@ def shuffle_order(sf_dir: str, seed: str = "s42") -> pd.DataFrame:
             "shuffle_pos": base + np.arange(1, len(g) + 1, dtype=np.int64),
         })
 
-    return (
-        keyed.groupby("bucket").map_groups(rank, batch_format="pandas")
-        .to_pandas().sort_values("shuffle_pos").reset_index(drop=True)
-    )
+    from ..functions.util import collect_or_ds
+    return collect_or_ds(
+        keyed.groupby("bucket").map_groups(rank, batch_format="pandas"),
+        as_dataset, sort_by="shuffle_pos")
 
 
 # ---------------------------------------------------------------------------
@@ -261,7 +266,8 @@ def iqr_outliers(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 # Token-budget subsampling
 
-def token_budget_sample(sf_dir: str, budget: int = 1000) -> pd.DataFrame:
+def token_budget_sample(sf_dir: str, budget: int = 1000,
+                        as_dataset: bool = False) -> pd.DataFrame:
     """Greedy per-source token-budget subsample: walk each source's docs
     in salted-hash order (a fixed "random" order, independent of id
     locality) and keep docs while the running BPE-token total stays
@@ -292,11 +298,11 @@ def token_budget_sample(sf_dir: str, budget: int = 1000) -> pd.DataFrame:
             "cum_tokens": cum[keep],
         })
 
-    return (
+    from ..functions.util import collect_or_ds
+    return collect_or_ds(
         ds.map_batches(prep, batch_format="pyarrow")
-        .groupby("source").map_groups(take, batch_format="pandas")
-        .to_pandas().sort_values("doc_id").reset_index(drop=True)
-    )
+        .groupby("source").map_groups(take, batch_format="pandas"),
+        as_dataset, sort_by="doc_id")
 
 
 def export_corpus(sf_dir: str, out_dir: str, nparts: int = 8) -> pd.DataFrame:

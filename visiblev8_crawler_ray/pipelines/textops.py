@@ -63,7 +63,7 @@ def _count_word(text: pa.ChunkedArray | pa.Array, word: str) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # dedup family
 
-def dedup_exact(sf_dir: str) -> pa.Table:
+def dedup_exact(sf_dir: str, as_dataset: bool = False) -> pa.Table:
     """Exact dedup: hash-partition by content md5, keep min doc_id
     (the staging-table 'terminate duplication' semantics, D3/J6)."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
@@ -74,9 +74,10 @@ def dedup_exact(sf_dir: str) -> pa.Table:
                          "content_key": digest_hex(t["text"])})
 
     keyed = ds.map_batches(key, batch_format="pyarrow")
-    from ..functions.util import two_phase_agg
-    return two_phase_agg(keyed, ["content_key"], [("doc_id", "min")],
-                         ["content_key", "keep_doc_id"]).to_pandas()
+    from ..functions.util import collect_or_ds, two_phase_agg
+    return collect_or_ds(
+        two_phase_agg(keyed, ["content_key"], [("doc_id", "min")],
+                      ["content_key", "keep_doc_id"]), as_dataset)
 
 
 class MinHasher:
@@ -514,11 +515,13 @@ class SimHasher:
                          "simhash": pa.array(packed.view(np.int64))})
 
 
-def simhash_docs(sf_dir: str) -> pa.Table:
+def simhash_docs(sf_dir: str, as_dataset: bool = False) -> pa.Table:
     """SimHash fingerprint per document (near-dup key)."""
+    from ..functions.util import collect_or_ds
     ds = _read_docs(sf_dir, ["doc_id", "text"])
-    return ds.map_batches(SimHasher(), batch_format="pyarrow").to_pandas() \
-        .sort_values("doc_id").reset_index(drop=True)
+    return collect_or_ds(ds.map_batches(SimHasher(),
+                                        batch_format="pyarrow"),
+                         as_dataset, sort_by="doc_id")
 
 
 def simhash_sql(rel: str = "documents") -> str:
@@ -679,7 +682,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6) -> pa.Table:
 # ---------------------------------------------------------------------------
 # text analysis
 
-def language_id(sf_dir: str) -> pa.Table:
+def language_id(sf_dir: str, as_dataset: bool = False) -> pa.Table:
     """Marker-word language ID: argmax of per-language marker counts,
     ties broken in LANG_MARKERS order, all-zero -> 'und'."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
@@ -696,10 +699,12 @@ def language_id(sf_dir: str) -> pa.Table:
         return pa.table({"doc_id": t["doc_id"],
                          "pred_lang": pa.array(langs, type=pa.string())})
 
-    return ds.map_batches(fn, batch_format="pyarrow").to_pandas()
+    from ..functions.util import collect_or_ds
+    return collect_or_ds(ds.map_batches(fn, batch_format="pyarrow"),
+                         as_dataset)
 
 
-def quality_score(sf_dir: str) -> pa.Table:
+def quality_score(sf_dir: str, as_dataset: bool = False) -> pa.Table:
     """Quality metrics per doc: word count, punct ratio, stopword ratio,
     mean word length (M9-style feature extraction, vectorized)."""
     ds = _read_docs(sf_dir, ["doc_id", "text", "n_chars"])
@@ -723,10 +728,12 @@ def quality_score(sf_dir: str) -> pa.Table:
             }
         )
 
-    return ds.map_batches(fn, batch_format="pyarrow").to_pandas()
+    from ..functions.util import collect_or_ds
+    return collect_or_ds(ds.map_batches(fn, batch_format="pyarrow"),
+                         as_dataset)
 
 
-def token_counts(sf_dir: str) -> pa.Table:
+def token_counts(sf_dir: str, as_dataset: bool = False) -> pa.Table:
     """Token counting: whitespace tokens + BPE-ish regex tokens per doc,
     plus corpus totals as a second query (see token_totals)."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
@@ -742,7 +749,9 @@ def token_counts(sf_dir: str) -> pa.Table:
             }
         )
 
-    return ds.map_batches(fn, batch_format="pyarrow").to_pandas()
+    from ..functions.util import collect_or_ds
+    return collect_or_ds(ds.map_batches(fn, batch_format="pyarrow"),
+                         as_dataset)
 
 
 def token_totals(sf_dir: str) -> pa.Table:
@@ -761,7 +770,7 @@ def token_totals(sf_dir: str) -> pa.Table:
     return pa.table({k: pa.array([v], type=pa.int64()) for k, v in out.items()})
 
 
-def fingerprint_docs(sf_dir: str) -> pa.Table:
+def fingerprint_docs(sf_dir: str, as_dataset: bool = False) -> pa.Table:
     """Content fingerprint per doc: md5 hex (DuckDB-checkable)."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
@@ -770,7 +779,9 @@ def fingerprint_docs(sf_dir: str) -> pa.Table:
         return pa.table({"doc_id": t["doc_id"],
                          "fingerprint": digest_hex(t["text"])})
 
-    return ds.map_batches(fn, batch_format="pyarrow").to_pandas()
+    from ..functions.util import collect_or_ds
+    return collect_or_ds(ds.map_batches(fn, batch_format="pyarrow"),
+                         as_dataset)
 
 
 #: deny-list for the redaction op — stands in for the PII pattern set
@@ -781,7 +792,8 @@ REDACT_TOKEN = "[REDACTED]"
 
 
 def redact_terms(sf_dir: str, pattern: str = REDACT_RE,
-                 token: str = REDACT_TOKEN) -> pd.DataFrame:
+                 token: str = REDACT_TOKEN,
+                 as_dataset: bool = False) -> pd.DataFrame:
     """PII-scrub-shaped redaction: replace every deny-list match with a
     redaction token and count hits per doc (the compliance step every
     training-data pipeline runs before packing).  Pure per-row map,
@@ -802,11 +814,12 @@ def redact_terms(sf_dir: str, pattern: str = REDACT_RE,
                 t["text"], pattern, token),
         })
 
-    return (ds.map_batches(fn, batch_format="pyarrow").to_pandas()
-            .sort_values("doc_id").reset_index(drop=True))
+    from ..functions.util import collect_or_ds
+    return collect_or_ds(ds.map_batches(fn, batch_format="pyarrow"),
+                         as_dataset, sort_by="doc_id")
 
 
-def winnow_fingerprint(sf_dir: str) -> pa.Table:
+def winnow_fingerprint(sf_dir: str, as_dataset: bool = False) -> pa.Table:
     """Rolling polynomial min-hash fingerprint (winnowing-style) per doc
     — the near-dup document fingerprint; non-SQL-expressible.
 
@@ -855,10 +868,13 @@ def winnow_fingerprint(sf_dir: str) -> pa.Table:
             }
         )
 
-    return ds.map_batches(fn, batch_format="pyarrow").to_pandas()
+    from ..functions.util import collect_or_ds
+    return collect_or_ds(ds.map_batches(fn, batch_format="pyarrow"),
+                         as_dataset)
 
 
-def sample_hash(sf_dir: str, rate_per_mille: int = 50) -> pd.DataFrame:
+def sample_hash(sf_dir: str, rate_per_mille: int = 50,
+                as_dataset: bool = False) -> pd.DataFrame:
     """Deterministic Bernoulli sampling by content-key hash — THE
     scale-safe sampling primitive for training-data pipelines: a pure
     per-row predicate (no global count, no shuffle, no coordination),
@@ -876,8 +892,9 @@ def sample_hash(sf_dir: str, rate_per_mille: int = 50) -> pd.DataFrame:
             for i in ids], dtype=np.uint64)
         return t.filter(pa.array(h % 1000 < rate_per_mille))
 
-    return ds.map_batches(keep, batch_format="pyarrow").to_pandas() \
-        .sort_values("doc_id").reset_index(drop=True)
+    from ..functions.util import collect_or_ds
+    return collect_or_ds(ds.map_batches(keep, batch_format="pyarrow"),
+                         as_dataset, sort_by="doc_id")
 
 
 def pack_sequences(sf_dir: str, part_docs: int = 64,
@@ -1069,7 +1086,8 @@ def decontaminate(sf_dir: str) -> pd.DataFrame:
         .sort_values("doc_id").reset_index(drop=True)
 
 
-def repetition_stats(sf_dir: str) -> pd.DataFrame:
+def repetition_stats(sf_dir: str,
+                     as_dataset: bool = False) -> pd.DataFrame:
     """Gopher-style repetition quality: per doc, the duplicated-word
     fraction (``1 - distinct/total``) and the top-bigram fraction
     (count of the most frequent word bigram over all bigrams) — the
@@ -1117,8 +1135,9 @@ def repetition_stats(sf_dir: str) -> pd.DataFrame:
             "top_bigram_frac": pa.array(top, type=pa.float64()),
         })
 
-    return ds.map_batches(fn, batch_format="pyarrow").to_pandas() \
-        .sort_values("doc_id").reset_index(drop=True)
+    from ..functions.util import collect_or_ds
+    return collect_or_ds(ds.map_batches(fn, batch_format="pyarrow"),
+                         as_dataset, sort_by="doc_id")
 
 
 def vocab_df(sf_dir: str, k: int = 100) -> pd.DataFrame:
@@ -1662,7 +1681,8 @@ def text_dup_clusters(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
         .sort_values("doc_id").reset_index(drop=True)
 
 
-def chunk_docs(sf_dir: str, size: int = 16, stride: int = 8) -> pd.DataFrame:
+def chunk_docs(sf_dir: str, size: int = 16, stride: int = 8,
+               as_dataset: bool = False) -> pd.DataFrame:
     """RAG/embedding-style document chunking: split every doc into
     overlapping ``size``-token windows every ``stride`` tokens (the
     standard retrieval-corpus preparation step upstream of the
@@ -1715,8 +1735,9 @@ def chunk_docs(sf_dir: str, size: int = 16, stride: int = 8) -> pd.DataFrame:
             "chunk_text": pc.binary_join(lst, " "),
         })
 
-    return (ds.map_batches(fn, batch_format="pyarrow").to_pandas()
-            .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True))
+    from ..functions.util import collect_or_ds
+    return collect_or_ds(ds.map_batches(fn, batch_format="pyarrow"),
+                         as_dataset, sort_by=["doc_id", "chunk_id"])
 
 
 def boilerplate_grams(sf_dir: str, n: int = 3, min_df: int = 3) -> pd.DataFrame:
@@ -2132,7 +2153,8 @@ def token_rarity(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
-def ntile_buckets(sf_dir: str, k: int = 10) -> pd.DataFrame:
+def ntile_buckets(sf_dir: str, k: int = 10,
+                  as_dataset: bool = False) -> pd.DataFrame:
     """Distributed NTILE(k) OVER (ORDER BY n_chars, doc_id): global
     length-percentile bucket per doc — the curriculum/binning window
     function, computed WITHOUT a driver-side sort: the corpus sorts by
@@ -2158,11 +2180,14 @@ def ntile_buckets(sf_dir: str, k: int = 10) -> pd.DataFrame:
         return pa.table({"doc_id": t["doc_id"], "n_chars": t["n_chars"],
                          "tile": pa.array((tile + 1).astype(np.int64))})
 
-    out = ranked.map_batches(bucket, batch_format="pyarrow").to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    from ..functions.util import collect_or_ds
+    return collect_or_ds(ranked.map_batches(bucket,
+                                            batch_format="pyarrow"),
+                         as_dataset, sort_by="doc_id")
 
 
-def cdc_chunks(sf_dir: str, w: int = 16, avg: int = 64) -> pd.DataFrame:
+def cdc_chunks(sf_dir: str, w: int = 16, avg: int = 64,
+               as_dataset: bool = False) -> pd.DataFrame:
     """Content-defined chunking (Rabin/FastCDC family): cut each doc
     into variable-size chunks at positions where the W-byte rolling
     polynomial hash satisfies ``h % avg == 0`` (cut AFTER the matching
@@ -2251,8 +2276,9 @@ def cdc_chunks(sf_dir: str, w: int = 16, avg: int = 64) -> pd.DataFrame:
             "chunk_hash": pa.array(digests, type=pa.string()),
         })
 
-    out = ds.map_batches(fn, batch_format="pyarrow").to_pandas()
-    return out.sort_values(["doc_id", "chunk_ix"]).reset_index(drop=True)
+    from ..functions.util import collect_or_ds
+    return collect_or_ds(ds.map_batches(fn, batch_format="pyarrow"),
+                         as_dataset, sort_by=["doc_id", "chunk_ix"])
 
 
 # count-min sketch geometry: 4 rows x 4096 columns -> eps = e/4096
@@ -2625,7 +2651,7 @@ def _gopher_flag_arrays(text):
             ok_nwords, ok_wordlen, ok_digits, ok_stop)
 
 
-def gopher_filter(sf_dir: str) -> pa.Table:
+def gopher_filter(sf_dir: str, as_dataset: bool = False) -> pa.Table:
     """Per-document Gopher-rule quality flags and the combined keep bit.
 
     Rules (thresholds scaled to the synthetic corpus; every comparison
@@ -2662,8 +2688,11 @@ def gopher_filter(sf_dir: str) -> pa.Table:
             "keep": pa.array(ok_nwords & ok_wordlen & ok_digits & ok_stop),
         })
 
-    out = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        flags, batch_format="pyarrow").to_pandas()
+    ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        flags, batch_format="pyarrow")
+    if as_dataset:
+        return ds
+    out = ds.to_pandas()
     return pa.Table.from_pandas(
         out.sort_values("doc_id").reset_index(drop=True),
         preserve_index=False)
@@ -3052,7 +3081,7 @@ def unigram_logprob(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
-def token_entropy(sf_dir: str) -> pd.DataFrame:
+def token_entropy(sf_dir: str, as_dataset: bool = False) -> pd.DataFrame:
     """Per-document Shannon entropy of the doc's own unigram
     distribution — the token-diversity curation signal (entropy 0 =
     one token repeated; low entropy = template/boilerplate; it
@@ -3105,8 +3134,9 @@ def token_entropy(sf_dir: str) -> pd.DataFrame:
             "entropy": pa.array(entropy, type=pa.float64()),
         })
 
-    out = ds.map_batches(ent, batch_format="pyarrow").to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    from ..functions.util import collect_or_ds
+    return collect_or_ds(ds.map_batches(ent, batch_format="pyarrow"),
+                         as_dataset, sort_by="doc_id")
 
 
 def token_entropy_sql() -> str:
@@ -3412,7 +3442,8 @@ def bpe_encode_sql(n_merges: int = 8) -> str:
         ORDER BY d.doc_id"""
 
 
-def corpus_novelty(sf_dir: str, nparts: int = 16) -> pd.DataFrame:
+def corpus_novelty(sf_dir: str, nparts: int = 16,
+                   as_dataset: bool = False) -> pd.DataFrame:
     """Incremental-ingestion dedup: treat docs with even doc_id as the
     COMMITTED corpus and odd doc_id as the INCOMING batch; flag each
     incoming doc whose exact content hash already exists in the
@@ -3452,10 +3483,13 @@ def corpus_novelty(sf_dir: str, nparts: int = 16) -> pd.DataFrame:
             "novel": (~inc["h"].isin(committed)).to_numpy(dtype=bool),
         })
 
-    out = (_read_docs(sf_dir, ["doc_id", "text"])
-           .map_batches(hash_rows, batch_format="pyarrow")
-           .groupby("bucket").map_groups(per_bucket, batch_format="pandas")
-           .to_pandas())
+    ds = (_read_docs(sf_dir, ["doc_id", "text"])
+          .map_batches(hash_rows, batch_format="pyarrow")
+          .groupby("bucket").map_groups(per_bucket,
+                                        batch_format="pandas"))
+    if as_dataset:
+        return ds
+    out = ds.to_pandas()
     if "doc_id" not in out.columns:  # no incoming rows at all
         from ..functions.util import empty_frame
         out = empty_frame({"doc_id": "int64", "novel": "bool"})
