@@ -268,6 +268,12 @@ def _blob_audit(sf_dir: str):
     return MM.blob_audit(run.docs(), blob_dir)
 
 
+def _har_entries(sf_dir: str):
+    run = _crawl(sf_dir)
+    blob_dir = os.path.join(_store_root(sf_dir), "blobs")
+    return MM.har_entries(run.docs(), blob_dir)
+
+
 def _media_thumbnails(sf_dir: str):
     """Real decode -> resize -> re-encode; the driver row gate sees the
     metadata + thumb byte length (binary payloads stay in the stream
@@ -544,6 +550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_near_dup": _media_near_dup,
         "media_thumbnails": _media_thumbnails,
         "blob_audit": _blob_audit,
+        "har_entries": _har_entries,
         "parse_chain_counts": _parse_chain_counts,
         "host_edges": lambda sf: G.host_edges(_crawl(sf).crawl_log(), QCFG),
         "host_triangles": lambda sf: G.host_triangles(
@@ -1906,6 +1913,62 @@ def oracle_sql() -> dict[str, str]:
                   AS files_orphaned,
               CAST(coalesce((SELECT sum(size) FROM fls), 0) AS BIGINT)
                   AS bytes_total""",
+        # per-page HAR content rollup re-parsed END TO END from the
+        # artifact bytes on disk (multimodal.har_entries): read_blob ->
+        # JSON entry indexing via generate_series -> mime-class sums;
+        # nothing taken from the engine
+        "har_entries": f"""
+            WITH sp AS {_sp},
+            refs AS (SELECT DISTINCT media_ref FROM sp
+                     WHERE kind = 'media/har'),
+            raw AS (SELECT substr(filename, {len(_bd) + 2}) AS rel,
+                           CAST(decode(content) AS VARCHAR) AS j
+                    FROM read_blob('{_bd}/**/har.json')),
+            m AS (SELECT r.media_ref, raw.j,
+                         CAST(json_array_length(raw.j, '$.log.entries')
+                              AS BIGINT) AS cnt
+                  FROM refs r
+                  JOIN raw ON raw.rel = substr(r.media_ref, 8)),
+            ix AS (SELECT media_ref, j,
+                          unnest(generate_series(0, cnt - 1)) AS i
+                   FROM m),
+            x AS (SELECT media_ref,
+                         json_extract_string(j, '$.log.entries['
+                             || i || '].request.url') AS url,
+                         CAST(json_extract(j, '$.log.entries[' || i
+                             || '].response.status') AS BIGINT)
+                             AS status,
+                         json_extract_string(j, '$.log.entries[' || i
+                             || '].response.content.mimeType') AS mime,
+                         CAST(json_extract(j, '$.log.entries[' || i
+                             || '].response.content.size') AS BIGINT)
+                             AS sz
+                  FROM ix),
+            agg AS (SELECT media_ref,
+                   CAST(count(*) AS BIGINT) AS n_requests,
+                   CAST(count(DISTINCT regexp_extract(url,
+                        '^https://([^/]+)', 1)) AS BIGINT) AS n_hosts,
+                   CAST(sum(CASE WHEN status = 200 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_ok,
+                   CAST(sum(sz) AS BIGINT) AS bytes_total,
+                   CAST(sum(CASE WHEN mime LIKE 'text/%' THEN sz
+                            ELSE 0 END) AS BIGINT) AS bytes_text,
+                   CAST(sum(CASE WHEN mime = 'application/javascript'
+                            THEN sz ELSE 0 END) AS BIGINT)
+                       AS bytes_script,
+                   CAST(sum(CASE WHEN mime LIKE 'image/%' THEN sz
+                            ELSE 0 END) AS BIGINT) AS bytes_image
+            FROM x GROUP BY media_ref)
+            SELECT m.media_ref,
+                   coalesce(a.n_requests, 0) AS n_requests,
+                   coalesce(a.n_hosts, 0) AS n_hosts,
+                   coalesce(a.n_ok, 0) AS n_ok,
+                   coalesce(a.bytes_total, 0) AS bytes_total,
+                   coalesce(a.bytes_text, 0) AS bytes_text,
+                   coalesce(a.bytes_script, 0) AS bytes_script,
+                   coalesce(a.bytes_image, 0) AS bytes_image
+            FROM m LEFT JOIN agg a USING (media_ref)
+            ORDER BY media_ref""",
         # crawl -> curated packed corpus (curation.crawl_to_corpus);
         # twin generated from the same params over the docs export
         "crawl_to_corpus": CU.crawl_to_corpus_sql(_exp),

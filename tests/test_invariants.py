@@ -568,3 +568,114 @@ def test_video_near_dup_shared_frames(tmp_path):
     import pandas as pd
     pd.testing.assert_frame_equal(pairs.reset_index(drop=True), odf,
                                   check_dtype=False, check_exact=True)
+
+
+def test_har_entries_constructed_vs_duckdb(ray_session, tmp_path):
+    """har_entries on a constructed blob dir (synthetic HARs plus
+    handcrafted edge cases: empty entries, all-dup hosts, no-200
+    statuses) must match an independent DuckDB re-parse of the same
+    bytes."""
+    import json
+    import os
+
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from visiblev8_crawler_ray.functions.har import synth_har
+    from visiblev8_crawler_ray.pipelines.multimodal import har_entries
+
+    blob_dir = str(tmp_path / "blobs")
+
+    def entry(url, status, mime, size):
+        return {"request": {"url": url, "method": "GET"},
+                "response": {"status": status,
+                             "content": {"mimeType": mime,
+                                         "size": size}}}
+
+    blobs = {
+        "a/har.json": synth_har("a"),
+        "b/har.json": synth_har("b"),
+        "c/har.json": json.dumps(
+            {"log": {"doc": "c", "entries": []}}).encode(),
+        "d/har.json": json.dumps({"log": {"doc": "d", "entries": [
+            entry("https://one.example/x", 404, "text/html", 10),
+            entry("https://one.example/y", 500,
+                  "application/javascript", 20),
+            entry("https://one.example/z", 301, "image/png", 30),
+            entry("https://one.example/w", 204,
+                  "application/json", 40),
+        ]}}).encode(),
+    }
+    for rel, data in blobs.items():
+        p = os.path.join(blob_dir, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as f:
+            f.write(data)
+
+    span_t = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                        ("media_ref", pa.string()),
+                        ("offset", pa.int32())])
+    docs = pa.table({
+        "doc_id": pa.array(list("abcd")),
+        "spans": pa.array([[{"kind": "media/har", "text": "",
+                             "media_ref": f"blob://{d}/har.json",
+                             "offset": 0}] for d in "abcd"],
+                          type=pa.list_(span_t)),
+    })
+    got = har_entries(rd.from_arrow(docs), blob_dir)
+
+    con = duckdb.connect()
+    want = con.sql(f"""
+        WITH raw AS (SELECT substr(filename, {len(blob_dir) + 2}) AS rel,
+                            CAST(decode(content) AS VARCHAR) AS j
+                     FROM read_blob('{blob_dir}/**/har.json')),
+        m AS (SELECT 'blob://' || rel AS media_ref, j,
+                     CAST(json_array_length(j, '$.log.entries')
+                          AS BIGINT) AS cnt FROM raw),
+        ix AS (SELECT media_ref, j,
+                      unnest(generate_series(0, cnt - 1)) AS i FROM m),
+        x AS (SELECT media_ref,
+                     json_extract_string(j, '$.log.entries[' || i
+                         || '].request.url') AS url,
+                     CAST(json_extract(j, '$.log.entries[' || i
+                         || '].response.status') AS BIGINT) AS status,
+                     json_extract_string(j, '$.log.entries[' || i
+                         || '].response.content.mimeType') AS mime,
+                     CAST(json_extract(j, '$.log.entries[' || i
+                         || '].response.content.size') AS BIGINT) AS sz
+              FROM ix),
+        agg AS (SELECT media_ref,
+                   CAST(count(*) AS BIGINT) AS n_requests,
+                   CAST(count(DISTINCT regexp_extract(url,
+                        '^https://([^/]+)', 1)) AS BIGINT) AS n_hosts,
+                   CAST(sum(CASE WHEN status = 200 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_ok,
+                   CAST(sum(sz) AS BIGINT) AS bytes_total,
+                   CAST(sum(CASE WHEN mime LIKE 'text/%' THEN sz
+                            ELSE 0 END) AS BIGINT) AS bytes_text,
+                   CAST(sum(CASE WHEN mime = 'application/javascript'
+                            THEN sz ELSE 0 END) AS BIGINT)
+                       AS bytes_script,
+                   CAST(sum(CASE WHEN mime LIKE 'image/%' THEN sz
+                            ELSE 0 END) AS BIGINT) AS bytes_image
+            FROM x GROUP BY media_ref)
+        SELECT m.media_ref,
+               coalesce(a.n_requests, 0) AS n_requests,
+               coalesce(a.n_hosts, 0) AS n_hosts,
+               coalesce(a.n_ok, 0) AS n_ok,
+               coalesce(a.bytes_total, 0) AS bytes_total,
+               coalesce(a.bytes_text, 0) AS bytes_text,
+               coalesce(a.bytes_script, 0) AS bytes_script,
+               coalesce(a.bytes_image, 0) AS bytes_image
+        FROM m LEFT JOIN agg a USING (media_ref)
+        ORDER BY media_ref""").df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the empty-entries HAR keeps a zeroed row
+    assert got.set_index("media_ref").loc[
+        "blob://c/har.json", "n_requests"] == 0
+    assert got.set_index("media_ref").loc[
+        "blob://d/har.json", "n_hosts"] == 1
+    assert got.set_index("media_ref").loc[
+        "blob://d/har.json", "n_ok"] == 0

@@ -21,4 +21,4 @@ No module in this package calls ``ray.init()`` — the driver, bench.py
 and the pytest session fixture own the Ray session.
 """
 
-__version__ = "0.11.0"  # 0.11: dotall URL canonicalization (embedded \n)
+__version__ = "0.12.0"  # 0.12: real HAR request-log payloads (har_entries)

@@ -204,7 +204,6 @@ class FetchWriter(Fetcher):
         ``vv8_worker/tasks.py:184-264``; here a blob directory keyed by
         the same ``blob://<doc_id>/<name>`` refs the spans carry).
         Deterministic synthetic payloads; rewrites are idempotent."""
-        import json
         import os
 
         spans = full["spans"]
@@ -232,7 +231,10 @@ class FetchWriter(Fetcher):
                 from ..functions.video import synth_video
                 payload = synth_video(did)
             else:
-                payload = json.dumps({"log": {"doc": did}}).encode()
+                # REAL HAR JSON: a deterministic per-page request log
+                # (har_entries parses these bytes back)
+                from ..functions.har import synth_har
+                payload = synth_har(did)
             tmp = path + ".tmp"
             with open(tmp, "wb") as f:
                 f.write(payload)
