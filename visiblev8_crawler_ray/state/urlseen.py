@@ -158,8 +158,38 @@ class _CuckooFront:
 
     def add(self, hashes: np.ndarray) -> bool:
         fp, i1, i2 = self._fp_idx(hashes)
+        tbl = self.table
+        # Vectorized no-kick fast path (VERDICT r4 "Next" #5 — the
+        # per-key loop was 7% of crawl cost): (1) drop fingerprints
+        # already represented in either bucket, (2) scatter the rest
+        # into empty slots with first-writer-wins rounds per bucket
+        # array (at sane occupancy this places ~all of the batch); only
+        # the residue enters the per-key kick loop.  A batch-internal
+        # fp+bucket collision may insert a duplicate fingerprint —
+        # harmless: the front has no false negatives either way and
+        # membership truth lives in the exact tier.
+        present = ((tbl[i1] == fp[:, None]).any(axis=1)
+                   | (tbl[i2] == fp[:, None]).any(axis=1))
+        pend = np.flatnonzero(~present)
+        for bucket_of in (i1, i2):
+            for _ in range(self.SLOTS):
+                if not len(pend):
+                    break
+                b = bucket_of[pend]
+                empty = tbl[b] == 0
+                has = empty.any(axis=1)
+                if not has.any():
+                    break
+                hix = np.flatnonzero(has)
+                slots = empty[hix].argmax(axis=1)
+                _, first = np.unique(b[hix], return_index=True)
+                win = hix[first]
+                tbl[b[win], slots[first]] = fp[pend[win]]
+                keep = np.ones(len(pend), dtype=bool)
+                keep[win] = False
+                pend = pend[keep]
         homeless = []
-        for j in range(len(fp)):
+        for j in pend:
             p = self._insert(int(fp[j]), int(i1[j]), int(i2[j]))
             if p is not None:
                 homeless.append(p)
