@@ -57,7 +57,18 @@ def main() -> int:
                          "(boilerplate detect -> strip -> dedup on the "
                          "clean content -> pack) instead of the raw "
                          "render chain")
+    ap.add_argument("--follow", action="store_true",
+                    help="continuous admission: poll the seed source and "
+                         "admit newly-appended seeds into the next wave "
+                         "of the resumable store (tail -f the seed list "
+                         "— the reference's always-on queue semantics)")
+    ap.add_argument("--follow-polls", type=int, default=5,
+                    help="number of polls before exiting --follow")
+    ap.add_argument("--follow-interval", type=float, default=1.0,
+                    help="seconds between --follow polls")
     args = ap.parse_args()
+    if args.follow and args.n_synthetic:
+        ap.error("--follow needs a file seed source (--seeds/--csv/--jsonl)")
 
     import ray
 
@@ -79,20 +90,46 @@ def main() -> int:
                       max_per_host_per_wave=args.host_window,
                       max_per_host_total=args.host_budget)
 
-    if args.n_synthetic:
-        import numpy as np
+    def read_source():
+        if args.n_synthetic:
+            import numpy as np
 
-        seeds = synth.seeds_table(np.arange(args.n_synthetic), cfg)
-    elif args.seeds:
-        seeds = readers.read_url_file(args.seeds)
-    elif args.csv:
-        seeds = readers.read_tranco_csv(args.csv)
-    else:
-        seeds = readers.read_candidates_jsonl(args.jsonl).select_columns(
+            return synth.seeds_table(np.arange(args.n_synthetic), cfg)
+        if args.seeds:
+            return readers.read_url_file(args.seeds)
+        if args.csv:
+            return readers.read_tranco_csv(args.csv)
+        return readers.read_candidates_jsonl(args.jsonl).select_columns(
             ["seed_id", "url"])
 
     t0 = time.time()
-    run = run_crawl(seeds, cfg, args.store, fetcher_mode=args.fetcher_mode)
+    if args.follow:
+        # tail -f the seed source: each poll admits only the rows past
+        # the last consumed offset (seed ids are line-stable, so the
+        # slice is exactly the appended tail); run_crawl resumes the
+        # store and merges the tail into the next wave's candidates.
+        import pyarrow as pa
+
+        consumed = 0
+        run = None
+        polls = 0
+        for poll in range(args.follow_polls):
+            tbl = read_source()
+            if hasattr(tbl, "to_pandas") and not isinstance(tbl, pa.Table):
+                tbl = pa.Table.from_pandas(tbl.to_pandas(),
+                                           preserve_index=False)
+            if tbl.num_rows > consumed or run is None:
+                tail = tbl.slice(consumed)
+                run = run_crawl(tail, cfg, args.store,
+                                fetcher_mode=args.fetcher_mode,
+                                admit_new_seeds=consumed > 0)
+                consumed = tbl.num_rows
+                polls += 1
+            if poll < args.follow_polls - 1:
+                time.sleep(args.follow_interval)
+    else:
+        run = run_crawl(read_source(), cfg, args.store,
+                        fetcher_mode=args.fetcher_mode)
     dt = time.time() - t0
     m = run.metrics()
     summary = {

@@ -400,3 +400,65 @@ def test_resume_after_midwave_crash_scale_path(oracle_result, tmp_path):
     r_seen = resumed.urlseen().to_pandas().sort_values("first_seq")
     assert f_seen[["url_key", "first_wave", "first_seq"]].values.tolist() == \
         r_seen[["url_key", "first_wave", "first_seq"]].values.tolist()
+
+
+def _full_contract_check(run, orc):
+    seen = run.urlseen().to_pandas().sort_values("first_seq")
+    o_seen = pd.DataFrame(orc.urlseen).sort_values("first_seq")
+    assert set(seen.url_key) == set(o_seen.url_key)
+    assert list(seen.url) == list(o_seen.url)
+    assert list(seen.first_wave) == list(o_seen.first_wave)
+    metrics = sorted(run.metrics().to_pylist(), key=lambda r: r["wave"])
+    assert metrics == orc.metrics
+    docs = run.docs().to_pandas()
+    odocs = {d["doc_id"]: d["spans"] for d in orc.docs}
+    assert set(docs.doc_id) == set(odocs)
+    for did, spans in zip(docs.doc_id, docs.spans):
+        assert _span_tuples(spans) == _span_tuples(odocs[did]), did
+
+
+def test_continuous_admission_mid_crawl(ray_session, tmp_path):
+    """Seeds arriving BETWEEN waves (the reference's always-on queue,
+    vv8_worker/app.py:16-28): a resumed run with admit_new_seeds=True
+    must equal the oracle given the same staged arrivals."""
+    seeds_a = synth.seeds_table(np.arange(60), CFG)
+    seeds_b = synth.seeds_table(np.arange(100, 130), CFG)
+    store = str(tmp_path / "follow1")
+
+    run_crawl(seeds_a, CFG, store, stop_after_wave=0)
+    run = run_crawl(seeds_b, CFG, store, admit_new_seeds=True)
+
+    orc = crawl_oracle(
+        list(zip(seeds_a["seed_id"].to_pylist(),
+                 seeds_a["url"].to_pylist())), CFG,
+        seed_actions=seeds_a["actions"].to_pylist(),
+        arrivals={1: list(zip(seeds_b["seed_id"].to_pylist(),
+                              seeds_b["url"].to_pylist()))},
+        arrival_actions={1: seeds_b["actions"].to_pylist()},
+    )
+    _full_contract_check(run, orc)
+
+
+def test_continuous_admission_after_exhaustion(ray_session, tmp_path):
+    """Seeds arriving after the frontier ran dry: the resumed run opens
+    a fresh wave with just the arrivals; same oracle contract."""
+    cfg = CrawlConfig(max_depth=0, max_waves=6,
+                      max_per_host_per_wave=15)
+    seeds_a = synth.seeds_table(np.arange(40), cfg)
+    seeds_b = synth.seeds_table(np.arange(200, 230), cfg)
+    store = str(tmp_path / "follow2")
+
+    first = run_crawl(seeds_a, cfg, store)
+    exhausted_at = first.waves  # frontier dry after this many waves
+    run = run_crawl(seeds_b, cfg, store, admit_new_seeds=True)
+
+    orc = crawl_oracle(
+        list(zip(seeds_a["seed_id"].to_pylist(),
+                 seeds_a["url"].to_pylist())), cfg,
+        seed_actions=seeds_a["actions"].to_pylist(),
+        arrivals={exhausted_at: list(zip(
+            seeds_b["seed_id"].to_pylist(),
+            seeds_b["url"].to_pylist()))},
+        arrival_actions={exhausted_at: seeds_b["actions"].to_pylist()},
+    )
+    _full_contract_check(run, orc)

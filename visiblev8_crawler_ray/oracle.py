@@ -78,9 +78,20 @@ class OracleResult:
 
 
 def crawl_oracle(seed_urls: list[tuple[int, str]], cfg: CrawlConfig,
-                 seed_actions: list[str] | None = None) -> OracleResult:
+                 seed_actions: list[str] | None = None,
+                 arrivals: dict[int, list[tuple[int, str]]] | None = None,
+                 arrival_actions: dict[int, list[str]] | None = None,
+                 ) -> OracleResult:
     """seed_urls: (seed_id, raw_url) in file order; ``seed_actions``
-    the aligned per-seed actions JSON strings ('' = none, M6)."""
+    the aligned per-seed actions JSON strings ('' = none, M6).
+
+    ``arrivals``: continuous-admission seeds — wave -> (seed_id,
+    raw_url) batches that join that wave's candidates (the engine's
+    ``run_crawl(admit_new_seeds=True)`` resume contract: seeds arriving
+    between waves enter the next uncommitted wave).  Arrival waves must
+    be reachable (contiguous with the crawl — the engine never runs an
+    empty gap wave).  ``arrival_actions`` aligns per batch like
+    ``seed_actions``."""
     res = OracleResult()
     seen: set[str] = set()          # url_key of fetched + blocked + failed
     host_fetched: dict[str, int] = {}  # per-host admitted total (budget)
@@ -109,8 +120,30 @@ def crawl_oracle(seed_urls: list[tuple[int, str]], cfg: CrawlConfig,
         if ok:
             cand.append((sid, cu, 0))
 
+    arrivals = arrivals or {}
+    arrival_actions = arrival_actions or {}
     wave = 0
-    while cand and wave < cfg.max_waves:
+    while wave < cfg.max_waves:
+        batch = arrivals.get(wave)
+        if batch:
+            raw2 = pa.array([u for _, u in batch], type=pa.string())
+            c2 = U.canonicalize(raw2)
+            aj2 = arrival_actions.get(wave) or [""] * len(batch)
+            for (sid, _), cu, ok, aj in sorted(
+                zip(batch, c2["canonical_url"].to_pylist(),
+                    c2["valid"].to_pylist(), aj2),
+                key=lambda r: r[0][0],
+            ):
+                if ok and cu not in amap:
+                    amap[cu] = aj
+            for (sid, _), cu, ok in zip(
+                batch, c2["canonical_url"].to_pylist(),
+                c2["valid"].to_pylist()
+            ):
+                if ok:
+                    cand.append((sid, cu, 0))
+        if not cand:
+            break
         m = {"wave": wave, "admitted": 0, "fetched": 0, "deduped": 0,
              "robots_blocked": 0, "deferred": 0, "failed": 0,
              "retried": 0, "budget_dropped": 0}

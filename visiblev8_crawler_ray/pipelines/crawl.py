@@ -774,6 +774,7 @@ def run_crawl(
     fetcher_mode: str = "task",
     stop_after_wave: int | None = None,
     blob_artifacts: bool = False,
+    admit_new_seeds: bool = False,
 ) -> CrawlRun:
     import os as _os
     import time as _time
@@ -850,6 +851,25 @@ def run_crawl(
             if cfg.max_per_host_total is not None else {})
         fr = store.read_table("frontier_next", waves=[last])
         frontier = fr if fr is not None and fr.num_rows else None
+        if admit_new_seeds:
+            # Continuous-admission mode (the reference's always-on queue,
+            # vv8_worker/app.py:16-28, as a wave-loop mode): seeds that
+            # arrived since the last committed wave join the NEXT wave's
+            # candidates alongside the restored frontier.  The caller
+            # passes only the NEW tail of its seed source (tail -f
+            # semantics — crawl_job --follow tracks the file offset);
+            # already-seen URLs among them are dropped by the ordinary
+            # wave dedup, counted like any duplicate candidate.
+            newf = (_canonicalize_batch(seeds)
+                    if isinstance(seeds, pa.Table)
+                    else _collect_control(seeds.map_batches(
+                        _canonicalize_batch, batch_format="pyarrow")))
+            if newf.num_rows:
+                parts = ([frontier.select(FRONTIER_COLS)]
+                         if frontier is not None else [])
+                parts.append(newf.select(FRONTIER_COLS))
+                frontier = pa.concat_tables(parts,
+                                            promote_options="default")
     else:
         next_seq = 0
         start_wave = 0
