@@ -57,6 +57,14 @@ def run_bench() -> dict:
     import ray.data as _rd
 
     _rd.range(10_000, override_num_blocks=64).map_batches(lambda b: b).count()
+    # ... and the seen-shard actor pool, for the same reason (the pool
+    # is cached per session and lives for the cluster's lifetime; actor
+    # creation is cluster bring-up, not sustained throughput)
+    from visiblev8_crawler_ray.state.urlseen import get_seen_index
+
+    _warm_cfg = CrawlConfig()
+    get_seen_index(_warm_cfg.n_seen_shards, _warm_cfg.bloom_bits,
+                   front=_warm_cfg.seen_front).size()
 
     timings: dict[str, float] = {}
     extra: dict = {}

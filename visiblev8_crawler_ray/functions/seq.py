@@ -1,14 +1,20 @@
 """Distributed global sequence assignment (zip-with-index).
 
 Ray Data has no `zipWithIndex`; the portable pattern (same as Spark's
-RDD.zipWithIndex) is: sort -> per-block (first_key, row_count) summary
--> cumulative offsets on the driver (tiny: one row per block) ->
-broadcast the offset map back into a per-block `map_batches` that emits
-`offset + arange(n)`.
+RDD.zipWithIndex) is: sort -> per-block offsets -> a per-block map that
+emits `offset + arange(n)`.
 
-Requires the sort key to be UNIQUE per row (the caller passes a
-tiebreaker column such as the URL) so the first-row key identifies a
-block unambiguously even when the sort splits equal keys across blocks.
+r5 execution-count optimization (VERDICT r4 "Next" #3): after
+``sort().materialize()`` the blocks sit in RANGE ORDER with row counts
+in their metadata, so the per-block offsets come straight from
+``iter_internal_ref_bundles()`` — no summary execution — and the
+assignment runs as ONE round of raw Ray tasks over the block refs
+(`rd.from_arrow_refs` re-wraps the results).  That replaces two full
+Dataset executions per call with one light task round; the flat
+per-wave exchange floor of the crawl drops accordingly.  The previous
+summary-based path remains as a fallback if the developer metadata API
+is unavailable, and block content/order is bit-identical either way
+(positional order == first-key order because sort keys are row-unique).
 """
 
 from __future__ import annotations
@@ -24,6 +30,24 @@ def _key_of(batch: pa.Table, cols: list[str]) -> tuple:
     return tuple(batch.column(c)[0].as_py() for c in cols)
 
 
+def _sorted_blocks(mat: rd.Dataset) -> list[tuple]:
+    """(block_ref, num_rows) in range order from a materialized sorted
+    Dataset — metadata only, zero executions."""
+    out = []
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            out.append((ref, int(meta.num_rows)))
+    return out
+
+
+@ray.remote
+def _seq_block(block: pa.Table, off: int, seq_col: str) -> pa.Table:
+    if not isinstance(block, pa.Table):
+        block = pa.Table.from_pandas(block, preserve_index=False)
+    return block.append_column(
+        seq_col, pa.array(off + np.arange(block.num_rows, dtype=np.int64)))
+
+
 def assign_global_seq(
     ds: rd.Dataset,
     sort_cols: list[str],
@@ -33,12 +57,43 @@ def assign_global_seq(
 ) -> rd.Dataset | tuple[rd.Dataset, int]:
     """Return `ds` sorted by `sort_cols` with a dense global index column.
 
-    One extra pass over the sorted blocks to collect (first_key, count);
-    the offset map that ships back is O(num_blocks), not O(rows).
-    ``return_count=True`` also returns the total row count (free — it is
-    the sum of the block summaries), sparing callers a count() pass.
+    Offsets come from sorted-block metadata (O(num_blocks), no extra
+    execution); assignment is one raw-task round.  ``return_count=True``
+    also returns the total row count (free — the metadata sum).
+    Requires the sort key to be UNIQUE per row (callers pass a
+    tiebreaker column such as the URL).
     """
     mat = ds.sort(sort_cols).materialize()
+    try:
+        blocks = _sorted_blocks(mat)
+    except Exception:  # pragma: no cover - metadata API unavailable
+        blocks = []
+    # empty sorted blocks can be schema-less raw refs — drop them (they
+    # contribute no rows); an all-empty result takes the fallback path,
+    # which reproduces the pre-r5 empty-schema flow exactly
+    blocks = [(r, n) for r, n in blocks if n]
+    if not blocks:
+        return _assign_global_seq_fallback(mat, sort_cols, seq_col,
+                                           start, return_count)
+    offs, acc = [], start
+    for _, n in blocks:
+        offs.append(acc)
+        acc += n
+    refs = [_seq_block.remote(ref, off, seq_col)
+            for (ref, _), off in zip(blocks, offs)]
+    # barrier: the returned dataset is fully computed (side effects in
+    # downstream consumers may rely on completed assignment, and the
+    # pre-r5 path was barriered by its materialize too)
+    ray.wait(refs, num_returns=len(refs), fetch_local=False)
+    out = rd.from_arrow_refs(refs)
+    if return_count:
+        return out, acc - start
+    return out
+
+
+def _assign_global_seq_fallback(mat, sort_cols, seq_col, start,
+                                return_count):
+    """Pre-r5 summary path (one extra execution), kept as the fallback."""
 
     def block_summary(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -51,9 +106,6 @@ def assign_global_seq(
     summaries = mat.map_batches(
         block_summary, batch_format="pyarrow", batch_size=None
     ).take_all()
-    # Blocks are range-partitioned after the sort: ordering the summaries
-    # by their (unique) first-row key orders the blocks.  Keys stay native
-    # tuples end to end — no string round-tripping of data-derived values.
     order = sorted(summaries, key=lambda r: tuple(r[c] for c in sort_cols))
     offsets: dict[tuple, int] = {}
     acc = start
@@ -75,11 +127,46 @@ def assign_global_seq(
     return out
 
 
+@ray.remote
+def _group_counts_block(block: pa.Table, group_col: str):
+    """Per-group row counts of one sorted block (groups are contiguous;
+    intra-block group order is irrelevant to the base computation)."""
+    if not isinstance(block, pa.Table):
+        block = pa.Table.from_pandas(block, preserve_index=False)
+    if block.num_rows == 0:
+        return [], []
+    g = block.group_by([group_col]).aggregate([([], "count_all")])
+    return g[group_col].to_pylist(), g.column(1).to_pylist()
+
+
+@ray.remote
+def _rank_block(block: pa.Table, base: dict, group_col: str,
+                rank_col: str, post_fn) -> pa.Table:
+    if not isinstance(block, pa.Table):
+        block = pa.Table.from_pandas(block, preserve_index=False)
+    if block.num_rows == 0:
+        out = block.append_column(rank_col, pa.array([], type=pa.int64()))
+        return post_fn(out) if post_fn is not None else out
+    gv = block[group_col].to_numpy(zero_copy_only=False)
+    # contiguous segments: first occurrence index per group value
+    uniq, seg_start = np.unique(gv, return_index=True)
+    order = np.argsort(seg_start)
+    uniq, seg_start = uniq[order], seg_start[order]
+    seg_idx = np.searchsorted(seg_start, np.arange(block.num_rows),
+                              side="right") - 1
+    within = np.arange(block.num_rows, dtype=np.int64) - seg_start[seg_idx]
+    base_arr = np.array([base.get(u, 0) for u in uniq], dtype=np.int64)
+    rank = within + base_arr[seg_idx]
+    out = block.append_column(rank_col, pa.array(rank))
+    return post_fn(out) if post_fn is not None else out
+
+
 def assign_group_rank(
     ds: rd.Dataset,
     group_col: str,
     order_cols: list[str],
     rank_col: str = "rank",
+    post_fn=None,
 ) -> rd.Dataset:
     """Dense per-group rank (ROW_NUMBER() OVER (PARTITION BY group ORDER
     BY order_cols), 0-based) via ONE range-partitioned sort — never a
@@ -89,15 +176,48 @@ def assign_group_rank(
     groups and concentrates a hot group into one task (the crawl's
     hot-host skew point); the sort form spreads every group across
     range-partitioned blocks, so parallelism is block-count-bound and a
-    hot group costs no more than its row share.  Per-group offsets come
-    from control-size block summaries (one row per (block, group)), the
-    same zip-with-index machinery as :func:`assign_global_seq`.
+    hot group costs no more than its row share.  Per-group bases come
+    from a light task round of per-(block, group) counts over the
+    sorted block refs (no summary execution); the rank assignment is a
+    second task round.  ``post_fn`` (optional, a pa.Table -> pa.Table
+    map) fuses a downstream per-block transform into the assignment
+    round — the crawl fuses its politeness columns here, saving one
+    full execution per wave.
 
     Requires ``[group_col] + order_cols`` to be row-unique (callers pass
     a unique tiebreaker, as for assign_global_seq).
     """
     sort_cols = [group_col] + order_cols
     mat = ds.sort(sort_cols).materialize()
+    try:
+        blocks = _sorted_blocks(mat)
+    except Exception:  # pragma: no cover - metadata API unavailable
+        blocks = []
+    blocks = [(r, n) for r, n in blocks if n]  # see assign_global_seq
+    if not blocks:
+        return _assign_group_rank_fallback(mat, group_col, sort_cols,
+                                           rank_col, post_fn)
+    counts = ray.get([_group_counts_block.remote(ref, group_col)
+                      for ref, _ in blocks])
+    running: dict = {}
+    bases: list[dict] = []
+    for groups, cnts in counts:
+        base = {}
+        for g, c in zip(groups, cnts):
+            base[g] = running.get(g, 0)
+            running[g] = base[g] + int(c)
+        bases.append(base)
+    refs = [_rank_block.remote(ref, base, group_col, rank_col, post_fn)
+            for (ref, _), base in zip(blocks, bases)]
+    # barrier: post_fn may carry side effects (the crawl's budget
+    # side-writes) that the caller commits right after this returns
+    ray.wait(refs, num_returns=len(refs), fetch_local=False)
+    return rd.from_arrow_refs(refs)
+
+
+def _assign_group_rank_fallback(mat, group_col, sort_cols, rank_col,
+                                post_fn):
+    """Pre-r5 summary path, kept as the fallback."""
 
     def block_summary(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -106,7 +226,6 @@ def assign_group_rank(
                 | {"__g": batch[group_col].slice(0, 0),
                    "__n": pa.array([], type=pa.int64())})
         head = batch.slice(0, 1)
-        # groups are contiguous inside a sorted block: per-group counts
         g = batch.group_by([group_col]).aggregate([([], "count_all")])
         k = g.num_rows
         return pa.table(
@@ -135,20 +254,20 @@ def assign_group_rank(
 
     def assign(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return batch.append_column(rank_col,
-                                       pa.array([], type=pa.int64()))
+            out = batch.append_column(rank_col,
+                                      pa.array([], type=pa.int64()))
+            return post_fn(out) if post_fn is not None else out
         base = ray.get(bases_ref)[_key_of(batch, sort_cols)]
         gv = batch[group_col].to_numpy(zero_copy_only=False)
-        # contiguous segments: first occurrence index per group value
         uniq, seg_start = np.unique(gv, return_index=True)
         order = np.argsort(seg_start)
         uniq, seg_start = uniq[order], seg_start[order]
-        # rank = position within segment + broadcast base
         seg_idx = np.searchsorted(seg_start, np.arange(batch.num_rows),
                                   side="right") - 1
         within = np.arange(batch.num_rows, dtype=np.int64) - seg_start[seg_idx]
         base_arr = np.array([base[u] for u in uniq], dtype=np.int64)
         rank = within + base_arr[seg_idx]
-        return batch.append_column(rank_col, pa.array(rank))
+        out = batch.append_column(rank_col, pa.array(rank))
+        return post_fn(out) if post_fn is not None else out
 
     return mat.map_batches(assign, batch_format="pyarrow", batch_size=None)
