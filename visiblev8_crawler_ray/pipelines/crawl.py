@@ -101,6 +101,10 @@ def _canonicalize_batch(batch: pa.Table) -> pa.Table:
             "depth": pa.array(np.zeros(batch.num_rows, dtype=np.int32)),
         }
     )
+    if "actions" in batch.column_names:
+        # passthrough so the cold-start Dataset path can derive the
+        # actions first-wins table from the SAME canonicalize pass
+        t = t.append_column("actions", batch.column("actions"))
     return t.filter(keep)
 
 
@@ -436,6 +440,42 @@ def _fetch_counts(part_dir: str) -> tuple[int, int]:
     return sum(p[0] for p in parts), sum(p[1] for p in parts)
 
 
+def _finalize_actions(tbl: pa.Table) -> pa.Table:
+    """Cross-batch first-wins finish: min seed_id per url_key, then drop
+    the rows with no actions (shared by _build_actions_table and the
+    fused cold-start path)."""
+    tbl = tbl.take(pc.sort_indices(
+        tbl, sort_keys=[("url_key", "ascending"), ("seed_id", "ascending")]))
+    keys = tbl["url_key"].to_numpy(zero_copy_only=False)
+    first = np.ones(len(keys), dtype=bool)
+    first[1:] = keys[1:] != keys[:-1]
+    tbl = tbl.filter(pa.array(first))
+    tbl = tbl.filter(pc.not_equal(tbl["actions"], ""))
+    return tbl.select(["url_key", "actions"])
+
+
+@ray.remote(num_returns=2)
+def _strip_actions_block(block: pa.Table):
+    """One canonicalized frontier block (with actions passthrough) ->
+    (block sans actions, per-block first-wins actions partial) — the
+    fused cold-start round that spares a second full canonicalize
+    execution over the seed list."""
+    t = (block if isinstance(block, pa.Table)
+         else pa.Table.from_pandas(block, preserve_index=False))
+    act = pa.table({
+        "seed_id": t["admission_key"],
+        "url_key": t["url_key"],
+        "actions": t["actions"],
+    })
+    act = act.take(pc.sort_indices(
+        act, sort_keys=[("url_key", "ascending"),
+                        ("seed_id", "ascending")]))
+    keys = act["url_key"].to_numpy(zero_copy_only=False)
+    first = np.ones(len(keys), dtype=bool)
+    first[1:] = keys[1:] != keys[:-1]
+    return t.drop_columns(["actions"]), act.filter(pa.array(first))
+
+
 def _build_actions_table(seeds) -> pa.Table:
     """First-wins (url_key, actions) table for actioned seeds (M6).
 
@@ -485,15 +525,7 @@ def _build_actions_table(seeds) -> pa.Table:
         tbl = keyed_firstwins(seeds.select(["seed_id", "url", "actions"]))
     if tbl.num_rows == 0:
         return empty
-    # final first-wins across batches (no-op for the driver path)
-    tbl = tbl.take(pc.sort_indices(
-        tbl, sort_keys=[("url_key", "ascending"), ("seed_id", "ascending")]))
-    keys = tbl["url_key"].to_numpy(zero_copy_only=False)
-    first = np.ones(len(keys), dtype=bool)
-    first[1:] = keys[1:] != keys[:-1]
-    tbl = tbl.filter(pa.array(first))
-    tbl = tbl.filter(pc.not_equal(tbl["actions"], ""))
-    return tbl.select(["url_key", "actions"])
+    return _finalize_actions(tbl)
 
 
 def _attach_actions(rows_ds: rd.Dataset, actions_ds: rd.Dataset,
@@ -849,12 +881,8 @@ def run_crawl(
         # actions first-wins and the wave-0 frontier) — the driver-side
         # vectorized pass is ~1 s/300k URLs of per-wave-0 floor
         seeds = rd.from_arrow(_split_table(seeds, 65536))
-    atbl = _build_actions_table(seeds)
-    join_actions = atbl.num_rows > cfg.actions_broadcast_max
-    actions_ref = (ray.put(atbl)
-                   if atbl.num_rows and not join_actions else None)
-    actions_ds = (rd.from_arrow(_split_table(atbl, 65536)).materialize()
-                  if atbl.num_rows and join_actions else None)
+    atbl = None  # built per-branch (the cold Dataset path fuses it
+    # into the frontier canonicalize — ONE pass over the seed list)
     # S6/S7: optional artifact-byte materialization under <root>/blobs
     # (refs in the spans resolve against this dir; off by default — the
     # blob volume dwarfs the span tables)
@@ -862,6 +890,7 @@ def run_crawl(
 
     done = store.committed_waves("metrics")
     if done:
+        atbl = _build_actions_table(seeds)
         # ---- resume path: restore seen + frontier from the checkpoint
         last = done[-1]
         man = store.read_manifest("metrics", last)
@@ -926,15 +955,50 @@ def run_crawl(
         # seed tables canonicalize right on the driver in one vectorized
         # call; Dataset seeds (cluster-scale seed lists) stay distributed.
         if isinstance(seeds, pa.Table):
+            atbl = _build_actions_table(seeds)
             frontier = _canonicalize_batch(seeds)
-            if frontier.num_rows == 0:
+            if frontier.num_rows:
+                frontier = frontier.select(FRONTIER_COLS)
+            else:
                 frontier = None
         else:
-            frontier = seeds.map_batches(
+            fr = seeds.map_batches(
                 _canonicalize_batch, batch_format="pyarrow"
             ).materialize()
-            if frontier.count() == 0:
+            has_actions = "actions" in seeds.schema().names
+            blocks = None
+            if has_actions:
+                try:
+                    blocks = [r for b in fr.iter_internal_ref_bundles()
+                              for (r, m) in b.blocks if m.num_rows]
+                except Exception:  # pragma: no cover
+                    blocks = None
+            if has_actions and blocks is not None:
+                # fused round: strip the actions column AND reduce the
+                # per-block first-wins partials in one task sweep —
+                # no second canonicalize execution over the seeds
+                outs = [_strip_actions_block.remote(r) for r in blocks]
+                parts = ray.get([p for _, p in outs])
+                parts = [p for p in parts if p.num_rows]
+                atbl = (_finalize_actions(pa.concat_tables(parts))
+                        if parts else _build_actions_table(
+                            pa.table({"url": pa.array([],
+                                                      type=pa.string())})))
+                frontier = (rd.from_arrow_refs([b for b, _ in outs])
+                            if blocks else None)
+            else:
+                atbl = _build_actions_table(seeds)
+                frontier = fr
+            if frontier is not None and frontier.count() == 0:
                 frontier = None
+
+    if atbl is None:  # resume guard (should not happen)
+        atbl = _build_actions_table(seeds)
+    join_actions = atbl.num_rows > cfg.actions_broadcast_max
+    actions_ref = (ray.put(atbl)
+                   if atbl.num_rows and not join_actions else None)
+    actions_ds = (rd.from_arrow(_split_table(atbl, 65536)).materialize()
+                  if atbl.num_rows and join_actions else None)
 
     wave = start_wave
     while frontier is not None and wave < cfg.max_waves:

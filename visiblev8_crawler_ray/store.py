@@ -124,13 +124,43 @@ class TableStore:
 
     def write_dataset(self, ds: rd.Dataset, table: str, wave: int,
                       lineage: dict | None = None) -> None:
-        """Write a Dataset as one committed partition (atomic via rename)."""
+        """Write a Dataset as one committed partition (atomic via rename).
+
+        Materialized inputs (the crawl's frontier checkpoints) write via
+        ONE raw-task round over their block refs instead of a full
+        ``write_parquet`` execution — the same execution-floor shave as
+        functions/seq.py; unmaterialized or metadata-less datasets keep
+        the write_parquet path."""
         final = self.part_dir(table, wave)
         tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
         if os.path.exists(final):
             shutil.rmtree(final)
         os.makedirs(tmp, exist_ok=True)  # empty datasets write no files
-        ds.write_parquet(tmp)
+        blocks = None
+        try:
+            blocks = [r for b in ds.iter_internal_ref_bundles()
+                      for (r, m) in b.blocks if m.num_rows]
+        except Exception:  # pragma: no cover - unmaterialized input
+            blocks = None
+        if blocks is not None:
+            import ray as _ray
+
+            @_ray.remote
+            def _write_block(block, path: str) -> int:
+                import pandas as _pd
+
+                if isinstance(block, _pd.DataFrame):
+                    block = pa.Table.from_pandas(block,
+                                                 preserve_index=False)
+                pq.write_table(block, path)
+                return block.num_rows
+
+            _ray.get([
+                _write_block.remote(
+                    r, os.path.join(tmp, f"part-{i:06d}.parquet"))
+                for i, r in enumerate(blocks)])
+        else:
+            ds.write_parquet(tmp)
         os.rename(tmp, final)
         self._commit(table, wave, lineage)
 
