@@ -28,3 +28,7 @@ test:
 
 bench:
 	RAY_GRAFT_CPUS=8 GRAFT_SF_DIR=/root/testdata/sf0.01 $(PY) bench.py
+
+# two-raylet cluster dress rehearsal (standalone: stops any running ray)
+two-node:
+	VV8RAY_TWO_NODE=1 $(PY) -m pytest -q tests/test_two_node.py
