@@ -277,3 +277,110 @@ def test_api_kgrams_empty_corpus(ray_session):
     })
     out = api_kgrams(rd.from_arrow(docs))
     assert list(out.columns) == ["kgram", "n"] and len(out) == 0
+
+
+def test_har_entries_fuzz_vs_duckdb(ray_session, tmp_path):
+    """Randomized HAR payloads (entry counts 0-12, arbitrary status /
+    mime / host / size draws, unicode-ish urls) -> har_entries must
+    match an independent DuckDB re-parse of the same bytes, and the
+    as_dataset seam must stream the identical rows."""
+    import json
+    import os
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from visiblev8_crawler_ray.pipelines.multimodal import har_entries
+
+    rng = np.random.default_rng(5107)
+    mimes = ["text/html", "text/css", "text/plain",
+             "application/javascript", "image/png", "image/jpeg",
+             "application/json", "font/woff2"]
+    statuses = [200, 200, 200, 204, 301, 404, 500]
+    blob_dir = str(tmp_path / "blobs")
+    n_docs = 30
+    for d in range(n_docs):
+        n = int(rng.integers(0, 13))
+        entries = []
+        for i in range(n):
+            host = f"h{int(rng.integers(0, 5))}.example"
+            entries.append({
+                "request": {"url": f"https://{host}/p/{i}?q=a%20b",
+                            "method": "GET"},
+                "response": {
+                    "status": int(rng.choice(statuses)),
+                    "content": {
+                        "mimeType": str(rng.choice(mimes)),
+                        "size": int(rng.integers(0, 100_000))}},
+            })
+        p = os.path.join(blob_dir, f"d{d}", "har.json")
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as f:
+            f.write(json.dumps(
+                {"log": {"doc": f"d{d}", "entries": entries}}).encode())
+
+    span_t = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                        ("media_ref", pa.string()),
+                        ("offset", pa.int32())])
+    docs = pa.table({
+        "doc_id": pa.array([f"d{d}" for d in range(n_docs)]),
+        "spans": pa.array([[{"kind": "media/har", "text": "",
+                             "media_ref": f"blob://d{d}/har.json",
+                             "offset": 0}] for d in range(n_docs)],
+                          type=pa.list_(span_t)),
+    })
+    ds = rd.from_arrow(docs)
+    got = har_entries(ds, blob_dir)
+    streamed = (har_entries(ds, blob_dir, as_dataset=True).to_pandas()
+                .sort_values("media_ref").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, streamed, check_dtype=False)
+
+    con = duckdb.connect()
+    want = con.sql(f"""
+        WITH raw AS (SELECT substr(filename, {len(blob_dir) + 2}) AS rel,
+                            CAST(decode(content) AS VARCHAR) AS j
+                     FROM read_blob('{blob_dir}/**/har.json')),
+        m AS (SELECT 'blob://' || rel AS media_ref, j,
+                     CAST(json_array_length(j, '$.log.entries')
+                          AS BIGINT) AS cnt FROM raw),
+        ix AS (SELECT media_ref, j,
+                      unnest(generate_series(0, cnt - 1)) AS i FROM m),
+        x AS (SELECT media_ref,
+                     json_extract_string(j, '$.log.entries[' || i
+                         || '].request.url') AS url,
+                     CAST(json_extract(j, '$.log.entries[' || i
+                         || '].response.status') AS BIGINT) AS status,
+                     json_extract_string(j, '$.log.entries[' || i
+                         || '].response.content.mimeType') AS mime,
+                     CAST(json_extract(j, '$.log.entries[' || i
+                         || '].response.content.size') AS BIGINT) AS sz
+              FROM ix),
+        agg AS (SELECT media_ref,
+                   CAST(count(*) AS BIGINT) AS n_requests,
+                   CAST(count(DISTINCT regexp_extract(url,
+                        '^https://([^/]+)', 1)) AS BIGINT) AS n_hosts,
+                   CAST(sum(CASE WHEN status = 200 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_ok,
+                   CAST(sum(sz) AS BIGINT) AS bytes_total,
+                   CAST(sum(CASE WHEN mime LIKE 'text/%' THEN sz
+                            ELSE 0 END) AS BIGINT) AS bytes_text,
+                   CAST(sum(CASE WHEN mime = 'application/javascript'
+                            THEN sz ELSE 0 END) AS BIGINT)
+                       AS bytes_script,
+                   CAST(sum(CASE WHEN mime LIKE 'image/%' THEN sz
+                            ELSE 0 END) AS BIGINT) AS bytes_image
+            FROM x GROUP BY media_ref)
+        SELECT m.media_ref,
+               coalesce(a.n_requests, 0) AS n_requests,
+               coalesce(a.n_hosts, 0) AS n_hosts,
+               coalesce(a.n_ok, 0) AS n_ok,
+               coalesce(a.bytes_total, 0) AS bytes_total,
+               coalesce(a.bytes_text, 0) AS bytes_text,
+               coalesce(a.bytes_script, 0) AS bytes_script,
+               coalesce(a.bytes_image, 0) AS bytes_image
+        FROM m LEFT JOIN agg a USING (media_ref)
+        ORDER BY media_ref""").df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

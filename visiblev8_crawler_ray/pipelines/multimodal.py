@@ -901,7 +901,8 @@ def blob_audit(docs: rd.Dataset, blob_dir: str) -> "object":
     }])
 
 
-def har_entries(docs: rd.Dataset, blob_dir: str) -> pd.DataFrame:
+def har_entries(docs: rd.Dataset, blob_dir: str,
+                as_dataset: bool = False) -> pd.DataFrame:
     """Per-page HAR content rollup: request count, distinct contacted
     hosts, ok-status count and bytes by mime class, parsed from the
     REAL HAR JSON artifacts — the network-side page profile the
@@ -963,8 +964,13 @@ def har_entries(docs: rd.Dataset, blob_dir: str) -> pd.DataFrame:
              **{k: pa.array(v, type=pa.int64())
                 for k, v in cols.items()}})
 
-    out = hars.map_batches(parse, batch_format="pyarrow",
-                           batch_size=1024).to_pandas()
+    parsed = hars.map_batches(parse, batch_format="pyarrow",
+                              batch_size=1024)
+    if as_dataset:
+        # one row per crawled page: corpus-sized at the 10^10 design
+        # point — stream to write_parquet instead of the driver
+        return parsed
+    out = parsed.to_pandas()
     if out.empty or "media_ref" not in out.columns:
         return pd.DataFrame({
             "media_ref": pd.Series([], dtype=object),
