@@ -87,3 +87,59 @@ def test_random_config_matches_oracle(ray_session, tmp_path, seed):
     assert set(docs.doc_id) == set(odocs), cfg
     for did, spans in zip(docs.doc_id, docs.spans):
         assert _span_tuples(spans) == _span_tuples(odocs[did]), (cfg, did)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5])
+def test_random_continuous_admission_matches_oracle(ray_session,
+                                                    tmp_path, seed):
+    """Continuous-admission fuzz: random configs, a random crash wave,
+    and a random second seed batch arriving between waves — the full
+    equality contract must hold against the oracle's staged-arrival
+    simulation (r5 feature hardening: the fixed-scenario tests in
+    test_crawl_vs_oracle.py pin two shapes; this samples the space)."""
+    rng = np.random.default_rng(7200 + seed)
+    cfg = _random_config(rng)
+    # arrivals need a resumable wave after the crash: ensure >= 2 waves
+    cfg = CrawlConfig(**{**cfg.__dict__, "max_waves":
+                         int(rng.integers(3, 6))})
+    n_a = int(rng.integers(15, 60))
+    n_b = int(rng.integers(5, 40))
+    ids_a = np.sort(rng.choice(1 << 18, size=n_a, replace=False))
+    # second batch: later id range (arrival order == id order contract),
+    # with a chance of overlapping URLs via duplicate id re-derivation
+    ids_b = np.sort(rng.choice(1 << 18, size=n_b, replace=False)
+                    + (1 << 18))
+    seeds_a = synth.seeds_table(ids_a, cfg)
+    seeds_b = synth.seeds_table(ids_b, cfg)
+
+    stop = int(rng.integers(0, max(1, cfg.max_waves - 1)))
+    store = str(tmp_path / f"follow{seed}")
+    shutil.rmtree(store, ignore_errors=True)
+    first = run_crawl(seeds_a, cfg, store, stop_after_wave=stop)
+    arrive_at = first.waves  # next uncommitted wave
+    if arrive_at >= cfg.max_waves:
+        pytest.skip("crawl consumed every wave before the arrival")
+    run = run_crawl(seeds_b, cfg, store, admit_new_seeds=True)
+
+    orc = crawl_oracle(
+        list(zip(seeds_a["seed_id"].to_pylist(),
+                 seeds_a["url"].to_pylist())), cfg,
+        seed_actions=seeds_a["actions"].to_pylist(),
+        arrivals={arrive_at: list(zip(
+            seeds_b["seed_id"].to_pylist(),
+            seeds_b["url"].to_pylist()))},
+        arrival_actions={arrive_at: seeds_b["actions"].to_pylist()},
+    )
+
+    seen = run.urlseen().to_pandas().sort_values("first_seq")
+    o_seen = pd.DataFrame(orc.urlseen).sort_values("first_seq")
+    assert set(seen.url_key) == set(o_seen.url_key), cfg
+    assert list(seen.url) == list(o_seen.url), cfg
+    assert list(seen.first_wave) == list(o_seen.first_wave), cfg
+    metrics = sorted(run.metrics().to_pylist(), key=lambda r: r["wave"])
+    assert metrics == orc.metrics, cfg
+    docs = run.docs().to_pandas()
+    odocs = {d["doc_id"]: d["spans"] for d in orc.docs}
+    assert set(docs.doc_id) == set(odocs), cfg
+    for did, spans in zip(docs.doc_id, docs.spans):
+        assert _span_tuples(spans) == _span_tuples(odocs[did]), (cfg, did)

@@ -440,17 +440,22 @@ def _fetch_counts(part_dir: str) -> tuple[int, int]:
     return sum(p[0] for p in parts), sum(p[1] for p in parts)
 
 
-def _finalize_actions(tbl: pa.Table) -> pa.Table:
-    """Cross-batch first-wins finish: min seed_id per url_key, then drop
-    the rows with no actions (shared by _build_actions_table and the
-    fused cold-start path)."""
+def _finalize_actions(tbl: pa.Table,
+                      drop_empty: bool = True) -> pa.Table:
+    """Cross-batch first-wins finish: min seed_id per url_key, then
+    (by default) drop the rows with no actions.  ``drop_empty=False``
+    keeps the EMPTY claims too — the persisted form: a first submission
+    WITHOUT actions claims its URL's slot and must keep blocking later
+    actioned duplicates across resumes (the reference serves duplicate
+    submissions from its cache, endpoints/tasks.py:150-156)."""
     tbl = tbl.take(pc.sort_indices(
         tbl, sort_keys=[("url_key", "ascending"), ("seed_id", "ascending")]))
     keys = tbl["url_key"].to_numpy(zero_copy_only=False)
     first = np.ones(len(keys), dtype=bool)
     first[1:] = keys[1:] != keys[:-1]
     tbl = tbl.filter(pa.array(first))
-    tbl = tbl.filter(pc.not_equal(tbl["actions"], ""))
+    if drop_empty:
+        tbl = tbl.filter(pc.not_equal(tbl["actions"], ""))
     return tbl.select(["url_key", "actions"])
 
 
@@ -476,7 +481,36 @@ def _strip_actions_block(block: pa.Table):
     return t.drop_columns(["actions"]), act.filter(pa.array(first))
 
 
-def _build_actions_table(seeds) -> pa.Table:
+def _read_action_claims(store) -> pa.Table | None:
+    """Persisted first-wins action CLAIMS (including empty ones) in
+    arrival order — earlier partitions claimed their URLs first, so the
+    first occurrence per key across partitions (in wave order) wins.
+    None when the store predates claim persistence (fallback: rebuild
+    from the caller's seed list, the pre-r5 behavior)."""
+    waves = store.committed_waves("actions")
+    parts = []
+    for w in waves:
+        t = store.read_table("actions", waves=[w])
+        if t is not None and t.num_rows:
+            parts.append(t.select(["url_key", "actions"]))
+    if not waves:
+        return None
+    if not parts:
+        return pa.table({"url_key": pa.array([], type=pa.string()),
+                         "actions": pa.array([], type=pa.string())})
+    tbl = pa.concat_tables(parts, promote_options="default")
+    prio = np.concatenate([np.full(p.num_rows, i, dtype=np.int64)
+                           for i, p in enumerate(parts)])
+    tbl = tbl.append_column("prio", pa.array(prio))
+    tbl = tbl.take(pc.sort_indices(
+        tbl, sort_keys=[("url_key", "ascending"), ("prio", "ascending")]))
+    keys = tbl["url_key"].to_numpy(zero_copy_only=False)
+    first = np.ones(len(keys), dtype=bool)
+    first[1:] = keys[1:] != keys[:-1]
+    return tbl.filter(pa.array(first)).select(["url_key", "actions"])
+
+
+def _build_actions_table(seeds, keep_empty: bool = False) -> pa.Table:
     """First-wins (url_key, actions) table for actioned seeds (M6).
 
     The reference accepts per-URL action scripts at submission
@@ -525,7 +559,7 @@ def _build_actions_table(seeds) -> pa.Table:
         tbl = keyed_firstwins(seeds.select(["seed_id", "url", "actions"]))
     if tbl.num_rows == 0:
         return empty
-    return _finalize_actions(tbl)
+    return _finalize_actions(tbl, drop_empty=not keep_empty)
 
 
 def _attach_actions(rows_ds: rd.Dataset, actions_ds: rd.Dataset,
@@ -881,16 +915,23 @@ def run_crawl(
         # actions first-wins and the wave-0 frontier) — the driver-side
         # vectorized pass is ~1 s/300k URLs of per-wave-0 floor
         seeds = rd.from_arrow(_split_table(seeds, 65536))
-    atbl = None  # built per-branch (the cold Dataset path fuses it
-    # into the frontier canonicalize — ONE pass over the seed list)
     # S6/S7: optional artifact-byte materialization under <root>/blobs
     # (refs in the spans resolve against this dir; off by default — the
     # blob volume dwarfs the span tables)
     blob_dir = os.path.join(store_root, "blobs") if blob_artifacts else None
 
     done = store.committed_waves("metrics")
+    claims = None  # first-wins action claims INCLUDING empty ones
     if done:
-        atbl = _build_actions_table(seeds)
+        # resume: action claims come from the STORE (the reference's
+        # submission cache persists across worker restarts —
+        # endpoints/tasks.py:150-156); rebuilding from the caller's
+        # current seed list would lose claims of earlier batches, so a
+        # deferred actioned URL would refetch with no actions after a
+        # crash or in --follow mode (caught by the r5 admission fuzz).
+        claims = _read_action_claims(store)
+        if claims is None:  # store predates claim persistence
+            claims = _build_actions_table(seeds, keep_empty=True)
         # ---- resume path: restore seen + frontier from the checkpoint
         last = done[-1]
         man = store.read_manifest("metrics", last)
@@ -944,6 +985,17 @@ def run_crawl(
                 parts.append(newf.select(FRONTIER_COLS))
                 frontier = pa.concat_tables(parts,
                                             promote_options="default")
+            # persist the NEW batch's claims (losing to every stored
+            # claim — those arrived first) as this resume's partition
+            new_claims = _build_actions_table(seeds, keep_empty=True)
+            if new_claims.num_rows:
+                fresh_mask = ~np.isin(
+                    new_claims["url_key"].to_numpy(zero_copy_only=False),
+                    claims["url_key"].to_numpy(zero_copy_only=False))
+                new_claims = new_claims.filter(pa.array(fresh_mask))
+            store.write_table(new_claims, "actions", start_wave)
+            claims = pa.concat_tables([claims, new_claims],
+                                      promote_options="default")
     else:
         next_seq = 0
         start_wave = 0
@@ -955,7 +1007,7 @@ def run_crawl(
         # seed tables canonicalize right on the driver in one vectorized
         # call; Dataset seeds (cluster-scale seed lists) stay distributed.
         if isinstance(seeds, pa.Table):
-            atbl = _build_actions_table(seeds)
+            claims = _build_actions_table(seeds, keep_empty=True)
             frontier = _canonicalize_batch(seeds)
             if frontier.num_rows:
                 frontier = frontier.select(FRONTIER_COLS)
@@ -980,20 +1032,27 @@ def run_crawl(
                 outs = [_strip_actions_block.remote(r) for r in blocks]
                 parts = ray.get([p for _, p in outs])
                 parts = [p for p in parts if p.num_rows]
-                atbl = (_finalize_actions(pa.concat_tables(parts))
-                        if parts else _build_actions_table(
-                            pa.table({"url": pa.array([],
-                                                      type=pa.string())})))
+                claims = (_finalize_actions(pa.concat_tables(parts),
+                                            drop_empty=False)
+                          if parts else _build_actions_table(
+                              pa.table({"url": pa.array([],
+                                                        type=pa.string())}),
+                              keep_empty=True))
                 frontier = (rd.from_arrow_refs([b for b, _ in outs])
                             if blocks else None)
             else:
-                atbl = _build_actions_table(seeds)
+                claims = _build_actions_table(seeds, keep_empty=True)
                 frontier = fr
             if frontier is not None and frontier.count() == 0:
                 frontier = None
+        # cold start persists the claim table as partition 0 so every
+        # later resume sees the original submissions' claims
+        store.write_table(claims, "actions", 0)
 
-    if atbl is None:  # resume guard (should not happen)
-        atbl = _build_actions_table(seeds)
+    atbl = (claims.filter(pc.not_equal(claims["actions"], ""))
+            if claims is not None and claims.num_rows
+            else pa.table({"url_key": pa.array([], type=pa.string()),
+                           "actions": pa.array([], type=pa.string())}))
     join_actions = atbl.num_rows > cfg.actions_broadcast_max
     actions_ref = (ray.put(atbl)
                    if atbl.num_rows and not join_actions else None)
