@@ -274,6 +274,12 @@ def _har_entries(sf_dir: str):
     return MM.har_entries(run.docs(), blob_dir)
 
 
+def _har_third_party(sf_dir: str):
+    run = _crawl(sf_dir)
+    blob_dir = os.path.join(_store_root(sf_dir), "blobs")
+    return MM.har_third_party(run.docs(), blob_dir)
+
+
 def _media_thumbnails(sf_dir: str):
     """Real decode -> resize -> re-encode; the driver row gate sees the
     metadata + thumb byte length (binary payloads stay in the stream
@@ -551,6 +557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_thumbnails": _media_thumbnails,
         "blob_audit": _blob_audit,
         "har_entries": _har_entries,
+        "har_third_party": _har_third_party,
         "parse_chain_counts": _parse_chain_counts,
         "host_edges": lambda sf: G.host_edges(_crawl(sf).crawl_log(), QCFG),
         "host_triangles": lambda sf: G.host_triangles(
@@ -1967,6 +1974,51 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.bytes_text, 0) AS bytes_text,
                    coalesce(a.bytes_script, 0) AS bytes_script,
                    coalesce(a.bytes_image, 0) AS bytes_image
+            FROM m LEFT JOIN agg a USING (media_ref)
+            ORDER BY media_ref""",
+        # third-party request profile from the same HAR bytes
+        # (multimodal.har_third_party)
+        "har_third_party": f"""
+            WITH sp AS {_sp},
+            refs AS (SELECT DISTINCT media_ref FROM sp
+                     WHERE kind = 'media/har'),
+            raw AS (SELECT substr(filename, {len(_bd) + 2}) AS rel,
+                           CAST(decode(content) AS VARCHAR) AS j
+                    FROM read_blob('{_bd}/**/har.json')),
+            m AS (SELECT r.media_ref, raw.j,
+                         CAST(json_array_length(raw.j, '$.log.entries')
+                              AS BIGINT) AS cnt
+                  FROM refs r
+                  JOIN raw ON raw.rel = substr(r.media_ref, 8)),
+            ix AS (SELECT media_ref, j, cnt,
+                          unnest(generate_series(0, cnt - 1)) AS i
+                   FROM m),
+            x AS (SELECT media_ref,
+                         regexp_extract(json_extract_string(j,
+                             '$.log.entries[' || i || '].request.url'),
+                             '^https://([^/]+)', 1) AS host,
+                         CAST(json_extract(j, '$.log.entries[' || i
+                             || '].response.content.size') AS BIGINT)
+                             AS sz
+                  FROM ix),
+            agg AS (SELECT media_ref,
+                       CAST(count(*) AS BIGINT) AS n_requests,
+                       CAST(sum(CASE WHEN host <> 'origin.example'
+                                THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_third_party,
+                       CAST(sum(CASE WHEN host <> 'origin.example'
+                                THEN sz ELSE 0 END) AS BIGINT)
+                           AS bytes_third_party
+                FROM x GROUP BY media_ref)
+            SELECT m.media_ref,
+                   coalesce(a.n_requests, 0) AS n_requests,
+                   coalesce(a.n_third_party, 0) AS n_third_party,
+                   coalesce(a.bytes_third_party, 0)
+                       AS bytes_third_party,
+                   CASE WHEN coalesce(a.n_requests, 0) > 0
+                        THEN round(CAST(a.n_third_party AS DOUBLE)
+                                   / a.n_requests, 4)
+                        ELSE 0.0 END AS third_party_share
             FROM m LEFT JOIN agg a USING (media_ref)
             ORDER BY media_ref""",
         # crawl -> curated packed corpus (curation.crawl_to_corpus);

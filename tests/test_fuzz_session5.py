@@ -384,3 +384,55 @@ def test_har_entries_fuzz_vs_duckdb(ray_session, tmp_path):
         FROM m LEFT JOIN agg a USING (media_ref)
         ORDER BY media_ref""").df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_har_third_party_constructed(ray_session, tmp_path):
+    """har_third_party over handcrafted HARs: all-first-party,
+    all-third-party, mixed, and empty pages — exact counts and the
+    4-decimal share convention."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from visiblev8_crawler_ray.pipelines.multimodal import har_third_party
+
+    def entry(host, size):
+        return {"request": {"url": f"https://{host}/r", "method": "GET"},
+                "response": {"status": 200,
+                             "content": {"mimeType": "text/html",
+                                         "size": size}}}
+
+    blob_dir = str(tmp_path / "blobs")
+    blobs = {
+        "a/har.json": [entry("origin.example", 10)] * 3,
+        "b/har.json": [entry("cdn1.example", 7),
+                       entry("cdn2.example", 9)],
+        "c/har.json": [entry("origin.example", 5),
+                       entry("cdn1.example", 11),
+                       entry("cdn1.example", 13)],
+        "d/har.json": [],
+    }
+    for rel, entries in blobs.items():
+        p = os.path.join(blob_dir, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as f:
+            f.write(json.dumps(
+                {"log": {"entries": entries}}).encode())
+    span_t = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                        ("media_ref", pa.string()),
+                        ("offset", pa.int32())])
+    docs = pa.table({
+        "doc_id": pa.array(list("abcd")),
+        "spans": pa.array([[{"kind": "media/har", "text": "",
+                             "media_ref": f"blob://{d}/har.json",
+                             "offset": 0}] for d in "abcd"],
+                          type=pa.list_(span_t)),
+    })
+    out = har_third_party(rd.from_arrow(docs), blob_dir) \
+        .set_index("media_ref")
+    assert out.loc["blob://a/har.json"].tolist() == [3, 0, 0, 0.0]
+    assert out.loc["blob://b/har.json"].tolist() == [2, 2, 16, 1.0]
+    assert out.loc["blob://c/har.json"].tolist() == [3, 2, 24, 0.6667]
+    assert out.loc["blob://d/har.json"].tolist() == [0, 0, 0, 0.0]

@@ -980,6 +980,72 @@ def har_entries(docs: rd.Dataset, blob_dir: str,
     return out.sort_values("media_ref").reset_index(drop=True)
 
 
+def har_third_party(docs: rd.Dataset, blob_dir: str,
+                    as_dataset: bool = False) -> pd.DataFrame:
+    """Per-page third-party request profile from the HAR artifacts:
+    requests to any host other than the page's own origin
+    (``origin.example`` in the synthetic capture), their byte volume,
+    and the rounded third-party share — the classic web-measurement
+    metric the reference's ecosystem derives from its captured traffic
+    (third-party script prevalence is VisibleV8's headline analysis).
+
+    Same scale shape as :func:`har_entries`: one streaming pass over
+    the exploded ``media/har`` refs, stateless per-artifact JSON parse,
+    one row per page, no shuffle."""
+    import json as _json
+    import os as _os
+
+    from ..functions.util import round_half_away
+    from ..stages.parse import explode_spans_batch
+
+    hars = docs.map_batches(
+        explode_spans_batch, batch_format="pyarrow").map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "media/har")),
+        batch_format="pyarrow")
+
+    def parse(t: pa.Table) -> pa.Table:
+        refs = t["media_ref"].to_pylist()
+        n_req, n_third, b_third, share = [], [], [], []
+        for ref in refs:
+            path = _os.path.join(blob_dir, ref[len("blob://"):])
+            with open(path, "rb") as f:
+                entries = _json.load(f)["log"].get("entries", [])
+            nt = bt = 0
+            for e in entries:
+                host = e["request"]["url"].split("/")[2]
+                if host != "origin.example":
+                    nt += 1
+                    bt += int(e["response"]["content"]["size"])
+            n_req.append(len(entries))
+            n_third.append(nt)
+            b_third.append(bt)
+            share.append(
+                float(round_half_away(
+                    np.array([nt / len(entries)]), 4)[0])
+                if entries else 0.0)
+        return pa.table({
+            "media_ref": pa.array(refs, type=pa.string()),
+            "n_requests": pa.array(n_req, type=pa.int64()),
+            "n_third_party": pa.array(n_third, type=pa.int64()),
+            "bytes_third_party": pa.array(b_third, type=pa.int64()),
+            "third_party_share": pa.array(share, type=pa.float64()),
+        })
+
+    parsed = hars.map_batches(parse, batch_format="pyarrow",
+                              batch_size=1024)
+    if as_dataset:
+        return parsed
+    out = parsed.to_pandas()
+    if out.empty or "media_ref" not in out.columns:
+        return pd.DataFrame({
+            "media_ref": pd.Series([], dtype=object),
+            "n_requests": pd.Series([], dtype="int64"),
+            "n_third_party": pd.Series([], dtype="int64"),
+            "bytes_third_party": pd.Series([], dtype="int64"),
+            "third_party_share": pd.Series([], dtype="float64")})
+    return out.sort_values("media_ref").reset_index(drop=True)
+
+
 def video_near_dup(docs: rd.Dataset, blob_dir: str,
                    min_shared: int = 2) -> pd.DataFrame:
     """Clip-overlap video near-dup: pairs of video artifacts sharing at
