@@ -110,6 +110,13 @@ def main() -> int:
         # store and merges the tail into the next wave's candidates.
         import pyarrow as pa
 
+        from visiblev8_crawler_ray.store import TableStore
+
+        # resuming an existing store: the file may already hold lines
+        # appended since the original run — admit from the start (the
+        # wave dedup drops the already-crawled ones) instead of
+        # silently pinning them under the consumed offset
+        resumed = bool(TableStore(args.store).committed_waves("metrics"))
         consumed = 0
         run = None
         polls = 0
@@ -122,7 +129,7 @@ def main() -> int:
                 tail = tbl.slice(consumed)
                 run = run_crawl(tail, cfg, args.store,
                                 fetcher_mode=args.fetcher_mode,
-                                admit_new_seeds=consumed > 0)
+                                admit_new_seeds=consumed > 0 or resumed)
                 consumed = tbl.num_rows
                 polls += 1
             if poll < args.follow_polls - 1:
